@@ -1,0 +1,269 @@
+"""Golden bit-match tests against the reference's own fixture files.
+
+Ports the table-driven golden tests of reference shapefile_test.go:17-206
+(TestReadFS) and :208-386 (TestReadFSAndZipFile): shape type, header
+bounds, record counts, record-0 geometry vs WKT literal, record-0 DBF row.
+Geometry comparison is numeric (parsed WKT coordinate arrays, exact
+float64 equality) rather than string-wise, sidestepping Go-vs-Python float
+formatting trivia while still being bit-exact.
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from go_shapefile_spark.functions.wkt import parse_wkt, record_to_nested, to_wkt
+from go_shapefile_spark.sources.shapefile_core import (
+    ShapefileError, make_multipolygon_endss, parse_shp, read_shapefile,
+    read_zip,
+)
+
+INF = math.inf
+
+
+def assert_geom_matches_wkt(rec, wkt_str):
+    kind, layout, expected = parse_wkt(wkt_str)
+    got_kind, got_layout, got = record_to_nested(rec)
+    assert got_kind == kind
+    exp_arr = np.array(expected, dtype=object)
+
+    def flatten(x, out):
+        if isinstance(x, (list, tuple, np.ndarray)):
+            for v in x:
+                flatten(v, out)
+        else:
+            out.append(float(x))
+
+    fe, fg = [], []
+    flatten(expected, fe)
+    flatten(got, fg)
+    assert len(fe) == len(fg), f"coord count {len(fg)} != {len(fe)}"
+    np.testing.assert_array_equal(np.array(fg), np.array(fe))
+    # structural shape: counts of parts/rings
+    def shape_of(x):
+        if isinstance(x, list) and x and isinstance(x[0], list):
+            return [shape_of(v) for v in x]
+        return len(x) if isinstance(x, list) else 0
+    assert shape_of(got) == shape_of(expected)
+
+
+GOLDEN = [
+    # basename, shape_type, bounds, n_records, wkt0, dbf0, has_shx
+    ("line", 3, (1, 1, 5, 6), 1,
+     "MULTILINESTRING ((1 5,5 5,5 1,3 3,1 1),(3 2,2 6))", None, True),
+    ("linem", 23, (1, 1, 0, 5, 6, 3), 1,
+     "MULTILINESTRING M ((1 5 0,5 5 -1E+39,5 1 3,3 3 -1E+39,1 1 0),(3 2 -1E+39,2 6 -1E+39))",
+     None, False),
+    ("linez", 13, (1, 1, 0, 0, 5, 9, 22, 3), 1,
+     "MULTILINESTRING ZM ((1 5 18 -1E+39,5 5 20 -1E+39,5 1 22 -1E+39,3 3 0 -1E+39,1 1 0 -1E+39),"
+     "(3 2 0 -1E+39,2 6 0 -1E+39),(3 2 15 0,2 6 13 3,1 9 14 2))", None, False),
+    ("multipoint", 8, (122, 32, 124, 37), 1,
+     "MULTIPOINT ((122 37),(124 32))", None, False),
+    ("multipointz", 18,
+     (1422671.7232666016, 4188903.4295959473, 71.99445343017578, INF,
+      1422672.1022949219, 4188903.7578430176, 72.00995635986328, -INF), 1,
+     "MULTIPOINT ZM ((1422671.7232666016 4188903.4295959473 72.00995635986328 -1E38),"
+     "(1422672.1022949219 4188903.4295959473 72.0060806274414 -1E38),"
+     "(1422671.9127807617 4188903.7578430176 72.00220489501953 -1E38),"
+     "(1422671.9127807617 4188903.539001465 71.99445343017578 -1E38))", None, False),
+    ("point", 1, (122, 37, 122, 37), 1, "POINT (122 37)", None, True),
+    ("polygon_hole", 5, (-120, -60, 120, 60), 1,
+     "MULTIPOLYGON (((-120 60,120 60,120 -60,-120 -60,-120 60),"
+     "(-60 30,-60 -30,60 -30,60 30,-60 30)))", None, True),
+    ("polygonm", 25,
+     (159374.30785312195, 5403473.287488617, 0, 160420.36722814097, 5404314.139043656, 0), 1,
+     "MULTIPOLYGON M (((159814.75390576152 5404314.139043656 0,"
+     "160420.36722814097 5403703.520652497 0,159374.30785312195 5403473.287488617 0,"
+     "159814.753905761517 5404314.139043656 0)))", None, False),
+    ("poly", 5, (478315.531250, 4762880.5, 481645.312500, 4765610.5), 10,
+     "MULTIPOLYGON (((479819.84375 4765180.5,479690.1875 4765259.5,479647.0 4765369.5,"
+     "479730.375 4765400.5,480039.03125 4765539.5,480035.34375 4765558.5,"
+     "480159.78125 4765610.5,480202.28125 4765482.0,480365.0 4765015.5,"
+     "480389.6875 4764950.0,480133.96875 4764856.5,480080.28125 4764979.5,"
+     "480082.96875 4765049.5,480088.8125 4765139.5,480059.90625 4765239.5,"
+     "480019.71875 4765319.5,479980.21875 4765409.5,479909.875 4765370.0,"
+     "479859.875 4765270.0,479819.84375 4765180.5)))",
+     [215229.266, 168, "35043411"], True),
+]
+
+
+@pytest.mark.parametrize("case", GOLDEN, ids=[c[0] for c in GOLDEN])
+def test_golden_fixture(ref_testdata, case):
+    basename, shape_type, bounds, n, wkt0, dbf0, has_shx = case
+    sf = read_shapefile(os.path.join(ref_testdata, basename))
+    assert sf.shp is not None
+    assert sf.shp.header.shape_type == shape_type
+    assert sf.shp.header.bounds == tuple(float(b) for b in bounds)
+    assert sf.num_records() == n
+    assert_geom_matches_wkt(sf.shp.records[0], wkt0)
+    if dbf0 is not None:
+        assert len(sf.dbf.records) == n
+        assert sf.dbf.records[0] == dbf0
+        assert sf.prj is not None
+    if has_shx:
+        assert sf.shx.header.shape_type == shape_type
+        assert sf.shx.header.bounds == tuple(float(b) for b in bounds)
+        assert len(sf.shx.offsets) == n
+
+
+def test_skip_cases(ref_testdata):
+    # multi_polygon.shp: first record has number 0, not 1 (shapefile_test.go:54)
+    with pytest.raises(ShapefileError, match="invalid record number"):
+        read_shapefile(os.path.join(ref_testdata, "multi_polygon"))
+    # multipatch: unsupported shape type (shapefile.go:65-68)
+    with pytest.raises(ShapefileError, match="unsupported shape type"):
+        read_shapefile(os.path.join(ref_testdata, "multipatch"))
+    # pointz: record 1 has record number 0 (shapefile_test.go:85)
+    with pytest.raises(ShapefileError, match="invalid record number"):
+        read_shapefile(os.path.join(ref_testdata, "pointz"))
+    # polygon.shp: rings are not closed (shapefile_test.go:101) — the
+    # winding decomposition rejects its short rings, same as the reference.
+    with pytest.raises(ShapefileError, match="too few points in ring"):
+        read_shapefile(os.path.join(ref_testdata, "polygon"))
+
+
+COUNTRIES_DBF0 = {
+    "ABBREV": "Afg.", "ADM0_A3": "AFG", "ADM0_DIF": 0.0, "ADMIN": "Afghanistan",
+    "FIPS_10_": 0.0, "FeatureCla": "Admin-0 countries", "GDP_MD_EST": 22270.0,
+    "GEOUNIT": "Afghanistan", "GEOU_DIF": 0.0, "GU_A3": "AFG", "ISO_A2": "AF",
+    "ISO_A3": "AFG", "ISO_N3": 4.0, "LEVEL": 2.0, "LabelRank": 1,
+    "MAP_COLOR": 7.0, "NAME": "Afghanistan",
+    "NAME_FORMA": "Islamic State of Afghanistan", "NAME_SORT": "Afghanistan",
+    "POP_EST": 28400000.0, "POSTAL": "AF", "SOVEREIGNT": "Afghanistan",
+    "SOV_A3": "AFG", "SUBUNIT": "Afghanistan", "SU_A3": "AFG", "SU_DIF": 0.0,
+    "ScaleRank": 1, "TERR_": "", "TYPE": "Sovereign country",
+}
+
+
+def test_countries_zip(ref_testdata):
+    sf = read_zip(os.path.join(ref_testdata, "110m-admin-0-countries.zip"))
+    assert sf.shp.header.shape_type == 5
+    assert sf.shp.header.bounds == (
+        -179.99999999999997, -90.00000000000003, 180.00000000000014, 83.64513000000001)
+    assert sf.num_records() == 177
+    fields, rec0 = sf.record(0)
+    assert fields == COUNTRIES_DBF0
+    assert rec0.number == 1
+    assert rec0.content_length == 1152
+    assert rec0.shape_type == 5
+    assert len(sf.shx.offsets) == 177
+
+
+def test_luftfahrt_zip_charset(ref_testdata):
+    sf = read_zip(os.path.join(ref_testdata, "Luftfahrthindernisse.zip"))
+    assert sf.shp.header.shape_type == 1
+    assert sf.shp.header.bounds == (
+        13.580271133050555, 46.621281718756464, 16.12994444409849, 47.78517335054476)
+    assert sf.num_records() == 1097
+    fields, rec0 = sf.record(0)
+    assert fields["Betreiber"] == "Viktor Kaplan Mürz GmbH"
+    assert fields["LFH_ID"] == 2
+    assert fields["Hoehe_Fp"] == 1580.0
+    assert fields["OBJECTID"] == 191
+    assert fields["POINT_X"] == 15.74447664
+    assert rec0.content_length == 20
+    assert_geom_matches_wkt(rec0, "POINT (15.744476635247011 47.56136608020768)")
+
+
+def test_sz_exe_zip(ref_testdata):
+    sf = read_zip(os.path.join(ref_testdata, "SZ.exe"))
+    assert sf.shp.header.shape_type == 5
+    assert sf.shp.header.bounds == (
+        5.9661102294921875, 45.829437255859375, 10.488912582397461, 47.806938171386720)
+    assert sf.num_records() == 26
+    fields, rec0 = sf.record(0)
+    assert fields["ADMIN_NAME"] == "Aargau"
+    assert fields["POP_ADMIN"] == 524648
+    assert fields["SQKM_ADMIN"] == 1441.17
+    assert fields["TYPE_LOC"] == "Canton(French), Cantone(Italian), Kanton(German)"
+    assert rec0.content_length == 1248
+
+
+def test_populated_places_broken_field(ref_testdata):
+    path = os.path.join(ref_testdata, "10m_populated_places_simple.zip")
+    # Broken numeric field "**" errors verbatim without options
+    # (scanner_test.go:248-263)...
+    with pytest.raises(ShapefileError, match="invalid numeric"):
+        read_zip(path)
+    # ...and is recovered by skip_broken_fields (shapefile_test.go:406-412).
+    sf = read_zip(path, options={"dbf": {"skip_broken_fields": True}})
+    assert sf.num_records() == 7342
+    assert len(sf.shp.records) == 7342
+
+
+def test_ring_winding_decomposition():
+    # Unit tests of makeMultiPolygonEndss semantics (shp_test.go:12-84).
+    def ring(pts):
+        return [c for p in pts for c in p]
+
+    cw = [(0, 0), (0, 1), (1, 1), (1, 0), (0, 0)]          # clockwise = outer
+    ccw = [(0.2, 0.2), (0.8, 0.2), (0.8, 0.8), (0.2, 0.8), (0.2, 0.2)]  # hole
+    flat = np.array(ring(cw) + ring(ccw), dtype=float)
+    endss = make_multipolygon_endss(flat, [10, 20], 2)
+    assert endss == [[10, 20]]                              # one polygon + hole
+
+    cw2 = [(5, 5), (5, 6), (6, 6), (6, 5), (5, 5)]
+    flat2 = np.array(ring(cw) + ring(cw2), dtype=float)
+    assert make_multipolygon_endss(flat2, [10, 20], 2) == [[10], [20]]  # two outers
+
+    flat3 = np.array(ring([(0, 0), (0, 1), (1, 1)]), dtype=float)
+    with pytest.raises(ShapefileError, match="too few points in ring"):
+        make_multipolygon_endss(flat3, [6], 2)
+
+    degenerate = [(0, 0), (1, 1), (0, 0), (1, 1), (0, 0)]
+    flat4 = np.array(ring(degenerate), dtype=float)
+    with pytest.raises(ShapefileError, match="zero area ring"):
+        make_multipolygon_endss(flat4, [10], 2)
+
+
+def test_wkt_roundtrip(ref_testdata):
+    sf = read_shapefile(os.path.join(ref_testdata, "polygon_hole"))
+    w = to_wkt(sf.shp.records[0])
+    kind, layout, parsed = parse_wkt(w)
+    assert kind == "MULTIPOLYGON"
+    assert parsed[0][0][0] == [-120.0, 60.0]
+
+
+def test_fuzz_corpus_no_crash(ref_testdata):
+    """Replay the reference's fuzz corpora: must raise cleanly, not crash
+    (reference testdata/fuzz/FuzzRead{DBF,SHP}/*)."""
+    import glob
+
+    from go_shapefile_spark.sources.shapefile_core import parse_dbf
+
+    for path in glob.glob(os.path.join(ref_testdata, "fuzz", "FuzzReadDBF", "*")):
+        with open(path) as f:
+            content = f.read()
+        # Go fuzz corpus format: line 2 is []byte("...") with quoted data
+        data = _decode_go_fuzz(content)
+        if data is None:
+            continue
+        try:
+            parse_dbf(data)
+        except (ShapefileError, Exception):
+            pass
+    for path in glob.glob(os.path.join(ref_testdata, "fuzz", "FuzzReadSHP", "*")):
+        with open(path) as f:
+            content = f.read()
+        data = _decode_go_fuzz(content)
+        if data is None:
+            continue
+        try:
+            parse_shp(data)
+        except (ShapefileError, Exception):
+            pass
+
+
+def _decode_go_fuzz(content: str):
+    for line in content.splitlines():
+        if line.startswith("[]byte("):
+            import ast
+            inner = line[len("[]byte("):-1]
+            try:
+                s = ast.literal_eval(inner)
+                return s.encode("latin-1", "replace") if isinstance(s, str) else s
+            except Exception:
+                return None
+    return None
