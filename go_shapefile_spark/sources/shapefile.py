@@ -1,0 +1,382 @@
+"""Shapefile batch source for Spark: component files → ``features`` DataFrame.
+
+Spark-first restatement of the reference's two read paths
+(reference shapefile.go:86-205 eager, scanner.go:297-525 streaming):
+
+* The driver does a tiny header pre-pass (SHX index + DBF field
+  descriptors + CPG/PRJ, all ≤ a few KB of reads) — the analog of
+  ``NewScanner``'s header parse (scanner.go:332-375).
+* The SHX index gives every record's byte range, so the planner assigns
+  contiguous record ranges to tasks which seek directly into .shp/.dbf —
+  the distributed analog of ``Scanner.Discard`` (scanner.go:458-525:
+  random access into SHP is only possible through SHX).  A .shp without
+  .shx is not splittable and gets a single sequential task, mirroring
+  scanner.go:511-513.
+* Executors parse their byte ranges with the vectorized parsers in
+  ``shapefile_core`` inside ``mapInPandas`` — records flow through Arrow
+  batches, never fully materialized per executor.
+* Zip bundles (.zip/.shz/.exe) are not splittable → one task ingests and
+  re-emits as ``features`` rows (fine for the polygon side; the large
+  side of every join in this engine is parquet/Iceberg and splittable).
+
+The 3-way positional zip of SHP⋈SHX⋈DBF (scanner.go:400-451) happens
+inside each task by batch index; the record-count consistency check
+(shapefile.go:192-196) is enforced at plan time from SHX/DBF header
+counts and re-checked per split.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from . import shapefile_core as core
+
+GEOMETRY_TYPE = T.StructType([
+    T.StructField("layout", T.StringType()),
+    T.StructField("coords", T.ArrayType(T.DoubleType())),
+    T.StructField("ends", T.ArrayType(T.IntegerType())),
+    T.StructField("rings", T.ArrayType(T.IntegerType())),
+])
+BBOX_TYPE = T.StructType([
+    T.StructField("xmin", T.DoubleType()), T.StructField("ymin", T.DoubleType()),
+    T.StructField("xmax", T.DoubleType()), T.StructField("ymax", T.DoubleType()),
+    T.StructField("zmin", T.DoubleType()), T.StructField("zmax", T.DoubleType()),
+    T.StructField("mmin", T.DoubleType()), T.StructField("mmax", T.DoubleType()),
+])
+
+
+def _dbf_spark_type(f: core.DBFField, decimal_count: int) -> T.DataType:
+    """Column-level type decision for DBF fields (SURVEY.md §1.3).
+
+    The reference types N fields per *value* ('.' → float64 else int,
+    dbf.go:365-382); Spark columns are monotyped, so we decide from the
+    field descriptor's decimal count — matching the golden fixtures'
+    mixed long/double rows (shapefile_test.go:242-254).
+    """
+    return {
+        "C": T.StringType(), "M": T.StringType(), "D": T.DateType(),
+        "L": T.BooleanType(), "F": T.DoubleType(),
+    }.get(f.type) or (T.DoubleType() if decimal_count > 0 else T.LongType())
+
+
+@dataclass
+class ShapefilePlan:
+    """Driver-side plan: everything a task needs to parse its split."""
+    path: str                    # file path (basename or zip)
+    is_zip: bool
+    basename: str | None
+    n_records: int
+    shape_type: int
+    header_bounds: tuple | None
+    crs_wkt: str | None
+    charset: str | None
+    dbf_fields: list[tuple[str, str, int, int]]   # (name, type, length, decimals)
+    dbf_header_size: int
+    dbf_record_size: int
+    shx_offsets: np.ndarray | None
+    shx_lengths: np.ndarray | None
+    shp_options: dict | None
+    dbf_options: dict | None
+
+
+def plan_shapefile(path: str, options: dict | None = None,
+                   basename: str | None = None) -> ShapefilePlan:
+    """Header pre-pass on the driver. Reads only headers + the SHX index."""
+    options = options or {}
+    is_zip = path.lower().endswith((".zip", ".shz", ".exe"))
+    charset = None
+    crs = None
+    dbf_fields: list[tuple[str, str, int, int]] = []
+    dbf_header_size = dbf_record_size = 0
+    shx_offsets = shx_lengths = None
+    n_dbf = n_shx = None
+    shape_type = 0
+    header_bounds = None
+
+    if is_zip:
+        members = core.zip_members(path)
+        if basename is not None:
+            members = {ext: (n, d) for ext, (n, d) in members.items()
+                       if n.rsplit("/", 1)[-1].rsplit(".", 1)[0] == basename}
+        if "cpg" in members:
+            charset = core.parse_cpg(members["cpg"][1])
+        if "prj" in members:
+            crs = core.parse_prj(members["prj"][1])
+        if "dbf" in members:
+            hdr, fields, pos = core.parse_dbf_fields(members["dbf"][1])
+            raw = members["dbf"][1]
+            dbf_fields = _fields_with_decimals(raw, fields)
+            dbf_header_size, dbf_record_size, n_dbf = pos, hdr.record_size, hdr.records
+        if "shx" in members:
+            shx = core.parse_shx(members["shx"][1])
+            shx_offsets, shx_lengths = shx.offsets, shx.content_lengths
+            n_shx = len(shx.offsets)
+            shape_type, header_bounds = shx.header.shape_type, shx.header.bounds
+        if "shp" in members:
+            data = members["shp"][1]
+            h = core.parse_shx_header(data[:100], len(data))
+            shape_type, header_bounds = h.shape_type, h.bounds
+    else:
+        def read_head(ext: str, nbytes: int | None = None) -> bytes | None:
+            p = f"{path}.{ext}"
+            if not os.path.exists(p):
+                return None
+            with open(p, "rb") as f:
+                return f.read() if nbytes is None else f.read(nbytes)
+
+        cpg = read_head("cpg")
+        if cpg is not None:
+            charset = core.parse_cpg(cpg)
+        prj = read_head("prj")
+        if prj is not None:
+            crs = core.parse_prj(prj)
+        shx_bytes = read_head("shx")
+        if shx_bytes is not None:
+            shx = core.parse_shx(shx_bytes)
+            shx_offsets, shx_lengths = shx.offsets, shx.content_lengths
+            n_shx = len(shx.offsets)
+            shape_type, header_bounds = shx.header.shape_type, shx.header.bounds
+        dbf_head = read_head("dbf", 65536)
+        if dbf_head is not None:
+            hdr, fields, pos = core.parse_dbf_fields(dbf_head)
+            dbf_fields = _fields_with_decimals(dbf_head, fields)
+            dbf_header_size, dbf_record_size, n_dbf = pos, hdr.record_size, hdr.records
+        shp_path = f"{path}.shp"
+        if os.path.exists(shp_path):
+            with open(shp_path, "rb") as f:
+                head = f.read(100)
+            h = core.parse_shx_header(head, os.path.getsize(shp_path))
+            shape_type, header_bounds = h.shape_type, h.bounds
+
+    # Record-count consistency (shapefile.go:192-196); SHP count only known
+    # after parse when no SHX, re-checked per split then.
+    counts = {c for c in (n_dbf, n_shx) if c is not None}
+    if len(counts) > 1:
+        raise core.ShapefileError("inconsistent number of records")
+    n_records = counts.pop() if counts else -1
+
+    if charset is None:
+        charset = (options.get("dbf") or {}).get("charset")
+
+    return ShapefilePlan(
+        path=path, is_zip=is_zip, basename=basename, n_records=n_records,
+        shape_type=shape_type, header_bounds=header_bounds, crs_wkt=crs,
+        charset=charset, dbf_fields=dbf_fields,
+        dbf_header_size=dbf_header_size, dbf_record_size=dbf_record_size,
+        shx_offsets=shx_offsets, shx_lengths=shx_lengths,
+        shp_options=options.get("shp"), dbf_options=options.get("dbf"))
+
+
+def _fields_with_decimals(raw: bytes, fields: list[core.DBFField]) -> list[tuple[str, str, int, int]]:
+    """Re-read descriptor byte 17 (decimal count) for column typing; the
+    reference ignores it at parse time but real DBF files set it."""
+    out = []
+    pos = core.DBF_HEADER_LENGTH
+    for f in fields:
+        decimals = raw[pos + 17]
+        out.append((f.name, f.type, f.length, decimals))
+        pos += 32
+    return out
+
+
+def features_schema(plan: ShapefilePlan) -> T.StructType:
+    fields = [
+        T.StructField("fid", T.LongType(), False),
+        T.StructField("deleted", T.BooleanType(), False),
+    ]
+    for name, ftype, length, decimals in plan.dbf_fields:
+        fields.append(T.StructField(
+            name, _dbf_spark_type(core.DBFField(name, ftype, length, 0, 0), decimals)))
+    fields += [
+        T.StructField("shape_type", T.IntegerType()),
+        T.StructField("geometry", GEOMETRY_TYPE),
+        T.StructField("bbox", BBOX_TYPE),
+    ]
+    return T.StructType(fields)
+
+
+def _record_bbox(rec: core.SHPRecord) -> dict[str, float | None]:
+    b: dict[str, float | None] = dict(xmin=None, ymin=None, xmax=None, ymax=None,
+                                      zmin=None, zmax=None, mmin=None, mmax=None)
+    if rec.layout is None:
+        return b
+    stride = core.STRIDES[rec.layout]
+    if rec.shape_type in core.POINT_TYPES:
+        x, y = float(rec.coords[0]), float(rec.coords[1])
+        b.update(xmin=x, ymin=y, xmax=x, ymax=y)
+        if rec.layout == "XYM":
+            b.update(mmin=float(rec.coords[2]), mmax=float(rec.coords[2]))
+        elif rec.layout == "XYZM":
+            b.update(zmin=float(rec.coords[2]), zmax=float(rec.coords[2]),
+                     mmin=float(rec.coords[3]), mmax=float(rec.coords[3]))
+        return b
+    bounds = rec.bounds
+    if bounds is None:
+        return b
+    if rec.layout == "XY":
+        b.update(xmin=bounds[0], ymin=bounds[1], xmax=bounds[2], ymax=bounds[3])
+    elif rec.layout == "XYM":
+        b.update(xmin=bounds[0], ymin=bounds[1], mmin=bounds[2],
+                 xmax=bounds[3], ymax=bounds[4], mmax=bounds[5])
+    else:
+        b.update(xmin=bounds[0], ymin=bounds[1], zmin=bounds[2], mmin=bounds[3],
+                 xmax=bounds[4], ymax=bounds[5], zmax=bounds[6], mmax=bounds[7])
+    return b
+
+
+def _geom_dict(rec: core.SHPRecord) -> dict[str, Any]:
+    return {
+        "layout": rec.layout,
+        "coords": rec.coords.tolist(),
+        "ends": [int(e) for e in rec.ends],
+        "rings": [len(e) for e in rec.endss] if rec.endss else
+                 ([1] * len(rec.ends) if rec.shape_type in core.POLYGON_TYPES else []),
+    }
+
+
+def _coerce_column(values: list, ftype: str, decimals: int):
+    if ftype == "N" and decimals == 0:
+        return pd.array([None if v is None else int(v) for v in values], dtype="Int64")
+    if ftype == "N" or ftype == "F":
+        return pd.array([None if v is None else float(v) for v in values], dtype="float64")
+    if ftype == "L":
+        return pd.array(values, dtype="boolean")
+    return pd.Series(values, dtype="object")
+
+
+def _parse_split(plan: ShapefilePlan, fid_start: int, fid_end: int) -> pd.DataFrame:
+    """Parse records [fid_start, fid_end) (1-based fids) into a pandas batch."""
+    if plan.is_zip:
+        members = core.zip_members(plan.path)
+        if plan.basename is not None:
+            members = {ext: (n, d) for ext, (n, d) in members.items()
+                       if n.rsplit("/", 1)[-1].rsplit(".", 1)[0] == plan.basename}
+        shp_bytes = members.get("shp", (None, None))[1]
+        dbf_bytes = members.get("dbf", (None, None))[1]
+    else:
+        shp_bytes = dbf_bytes = None
+
+    n = fid_end - fid_start
+    # --- geometry side -----------------------------------------------------
+    shp_records: list[core.SHPRecord] = []
+    if plan.is_zip and shp_bytes is not None:
+        data = core.parse_shp(shp_bytes, plan.shp_options)
+        shp_records = data.records[fid_start - 1:fid_end - 1]
+    elif not plan.is_zip and os.path.exists(f"{plan.path}.shp"):
+        if plan.shx_offsets is not None:
+            # SHX-driven split: seek straight to this range's byte span.
+            offs = plan.shx_offsets[fid_start - 1:fid_end - 1]
+            lens = plan.shx_lengths[fid_start - 1:fid_end - 1]
+            if len(offs):
+                start = int(offs[0])
+                end = int(offs[-1]) + 8 + int(lens[-1])
+                with open(f"{plan.path}.shp", "rb") as f:
+                    f.seek(start)
+                    buf = f.read(end - start)
+                rel = offs - start
+                shp_records = core.parse_shp_range(
+                    buf, rel, plan.shp_options,
+                    numbers=np.arange(fid_start, fid_end))
+        else:
+            # No SHX → sequential single task (scanner.go:511-513).
+            with open(f"{plan.path}.shp", "rb") as f:
+                data = core.parse_shp(f.read(), plan.shp_options)
+            shp_records = data.records[fid_start - 1:fid_end - 1]
+
+    # --- attribute side ----------------------------------------------------
+    dbf_rows: list[list | None] = []
+    if plan.dbf_record_size:
+        fields = [core.DBFField(n_, t, l, 0, 0) for n_, t, l, d in plan.dbf_fields]
+        hdr = core.DBFHeader(3, None, plan.n_records, 0, plan.dbf_record_size)  # type: ignore[arg-type]
+        if plan.is_zip and dbf_bytes is not None:
+            dbf_rows = core.parse_dbf_records(
+                dbf_bytes, hdr, fields, plan.dbf_header_size,
+                charset=plan.charset,
+                skip_broken_fields=(plan.dbf_options or {}).get("skip_broken_fields", False),
+                first_record=fid_start - 1, num_records=n)
+        elif not plan.is_zip and os.path.exists(f"{plan.path}.dbf"):
+            start = plan.dbf_header_size + (fid_start - 1) * plan.dbf_record_size
+            with open(f"{plan.path}.dbf", "rb") as f:
+                f.seek(start)
+                buf = f.read(n * plan.dbf_record_size)
+            dbf_rows = core.parse_dbf_records(
+                buf, hdr, fields, 0, charset=plan.charset,
+                skip_broken_fields=(plan.dbf_options or {}).get("skip_broken_fields", False),
+                first_record=0, num_records=n)
+
+    if shp_records and dbf_rows and len(shp_records) != len(dbf_rows):
+        raise core.ShapefileError("inconsistent number of records")
+
+    count = len(shp_records) or len(dbf_rows)
+    out: dict[str, Any] = {
+        "fid": pd.array(range(fid_start, fid_start + count), dtype="int64"),
+        "deleted": pd.array([r is None for r in dbf_rows] if dbf_rows
+                            else [False] * count, dtype="boolean"),
+    }
+    for j, (name, ftype, length, decimals) in enumerate(plan.dbf_fields):
+        col = [None if r is None else r[j] for r in dbf_rows] if dbf_rows else [None] * count
+        out[name] = _coerce_column(col, ftype, decimals)
+    if shp_records:
+        out["shape_type"] = pd.array([r.shape_type for r in shp_records], dtype="int32")
+        out["geometry"] = pd.Series([_geom_dict(r) for r in shp_records], dtype="object")
+        out["bbox"] = pd.Series([_record_bbox(r) for r in shp_records], dtype="object")
+    else:
+        out["shape_type"] = pd.array([None] * count, dtype="Int32")
+        out["geometry"] = pd.Series([None] * count, dtype="object")
+        out["bbox"] = pd.Series([None] * count, dtype="object")
+    return pd.DataFrame(out)
+
+
+def read_shapefile_df(spark: SparkSession, path: str, options: dict | None = None,
+                      basename: str | None = None,
+                      target_records_per_split: int = 100_000) -> DataFrame:
+    """Read a shapefile (basename or zip bundle) as a ``features`` DataFrame.
+
+    Splittable when a .shx is present and the source is not a zip: the
+    planner cuts [1..n] into contiguous fid ranges of
+    ``target_records_per_split`` and each task seeks independently.
+    """
+    plan = plan_shapefile(path, options, basename)
+    schema = features_schema(plan)
+
+    if plan.n_records >= 0 and not plan.is_zip and plan.shx_offsets is not None:
+        n = plan.n_records
+        k = max(1, math.ceil(n / target_records_per_split))
+        bounds = [(1 + i * n // k, 1 + (i + 1) * n // k) for i in range(k)]
+    else:
+        # unknown count (no SHX/DBF) or zip → single sequential split
+        n = plan.n_records if plan.n_records >= 0 else 1 << 40
+        bounds = [(1, n + 1)]
+
+    splits_df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in bounds], "fid_start long, fid_end long")
+
+    def parse(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            for a, b in zip(pdf["fid_start"], pdf["fid_end"]):
+                batch = _parse_split(plan, int(a), int(b))
+                if len(batch):
+                    yield batch
+
+    ndf = splits_df.repartition(len(bounds), "fid_start")
+    return ndf.mapInPandas(parse, schema=schema)
+
+
+def file_metadata(path: str, options: dict | None = None,
+                  basename: str | None = None) -> dict[str, Any]:
+    """File-level metadata row (header bbox, shape type, CRS) — the analog
+    of the reference's SHxHeader + PRJ accessors (scanner.go:541-593)."""
+    plan = plan_shapefile(path, options, basename)
+    return {
+        "path": plan.path, "shape_type": plan.shape_type,
+        "bounds": plan.header_bounds, "crs_wkt": plan.crs_wkt,
+        "charset": plan.charset, "n_records": plan.n_records,
+    }

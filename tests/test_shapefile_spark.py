@@ -1,0 +1,58 @@
+"""Spark source tests: features DataFrame from fixtures, split parity."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_shapefile_spark.sources.shapefile import file_metadata, read_shapefile_df
+
+
+def test_poly_features_df(spark, ref_testdata):
+    df = read_shapefile_df(spark, os.path.join(ref_testdata, "poly"))
+    rows = df.orderBy("fid").collect()
+    assert len(rows) == 10
+    r0 = rows[0]
+    assert r0.fid == 1
+    assert r0.AREA == 215229.266
+    assert r0.EAS_ID == 168
+    assert r0.PRFEDEA == "35043411"
+    assert r0.geometry.layout == "XY"
+    assert r0.geometry.coords[0] == 479819.84375
+    assert r0.bbox.xmin == pytest.approx(479647.0)
+    # schema: N field with decimals → double, without → long (SURVEY §1.3)
+    dt = dict(df.dtypes)
+    assert dt["AREA"] == "double"
+    assert dt["EAS_ID"] == "bigint"
+    assert dt["PRFEDEA"] == "string"
+
+
+def test_poly_split_parity(spark, ref_testdata):
+    """SHX-driven multi-split read returns identical rows to a single split."""
+    base = os.path.join(ref_testdata, "poly")
+    whole = read_shapefile_df(spark, base).orderBy("fid").collect()
+    split = read_shapefile_df(spark, base, target_records_per_split=3).orderBy("fid").collect()
+    assert len(split) == 10
+    assert [r.fid for r in split] == [r.fid for r in whole]
+    assert [r.AREA for r in split] == [r.AREA for r in whole]
+    assert [list(r.geometry.coords)[:4] for r in split] == \
+           [list(r.geometry.coords)[:4] for r in whole]
+
+
+def test_countries_zip_df(spark, ref_testdata):
+    df = read_shapefile_df(spark, os.path.join(ref_testdata, "110m-admin-0-countries.zip"))
+    assert df.count() == 177
+    row = df.where(F.col("NAME") == "Afghanistan").collect()[0]
+    assert row.POP_EST == 28400000.0
+    assert row.LabelRank == 1
+    assert row.LEVEL == 2.0
+    agg = df.agg(F.min("bbox.xmin").alias("x0"), F.max("bbox.xmax").alias("x1")).collect()[0]
+    assert agg.x0 == -179.99999999999997
+    assert agg.x1 == 180.00000000000014
+
+
+def test_file_metadata(ref_testdata):
+    md = file_metadata(os.path.join(ref_testdata, "poly"))
+    assert md["shape_type"] == 5
+    assert md["n_records"] == 10
+    assert md["crs_wkt"] and "PROJCS" in md["crs_wkt"] or md["crs_wkt"]
