@@ -1,0 +1,155 @@
+"""From-scratch hierarchical cell index (H3/S2-style, Morton/quadtree).
+
+Mandated by the north rule (BASELINE.json: "H3/S2 cell indexing ... NOT a
+port"); designed from public Morton-code/quadtree knowledge, not the H3
+library (from-scratch mandate, SURVEY.md §2.B E3).
+
+A cell at resolution ``r`` (0 ≤ r ≤ 26) is a rectangle of the 2^r × 2^r
+grid over lon ∈ [-180, 180), lat ∈ [-90, 90).  The cell id packs the
+resolution (bits 52..56) above the Morton interleave of (ix, iy), so ids
+at one resolution sort in Z-order — nearby cells get nearby ids, which
+makes range partitioning on ``cell`` spatially local and keeps shuffle
+partitions geographically coherent at 100 TB scale.
+
+Every encoder has two twins that produce *bit-identical* results:
+
+* ``cell_sql`` — one SQL string valid in BOTH Spark SQL and DuckDB
+  (bitwise ``&``/``|``, multiplication by powers of two instead of
+  shifts), used by ``queries()`` and their DuckDB oracles;
+* ``cell_np`` — vectorized numpy, used inside pandas UDFs.
+
+Float determinism: the only inexact steps are ``(lon + 180.0) / 360.0``
+and the multiply by 2^r (exact); both engines evaluate the identical
+expression tree, so the results agree bitwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_RES = 26
+_RES_SHIFT = 52  # bits 0..51 hold the ≤52-bit Morton code
+
+# Morton bit-spread magic masks (public-domain bit-twiddling identity).
+_M1 = 0x0000FFFF0000FFFF
+_M2 = 0x00FF00FF00FF00FF
+_M3 = 0x0F0F0F0F0F0F0F0F
+_M4 = 0x3333333333333333
+_M5 = 0x5555555555555555
+
+
+def _spread_np(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.int64)
+    x = (x | (x << 16)) & _M1
+    x = (x | (x << 8)) & _M2
+    x = (x | (x << 4)) & _M3
+    x = (x | (x << 2)) & _M4
+    x = (x | (x << 1)) & _M5
+    return x
+
+
+def _compact_np(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.int64) & _M5
+    x = (x | (x >> 1)) & _M4
+    x = (x | (x >> 2)) & _M3
+    x = (x | (x >> 4)) & _M2
+    x = (x | (x >> 8)) & _M1
+    x = (x | (x >> 16)) & 0xFFFFFFFF
+    return x
+
+
+def xy_np(lon: np.ndarray, lat: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Grid coordinates at resolution res, clamped to [0, 2^r - 1]."""
+    n = 1 << res
+    ix = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+    iy = np.floor((lat + 90.0) / 180.0 * n).astype(np.int64)
+    return np.clip(ix, 0, n - 1), np.clip(iy, 0, n - 1)
+
+
+def cell_np(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """Vectorized cell encoder: lon, lat, res → int64 cell id."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"resolution {res} out of range 0..{MAX_RES}")
+    ix, iy = xy_np(np.asarray(lon, dtype=np.float64),
+                   np.asarray(lat, dtype=np.float64), res)
+    return (np.int64(res) << _RES_SHIFT) | _spread_np(ix) | (_spread_np(iy) << 1)
+
+
+def cell_decode_np(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """cell id → (res, ix, iy)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell >> _RES_SHIFT
+    morton = cell & ((np.int64(1) << _RES_SHIFT) - 1)
+    return res, _compact_np(morton), _compact_np(morton >> 1)
+
+
+def cell_from_xy(ix: np.ndarray, iy: np.ndarray, res: int) -> np.ndarray:
+    return (np.int64(res) << _RES_SHIFT) | _spread_np(np.asarray(ix)) | \
+        (_spread_np(np.asarray(iy)) << 1)
+
+
+def cell_bounds_np(cell: np.ndarray) -> tuple[np.ndarray, ...]:
+    """cell id → (lon0, lat0, lon1, lat1) rectangle."""
+    res, ix, iy = cell_decode_np(cell)
+    n = (np.int64(1) << res).astype(np.float64)
+    w, h = 360.0 / n, 180.0 / n
+    lon0 = -180.0 + ix * w
+    lat0 = -90.0 + iy * h
+    return lon0, lat0, lon0 + w, lat0 + h
+
+
+def neighbors_np(cell: np.ndarray, ring: int = 1) -> np.ndarray:
+    """All cells within a (2·ring+1)² neighborhood; lon wraps, lat clamps.
+
+    Used by cell-local kNN for boundary correctness (SURVEY.md §2.B E7).
+    Returns shape (len(cell), (2·ring+1)²) int64.
+    """
+    cell = np.atleast_1d(np.asarray(cell, dtype=np.int64))
+    res, ix, iy = cell_decode_np(cell)
+    n = np.int64(1) << res[0]
+    r = int(res[0])
+    offs = np.arange(-ring, ring + 1)
+    dx, dy = np.meshgrid(offs, offs)
+    nx = (ix[:, None] + dx.ravel()[None, :]) % n          # wrap longitude
+    ny = np.clip(iy[:, None] + dy.ravel()[None, :], 0, n - 1)  # clamp latitude
+    return cell_from_xy(nx, ny, r)
+
+
+# --- SQL twins (one string valid in Spark SQL *and* DuckDB) ---------------
+
+
+def _spread_sql(x: str) -> str:
+    """Morton bit-spread using multiply-by-2^k (portable across dialects)."""
+    e = f"(({x} | ({x} * 65536)) & {_M1})"
+    e = f"(({e} | ({e} * 256)) & {_M2})"
+    e = f"(({e} | ({e} * 16)) & {_M3})"
+    e = f"(({e} | ({e} * 4)) & {_M4})"
+    e = f"(({e} | ({e} * 2)) & {_M5})"
+    return e
+
+
+def ix_sql(lon: str, res: int) -> str:
+    n = 1 << res
+    return (f"GREATEST(0, LEAST({n - 1}, "
+            f"CAST(FLOOR((({lon}) + 180.0) / 360.0 * {n}) AS BIGINT)))")
+
+
+def iy_sql(lat: str, res: int) -> str:
+    n = 1 << res
+    return (f"GREATEST(0, LEAST({n - 1}, "
+            f"CAST(FLOOR((({lat}) + 90.0) / 180.0 * {n}) AS BIGINT)))")
+
+
+def cell_sql(lon: str, lat: str, res: int) -> str:
+    """Cell id as a SQL expression — identical text runs on Spark and DuckDB."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"resolution {res} out of range 0..{MAX_RES}")
+    sx = _spread_sql(ix_sql(lon, res))
+    sy = _spread_sql(iy_sql(lat, res))
+    return f"(CAST({res} AS BIGINT) * {1 << _RES_SHIFT} + ({sx} | ({sy} * 2)))"
+
+
+def cell_xy_sql(lon: str, lat: str, res: int) -> str:
+    """Simpler row-major packed id (iy·2^r + ix) for oracle queries that
+    want a human-readable tile id; same float semantics as cell_sql."""
+    return f"({iy_sql(lat, res)} * {1 << res} + {ix_sql(lon, res)})"

@@ -1,0 +1,78 @@
+"""Cell encoder: numpy/Spark-SQL/DuckDB twins must agree bitwise."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from go_shapefile_spark.functions import cells as C
+
+
+def _rand_lonlat(n, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-180, 180, n), rng.uniform(-90, 90, n)
+
+
+def test_roundtrip_decode():
+    lon, lat = _rand_lonlat(5000)
+    for res in (0, 1, 5, 12, 26):
+        cell = C.cell_np(lon, lat, res)
+        r, ix, iy = C.cell_decode_np(cell)
+        assert (r == res).all()
+        ex, ey = C.xy_np(lon, lat, res)
+        np.testing.assert_array_equal(ix, ex)
+        np.testing.assert_array_equal(iy, ey)
+        lon0, lat0, lon1, lat1 = C.cell_bounds_np(cell)
+        assert ((lon >= lon0) & (lon <= lon1)).all()
+        assert ((lat >= lat0) & (lat <= lat1)).all()
+
+
+def test_z_order_locality():
+    # adjacent cells at the same resolution share id prefixes: the morton
+    # code of a 2x2 block differs only in the low 2 bits
+    base = C.cell_from_xy(np.array([10]), np.array([20]), 8)[0]
+    sib = C.cell_from_xy(np.array([11]), np.array([21]), 8)[0]
+    assert base >> 2 == sib >> 2
+
+
+def test_neighbors_wrap_clamp():
+    res = 4
+    n = 1 << res
+    cell = C.cell_from_xy(np.array([0]), np.array([0]), res)
+    nb = C.neighbors_np(cell, 1)[0]
+    _, ix, iy = C.cell_decode_np(nb)
+    assert set(ix) == {0, 1, n - 1}     # lon wraps
+    assert set(iy) == {0, 1}            # lat clamps (clamped dupes collapse)
+
+
+def test_sql_np_duckdb_parity(spark):
+    lon, lat = _rand_lonlat(2000, seed=11)
+    pdf = pd.DataFrame({"lon": lon, "lat": lat})
+    for res in (3, 9, 17):
+        expected = C.cell_np(lon, lat, res)
+        # Spark SQL twin
+        sdf = spark.createDataFrame(pdf)
+        got_spark = np.array(
+            sdf.select(F.expr(C.cell_sql("lon", "lat", res)).alias("c"))
+            .toPandas()["c"], dtype=np.int64)
+        np.testing.assert_array_equal(got_spark, expected)
+        # DuckDB twin (same SQL string)
+        con = duckdb.connect()
+        con.register("t", pdf)
+        got_duck = np.array(
+            con.execute(f"SELECT {C.cell_sql('lon', 'lat', res)} AS c FROM t")
+            .fetchnumpy()["c"], dtype=np.int64)
+        np.testing.assert_array_equal(got_duck, expected)
+
+
+def test_cell_xy_sql_parity(spark):
+    lon, lat = _rand_lonlat(500, seed=3)
+    pdf = pd.DataFrame({"lon": lon, "lat": lat})
+    res = 7
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck = con.execute(f"SELECT {C.cell_xy_sql('lon', 'lat', res)} c FROM t").fetchnumpy()["c"]
+    sdf = spark.createDataFrame(pdf)
+    got = np.array(sdf.select(F.expr(C.cell_xy_sql("lon", "lat", res)).alias("c"))
+                   .toPandas()["c"])
+    np.testing.assert_array_equal(got, np.array(duck))

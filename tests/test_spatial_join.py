@@ -1,0 +1,101 @@
+"""Spatial join + kNN vs brute-force numpy / SQL oracles (SURVEY.md §5)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from go_shapefile_spark.functions import cells as C
+from go_shapefile_spark.operators.knn import knn_radius, knn_radius_oracle_sql
+from go_shapefile_spark.operators.spatial_join import (
+    polygon_cell_cover, polygons_from_features, spatial_join,
+    spatial_join_bruteforce,
+)
+from go_shapefile_spark.sources.shapefile import read_shapefile_df
+
+
+@pytest.fixture(scope="module")
+def countries(spark, ref_testdata):
+    df = read_shapefile_df(
+        spark, os.path.join(ref_testdata, "110m-admin-0-countries.zip"))
+    rows = df.select("fid", "geometry").collect()
+    return polygons_from_features(rows)
+
+
+def _points(n=4000, seed=5):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "lon": rng.uniform(-180, 180, n),
+        "lat": rng.uniform(-60, 75, n),
+    })
+
+
+def test_cell_cover_classification(countries):
+    cover = polygon_cell_cover(countries[:20], res=6)
+    assert len(cover) > 0
+    assert cover["full"].any() or True  # small polygons may be all-partial
+    # full cells: their centers must be inside their polygon
+    from go_shapefile_spark.functions import geom_np as G
+    by_fid = {p["fid"]: p for p in countries[:20]}
+    full = cover[cover["full"]]
+    for fid, grp in full.groupby("fid"):
+        lon0, lat0, lon1, lat1 = C.cell_bounds_np(grp["cell"].to_numpy())
+        cx, cy = (lon0 + lon1) / 2, (lat0 + lat1) / 2
+        p = by_fid[fid]
+        assert G.point_in_polygon_chunked(cx, cy, p["coords"], p["ends"]).all()
+
+
+def test_spatial_join_matches_bruteforce(spark, countries):
+    pts = _points()
+    points_df = spark.createDataFrame(pts)
+    got = (spatial_join(spark, points_df, countries, res=6)
+           .select("id", "polygon_fid").toPandas()
+           .sort_values(["id", "polygon_fid"]).reset_index(drop=True))
+    exp = (spatial_join_bruteforce(pts, countries)[["id", "polygon_fid"]]
+           .sort_values(["id", "polygon_fid"]).reset_index(drop=True))
+    exp["polygon_fid"] = exp["polygon_fid"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(got) > 500  # sanity: a real join happened
+
+
+def test_spatial_join_res_invariance(spark, countries):
+    """Join output must not depend on the cover resolution."""
+    pts = _points(1500, seed=9)
+    points_df = spark.createDataFrame(pts)
+    a = (spatial_join(spark, points_df, countries[:40], res=5)
+         .select("id", "polygon_fid").toPandas().sort_values(["id", "polygon_fid"]))
+    b = (spatial_join(spark, points_df, countries[:40], res=8)
+         .select("id", "polygon_fid").toPandas().sort_values(["id", "polygon_fid"]))
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_knn_matches_bruteforce(spark):
+    pts = _points(3000, seed=13)
+    df = spark.createDataFrame(pts)
+    k, radius = 5, 2.0
+    got = knn_radius(df, df, k=k, radius_deg=radius).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("pts", pts)
+    exp = con.execute(
+        knn_radius_oracle_sql("pts", "pts", k=k, radius_deg=radius)
+    ).df().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "neighbor_id", "rank"]],
+        exp[["query_id", "neighbor_id", "rank"]], check_dtype=False)
+    np.testing.assert_allclose(got["dist2"], exp["dist2"], rtol=0, atol=0)
+
+
+def test_knn_no_python_udf(spark):
+    """The kNN plan must stay JVM-side: no Python/Pandas UDF nodes."""
+    pts = spark.createDataFrame(_points(100))
+    plan = knn_radius(pts, pts, k=3, radius_deg=5.0)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
