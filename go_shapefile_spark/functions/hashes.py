@@ -1,0 +1,102 @@
+"""Deterministic hash expression builders with Spark-SQL and DuckDB twins.
+
+Every dedup/similarity operator in this engine is defined by arithmetic
+that both engines can evaluate bit-identically, so the driver's DuckDB
+oracle can check the *same* algebra rather than a lookalike.  MD5 is the
+shared primitive (identical hex output everywhere); 32/60-bit integers
+are carved out of its hex prefix.  Dialect differences are confined to
+this module (hex→int cast, xor, regexp splits, array length).
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duck"
+
+
+def h32(expr: str, dialect: str) -> str:
+    """First 8 hex chars of md5 → unsigned 32-bit int (as BIGINT)."""
+    if dialect == SPARK:
+        return f"CAST(CONV(SUBSTRING(MD5({expr}), 1, 8), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || SUBSTRING(MD5({expr}), 1, 8)) AS BIGINT)"
+
+
+def h60(expr: str, dialect: str) -> str:
+    """First 15 hex chars of md5 → 60-bit int (fits signed 64)."""
+    if dialect == SPARK:
+        return f"CAST(CONV(SUBSTRING(MD5({expr}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || SUBSTRING(MD5({expr}), 1, 15)) AS BIGINT)"
+
+
+def xor(a: str, b: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"({a} ^ {b})"
+    return f"xor({a}, {b})"          # DuckDB ^ is exponentiation
+
+
+def bit_count(e: str, dialect: str) -> str:
+    return f"bit_count({e})"          # same name in both
+
+
+def split_tokens(text_expr: str, dialect: str,
+                 pattern: str = "[^a-z0-9]+") -> str:
+    """Explode lowercased tokens; use in SELECT list (one generator)."""
+    if dialect == SPARK:
+        return f"explode(split(lower({text_expr}), '{pattern}'))"
+    return f"unnest(string_split_regex(lower({text_expr}), '{pattern}'))"
+
+
+def array_len(e: str, dialect: str) -> str:
+    return f"size({e})" if dialect == SPARK else f"len({e})"
+
+
+def regexp_count(text_expr: str, pattern: str, dialect: str) -> str:
+    """Occurrences of pattern — via regexp_extract_all length (portable).
+    Spark requires an explicit group index when the pattern has none."""
+    if dialect == SPARK:
+        return array_len(f"regexp_extract_all({text_expr}, '{pattern}', 0)", dialect)
+    return array_len(f"regexp_extract_all({text_expr}, '{pattern}')", dialect)
+
+
+def seq_1_to(n_expr: str, dialect: str) -> str:
+    """Explodeable 1..n sequence (inclusive) for SELECT list."""
+    if dialect == SPARK:
+        return f"explode(sequence(1, {n_expr}))"
+    return f"unnest(generate_series(1, {n_expr}))"
+
+
+def doubles(arr_expr: str, dialect: str) -> str:
+    """Cast array<float> → array<double> before arithmetic."""
+    if dialect == SPARK:
+        return f"transform({arr_expr}, x -> CAST(x AS DOUBLE))"
+    return f"CAST({arr_expr} AS DOUBLE[])"
+
+
+def dot(a: str, b: str, dialect: str) -> str:
+    """Elementwise dot product with sequential double accumulation."""
+    if dialect == SPARK:
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    return f"list_dot_product({a}, {b})"
+
+
+# Fixed (a, b) coefficients for the universal-hash family
+# h_j(x) = (a_j·x + b_j) mod p over the 32-bit shingle hash x.
+# Constants are arbitrary odd numbers < 2^30, embedded as literals so both
+# dialects evaluate identical integer arithmetic (products < 2^62).
+MINHASH_P = 2147483647  # 2^31 - 1
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    out = []
+    a, b = 1103515245, 12345      # LCG-style mixing, deterministic
+    for j in range(num_hashes):
+        a = (a * 1103515245 + 12345) % (1 << 30) | 1
+        b = (b * 69069 + 1) % (1 << 30)
+        out.append((a, b))
+    return out
+
+
+def minhash_expr(x_expr: str, j: int, num_hashes: int) -> str:
+    a, b = minhash_coeffs(num_hashes)[j]
+    return f"MIN(({a} * {x_expr} + {b}) % {MINHASH_P})"

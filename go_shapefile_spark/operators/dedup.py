@@ -1,0 +1,169 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Each operator is defined as SQL algebra generated for two dialects —
+Spark SQL (the engine) and DuckDB (the correctness oracle) — from the
+shared builders in ``functions/hashes.py``, so the oracle checks the
+*identical* arithmetic.  Everything is JVM-side relational algebra in
+Spark (shuffles on hash/band keys, map-side combine); no Python UDFs.
+
+Scale notes (100 TB): shingling multiplies rows by ~text length, but the
+shingle stream is immediately hash-grouped per doc (map-side combine
+collapses it); band join keys are uniformly distributed md5-derived ints
+→ no skew; candidate verification joins only touch LSH-bucketed pairs.
+"""
+
+from __future__ import annotations
+
+from ..functions import hashes as H
+
+
+def exact_dedup_sql(dialect: str, rel: str = "documents") -> str:
+    """Exact duplicate groups by content hash."""
+    return f"""
+SELECT MD5(text) AS text_hash,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS canonical_doc_id
+FROM {rel}
+GROUP BY MD5(text)
+"""
+
+
+def shingle_cte(dialect: str, rel: str, k: int) -> str:
+    """Distinct hashed k-char shingles per doc."""
+    return f"""
+positions AS (
+  SELECT doc_id, text, {H.seq_1_to(f"GREATEST(1, LENGTH(text) - {k - 1})", dialect)} AS pos
+  FROM {rel}
+),
+shingles AS (
+  SELECT DISTINCT doc_id, {H.h32(f"SUBSTRING(text, pos, {k})", dialect)} AS x
+  FROM positions
+)"""
+
+
+def minhash_lsh_sql(dialect: str, rel: str = "documents", k: int = 9,
+                    num_hashes: int = 8, bands: int = 4,
+                    threshold: float = 0.5) -> str:
+    """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
+
+    shingle→minhash→band→bucket-join→verify: output is (doc_a, doc_b,
+    jaccard) for LSH-candidate pairs whose exact Jaccard ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    mins = ",\n  ".join(
+        f"{H.minhash_expr('x', j, num_hashes)} AS m{j}" for j in range(num_hashes))
+    band_selects = []
+    for b in range(bands):
+        cols = ", ".join(f"m{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, CONCAT_WS('_', {cols}) AS bkey FROM mh")
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {shingle_cte(dialect, rel, k)},
+mh AS (
+  SELECT doc_id,
+  {mins}
+  FROM shingles GROUP BY doc_id
+),
+band_keys AS (
+{bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band_keys a JOIN band_keys b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.x = sa.x
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= {threshold}
+"""
+
+
+def simhash_sql(dialect: str, rel: str = "documents", bits: int = 32) -> str:
+    """Per-doc SimHash signature over md5-hashed tokens (bitwise majority)."""
+    sums = ",\n  ".join(
+        f"SUM(CASE WHEN (h & {1 << j}) > 0 THEN 1 ELSE 0 END) AS s{j}"
+        for j in range(bits))
+    recompose = " + ".join(
+        f"(CASE WHEN 2 * s{j} > n THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH tokens AS (
+  SELECT doc_id, {H.split_tokens("text", dialect)} AS tok FROM {rel}
+),
+toks AS (
+  SELECT doc_id, {H.h32("tok", dialect)} AS h FROM tokens WHERE tok <> ''
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n,
+  {sums}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM agg
+"""
+
+
+def simhash_pairs_sql(dialect: str, rel: str = "documents", bits: int = 32,
+                      bands: int = 4, max_hamming: int = 6) -> str:
+    """Near-dup pairs by SimHash: band-equality candidates, Hamming verify."""
+    band_bits = bits // bands
+    sig = simhash_sql(dialect, rel, bits).strip()
+    band_selects = []
+    for b in range(bands):
+        mask = ((1 << band_bits) - 1) << (b * band_bits)
+        band_selects.append(
+            f"SELECT doc_id, simhash, {b} AS band, (simhash & {mask}) AS bkey FROM sig")
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    xor = H.xor("a.simhash", "b.simhash", dialect)
+    return f"""
+WITH sig AS ({sig}),
+band_keys AS (
+{bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         {H.bit_count(xor, dialect)} AS hamming
+  FROM band_keys a JOIN band_keys b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {max_hamming}
+"""
+
+
+def ngram_jaccard_sql(dialect: str, rel: str = "documents", k: int = 9,
+                      modulus: int = 17, threshold: float = 0.03) -> str:
+    """Exact all-pairs n-gram Jaccard on a deterministic doc subset
+    (doc_id % modulus = 0) — the ground-truth companion to MinHash-LSH."""
+    return f"""
+WITH sub AS (
+  SELECT doc_id, text FROM {rel} WHERE doc_id % {modulus} = 0
+),
+{shingle_cte(dialect, "sub", k)},
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+),
+inter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS i
+  FROM shingles sa JOIN shingles sb
+    ON sb.x = sa.x AND sa.doc_id < sb.doc_id
+  GROUP BY sa.doc_id, sb.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= {threshold}
+"""

@@ -1,0 +1,58 @@
+"""Deterministic synthetic geotagging (SURVEY.md §2.B E2).
+
+The north rule's image table carries no coordinates; geotags are derived
+deterministically from a hash of a row key (``phash`` for images, any id
+for the relational demo tables).  Two twins:
+
+* ``lonlat_sql`` — md5-based, one SQL text per dialect, integer-derived
+  (identical floats on Spark and DuckDB) — used by oracle-gated queries;
+* ``lonlat_np`` — splitmix64 in numpy for the high-volume image pipeline
+  (no md5 cost per row; pure vectorized bit-mixing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions import hashes as H
+
+
+def _str(e: str, dialect: str) -> str:
+    return f"CAST({e} AS STRING)" if dialect == H.SPARK else f"CAST({e} AS VARCHAR)"
+
+
+def lon_sql(id_expr: str, dialect: str) -> str:
+    # CAST to DOUBLE everywhere: Spark parses bare decimal literals as
+    # DECIMAL (DuckDB as DOUBLE), which would silently change arithmetic.
+    h = H.h32(f"{_str(id_expr, dialect)} || '_lon'", dialect)
+    return (f"(CAST(({h} % 3600000) AS DOUBLE) / CAST(10000.0 AS DOUBLE) "
+            f"- CAST(180.0 AS DOUBLE))")
+
+
+def lat_sql(id_expr: str, dialect: str) -> str:
+    h = H.h32(f"{_str(id_expr, dialect)} || '_lat'", dialect)
+    return (f"(CAST(({h} % 1800000) AS DOUBLE) / CAST(10000.0 AS DOUBLE) "
+            f"- CAST(90.0 AS DOUBLE))")
+
+
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 bit-mixer (public-domain algorithm)."""
+    z = x.astype(np.uint64) + _SM_GAMMA
+    z = (z ^ (z >> np.uint64(30))) * _SM_M1
+    z = (z ^ (z >> np.uint64(27))) * _SM_M2
+    return z ^ (z >> np.uint64(31))
+
+
+def lonlat_np(key: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """phash/int64 key → deterministic (lon, lat), uniform on the globe's
+    lon/lat rectangle."""
+    h1 = splitmix64(np.asarray(key, dtype=np.int64).view(np.uint64))
+    h2 = splitmix64(h1)
+    lon = (h1 >> np.uint64(11)).astype(np.float64) / float(1 << 53) * 360.0 - 180.0
+    lat = (h2 >> np.uint64(11)).astype(np.float64) / float(1 << 53) * 180.0 - 90.0
+    return lon, lat

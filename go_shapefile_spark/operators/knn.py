@@ -69,8 +69,9 @@ def knn_radius(points: DataFrame, queries: DataFrame, k: int, radius_deg: float,
 
     pairs = (q.join(p, "cell")
              .where(F.col("neighbor_id") != F.col("query_id"))
-             .withColumn("dist2", (F.col("q_lon") - F.col("n_lon")) ** 2
-                         + (F.col("q_lat") - F.col("n_lat")) ** 2)
+             .withColumn("dist2",
+                         (F.col("q_lon") - F.col("n_lon")) * (F.col("q_lon") - F.col("n_lon"))
+                         + (F.col("q_lat") - F.col("n_lat")) * (F.col("q_lat") - F.col("n_lat")))
              .where(F.col("dist2") <= F.lit(float(radius_deg) ** 2))
              .dropDuplicates(["query_id", "neighbor_id"]))
 

@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk_sql`` — brute-force cosine top-k, dual-dialect (Spark
+  engine / DuckDB oracle): the exact baseline.  JVM-side ``zip_with`` +
+  ``aggregate`` fold — no Python in the Spark plan.
+* ``lsh_ann`` — the scale path: random-hyperplane LSH in numpy via
+  ``mapInPandas``; buckets become the join key so the candidate set is
+  O(bucket) instead of O(n); recall measured against the brute-force
+  baseline in tests.  At 100 TB the bucketed equi-join shuffles only
+  bucket keys + ids, never the full n² pair space.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashes as H
+
+
+def cosine_topk_sql(dialect: str, rel: str = "embeddings", k: int = 10,
+                    query_mod: int = 50) -> str:
+    """For each query vector (vec_id % query_mod = 0): top-k cosine
+    neighbors with deterministic (rounded-cos, id) ordering."""
+    qv = H.doubles("q.embedding", dialect)
+    cv = H.doubles("c.embedding", dialect)
+    return f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         {H.dot(qv, cv, dialect)} AS dp,
+         {H.dot(qv, qv, dialect)} AS nq,
+         {H.dot(cv, cv, dialect)} AS nc
+  FROM {rel} q JOIN {rel} c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id % {query_mod} = 0
+),
+scored AS (
+  SELECT query_id, neighbor_id, neighbor_label,
+         ROUND(dp / SQRT(nq * nc), 6) AS cos
+  FROM pairs
+),
+ranked AS (
+  SELECT query_id, neighbor_id, neighbor_label, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, neighbor_label, cos, rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _plane_matrix(dim: int, n_planes: int, seed: int = 1234) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes))
+
+
+def lsh_signatures(df: DataFrame, dim: int, n_planes: int = 12,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   seed: int = 1234) -> DataFrame:
+    """Random-hyperplane sign buckets: int bucket id per vector."""
+    planes = _plane_matrix(dim, n_planes, seed)
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            signs = (mat @ planes) > 0
+            bucket = (signs.astype(np.int64) *
+                      (1 << np.arange(n_planes, dtype=np.int64))).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "bucket": bucket})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        sig, schema=f"{id_col} long, bucket long")
+
+
+def lsh_ann_topk(df: DataFrame, dim: int, k: int = 10, n_planes: int = 12,
+                 n_tables: int = 4, vec_col: str = "embedding",
+                 id_col: str = "vec_id", query_mod: int = 50) -> DataFrame:
+    """Approximate top-k cosine: candidates share an LSH bucket in ≥1 of
+    ``n_tables`` hash tables; exact cosine re-rank on candidates only."""
+    spark = df.sparkSession
+    sigs = []
+    for t in range(n_tables):
+        s = lsh_signatures(df, dim, n_planes, vec_col, id_col, seed=1234 + t)
+        sigs.append(s.withColumn("table", F.lit(t)))
+    sig = sigs[0]
+    for s in sigs[1:]:
+        sig = sig.unionByName(s)
+
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    queries = sig.where(F.col(id_col) % query_mod == 0) \
+        .withColumnRenamed(id_col, "query_id")
+    cands = (queries.join(sig.withColumnRenamed(id_col, "neighbor_id"),
+                          ["table", "bucket"])
+             .where(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id").distinct())
+
+    qv = vecs.withColumnRenamed(id_col, "query_id") \
+        .withColumnRenamed(vec_col, "qv")
+    cv = vecs.withColumnRenamed(id_col, "neighbor_id") \
+        .withColumnRenamed(vec_col, "cv")
+    dot = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
+           "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    scored = (cands.join(qv, "query_id").join(cv, "neighbor_id")
+              .withColumn("cos", F.expr(
+                  f"round({dot.format(a='qv', b='cv')} / "
+                  f"sqrt({dot.format(a='qv', b='qv')} * {dot.format(a='cv', b='cv')}), 6)"))
+              .drop("qv", "cv"))
+    win = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                                 F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k))

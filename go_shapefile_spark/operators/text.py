@@ -1,0 +1,116 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+fingerprinting — over the ``documents`` table, dual-dialect SQL (Spark
+engine / DuckDB oracle) like the dedup family.
+
+All operators are pure relational algebra + regex built-ins: one
+tokenize-explode, map-side combined aggregation per doc, no Python.
+"""
+
+from __future__ import annotations
+
+from ..functions import hashes as H
+
+# Tiny embedded stopword lists per language (n-gram/stopword heuristic).
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "du", "que"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "del", "por", "con"],
+}
+STOPWORDS_EN = LANG_STOPWORDS["en"]
+
+
+def _in_list(col: str, words: list[str]) -> str:
+    lit = ", ".join(f"'{w}'" for w in words)
+    return f"CASE WHEN {col} IN ({lit}) THEN 1 ELSE 0 END"
+
+
+def token_stats_sql(dialect: str, rel: str = "documents") -> str:
+    """Whitespace/alnum token counting + char stats per doc."""
+    n_tokens = H.regexp_count("lower(text)", "[a-z0-9]+", dialect)
+    n_punct = H.regexp_count("text", "[.,;:!?]", dialect)
+    return f"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars_measured,
+       {n_tokens} AS n_tokens,
+       {n_punct} AS n_punct,
+       ROUND(CAST(LENGTH(text) AS DOUBLE) / GREATEST({n_tokens}, 1), 6) AS chars_per_token
+FROM {rel}
+"""
+
+
+def quality_score_sql(dialect: str, rel: str = "documents") -> str:
+    """Heuristic quality score: length band + stopword ratio + punct ratio.
+
+    Score components are exact integer/rational arithmetic so both engines
+    agree bitwise; the blend mirrors common training-data quality filters
+    (length, stopword density, symbol noise).
+    """
+    stop_hits = " + ".join(_in_list("tok", STOPWORDS_EN) for _ in range(1)) or "0"
+    return f"""
+WITH tokens AS (
+  SELECT doc_id, {H.split_tokens("text", dialect)} AS tok FROM {rel}
+),
+tok_agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         SUM({_in_list("tok", STOPWORDS_EN)}) AS n_stop
+  FROM tokens WHERE tok <> '' GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id,
+         LENGTH(d.text) AS n_chars,
+         t.n_tokens, t.n_stop,
+         {H.regexp_count("d.text", "[^a-z0-9 ]", dialect)} AS n_symbols
+  FROM {rel} d JOIN tok_agg t ON t.doc_id = d.doc_id
+)
+SELECT doc_id,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       ROUND(CAST(n_symbols AS DOUBLE) / n_chars, 6) AS symbol_ratio,
+       ROUND(
+         (CASE WHEN n_chars BETWEEN 100 AND 20000
+               THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+       + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.01
+               THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+       + (CASE WHEN CAST(n_symbols AS DOUBLE) / n_chars <= 0.1
+               THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+       , 6) AS quality
+FROM base
+"""
+
+
+def langid_sql(dialect: str, rel: str = "documents") -> str:
+    """Stopword-vote language ID with deterministic tie-break order."""
+    sums = ",\n  ".join(
+        f"SUM({_in_list('tok', words)}) AS s_{lang}"
+        for lang, words in LANG_STOPWORDS.items())
+    langs = list(LANG_STOPWORDS)
+    cond = []
+    for i, lang in enumerate(langs):
+        others = [f"s_{lang} >= s_{o}" for o in langs[i + 1:]]
+        prior = [f"s_{lang} > s_{o}" for o in langs[:i]]
+        clauses = prior + others
+        cond.append(f"WHEN {' AND '.join(clauses) if clauses else 'TRUE'} THEN '{lang}'")
+    case = "CASE " + " ".join(cond) + " ELSE 'und' END"
+    return f"""
+WITH tokens AS (
+  SELECT doc_id, {H.split_tokens("text", dialect)} AS tok FROM {rel}
+),
+votes AS (
+  SELECT doc_id,
+  {sums}
+  FROM tokens WHERE tok <> '' GROUP BY doc_id
+)
+SELECT doc_id, {case} AS pred_lang FROM votes
+"""
+
+
+def fingerprint_sql(dialect: str, rel: str = "documents") -> str:
+    """Document fingerprint: 60-bit content hash of whitespace-normalized
+    text + per-source duplicate-fingerprint counts."""
+    norm = "regexp_replace(lower(text), '[^a-z0-9]+', ' ')"
+    fp = H.h60(norm, dialect)
+    return f"""
+SELECT doc_id, source, {fp} AS fingerprint
+FROM {rel}
+"""

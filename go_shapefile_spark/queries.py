@@ -1,0 +1,303 @@
+"""Named engine queries with dual-dialect SQL (Spark engine / DuckDB oracle).
+
+This module backs ``__spark_entry__.py``: each entry produces (a) a
+callable ``(spark, sf_dir) -> DataFrame`` running the Spark-side plan and
+(b) the DuckDB oracle SQL string over the same parquet tables.  Wherever
+possible both sides are generated from one template so the oracle checks
+identical algebra (see functions/hashes.py for the dialect seams).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions import cells as C
+from .functions import hashes as H
+from .operators import dedup as D
+from .operators import geotag as GT
+from .operators import text as TX
+from .operators import similarity as SIM
+from .operators.knn import knn_radius
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+SPARK, DUCK = H.SPARK, H.DUCK
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+
+
+def _epoch_s(e: str, dialect: str) -> str:
+    """Whole seconds since epoch (UTC), identical integer in both engines."""
+    if dialect == SPARK:
+        return f"unix_timestamp({e})"
+    return f"CAST(FLOOR(epoch({e})) AS BIGINT)"
+
+
+def _date_str(e: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"date_format({e}, 'yyyy-MM-dd')"
+    return f"strftime({e}, '%Y-%m-%d')"
+
+
+# --- relational suite ------------------------------------------------------
+
+
+def q1_pricing_summary(dialect: str) -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_revenue_topk(dialect: str) -> str:
+    return f"""
+WITH rev AS (
+  SELECT l_orderkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         MIN({_date_str('o_orderdate', dialect)}) AS orderdate,
+         MIN(o_orderpriority) AS priority
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = (SELECT MIN(c_mktsegment) FROM customer)
+  GROUP BY l_orderkey
+),
+ranked AS (
+  SELECT l_orderkey, revenue, orderdate, priority,
+         ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rank
+  FROM rev
+)
+SELECT l_orderkey, revenue, orderdate, priority, rank FROM ranked WHERE rank <= 20
+"""
+
+
+def q5_region_revenue(dialect: str) -> str:
+    return """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_top_events_per_user(dialect: str) -> str:
+    return """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+)
+SELECT user_id, event_id, event_type, value, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_event_sessions(dialect: str) -> str:
+    ep = _epoch_s("ts", dialect)
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_id, {ep} AS es,
+         LAG({ep}) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_es
+  FROM events
+),
+flags AS (
+  SELECT user_id,
+         CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+)
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM flags GROUP BY user_id
+"""
+
+
+def q_tumbling_windows(dialect: str) -> str:
+    ep = _epoch_s("ts", dialect)
+    return f"""
+SELECT event_type,
+       CAST(FLOOR({ep} / 300) * 300 AS BIGINT) AS window_start,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY event_type, CAST(FLOOR({ep} / 300) * 300 AS BIGINT)
+"""
+
+
+# --- spatial suite over geotagged demo tables ------------------------------
+
+GEO_RES = 7
+
+
+def geotagged_events_cte(dialect: str) -> str:
+    return f"""
+pts AS (
+  SELECT event_id AS id,
+         {GT.lon_sql('event_id', dialect)} AS lon,
+         {GT.lat_sql('event_id', dialect)} AS lat,
+         event_type, value
+  FROM events
+)"""
+
+
+def q_geotag_tiles(dialect: str) -> str:
+    """Tile rollup: deterministic geotag → Morton cell → counts (E2+E3+E8)."""
+    return f"""
+WITH {geotagged_events_cte(dialect)}
+SELECT {C.cell_sql('lon', 'lat', GEO_RES)} AS cell,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM pts
+GROUP BY {C.cell_sql('lon', 'lat', GEO_RES)}
+"""
+
+
+def nation_rects_cte(dialect: str) -> str:
+    """25 synthetic nation rectangles tiling a lon/lat band (5×5 grid),
+    deterministic from n_nationkey."""
+    return """
+rects AS (
+  SELECT n_nationkey AS polygon_fid,
+         -180.0 + (n_nationkey % 5) * 72.0 AS x0,
+         -90.0 + CAST(FLOOR(n_nationkey / 5) AS BIGINT) * 36.0 AS y0,
+         -180.0 + (n_nationkey % 5) * 72.0 + 64.8 AS x1,
+         -90.0 + CAST(FLOOR(n_nationkey / 5) AS BIGINT) * 36.0 + 32.4 AS y1
+  FROM nation
+)"""
+
+
+def q_grid_spatial_join_oracle(dialect: str) -> str:
+    return f"""
+WITH {geotagged_events_cte(dialect)},
+{nation_rects_cte(dialect)}
+SELECT p.id, r.polygon_fid
+FROM pts p JOIN rects r
+  ON p.lon > r.x0 AND p.lon < r.x1 AND p.lat > r.y0 AND p.lat < r.y1
+"""
+
+
+def grid_spatial_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side runs the REAL engine path: rectangles as ring polygons →
+    cell cover → broadcast join → PIP refine (E4/E5/E6)."""
+    import numpy as np
+
+    from .operators.spatial_join import spatial_join
+
+    register_tables(spark, sf_dir)
+    pts = spark.sql(f"WITH {geotagged_events_cte(SPARK)} SELECT * FROM pts")
+    rect_rows = spark.sql(
+        f"WITH {nation_rects_cte(SPARK)} SELECT * FROM rects").collect()
+    polygons = []
+    for r in rect_rows:
+        # closed CW ring (outer per reference winding, shp.go:246-256)
+        ring = [r.x0, r.y0, r.x0, r.y1, r.x1, r.y1, r.x1, r.y0, r.x0, r.y0]
+        polygons.append({"fid": int(r.polygon_fid),
+                         "coords": np.array(ring), "ends": [10]})
+    return spatial_join(spark, pts, polygons, res=5,
+                        keep_cols=["id", "polygon_fid"])
+
+
+KNN_K, KNN_RADIUS, KNN_QUERY_MOD = 5, 1.5, 53
+
+
+def knn_events_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    pts = spark.sql(f"WITH {geotagged_events_cte(SPARK)} SELECT id, lon, lat FROM pts")
+    queries = pts.where(pts.id % KNN_QUERY_MOD == 0)
+    return knn_radius(pts, queries, k=KNN_K, radius_deg=KNN_RADIUS)
+
+
+def q_knn_events_oracle(dialect: str) -> str:
+    return f"""
+WITH {geotagged_events_cte(dialect)},
+q AS (SELECT * FROM pts WHERE id % {KNN_QUERY_MOD} = 0),
+pairs AS (
+  SELECT q.id AS query_id, p.id AS neighbor_id,
+         (q.lon - p.lon) * (q.lon - p.lon)
+       + (q.lat - p.lat) * (q.lat - p.lat) AS dist2
+  FROM q JOIN pts p ON q.id <> p.id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dist2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist2 ASC, neighbor_id ASC) AS rank
+  FROM pairs WHERE dist2 <= {KNN_RADIUS ** 2!r}
+)
+SELECT query_id, neighbor_id, dist2, rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+# --- registry --------------------------------------------------------------
+
+
+def _sql_runner(sql_fn: Callable[[str], str]) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(sql_fn(SPARK))
+    return run
+
+
+def build_registry():
+    """Returns (queries dict, oracle dict) for __spark_entry__."""
+    dual = {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_revenue_topk": q3_revenue_topk,
+        "q5_region_revenue": q5_region_revenue,
+        "top_events_per_user": q_top_events_per_user,
+        "event_sessions": q_event_sessions,
+        "tumbling_windows": q_tumbling_windows,
+        "geotag_tiles": q_geotag_tiles,
+        "dedup_exact": lambda d: D.exact_dedup_sql(d),
+        "dedup_minhash_lsh": lambda d: D.minhash_lsh_sql(d),
+        "simhash_signatures": lambda d: D.simhash_sql(d),
+        "simhash_pairs": lambda d: D.simhash_pairs_sql(d),
+        "ngram_jaccard_pairs": lambda d: D.ngram_jaccard_sql(d),
+        "token_stats": lambda d: TX.token_stats_sql(d),
+        "quality_score": lambda d: TX.quality_score_sql(d),
+        "langid": lambda d: TX.langid_sql(d),
+        "fingerprint": lambda d: TX.fingerprint_sql(d),
+        "cosine_topk": lambda d: SIM.cosine_topk_sql(d),
+    }
+    queries = {name: _sql_runner(fn) for name, fn in dual.items()}
+    oracles = {name: fn(DUCK) for name, fn in dual.items()}
+
+    # Engine-path queries whose Spark side is DataFrame-API operators.
+    queries["grid_spatial_join"] = grid_spatial_join_spark
+    oracles["grid_spatial_join"] = q_grid_spatial_join_oracle(DUCK)
+    queries["knn_events"] = knn_events_spark
+    oracles["knn_events"] = q_knn_events_oracle(DUCK)
+
+    # Approximate ANN: no SQL oracle (recall measured in pytest against
+    # the exact cosine_topk baseline) → rows-only check.
+    def ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        emb = spark.table("embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        return SIM.lsh_ann_topk(emb, dim=dim)
+    queries["ann_lsh_topk"] = ann
+
+    return queries, oracles
