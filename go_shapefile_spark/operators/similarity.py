@@ -79,11 +79,17 @@ def lsh_signatures(df: DataFrame, dim: int, n_planes: int = 12,
         sig, schema=f"{id_col} long, bucket long")
 
 
-def lsh_ann_topk(df: DataFrame, dim: int, k: int = 10, n_planes: int = 12,
-                 n_tables: int = 4, vec_col: str = "embedding",
+def lsh_ann_topk(df: DataFrame, dim: int, k: int = 10, n_planes: int = 4,
+                 n_tables: int = 12, vec_col: str = "embedding",
                  id_col: str = "vec_id", query_mod: int = 50) -> DataFrame:
     """Approximate top-k cosine: candidates share an LSH bucket in ≥1 of
-    ``n_tables`` hash tables; exact cosine re-rank on candidates only."""
+    ``n_tables`` hash tables; exact cosine re-rank on candidates only.
+
+    Plane count trades bucket size against recall: near-orthogonal
+    neighbor sets (random embeddings, cos ≈ 0.3-0.4) need few planes per
+    table.  At n rows, pick ``n_planes ≈ log2(n / target_bucket_size)``
+    so buckets stay executor-memory sized while recall holds.
+    """
     spark = df.sparkSession
     sigs = []
     for t in range(n_tables):

@@ -1,0 +1,223 @@
+"""Synthetic image+caption table (north-rule input, BASELINE.json input_hint).
+
+Schema: images(image_id string, bytes binary, w int, h int, fmt string,
+caption string, phash long).  Everything is a deterministic function of
+the row index (seed-stable at any scale factor), so invariants can be
+checked without storing ground truth: pixels regenerate from ``phash``.
+
+PNG is a REAL codec here (pure python: zlib + chunk framing + filter-0
+scanlines, decoder with full filter-type unfiltering) — lossless, so the
+decoded-pixel invariant is exact equality (PSNR = ∞ ≥ 40 dB).  JPEG rows
+are STUBBED: this container has no image codecs, so ``fmt='jpeg'`` bytes
+are a deterministic opaque blob and ``decode_image`` raises
+``NotImplementedError`` for them; the Spark-side plumbing (schema,
+binary column, batch shapes, invariant job) is real and tested.
+
+Partitioning: the generator writes parquet partitioned by
+``bucket = phash % n_buckets`` — the stand-in for an Iceberg
+``bucket(phash)`` partition spec (SURVEY.md §7 slice 3 fallback).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.geotag import lonlat_np, splitmix64
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_WORDS = ("tile cell polygon raster vector join index spark image caption "
+          "satellite aerial coastal urban rural forest river mountain city "
+          "harbor").split()
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload +
+            struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """RGB8 (h, w, 3) → PNG bytes (filter 0, fixed zlib level 6)."""
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    idat = zlib.compress(raw, 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _unfilter(ftype: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    out = cur.astype(np.int32)
+    if ftype == 0:
+        return cur
+    if ftype == 2:
+        return ((out + prev) % 256).astype(np.uint8)
+    res = np.zeros_like(cur)
+    for i in range(len(cur)):
+        a = int(res[i - bpp]) if i >= bpp else 0
+        b = int(prev[i])
+        if ftype == 1:
+            v = cur[i] + a
+        elif ftype == 3:
+            v = cur[i] + (a + b) // 2
+        else:  # paeth
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = cur[i] + pred
+        res[i] = v % 256
+    return res
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """bytes → RGB8 (h, w, 3).  PNG: real decoder.  JPEG: stubbed — no
+    codec in this container (clearly marked; see module docstring)."""
+    if fmt == "jpeg":
+        raise NotImplementedError(
+            "jpeg decode is stubbed: no image codec available in this "
+            "environment; pixels regenerate deterministically from phash")
+    if fmt != "png":
+        raise ValueError(f"unsupported format {fmt!r}")
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack_from(">IIBB", payload, 0)
+            if depth != 8 or ctype != 2:
+                raise ValueError("only 8-bit RGB supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = 3 * w
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        out[y] = _unfilter(int(rows[y, 0]), rows[y, 1:], prev, 3)
+        prev = out[y]
+    return out.reshape(h, w, 3)
+
+
+def pixels_from_phash(phash: int, w: int, h: int) -> np.ndarray:
+    """Deterministic pixel field: splitmix64 stream over phash."""
+    n = w * h * 3
+    idx = np.arange((n + 7) // 8, dtype=np.uint64)
+    stream = splitmix64((np.uint64(phash) + idx).view(np.int64))
+    return stream.view(np.uint8)[:n].reshape(h, w, 3).copy()
+
+
+def caption_of(phash: int) -> str:
+    h = int(splitmix64(np.array([phash], dtype=np.int64))[0])
+    words = [_WORDS[(h >> (5 * i)) % len(_WORDS)] for i in range(6)]
+    return " ".join(words)
+
+
+def generate_batch(start: int, end: int, jpeg_mod: int = 10) -> pd.DataFrame:
+    """Rows [start, end): fully deterministic in the row index."""
+    idx = np.arange(start, end, dtype=np.int64)
+    phash = splitmix64(idx).view(np.int64)
+    sizes = 8 + (phash % 3).astype(np.int64) * 8  # w,h ∈ {8,16,24}
+    rows = []
+    for i, ph, s in zip(idx, phash, sizes):
+        w = h = int(abs(s))
+        fmt = "jpeg" if i % jpeg_mod == 9 else "png"
+        if fmt == "png":
+            data = encode_png(pixels_from_phash(int(ph), w, h))
+        else:
+            data = b"JPEGSTUB" + struct.pack("<qii", int(ph), w, h)
+        rows.append((f"img-{int(i):010d}", data, w, h, fmt,
+                     caption_of(int(ph)), int(ph)))
+    return pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h",
+                                       "fmt", "caption", "phash"])
+
+
+IMAGES_SCHEMA = ("image_id string, bytes binary, w int, h int, "
+                 "fmt string, caption string, phash long")
+
+
+def generate_images_df(spark: SparkSession, n: int,
+                       rows_per_task: int = 20_000) -> DataFrame:
+    """Distributed generator: driver plans index ranges, executors build
+    batches — no data ever moves through the driver."""
+    bounds = [(i, min(i + rows_per_task, n)) for i in range(0, n, rows_per_task)]
+    splits = spark.createDataFrame(bounds, "start long, end long") \
+        .repartition(len(bounds), "start")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for a, b in zip(pdf["start"], pdf["end"]):
+                yield generate_batch(int(a), int(b))
+
+    return splits.mapInPandas(gen, schema=IMAGES_SCHEMA)
+
+
+def write_images_table(spark: SparkSession, path: str, n: int,
+                       n_buckets: int = 16) -> None:
+    """Materialize as parquet partitioned by bucket(phash) — the Iceberg
+    partition-spec stand-in (bucket pruning + balanced file sizes)."""
+    from pyspark.sql import functions as F
+    df = generate_images_df(spark, n)
+    (df.withColumn("bucket", F.pmod(F.col("phash"), F.lit(n_buckets)))
+       .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def geotag_images(df: DataFrame) -> DataFrame:
+    """E2: phash-salted deterministic lon/lat columns (vectorized, no
+    per-row Python)."""
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lon, lat = lonlat_np(pdf["phash"].to_numpy())
+            pdf = pdf.assign(lon=lon, lat=lat)
+            yield pdf
+
+    from pyspark.sql import types as T
+    schema = T.StructType(df.schema.fields +
+                          [T.StructField("lon", T.DoubleType()),
+                           T.StructField("lat", T.DoubleType())])
+    return df.mapInPandas(tag, schema=schema)
+
+
+def check_invariants(df: DataFrame) -> DataFrame:
+    """E13: per-row decoded-pixel + caption invariant (input_hint).
+
+    PNG rows: decode with the real codec and compare against the
+    regenerated reference pixels — exact match required (lossless ⇒
+    PSNR ∞ ≥ 40 dB).  JPEG rows: decode stubbed → invariant recorded as
+    'stubbed'.  Returns (image_id, fmt, pixels_ok, psnr_db, caption_ok).
+    """
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                ref = pixels_from_phash(int(r.phash), int(r.w), int(r.h))
+                cap_ok = caption_of(int(r.phash)) == r.caption
+                if r.fmt == "png":
+                    got = decode_image(r.bytes, "png")
+                    mse = float(np.mean((got.astype(np.float64) - ref) ** 2))
+                    psnr = float("inf") if mse == 0 else \
+                        10.0 * np.log10(255.0 ** 2 / mse)
+                    out.append((r.image_id, r.fmt, bool(psnr >= 40.0),
+                                psnr, cap_ok))
+                else:
+                    out.append((r.image_id, r.fmt, None, None, cap_ok))
+            yield pd.DataFrame(out, columns=["image_id", "fmt", "pixels_ok",
+                                             "psnr_db", "caption_ok"])
+
+    return df.mapInPandas(
+        check, schema="image_id string, fmt string, pixels_ok boolean, "
+                      "psnr_db double, caption_ok boolean")

@@ -1,0 +1,111 @@
+"""Tiles, skew agg, lineage resume, ANN recall, dedup pytest-side checks."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from go_shapefile_spark.functions import cells as C
+
+
+def test_tile_counts_matches_plain_groupby(spark):
+    from go_shapefile_spark.operators.tiles import tile_counts
+    rng = np.random.default_rng(2)
+    pdf = pd.DataFrame({"lon": rng.uniform(-180, 180, 5000),
+                        "lat": rng.uniform(-90, 90, 5000)})
+    df = spark.createDataFrame(pdf)
+    got = tile_counts(df, res=5).toPandas().sort_values("cell").reset_index(drop=True)
+    cells = C.cell_np(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 5)
+    exp = pd.Series(cells).value_counts().sort_index()
+    assert got["n"].sum() == 5000
+    np.testing.assert_array_equal(got["cell"].to_numpy(), exp.index.to_numpy())
+    np.testing.assert_array_equal(got["n"].to_numpy(), exp.to_numpy())
+
+
+def test_salted_count_equals_plain(spark):
+    from go_shapefile_spark.operators.skew import salted_count
+    rng = np.random.default_rng(3)
+    # skewed key distribution: 80% of rows on one key
+    keys = np.where(rng.uniform(size=20000) < 0.8, 7, rng.integers(0, 50, 20000))
+    pdf = pd.DataFrame({"cell": keys, "phash": rng.integers(-2**62, 2**62, 20000)})
+    df = spark.createDataFrame(pdf)
+    got = salted_count(df, ["cell"], n_salts=8, salt_src="phash") \
+        .toPandas().sort_values("cell").reset_index(drop=True)
+    exp = df.groupBy("cell").count().withColumnRenamed("count", "n") \
+        .toPandas().sort_values("cell").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_rasterize_vectorize_roundtrip(spark):
+    from go_shapefile_spark.operators.tiles import rasterize_polygons, vectorize_raster
+    # one 5-point CW square polygon covering a known lon/lat box
+    ring = [10.0, 10.0, 10.0, 40.0, 40.0, 40.0, 40.0, 10.0, 10.0, 10.0]
+    polys = [{"fid": 1, "coords": np.array(ring), "ends": [10]}]
+    raster = rasterize_polygons(spark, polys, res=4, tile_px=8)
+    pixels = raster.toPandas()
+    assert len(pixels) > 0
+    rects = vectorize_raster(raster, tile_px=8).toPandas()
+    # rectangles must cover exactly the same pixel set
+    covered = set()
+    for r in rects.itertuples(index=False):
+        for x in range(r.x0, r.x1 + 1):
+            for y in range(r.y0, r.y1 + 1):
+                covered.add((r.cell, r.fid, x, y))
+    original = set(zip(pixels.cell, pixels.fid, pixels.px, pixels.py))
+    assert covered == original
+
+
+def test_lineage_resume_idempotent(spark, tmp_path):
+    from go_shapefile_spark.operators.lineage import (
+        LineageLog, run_stage, stage_output)
+    out = str(tmp_path / "out")
+    lineage = LineageLog(str(tmp_path / "lineage"))
+    calls = []
+
+    def build_fail_on_c(key):
+        calls.append(key)
+        if key == "c" and calls.count("c") == 1:
+            raise RuntimeError("simulated kill between partitions")
+        return spark.range(10).withColumn("part_key", F.lit(key))
+
+    # first run dies at partition c
+    with pytest.raises(RuntimeError):
+        run_stage("stage1", ["a", "b", "c", "d"], build_fail_on_c, out, lineage)
+    assert set(lineage.done("stage1")) == {"a", "b"}
+
+    # re-run: skips a, b; completes c, d — identical final state
+    ran = run_stage("stage1", ["a", "b", "c", "d"], build_fail_on_c, out, lineage)
+    assert set(ran) == {"c", "d"}
+    assert set(lineage.done("stage1")) == {"a", "b", "c", "d"}
+    result = stage_output(spark, out, "stage1")
+    assert result.count() == 40
+    # third run is a no-op
+    assert run_stage("stage1", ["a", "b", "c", "d"], build_fail_on_c, out, lineage) == {}
+    # recorded row counts match outputs
+    assert all(rec["row_count"] == 10 for rec in lineage.done("stage1").values())
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    """LSH-ANN must reach high recall@10 against the exact baseline."""
+    import duckdb
+
+    from go_shapefile_spark.operators.similarity import cosine_topk_sql, lsh_ann_topk
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = spark.read.parquet(emb_path)
+    dim = len(emb.select("embedding").first()[0])
+    got = lsh_ann_topk(emb, dim=dim, k=10, n_planes=4, n_tables=12).toPandas()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{emb_path}'")
+    exact = con.execute(cosine_topk_sql("duck", k=10)).df()
+
+    recall_num = recall_den = 0
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp["neighbor_id"])
+        approx = set(got[got.query_id == qid]["neighbor_id"])
+        recall_num += len(truth & approx)
+        recall_den += len(truth)
+    recall = recall_num / max(recall_den, 1)
+    assert recall >= 0.7, f"ANN recall@10 too low: {recall:.3f}"
