@@ -105,6 +105,23 @@ def to_wkt(rec: SHPRecord) -> str:
     return f"MULTIPOLYGON{tag} ({','.join(polys)})"
 
 
+def wkt_from_struct(shape_type: int, layout: str | None, coords, ends,
+                    rings) -> str:
+    """Render WKT from the DataFrame geometry struct columns
+    (layout/coords/ends/rings per SURVEY.md §1.2)."""
+    coords = np.asarray(coords, dtype=np.float64)
+    ends = [int(e) for e in (ends or [])]
+    endss: list[list[int]] = []
+    pos = 0
+    for n in (rings or []):
+        endss.append(ends[pos:pos + int(n)])
+        pos += int(n)
+    rec = SHPRecord(number=0, content_length=0, shape_type=int(shape_type),
+                    layout=layout, coords=coords, ends=ends, endss=endss,
+                    bounds=None)
+    return to_wkt(rec)
+
+
 _NUM = re.compile(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?")
 
 

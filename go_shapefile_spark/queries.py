@@ -251,6 +251,98 @@ SELECT query_id, neighbor_id, dist2, rank FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+# --- shapefile-source gate queries -----------------------------------------
+
+REF_TESTDATA = "/root/reference/testdata"
+
+
+def shapefile_poly_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the reference's poly fixture through the Spark source and
+    emit attributes + a WKT digest per record (regression-locks the
+    parser inside the driver gate; ground truth is the golden pytest
+    suite vs reference shapefile_test.go:122-132)."""
+    from pyspark.sql import functions as F
+
+    from .functions.wkt import wkt_from_struct
+    from .sources.shapefile import read_shapefile_df
+
+    df = read_shapefile_df(spark, os.path.join(REF_TESTDATA, "poly"))
+
+    @F.pandas_udf("string")
+    def wkt_md5(shape_type, geometry):
+        # struct column arrives as a pd.DataFrame of its fields
+        import hashlib
+
+        import pandas as pd
+        out = []
+        for st, layout, coords, ends, rings in zip(
+                shape_type, geometry["layout"], geometry["coords"],
+                geometry["ends"], geometry["rings"]):
+            w = wkt_from_struct(st, layout, coords, ends, rings)
+            out.append(hashlib.md5(w.encode()).hexdigest())
+        return pd.Series(out)
+
+    return df.select(
+        "fid", "AREA", "EAS_ID", "PRFEDEA",
+        wkt_md5("shape_type", "geometry").alias("wkt_md5"))
+
+
+def shapefile_poly_oracle() -> str:
+    """Literal oracle computed from the (golden-tested) core parser."""
+    import hashlib
+
+    from .functions.wkt import to_wkt
+    from .sources.shapefile_core import read_shapefile
+
+    sf = read_shapefile(os.path.join(REF_TESTDATA, "poly"))
+    rows = []
+    for i, rec in enumerate(sf.shp.records):
+        area, eas_id, prfedea = sf.dbf.records[i]
+        digest = hashlib.md5(to_wkt(rec).encode()).hexdigest()
+        rows.append(f"SELECT {i + 1} AS fid, CAST({area!r} AS DOUBLE) AS AREA, "
+                    f"{eas_id} AS EAS_ID, '{prfedea}' AS PRFEDEA, "
+                    f"'{digest}' AS wkt_md5")
+    return "\nUNION ALL\n".join(rows)
+
+
+def shapefile_countries_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate summary of the ne_110m zip parsed via the Spark source."""
+    from pyspark.sql import functions as F
+
+    from .sources.shapefile import read_shapefile_df
+
+    df = read_shapefile_df(
+        spark, os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip"))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.min("bbox.xmin").alias("xmin"), F.min("bbox.ymin").alias("ymin"),
+        F.max("bbox.xmax").alias("xmax"), F.max("bbox.ymax").alias("ymax"),
+        F.sum(F.size("geometry.ends")).alias("total_rings"),
+        F.sum(F.size("geometry.rings")).alias("total_polygons"),
+        F.sum(F.col("LabelRank")).alias("sum_labelrank"))
+
+
+def shapefile_countries_oracle() -> str:
+    from .sources.shapefile_core import read_zip
+
+    sf = read_zip(os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip"))
+    n = len(sf.shp.records)
+    xmin = min(r.bounds[0] for r in sf.shp.records)
+    ymin = min(r.bounds[1] for r in sf.shp.records)
+    xmax = max(r.bounds[2] for r in sf.shp.records)
+    ymax = max(r.bounds[3] for r in sf.shp.records)
+    total_rings = sum(len(r.ends) for r in sf.shp.records)
+    total_polygons = sum(len(r.endss) for r in sf.shp.records)
+    lr = next(i for i, f in enumerate(sf.dbf.fields) if f.name == "LabelRank")
+    sum_lr = sum(rec[lr] for rec in sf.dbf.records)
+    return (f"SELECT CAST({n} AS BIGINT) AS n_records, "
+            f"CAST({xmin!r} AS DOUBLE) AS xmin, CAST({ymin!r} AS DOUBLE) AS ymin, "
+            f"CAST({xmax!r} AS DOUBLE) AS xmax, CAST({ymax!r} AS DOUBLE) AS ymax, "
+            f"CAST({total_rings} AS BIGINT) AS total_rings, "
+            f"CAST({total_polygons} AS BIGINT) AS total_polygons, "
+            f"CAST({sum_lr} AS BIGINT) AS sum_labelrank")
+
+
 # --- registry --------------------------------------------------------------
 
 
@@ -290,6 +382,26 @@ def build_registry():
     oracles["grid_spatial_join"] = q_grid_spatial_join_oracle(DUCK)
     queries["knn_events"] = knn_events_spark
     oracles["knn_events"] = q_knn_events_oracle(DUCK)
+
+    # simhash_pairs: same algebra, but the Spark side materializes the
+    # signature table once (a CTE would be inlined 8x into the band join).
+    def simhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        sig = spark.sql(D.simhash_sql(SPARK))
+        sig.cache().createOrReplaceTempView("sig")
+        body = D.simhash_pairs_sql(SPARK)
+        body = body[body.index("band_keys AS ("):]  # drop "WITH sig AS (...),"
+        return spark.sql("WITH " + body)
+    queries["simhash_pairs"] = simhash_pairs_cached
+
+    # Shapefile-source regression queries (skipped if the reference
+    # fixture corpus is not present in the environment).
+    if os.path.exists(os.path.join(REF_TESTDATA, "poly.shp")):
+        queries["shapefile_poly"] = shapefile_poly_spark
+        oracles["shapefile_poly"] = shapefile_poly_oracle()
+    if os.path.exists(os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip")):
+        queries["shapefile_countries_summary"] = shapefile_countries_spark
+        oracles["shapefile_countries_summary"] = shapefile_countries_oracle()
 
     # Approximate ANN: no SQL oracle (recall measured in pytest against
     # the exact cosine_topk baseline) → rows-only check.

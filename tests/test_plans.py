@@ -1,0 +1,71 @@
+"""Plan audits: the scale properties claimed in docstrings hold in the
+actual physical plans (SURVEY.md §4)."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from go_shapefile_spark.functions import cells as C
+from go_shapefile_spark.plans.audit import (
+    assert_broadcast_join, assert_no_python_udf, assert_pruned_schema,
+    assert_pushed_filters, executed_plan, in_wholestage_codegen,
+)
+
+
+def test_parquet_pushdown_and_pruning(spark, sf_dir):
+    df = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where(F.col("l_quantity") > 30)
+          .select("l_orderkey", "l_quantity"))
+    assert_pushed_filters(df, "l_quantity")
+    assert_pruned_schema(df, 2)
+
+
+def test_spatial_join_is_broadcast(spark, ref_testdata):
+    import os
+
+    from go_shapefile_spark.operators.spatial_join import (
+        polygons_from_features, spatial_join)
+    from go_shapefile_spark.sources.shapefile import read_shapefile_df
+    feats = read_shapefile_df(
+        spark, os.path.join(ref_testdata, "110m-admin-0-countries.zip"))
+    polys = polygons_from_features(feats.select("fid", "geometry").collect())
+    rng = np.random.default_rng(1)
+    pts = spark.createDataFrame(pd.DataFrame({
+        "id": np.arange(500), "lon": rng.uniform(-180, 180, 500),
+        "lat": rng.uniform(-90, 90, 500)}))
+    joined = spatial_join(spark, pts, polys, res=6)
+    # the big (point) side must never shuffle before the join: cover is
+    # broadcast, so the only exchanges are for the broadcast itself
+    plan = executed_plan(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tile_counts_single_shuffle(spark):
+    from go_shapefile_spark.operators.tiles import tile_counts
+    pts = spark.range(1000).select(
+        (F.rand(1) * 360 - 180).alias("lon"), (F.rand(2) * 180 - 90).alias("lat"))
+    tiles = tile_counts(pts, res=7)
+    # one Exchange for the groupBy (plus possibly AQE reads); partial
+    # aggregation must appear before it
+    plan = executed_plan(tiles)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "HashAggregate" in plan
+    assert_no_python_udf(tiles)
+
+
+def test_cell_expr_stays_in_codegen(spark):
+    pts = spark.range(1000).select(
+        (F.rand(1) * 360 - 180).alias("lon"), (F.rand(2) * 180 - 90).alias("lat"))
+    df = pts.select(F.expr(C.cell_sql("lon", "lat", 9)).alias("cell"))
+    assert_no_python_udf(df)
+    assert in_wholestage_codegen(df)
+
+
+def test_q5_join_order_broadcasts_dims(spark, sf_dir):
+    """Catalyst must broadcast the small dims (region/nation/supplier)
+    rather than shuffling lineitem against them."""
+    import __spark_entry__ as entry
+    df = entry.queries()["q5_region_revenue"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
