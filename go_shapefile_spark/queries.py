@@ -251,6 +251,27 @@ SELECT query_id, neighbor_id, dist2, rank FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+def salted_tiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: salted two-phase tile counts — same result as a plain groupBy
+    (the oracle), robust to hot-cell skew."""
+    from pyspark.sql import functions as F
+
+    from .operators.skew import salted_count
+
+    register_tables(spark, sf_dir)
+    pts = spark.sql(f"WITH {geotagged_events_cte(SPARK)} SELECT * FROM pts")
+    with_cell = pts.withColumn("cell", F.expr(C.cell_sql("lon", "lat", 4)))
+    return salted_count(with_cell, ["cell"], n_salts=8, salt_src="id")
+
+
+def q_salted_tiles_oracle(dialect: str) -> str:
+    return f"""
+WITH {geotagged_events_cte(dialect)}
+SELECT {C.cell_sql('lon', 'lat', 4)} AS cell, COUNT(*) AS n
+FROM pts GROUP BY {C.cell_sql('lon', 'lat', 4)}
+"""
+
+
 # --- shapefile-source gate queries -----------------------------------------
 
 REF_TESTDATA = "/root/reference/testdata"
@@ -382,6 +403,8 @@ def build_registry():
     oracles["grid_spatial_join"] = q_grid_spatial_join_oracle(DUCK)
     queries["knn_events"] = knn_events_spark
     oracles["knn_events"] = q_knn_events_oracle(DUCK)
+    queries["salted_tile_counts"] = salted_tiles_spark
+    oracles["salted_tile_counts"] = q_salted_tiles_oracle(DUCK)
 
     # simhash_pairs: same algebra, but the Spark side materializes the
     # signature table once (a CTE would be inlined 8x into the band join).

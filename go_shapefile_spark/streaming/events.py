@@ -1,0 +1,50 @@
+"""Structured Streaming ingest: micro-batched event → tile rollups.
+
+The reference and the north rule are bounded-batch (SURVEY.md §1.4:
+Iceberg snapshots, no unbounded inputs), but a 10^12-row ingest pipeline
+lands data continuously; this module is the streaming front door for the
+same tile rollup the batch engine produces:
+
+  readStream (file source) → deterministic geotag (JVM expr) → Morton
+  cell → watermarked tumbling-window count → sink.
+
+Late data is handled by the watermark; the aggregation state is keyed on
+(window, cell) — the same Morton key as the batch path, so a streaming
+backfill and a batch recompute produce identical rollups (tested with a
+file source + an available-now trigger against the batch operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cells as C
+from ..operators.geotag import lat_sql, lon_sql
+
+
+def streaming_tile_counts(spark: SparkSession, source_dir: str, schema: str,
+                          res: int = 5, window: str = "5 minutes",
+                          watermark: str = "10 minutes",
+                          ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
+    """File-source stream → watermarked per-(window, cell) counts."""
+    stream = (spark.readStream.schema(schema).parquet(source_dir)
+              .withColumn("lon", F.expr(lon_sql(id_col, "spark")))
+              .withColumn("lat", F.expr(lat_sql(id_col, "spark")))
+              .withColumn("cell", F.expr(C.cell_sql("lon", "lat", res))))
+    return (stream
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("cell"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "cell", "n"))
+
+
+def run_available_now(df: DataFrame, checkpoint_dir: str,
+                      query_name: str = "tiles") -> None:
+    """Drain everything currently available into a memory sink (used by
+    tests and backfills); checkpointed so a rerun resumes, not repeats."""
+    q = (df.writeStream.format("memory").queryName(query_name)
+         .outputMode("complete")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()

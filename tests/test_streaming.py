@@ -1,0 +1,40 @@
+"""Streaming tile rollup must equal the batch rollup on the same data."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from go_shapefile_spark.functions import cells as C
+from go_shapefile_spark.operators.geotag import lat_sql, lon_sql
+from go_shapefile_spark.streaming.events import (
+    run_available_now, streaming_tile_counts,
+)
+
+SCHEMA = ("event_id long, ts timestamp, user_id long, event_type string, "
+          "value double, props string")
+
+
+def test_streaming_matches_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+
+    stream_df = streaming_tile_counts(spark, src, SCHEMA, res=5)
+    run_available_now(stream_df, str(tmp_path / "ckpt"), "tiles_test")
+    got = (spark.table("tiles_test").toPandas()
+           .sort_values(["window_start", "cell"]).reset_index(drop=True))
+
+    batch = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+             .withColumn("lon", F.expr(lon_sql("event_id", "spark")))
+             .withColumn("lat", F.expr(lat_sql("event_id", "spark")))
+             .withColumn("cell", F.expr(C.cell_sql("lon", "lat", 5)))
+             .groupBy(F.window("ts", "5 minutes").alias("w"), "cell")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select(F.col("w.start").alias("window_start"), "cell", "n")
+             .toPandas().sort_values(["window_start", "cell"])
+             .reset_index(drop=True))
+
+    assert len(got) == len(batch) > 0
+    assert got.equals(batch)
