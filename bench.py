@@ -41,15 +41,9 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def ensure_images(spark, sf: float, cache_root: str) -> tuple[str, int]:
-    """Generate (once, cached) the SF-scaled synthetic image table.
-
-    30M rows/SF: big enough at sf0.1 (3M) that the headline job is
-    compute-bound, not overhead-bound — required for an honest scaling
-    measurement.  The headline job reads only (image_id, phash); parquet
-    column pruning keeps the png bytes out of the scan.
-    """
+    """Full image table (real PNG bytes) for the invariant job: 3M/SF."""
     from go_shapefile_spark.sources.images import write_images_table
-    n = int(os.environ.get("BENCH_IMAGES_N", "0")) or max(100_000, int(30_000_000 * sf))
+    n = max(50_000, int(3_000_000 * sf))
     path = os.path.join(cache_root, f"images_n{n}")
     marker = os.path.join(path, "_SUCCESS_BENCH")
     if not os.path.exists(marker):
@@ -59,19 +53,37 @@ def ensure_images(spark, sf: float, cache_root: str) -> tuple[str, int]:
     return path, n
 
 
-def headline_job(spark, images_path: str, polygons) -> int:
+def ensure_points(spark, sf: float, cache_root: str) -> tuple[str, int]:
+    """Headline scan input: the (idx, phash) projection of the conceptual
+    10^9·SF-row images table (see write_points_table).  Big enough that
+    the headline job is compute/scan-bound, not scheduling-bound — a
+    prerequisite for an honest scaling measurement."""
+    from go_shapefile_spark.sources.images import write_points_table
+    n = int(os.environ.get("BENCH_POINTS_N", "0")) or max(1_000_000, int(1_000_000_000 * sf))
+    path = os.path.join(cache_root, f"points_n{n}")
+    marker = os.path.join(path, "_SUCCESS_BENCH")
+    if not os.path.exists(marker):
+        write_points_table(spark, path, n)
+        with open(marker, "w") as f:
+            f.write(str(n))
+    return path, n
+
+
+def headline_job(spark, points_path: str, polygons) -> int:
     """Geotag → cell → broadcast spatial join vs countries → per-country
-    rollup, plus a tile rollup.  Returns tiles+join-rows produced."""
+    rollup, plus a tile rollup.  Returns tiles+join-rows produced.
+    JVM-only end to end: geotag is an xxhash64 expression, PIP refinement
+    is the crossing-count predicate over broadcast clipped edges."""
+    from go_shapefile_spark.operators.geotag import with_lonlat_jvm
     from go_shapefile_spark.operators.spatial_join import spatial_join
     from go_shapefile_spark.operators.tiles import tile_counts
-    from go_shapefile_spark.sources.images import geotag_images
 
-    images = spark.read.parquet(images_path).select("image_id", "phash")
-    pts = geotag_images(images)
+    images = spark.read.parquet(points_path).select("idx", "phash")
+    pts = with_lonlat_jvm(images)  # JVM-side geotag: scales with cores
 
     joined = spatial_join(spark, pts, polygons, res=JOIN_RES,
                           lon_col="lon", lat_col="lat",
-                          keep_cols=["image_id", "polygon_fid"])
+                          keep_cols=["idx", "polygon_fid"])
     per_country = joined.groupBy("polygon_fid").agg(
         F.count(F.lit(1)).alias("n_images"))
     join_rows = per_country.agg(F.sum("n_images")).collect()[0][0] or 0
@@ -129,18 +141,26 @@ def main() -> None:
     cache_root = os.path.join(REPO, ".cache")
     os.makedirs(cache_root, exist_ok=True)
 
-    # setup (untimed): polygon parse + image generation + query timings
+    # setup (untimed): polygon parse + data generation + query timings
     spark = get_spark(app_name="bench-setup", cores=cpus)
     polygons = load_polygons(spark)
+    points_path, n_points = ensure_points(spark, sf, cache_root)
     images_path, n_images = ensure_images(spark, sf, cache_root)
-    rows_produced = headline_job(spark, images_path, polygons)  # warm cache/JIT
+    rows_produced = headline_job(spark, points_path, polygons)  # warm cache/JIT
     query_secs = timed_queries(spark, sf_dir)
+    # invariant job (E13) timed over the full-bytes image table
+    from go_shapefile_spark.sources.images import check_invariants
+    t0 = time.monotonic()
+    inv = check_invariants(spark.read.parquet(images_path))
+    bad = inv.where("pixels_ok = false OR caption_ok = false").count()
+    query_secs["image_invariants"] = round(time.monotonic() - t0, 3)
+    assert bad == 0, f"{bad} rows violate the decode/caption invariant"
     spark.stop()
 
     skip_scaling = os.environ.get("BENCH_SKIP_SCALING") == "1"
     results: dict[int, float] = {}
     for cores in ([cpus] if skip_scaling else [8, 32]):
-        results[cores] = run_at(cores, images_path, polygons,
+        results[cores] = run_at(cores, points_path, polygons,
                                 shuffle_parts=2 * cores)
 
     value = results.get(cpus, next(iter(results.values())))
@@ -151,6 +171,7 @@ def main() -> None:
         "unit": "sec",
         "queries": query_secs,
         "sf": sf,
+        "n_points": n_points,
         "n_images": n_images,
         "rows_produced": rows_produced,
         "throughput_rows_per_s": {

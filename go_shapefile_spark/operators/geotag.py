@@ -35,6 +35,23 @@ def lat_sql(id_expr: str, dialect: str) -> str:
             f"- CAST(90.0 AS DOUBLE))")
 
 
+def with_lonlat_jvm(df, key_col: str = "phash", lon_col: str = "lon",
+                    lat_col: str = "lat"):
+    """JVM-only geotag: xxhash64-derived lon/lat columns.
+
+    Stays inside whole-stage codegen (no Python worker, no Arrow hop),
+    which scales linearly with cores — the production path for the
+    10^12-row image table.  (The md5 SQL twin exists for oracle-gated
+    queries; the numpy splitmix64 twin for pandas-side pipelines.)
+    """
+    from pyspark.sql import functions as F
+    lon = (F.pmod(F.xxhash64(F.col(key_col), F.lit(1)), F.lit(3600000))
+           .cast("double") / 10000.0 - 180.0)
+    lat = (F.pmod(F.xxhash64(F.col(key_col), F.lit(2)), F.lit(1800000))
+           .cast("double") / 10000.0 - 90.0)
+    return df.withColumn(lon_col, lon).withColumn(lat_col, lat)
+
+
 _SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
 _SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
 _SM_M2 = np.uint64(0x94D049BB133111EB)

@@ -55,7 +55,8 @@ def polygons_from_features(features_rows) -> list[dict]:
 
 
 def polygon_cell_cover(polygons: list[dict], res: int,
-                       edge_chunk: int = 512) -> pd.DataFrame:
+                       edge_chunk: int = 512,
+                       with_edges: bool = False) -> pd.DataFrame:
     """Classify grid cells at ``res`` against each polygon.
 
     Soundness: a cell whose rectangle overlaps NO edge bbox is uniformly
@@ -64,11 +65,20 @@ def polygon_cell_cover(polygons: list[dict], res: int,
     conservatively ``partial`` — refinement stays correct, just does a
     little more PIP work.
 
-    Returns pandas DataFrame (cell:int64, fid:int64, full:bool).
+    ``with_edges=True`` additionally attaches to every partial cell the
+    data the JVM-side refinement needs (see ``spatial_join``):
+    ``rx, ry`` — the cell center (a reference point), ``ref_inside`` —
+    the polygon parity at that reference, and ``edges`` — the clipped
+    edge list (every polygon edge whose bbox overlaps the cell; a
+    conservative superset of the edges that can cross a segment lying
+    inside the cell).
+
+    Returns pandas DataFrame (cell:int64, fid:int64, full:bool
+    [, rx, ry, ref_inside, edges]).
     """
     n = 1 << res
     w, h = 360.0 / n, 180.0 / n
-    out_cells, out_fids, out_full = [], [], []
+    frames = []
     for poly in polygons:
         coords, ends, fid = poly["coords"], poly["ends"], poly["fid"]
         x0, y0, x1, y1 = G.polygon_bbox(coords)
@@ -83,6 +93,7 @@ def polygon_cell_cover(polygons: list[dict], res: int,
 
         exmin, eymin, exmax, eymax = G.edge_bboxes(coords, ends)
         partial = np.zeros(gx.shape, dtype=bool)
+        hit_cols: list[np.ndarray] = []
         for s in range(0, len(exmin), edge_chunk):
             e = slice(s, s + edge_chunk)
             hit = ((exmin[None, e] < lon0[:, None] + w) &
@@ -90,40 +101,115 @@ def polygon_cell_cover(polygons: list[dict], res: int,
                    (eymin[None, e] < lat0[:, None] + h) &
                    (eymax[None, e] > lat0[:, None]))
             partial |= hit.any(axis=1)
+            if with_edges:
+                hit_cols.append(hit)
 
         interior = ~partial
-        if interior.any():
-            cx = lon0[interior] + w / 2
-            cy = lat0[interior] + h / 2
-            inside = G.point_in_polygon_chunked(cx, cy, coords, ends)
-        else:
-            inside = np.zeros(0, dtype=bool)
+        centers_x = lon0 + w / 2
+        centers_y = lat0 + h / 2
+        inside_interior = G.point_in_polygon_chunked(
+            centers_x[interior], centers_y[interior], coords, ends) \
+            if interior.any() else np.zeros(0, dtype=bool)
 
-        cell_ids_partial = C.cell_from_xy(gx[partial], gy[partial], res)
-        cell_ids_full = C.cell_from_xy(gx[interior][inside], gy[interior][inside], res)
-        out_cells.append(np.concatenate([cell_ids_full, cell_ids_partial]))
-        out_fids.append(np.full(len(cell_ids_full) + len(cell_ids_partial), fid,
-                                dtype=np.int64))
-        out_full.append(np.concatenate([np.ones(len(cell_ids_full), dtype=bool),
-                                        np.zeros(len(cell_ids_partial), dtype=bool)]))
-    if not out_cells:
-        return pd.DataFrame({"cell": np.array([], dtype=np.int64),
-                             "fid": np.array([], dtype=np.int64),
-                             "full": np.array([], dtype=bool)})
-    return pd.DataFrame({"cell": np.concatenate(out_cells),
-                         "fid": np.concatenate(out_fids),
-                         "full": np.concatenate(out_full)})
+        cell_full = C.cell_from_xy(gx[interior][inside_interior],
+                                   gy[interior][inside_interior], res)
+        cell_part = C.cell_from_xy(gx[partial], gy[partial], res)
+        base = pd.DataFrame({
+            "cell": np.concatenate([cell_full, cell_part]),
+            "fid": np.int64(fid),
+            "full": np.concatenate([np.ones(len(cell_full), dtype=bool),
+                                    np.zeros(len(cell_part), dtype=bool)]),
+        })
+        if with_edges:
+            # edge segments as [x1, y1, x2, y2] rows
+            segs = _edge_segments(coords, ends)
+            hits = np.concatenate(hit_cols, axis=1) if hit_cols else \
+                np.zeros((len(gx), 0), dtype=bool)
+            ref_inside_part = G.point_in_polygon_chunked(
+                centers_x[partial], centers_y[partial], coords, ends) \
+                if partial.any() else np.zeros(0, dtype=bool)
+            part_rows = np.nonzero(partial)[0]
+            edges_col: list[list | None] = [None] * len(cell_full) + [
+                segs[hits[i]].tolist() for i in part_rows]
+            base["rx"] = np.concatenate([centers_x[interior][inside_interior],
+                                         centers_x[partial]])
+            base["ry"] = np.concatenate([centers_y[interior][inside_interior],
+                                         centers_y[partial]])
+            base["ref_inside"] = np.concatenate(
+                [np.ones(len(cell_full), dtype=bool), ref_inside_part])
+            base["edges"] = edges_col
+        frames.append(base)
+    if not frames:
+        cols = {"cell": np.array([], dtype=np.int64),
+                "fid": np.array([], dtype=np.int64),
+                "full": np.array([], dtype=bool)}
+        return pd.DataFrame(cols)
+    return pd.concat(frames, ignore_index=True)
+
+
+def _edge_segments(coords: np.ndarray, ends) -> np.ndarray:
+    """All ring edges as an (E, 4) array of [x1, y1, x2, y2]."""
+    segs = []
+    for x, y in G.rings_of(np.asarray(coords, dtype=np.float64), ends):
+        segs.append(np.column_stack([x[:-1], y[:-1], x[1:], y[1:]]))
+    return np.concatenate(segs) if segs else np.zeros((0, 4))
+
+
+def _crossing_filter_sql(lon_col: str, lat_col: str) -> str:
+    """JVM point-in-polygon refinement as a single SQL predicate.
+
+    A point is inside iff the reference parity (``ref_inside`` at the
+    cell center) flips once per polygon-boundary crossing along the
+    segment center→point.  The segment lies inside the cell, so only the
+    cell's clipped ``edges`` can cross it; the crossing test is the
+    standard double-orientation segment intersection (strict — boundary
+    degeneracies are measure-zero for continuous coordinates).
+
+    Runs via ``aggregate()`` over the broadcast edge array: JVM-only, no
+    Python worker, scales linearly with cores.
+    """
+    p, q = lon_col, lat_col
+    # orient(a,b,c) = (bx-ax)(cy-ay) - (by-ay)(cx-ax); e = [x1,y1,x2,y2]
+    d1 = f"((e[2]-e[0])*(ry-e[1]) - (e[3]-e[1])*(rx-e[0]))"
+    d2 = f"((e[2]-e[0])*({q}-e[1]) - (e[3]-e[1])*({p}-e[0]))"
+    d3 = f"(({p}-rx)*(e[1]-ry) - ({q}-ry)*(e[0]-rx))"
+    d4 = f"(({p}-rx)*(e[3]-ry) - ({q}-ry)*(e[2]-rx))"
+    crossings = (f"aggregate(edges, 0L, (acc, e) -> acc + "
+                 f"IF({d1}*{d2} < 0 AND {d3}*{d4} < 0, 1L, 0L))")
+    return f"(full OR (ref_inside != (pmod({crossings}, 2) = 1)))"
 
 
 def spatial_join(spark: SparkSession, points: DataFrame, polygons: list[dict],
                  res: int, lon_col: str = "lon", lat_col: str = "lat",
-                 keep_cols: list[str] | None = None) -> DataFrame:
+                 keep_cols: list[str] | None = None,
+                 method: str = "jvm") -> DataFrame:
     """points ⋈ polygons → rows (point cols..., polygon_fid).
 
     Implements E6: broadcast cell-cover equi-join + E5 PIP refinement on
-    partial cells only.  The point side is only touched by JVM
-    expressions until the (small) partial subset.
+    partial cells only.  ``method='jvm'`` (default, the scale path) does
+    the refinement with a codegen-able crossing-count predicate over
+    clipped edge lists carried by the broadcast cover — the entire join
+    is Python-free.  ``method='pandas'`` uses the vectorized numpy
+    ray-cast instead (reference semantics twin; both are oracle-tested
+    to identical output).
     """
+    if method == "jvm":
+        cover_pdf = polygon_cell_cover(polygons, res, with_edges=True)
+        cover_pdf["edges"] = cover_pdf["edges"].map(
+            lambda e: e if e is not None else [])
+        cover = spark.createDataFrame(
+            cover_pdf,
+            schema="cell long, fid long, full boolean, rx double, ry double, "
+                   "ref_inside boolean, edges array<array<double>>") \
+            .withColumnRenamed("fid", "polygon_fid")
+        pts = points.withColumn("cell", F.expr(C.cell_sql(lon_col, lat_col, res)))
+        joined = pts.join(F.broadcast(cover), "cell")
+        out = joined.where(F.expr(_crossing_filter_sql(lon_col, lat_col))) \
+            .drop("full", "rx", "ry", "ref_inside", "edges")
+        if keep_cols is not None:
+            out = out.select(*keep_cols)
+        return out
+
     cover_pdf = polygon_cell_cover(polygons, res)
     cover = spark.createDataFrame(cover_pdf).withColumnRenamed("fid", "polygon_fid")
 

@@ -176,6 +176,31 @@ def write_images_table(spark: SparkSession, path: str, n: int,
        .write.mode("overwrite").partitionBy("bucket").parquet(path))
 
 
+def write_points_table(spark: SparkSession, path: str, n: int,
+                       rows_per_task: int = 2_000_000) -> None:
+    """The (idx, phash) projection of the conceptual n-row images table.
+
+    ``phash`` is exactly what ``generate_batch`` assigns (splitmix64 of
+    the row index; consistency asserted in tests), so this is the
+    column-pruned scan a 10^12-row job would read — without materializing
+    petabytes of pixels.  Used by the bench headline at scale factors
+    where encoding real PNGs for every row is pointless I/O.
+    """
+    bounds = [(i, min(i + rows_per_task, n)) for i in range(0, n, rows_per_task)]
+    splits = spark.createDataFrame(bounds, "start long, end long") \
+        .repartition(len(bounds), "start")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for a, b in zip(pdf["start"], pdf["end"]):
+                idx = np.arange(int(a), int(b), dtype=np.int64)
+                yield pd.DataFrame({"idx": idx,
+                                    "phash": splitmix64(idx).view(np.int64)})
+
+    (splits.mapInPandas(gen, schema="idx long, phash long")
+     .write.mode("overwrite").parquet(path))
+
+
 def geotag_images(df: DataFrame) -> DataFrame:
     """E2: phash-salted deterministic lon/lat columns (vectorized, no
     per-row Python)."""

@@ -66,6 +66,18 @@ def test_invariants_spark(spark):
     assert (res.fmt == "jpeg").sum() == 20  # deterministic 10% stub share
 
 
+def test_points_table_is_projection_of_images(spark, tmp_path):
+    """write_points_table must emit exactly the phash column the full
+    generator assigns — it is the column-pruned scan of the same table."""
+    from go_shapefile_spark.sources.images import write_points_table
+    path = str(tmp_path / "pts")
+    write_points_table(spark, path, 500, rows_per_task=200)
+    slim = spark.read.parquet(path).toPandas().sort_values("idx")
+    full = generate_batch(0, 500)
+    np.testing.assert_array_equal(slim["phash"].to_numpy(),
+                                  full["phash"].to_numpy())
+
+
 def test_geotag_images(spark):
     df = geotag_images(generate_images_df(spark, 100, rows_per_task=50))
     pdf = df.select("phash", "lon", "lat").toPandas()
