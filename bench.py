@@ -29,7 +29,7 @@ from pyspark.sql import functions as F  # noqa: E402
 REPO = os.path.dirname(os.path.abspath(__file__))
 COUNTRIES_ZIP = "/root/reference/testdata/110m-admin-0-countries.zip"
 TILE_RES = 7
-JOIN_RES = 6
+JOIN_RES = 7
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -119,8 +119,11 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
 
 def run_at(cores: int, images_path: str, polygons, shuffle_parts: int) -> float:
     from go_shapefile_spark.session import get_spark
+    # Split size tuned so every wave has ≥4 tasks per core on the bench
+    # input — 12 fat splits on 8 cores measures stragglers, not the engine.
     spark = get_spark(app_name=f"bench-local{cores}", cores=cores,
-                      shuffle_partitions=shuffle_parts)
+                      shuffle_partitions=shuffle_parts,
+                      max_partition_bytes="8m")
     # Warm-up run: spawns python workers, JIT-compiles codegen, fills the
     # OS page cache.  The timed run then measures steady-state throughput
     # (what a long-running cluster job sees), not process cold-start.

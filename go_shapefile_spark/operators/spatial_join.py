@@ -176,7 +176,7 @@ def _crossing_filter_sql(lon_col: str, lat_col: str) -> str:
     d4 = f"(({p}-rx)*(e[3]-ry) - ({q}-ry)*(e[2]-rx))"
     crossings = (f"aggregate(edges, 0L, (acc, e) -> acc + "
                  f"IF({d1}*{d2} < 0 AND {d3}*{d4} < 0, 1L, 0L))")
-    return f"(full OR (ref_inside != (pmod({crossings}, 2) = 1)))"
+    return f"(ref_inside != (pmod({crossings}, 2) = 1))"
 
 
 def spatial_join(spark: SparkSession, points: DataFrame, polygons: list[dict],
@@ -203,9 +203,20 @@ def spatial_join(spark: SparkSession, points: DataFrame, polygons: list[dict],
                    "ref_inside boolean, edges array<array<double>>") \
             .withColumnRenamed("fid", "polygon_fid")
         pts = points.withColumn("cell", F.expr(C.cell_sql(lon_col, lat_col, res)))
-        joined = pts.join(F.broadcast(cover), "cell")
-        out = joined.where(F.expr(_crossing_filter_sql(lon_col, lat_col))) \
-            .drop("full", "rx", "ry", "ref_inside", "edges")
+
+        aux = ["full", "rx", "ry", "ref_inside", "edges"]
+        # Two broadcast joins: full cells carry no edge payload and skip
+        # the (non-codegen) crossing aggregate entirely; only the
+        # boundary-band rows evaluate it.  Higher cover resolution →
+        # thinner band → fewer refined rows (resolution does not change
+        # the output, tests pin that).
+        full_cover = cover.where("full").select("cell", "polygon_fid")
+        part_cover = cover.where("NOT full").drop("full")
+        full_rows = pts.join(F.broadcast(full_cover), "cell")
+        refined = (pts.join(F.broadcast(part_cover), "cell")
+                   .where(F.expr(_crossing_filter_sql(lon_col, lat_col)))
+                   .drop(*aux[1:]))
+        out = full_rows.unionByName(refined)
         if keep_cols is not None:
             out = out.select(*keep_cols)
         return out

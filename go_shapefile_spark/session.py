@@ -14,7 +14,8 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "go-shapefile-spark", cores: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              max_partition_bytes: str | None = None) -> SparkSession:
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -30,6 +31,9 @@ def get_spark(app_name: str = "go-shapefile-spark", cores: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.files.maxPartitionBytes",
+                max_partition_bytes or os.environ.get(
+                    "SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
