@@ -33,6 +33,27 @@ from ..functions import cells as C
 from ..functions import geom_np as G
 
 
+UNROLL_K = 24  # max clipped edges handled by the codegen'd predicate
+
+
+def _flatten_edges(part_pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Partial-cover rows → NaN-padded scalar edge columns for the
+    unrolled predicate (4·k doubles per row)."""
+    n = len(part_pdf)
+    mat = np.full((n, 4 * k), np.nan)
+    for i, edges in enumerate(part_pdf["edges"]):
+        if edges:
+            arr = np.asarray(edges, dtype=np.float64).reshape(-1, 4)
+            mat[i, :4 * len(arr)] = arr.ravel()
+    out = part_pdf[["cell", "fid", "rx", "ry", "ref_inside"]].reset_index(drop=True)
+    for j in range(k):
+        out[f"e{j}_ax"] = mat[:, 4 * j]
+        out[f"e{j}_ay"] = mat[:, 4 * j + 1]
+        out[f"e{j}_bx"] = mat[:, 4 * j + 2]
+        out[f"e{j}_by"] = mat[:, 4 * j + 3]
+    return out
+
+
 def polygons_from_features(features_rows) -> list[dict]:
     """Collected ``features`` rows (fid, geometry) → polygon dicts."""
     polys = []
@@ -165,8 +186,11 @@ def _crossing_filter_sql(lon_col: str, lat_col: str) -> str:
     standard double-orientation segment intersection (strict — boundary
     degeneracies are measure-zero for continuous coordinates).
 
-    Runs via ``aggregate()`` over the broadcast edge array: JVM-only, no
-    Python worker, scales linearly with cores.
+    Runs via ``aggregate()`` over the broadcast edge array: JVM, no
+    Python worker.  NOTE: higher-order functions are interpreted (not
+    codegen'd) and allocation-heavy; the hot path uses the unrolled
+    variant below.  This form remains for cells whose clipped edge count
+    exceeds the unroll width.
     """
     p, q = lon_col, lat_col
     # orient(a,b,c) = (bx-ax)(cy-ay) - (by-ay)(cx-ax); e = [x1,y1,x2,y2]
@@ -179,10 +203,32 @@ def _crossing_filter_sql(lon_col: str, lat_col: str) -> str:
     return f"(ref_inside != (pmod({crossings}, 2) = 1))"
 
 
+def _crossing_filter_unrolled_sql(lon_col: str, lat_col: str, k: int) -> str:
+    """Crossing-parity predicate over ``k`` scalar edge columns
+    (e{j}_ax..e{j}_by, NaN-padded) — statically unrolled so the whole
+    filter stays inside whole-stage codegen: no array access, no lambda,
+    no per-row allocation.  NaN padding makes every comparison false, so
+    absent edges contribute zero crossings.  This is what lets the
+    refinement stage scale linearly with cores (the interpreted
+    ``aggregate()`` variant is memory-allocation-bound).
+    """
+    p, q = lon_col, lat_col
+    terms = []
+    for j in range(k):
+        ax, ay, bx, by = (f"e{j}_ax", f"e{j}_ay", f"e{j}_bx", f"e{j}_by")
+        d1 = f"(({bx}-{ax})*(ry-{ay}) - ({by}-{ay})*(rx-{ax}))"
+        d2 = f"(({bx}-{ax})*({q}-{ay}) - ({by}-{ay})*({p}-{ax}))"
+        d3 = f"(({p}-rx)*({ay}-ry) - ({q}-ry)*({ax}-rx))"
+        d4 = f"(({p}-rx)*({by}-ry) - ({q}-ry)*({bx}-rx))"
+        terms.append(f"IF({d1}*{d2} < 0 AND {d3}*{d4} < 0, 1L, 0L)")
+    return f"(ref_inside != (pmod({' + '.join(terms)}, 2) = 1))"
+
+
 def spatial_join(spark: SparkSession, points: DataFrame, polygons: list[dict],
                  res: int, lon_col: str = "lon", lat_col: str = "lat",
                  keep_cols: list[str] | None = None,
-                 method: str = "jvm") -> DataFrame:
+                 method: str = "jvm",
+                 cover_pdf: pd.DataFrame | None = None) -> DataFrame:
     """points ⋈ polygons → rows (point cols..., polygon_fid).
 
     Implements E6: broadcast cell-cover equi-join + E5 PIP refinement on
@@ -194,7 +240,10 @@ def spatial_join(spark: SparkSession, points: DataFrame, polygons: list[dict],
     to identical output).
     """
     if method == "jvm":
-        cover_pdf = polygon_cell_cover(polygons, res, with_edges=True)
+        if cover_pdf is None:
+            cover_pdf = polygon_cell_cover(polygons, res, with_edges=True)
+        else:
+            cover_pdf = cover_pdf.copy()
         cover_pdf["edges"] = cover_pdf["edges"].map(
             lambda e: e if e is not None else [])
         cover = spark.createDataFrame(
@@ -204,19 +253,44 @@ def spatial_join(spark: SparkSession, points: DataFrame, polygons: list[dict],
             .withColumnRenamed("fid", "polygon_fid")
         pts = points.withColumn("cell", F.expr(C.cell_sql(lon_col, lat_col, res)))
 
-        aux = ["full", "rx", "ry", "ref_inside", "edges"]
-        # Two broadcast joins: full cells carry no edge payload and skip
-        # the (non-codegen) crossing aggregate entirely; only the
-        # boundary-band rows evaluate it.  Higher cover resolution →
-        # thinner band → fewer refined rows (resolution does not change
-        # the output, tests pin that).
+        # Three broadcast joins, cheapest-first:
+        #  * full cells — no edge payload, no predicate at all;
+        #  * partial cells with ≤ UNROLL_K clipped edges (p99 ≈ 11 at
+        #    res 7/8) — statically unrolled codegen crossing predicate;
+        #  * the rare dense cells — interpreted aggregate() fallback.
+        # Higher cover resolution → thinner boundary band → fewer refined
+        # rows (resolution does not change the output; tests pin that).
         full_cover = cover.where("full").select("cell", "polygon_fid")
-        part_cover = cover.where("NOT full").drop("full")
         full_rows = pts.join(F.broadcast(full_cover), "cell")
-        refined = (pts.join(F.broadcast(part_cover), "cell")
-                   .where(F.expr(_crossing_filter_sql(lon_col, lat_col)))
-                   .drop(*aux[1:]))
-        out = full_rows.unionByName(refined)
+        out = full_rows
+
+        part_pdf = cover_pdf[~cover_pdf["full"]]
+        n_edges = part_pdf["edges"].map(len)
+        narrow_pdf = part_pdf[n_edges <= UNROLL_K]
+        wide_pdf = part_pdf[n_edges > UNROLL_K]
+
+        if len(narrow_pdf):
+            flat = _flatten_edges(narrow_pdf, UNROLL_K)
+            narrow = spark.createDataFrame(flat) \
+                .withColumnRenamed("fid", "polygon_fid")
+            aux = [c for c in flat.columns if c not in ("cell", "fid")]
+            refined = (pts.join(F.broadcast(narrow), "cell")
+                       .where(F.expr(_crossing_filter_unrolled_sql(
+                           lon_col, lat_col, UNROLL_K)))
+                       .drop(*[c for c in aux]))
+            out = out.unionByName(refined)
+
+        if len(wide_pdf):
+            wide = spark.createDataFrame(
+                wide_pdf.drop(columns=["full"]),
+                schema="cell long, fid long, rx double, ry double, "
+                       "ref_inside boolean, edges array<array<double>>") \
+                .withColumnRenamed("fid", "polygon_fid")
+            refined_w = (pts.join(F.broadcast(wide), "cell")
+                         .where(F.expr(_crossing_filter_sql(lon_col, lat_col)))
+                         .drop("rx", "ry", "ref_inside", "edges"))
+            out = out.unionByName(refined_w)
+
         if keep_cols is not None:
             out = out.select(*keep_cols)
         return out

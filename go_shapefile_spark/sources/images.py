@@ -177,7 +177,7 @@ def write_images_table(spark: SparkSession, path: str, n: int,
 
 
 def write_points_table(spark: SparkSession, path: str, n: int,
-                       rows_per_task: int = 2_000_000) -> None:
+                       rows_per_task: int = 250_000) -> None:
     """The (idx, phash) projection of the conceptual n-row images table.
 
     ``phash`` is exactly what ``generate_batch`` assigns (splitmix64 of
