@@ -82,6 +82,70 @@ def knn_radius(points: DataFrame, queries: DataFrame, k: int, radius_deg: float,
             .select("query_id", "neighbor_id", "dist2", "rank"))
 
 
+def knn_exact(points: DataFrame, queries: DataFrame, k: int,
+              id_col: str = "id", lon_col: str = "lon", lat_col: str = "lat",
+              start_res: int = 6, max_rounds: int = 8) -> DataFrame:
+    """Exact (unbounded) kNN via progressive neighbor-ring expansion.
+
+    Round r runs radius-bounded kNN with radius = the ring-coverage
+    guarantee of the current resolution (one cell height).  A query's
+    result is FINAL when it has k neighbors within that radius — every
+    unseen point is provably farther (outside the covered disk).
+    Unfinished queries escalate to a coarser resolution (radius ×2) and
+    re-run; typically 1-2 rounds finish >99% of queries, so the
+    expensive big radii only ever see the stragglers.  Exactness is
+    oracle-tested against a cross-join top-k.
+    """
+    remaining = queries
+    results = []
+    res = start_res
+    for _ in range(max_rounds):
+        if res < 0:
+            break
+        radius = 180.0 / (1 << res)          # covered by the 3x3 ring
+        got = knn_radius(points, remaining, k=k, radius_deg=radius,
+                         id_col=id_col, lon_col=lon_col, lat_col=lat_col,
+                         res=res)
+        counts = got.groupBy("query_id").agg(
+            F.max("rank").alias("found"),
+            F.max("dist2").alias("max_d2"))
+        # final: k found AND kth distance within the guaranteed radius
+        done_ids = counts.where(
+            (F.col("found") >= k) & (F.col("max_d2") <= radius ** 2))
+        results.append(got.join(done_ids.select("query_id"), "query_id"))
+        remaining = remaining.join(
+            done_ids.select("query_id").withColumnRenamed("query_id", id_col),
+            id_col, "left_anti")
+        if not remaining.take(1):
+            remaining = None
+            break
+        res -= 1
+    if remaining is not None and remaining.take(1):
+        # fall back to brute force for pathological leftovers (empty
+        # neighborhoods at the coarsest resolution)
+        spark = points.sparkSession
+        q = remaining.select(F.col(id_col).alias("query_id"),
+                             F.col(lon_col).alias("q_lon"),
+                             F.col(lat_col).alias("q_lat"))
+        p = points.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(lon_col).alias("n_lon"),
+                          F.col(lat_col).alias("n_lat"))
+        pairs = (q.crossJoin(p)
+                 .where(F.col("neighbor_id") != F.col("query_id"))
+                 .withColumn("dist2",
+                             (F.col("q_lon") - F.col("n_lon")) * (F.col("q_lon") - F.col("n_lon"))
+                             + (F.col("q_lat") - F.col("n_lat")) * (F.col("q_lat") - F.col("n_lat"))))
+        win = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
+                                                     F.col("neighbor_id").asc())
+        results.append(pairs.withColumn("rank", F.row_number().over(win))
+                       .where(F.col("rank") <= k)
+                       .select("query_id", "neighbor_id", "dist2", "rank"))
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def knn_radius_oracle_sql(points_rel: str, queries_rel: str, k: int,
                           radius_deg: float, id_col: str = "id",
                           lon_col: str = "lon", lat_col: str = "lat") -> str:

@@ -1,0 +1,107 @@
+"""Multimodal column operators: image decode / resize / feature-extract /
+frame-sample over opaque ``binary`` columns with typed metadata.
+
+Real parts (this container has zlib + numpy): PNG decode via the
+pure-python codec, nearest-neighbor resize, color-moment + histogram
+feature extraction — all vectorized numpy inside Arrow-batched
+``mapInPandas``.  STUBBED parts (no image/video codecs in the sandbox,
+clearly marked): jpeg decode and video frame extraction raise
+``NotImplementedError`` in strict mode or produce deterministic fakes in
+``stub_ok`` mode — the Spark-side plumbing (schema, batch shape, UDF
+signatures, partitioning) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..sources.images import decode_image, pixels_from_phash
+
+FEATURE_DIM = 6 + 12  # mean/std per channel + 4-bin histogram per channel
+
+
+def _decode(row, stub_ok: bool) -> np.ndarray | None:
+    if row.fmt == "png":
+        return decode_image(row.bytes, "png")
+    if stub_ok:
+        # deterministic fake decode: regenerate from phash (documented
+        # stand-in for the missing jpeg codec)
+        return pixels_from_phash(int(row.phash), int(row.w), int(row.h))
+    raise NotImplementedError(f"no codec for {row.fmt!r} in this environment")
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Vectorized nearest-neighbor resize (no PIL in the sandbox)."""
+    h, w, _ = img.shape
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """Per-channel mean/std + 4-bin intensity histogram → float32 vector."""
+    f = img.reshape(-1, 3).astype(np.float64)
+    feats = [f.mean(axis=0) / 255.0, f.std(axis=0) / 255.0]
+    for c in range(3):
+        hist, _ = np.histogram(f[:, c], bins=4, range=(0, 256))
+        feats.append(hist / max(len(f), 1))
+    return np.concatenate(feats).astype(np.float32)
+
+
+def decode_resize_featurize(images: DataFrame, out_w: int = 8, out_h: int = 8,
+                            stub_ok: bool = True) -> DataFrame:
+    """images(image_id, bytes, w, h, fmt, phash, ...) →
+    (image_id, fmt, thumb binary, feature array<float>).
+
+    One Arrow batch in, one out; per-image work is numpy-only.  The
+    thumbnail is raw RGB bytes of the resized image (out_h·out_w·3)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, thumbs, feats = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                img = _decode(row, stub_ok)
+                thumb = resize_nearest(img, out_w, out_h)
+                ids.append(row.image_id)
+                fmts.append(row.fmt)
+                thumbs.append(thumb.tobytes())
+                feats.append(image_features(img).tolist())
+            yield pd.DataFrame({"image_id": ids, "fmt": fmts,
+                                "thumb": thumbs, "feature": feats})
+
+    return images.mapInPandas(
+        run, schema="image_id string, fmt string, thumb binary, "
+                    "feature array<float>")
+
+
+def frame_sample(videos: DataFrame, every_n: int = 10,
+                 stub_ok: bool = True) -> DataFrame:
+    """Video frame sampling — STUB: no video codec exists in this
+    container.  In ``stub_ok`` mode each ``video_id`` yields
+    deterministic fake frames (phash-derived pixels) at indices
+    0, n, 2n, … so the exploding-rows plumbing (one input row → many
+    frame rows, schema, ordering) is real and tested; strict mode raises.
+    Expected input: (video_id string, bytes binary, n_frames int,
+    w int, h int, phash long).
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids, idxs, frames = [], [], []
+            for row in pdf.itertuples(index=False):
+                if not stub_ok:
+                    raise NotImplementedError(
+                        "no video codec in this environment")
+                for fi in range(0, int(row.n_frames), every_n):
+                    px = pixels_from_phash(int(row.phash) + fi,
+                                           int(row.w), int(row.h))
+                    vids.append(row.video_id)
+                    idxs.append(fi)
+                    frames.append(px.tobytes())
+            yield pd.DataFrame({"video_id": vids, "frame_idx": idxs,
+                                "frame": frames})
+
+    return videos.mapInPandas(
+        run, schema="video_id string, frame_idx int, frame binary")

@@ -406,8 +406,9 @@ def build_registry():
     queries["salted_tile_counts"] = salted_tiles_spark
     oracles["salted_tile_counts"] = q_salted_tiles_oracle(DUCK)
 
-    # simhash_pairs: same algebra, but the Spark side materializes the
-    # signature table once (a CTE would be inlined 8x into the band join).
+    # simhash_pairs / dedup_minhash_lsh: same algebra, but the Spark side
+    # materializes the self-joined CTE once (Spark inlines CTEs, so the
+    # signature/shingle subtree would otherwise recompute per reference).
     def simhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_tables(spark, sf_dir)
         sig = spark.sql(D.simhash_sql(SPARK))
@@ -416,6 +417,20 @@ def build_registry():
         body = body[body.index("band_keys AS ("):]  # drop "WITH sig AS (...),"
         return spark.sql("WITH " + body)
     queries["simhash_pairs"] = simhash_pairs_cached
+
+    def minhash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        # the documents table is a single parquet file at small SFs —
+        # spread the shingle/md5 chain across tasks before exploding
+        spark.table("documents").repartition(32) \
+            .createOrReplaceTempView("documents_rep")
+        shingles = spark.sql(
+            f"WITH {D.shingle_cte(SPARK, 'documents_rep', 9)} SELECT * FROM shingles")
+        shingles.cache().createOrReplaceTempView("shingles")
+        body = D.minhash_lsh_sql(SPARK)
+        body = body[body.index("mh AS ("):]  # drop the shingle CTEs
+        return spark.sql("WITH " + body)
+    queries["dedup_minhash_lsh"] = minhash_cached
 
     # Shapefile-source regression queries (skipped if the reference
     # fixture corpus is not present in the environment).

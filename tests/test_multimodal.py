@@ -1,0 +1,57 @@
+"""Multimodal operators: decode/resize/featurize + frame-sample plumbing."""
+
+import numpy as np
+import pytest
+
+from go_shapefile_spark.operators.multimodal import (
+    FEATURE_DIM, decode_resize_featurize, frame_sample, image_features,
+    resize_nearest,
+)
+from go_shapefile_spark.sources.images import generate_images_df
+
+
+def test_resize_nearest_shapes_and_content():
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    small = resize_nearest(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    assert np.array_equal(small[0, 0], img[0, 0])
+    up = resize_nearest(small, 8, 8)
+    assert up.shape == (8, 8, 3)
+
+
+def test_features_deterministic():
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    f = image_features(img)
+    assert f.shape == (FEATURE_DIM,)
+    assert f[0] == pytest.approx(128 / 255.0)
+    assert f[3] == pytest.approx(0.0)  # zero std
+
+
+def test_decode_resize_featurize_spark(spark):
+    images = generate_images_df(spark, 60, rows_per_task=20)
+    out = decode_resize_featurize(images).toPandas()
+    assert len(out) == 60
+    assert all(len(t) == 8 * 8 * 3 for t in out["thumb"])
+    assert all(len(f) == FEATURE_DIM for f in out["feature"])
+    # determinism: same input → same features
+    out2 = decode_resize_featurize(images).toPandas()
+    a = out.sort_values("image_id").reset_index(drop=True)
+    b = out2.sort_values("image_id").reset_index(drop=True)
+    assert (a["thumb"] == b["thumb"]).all()
+
+
+def test_decode_strict_raises_on_jpeg(spark):
+    images = generate_images_df(spark, 30, rows_per_task=30)
+    with pytest.raises(Exception, match="no codec"):
+        decode_resize_featurize(images, stub_ok=False).collect()
+
+
+def test_frame_sample_explodes_rows(spark):
+    videos = spark.createDataFrame(
+        [("v1", b"", 25, 4, 4, 111), ("v2", b"", 7, 4, 4, 222)],
+        "video_id string, bytes binary, n_frames int, w int, h int, phash long")
+    frames = frame_sample(videos, every_n=10).toPandas()
+    got = frames.groupby("video_id")["frame_idx"].apply(list).to_dict()
+    assert sorted(got["v1"]) == [0, 10, 20]
+    assert sorted(got["v2"]) == [0]
+    assert all(len(f) == 4 * 4 * 3 for f in frames["frame"])

@@ -112,6 +112,31 @@ def test_knn_matches_bruteforce(spark):
     np.testing.assert_allclose(got["dist2"], exp["dist2"], rtol=0, atol=0)
 
 
+def test_knn_exact_matches_bruteforce(spark):
+    from go_shapefile_spark.operators.knn import knn_exact
+    pts = _points(2000, seed=31)
+    df = spark.createDataFrame(pts)
+    k = 4
+    got = knn_exact(df, df, k=k).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    # numpy brute-force oracle
+    xy = pts[["lon", "lat"]].to_numpy()
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    exp_rows = []
+    for i in range(len(pts)):
+        order = np.lexsort((pts["id"].to_numpy(), d2[i]))[:k]
+        for r, j in enumerate(order):
+            exp_rows.append((i, int(pts["id"].iloc[j]), r + 1))
+    exp = pd.DataFrame(exp_rows, columns=["query_id", "neighbor_id", "rank"]) \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "neighbor_id", "rank"]].astype("int64"),
+        exp.astype("int64"))
+
+
 def test_knn_no_python_udf(spark):
     """The kNN plan must stay JVM-side: no Python/Pandas UDF nodes."""
     pts = spark.createDataFrame(_points(100))
