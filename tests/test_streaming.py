@@ -38,3 +38,35 @@ def test_streaming_matches_batch(spark, sf_dir, tmp_path):
 
     assert len(got) == len(batch) > 0
     assert got.equals(batch)
+
+
+def test_stateful_sessionizer_matches_batch_oracle(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionizer drained over a bounded source
+    must equal the batch event_sessions query."""
+    import duckdb
+
+    from go_shapefile_spark.queries import q_event_sessions
+    from go_shapefile_spark.streaming.sessions import sessionize_stream
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+
+    stream = sessionize_stream(spark, src, SCHEMA)
+    q = (stream.writeStream.format("memory").queryName("sessions_test")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = (spark.table("sessions_test").toPandas()
+           .sort_values("user_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{os.path.join(sf_dir, 'events.parquet')}'")
+    exp = (con.execute(q_event_sessions("duck")).df()
+           .sort_values("user_id").reset_index(drop=True))
+    assert len(got) == len(exp)
+    assert (got["n_sessions"].to_numpy() == exp["n_sessions"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
