@@ -53,6 +53,26 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def embedding_neardup_sql(dialect: str, rel: str = "embeddings",
+                          threshold: float = 0.9) -> str:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
+    the LSH-bucketed scale path is ``lsh_ann_topk``)."""
+    av = H.doubles("a.embedding", dialect)
+    bv = H.doubles("b.embedding", dialect)
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {H.dot(av, bv, dialect)} AS dp,
+         {H.dot(av, av, dialect)} AS na,
+         {H.dot(bv, bv, dialect)} AS nb
+  FROM {rel} a JOIN {rel} b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, ROUND(dp / SQRT(na * nb), 6) AS cos
+FROM pairs
+WHERE dp / SQRT(na * nb) >= {threshold}
+"""
+
+
 def _plane_matrix(dim: int, n_planes: int, seed: int = 1234) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((dim, n_planes))

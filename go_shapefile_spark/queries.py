@@ -394,6 +394,7 @@ def build_registry():
         "langid": lambda d: TX.langid_sql(d),
         "fingerprint": lambda d: TX.fingerprint_sql(d),
         "cosine_topk": lambda d: SIM.cosine_topk_sql(d),
+        "embedding_neardup": lambda d: SIM.embedding_neardup_sql(d, threshold=0.25),
     }
     queries = {name: _sql_runner(fn) for name, fn in dual.items()}
     oracles = {name: fn(DUCK) for name, fn in dual.items()}
