@@ -137,7 +137,7 @@ cand AS (
   FROM band_keys a JOIN band_keys b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {max_hamming}
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM cand WHERE hamming <= {max_hamming}
 """
 
 

@@ -79,7 +79,8 @@ def knn_radius(points: DataFrame, queries: DataFrame, k: int, radius_deg: float,
                                                  F.col("neighbor_id").asc())
     return (pairs.withColumn("rank", F.row_number().over(win))
             .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "dist2", "rank"))
+            .select("query_id", "neighbor_id", "dist2",
+                    F.col("rank").cast("long").alias("rank")))
 
 
 def knn_exact(points: DataFrame, queries: DataFrame, k: int,
@@ -163,5 +164,5 @@ WITH pairs AS (
                             ORDER BY dist2 ASC, neighbor_id ASC) AS rank
   FROM pairs WHERE dist2 <= {float(radius_deg) ** 2!r}
 )
-SELECT query_id, neighbor_id, dist2, rank FROM ranked WHERE rank <= {k}
+SELECT query_id, neighbor_id, dist2, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= {k}
 """

@@ -48,7 +48,7 @@ ranked AS (
                             ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM scored
 )
-SELECT query_id, neighbor_id, neighbor_label, cos, rank
+SELECT query_id, neighbor_id, neighbor_label, cos, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
 

@@ -31,9 +31,9 @@ def token_stats_sql(dialect: str, rel: str = "documents") -> str:
     n_punct = H.regexp_count("text", "[.,;:!?]", dialect)
     return f"""
 SELECT doc_id,
-       LENGTH(text) AS n_chars_measured,
-       {n_tokens} AS n_tokens,
-       {n_punct} AS n_punct,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_measured,
+       CAST({n_tokens} AS BIGINT) AS n_tokens,
+       CAST({n_punct} AS BIGINT) AS n_punct,
        ROUND(CAST(LENGTH(text) AS DOUBLE) / GREATEST({n_tokens}, 1), 6) AS chars_per_token
 FROM {rel}
 """

@@ -86,7 +86,7 @@ ranked AS (
          ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rank
   FROM rev
 )
-SELECT l_orderkey, revenue, orderdate, priority, rank FROM ranked WHERE rank <= 20
+SELECT l_orderkey, revenue, orderdate, priority, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 20
 """
 
 
@@ -113,7 +113,7 @@ WITH ranked AS (
                             ORDER BY value DESC, event_id ASC) AS rank
   FROM events
 )
-SELECT user_id, event_id, event_type, value, rank FROM ranked WHERE rank <= 3
+SELECT user_id, event_id, event_type, value, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3
 """
 
 
@@ -181,7 +181,7 @@ def nation_rects_cte(dialect: str) -> str:
     deterministic from n_nationkey."""
     return """
 rects AS (
-  SELECT n_nationkey AS polygon_fid,
+  SELECT CAST(n_nationkey AS BIGINT) AS polygon_fid,
          -180.0 + (n_nationkey % 5) * 72.0 AS x0,
          -90.0 + CAST(FLOOR(n_nationkey / 5) AS BIGINT) * 36.0 AS y0,
          -180.0 + (n_nationkey % 5) * 72.0 + 64.8 AS x1,
@@ -247,7 +247,7 @@ ranked AS (
                             ORDER BY dist2 ASC, neighbor_id ASC) AS rank
   FROM pairs WHERE dist2 <= {KNN_RADIUS ** 2!r}
 )
-SELECT query_id, neighbor_id, dist2, rank FROM ranked WHERE rank <= {KNN_K}
+SELECT query_id, neighbor_id, dist2, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= {KNN_K}
 """
 
 
@@ -320,8 +320,9 @@ def shapefile_poly_oracle() -> str:
     for i, rec in enumerate(sf.shp.records):
         area, eas_id, prfedea = sf.dbf.records[i]
         digest = hashlib.md5(to_wkt(rec).encode()).hexdigest()
-        rows.append(f"SELECT {i + 1} AS fid, CAST({area!r} AS DOUBLE) AS AREA, "
-                    f"{eas_id} AS EAS_ID, '{prfedea}' AS PRFEDEA, "
+        rows.append(f"SELECT CAST({i + 1} AS BIGINT) AS fid, "
+                    f"CAST({area!r} AS DOUBLE) AS AREA, "
+                    f"CAST({eas_id} AS BIGINT) AS EAS_ID, '{prfedea}' AS PRFEDEA, "
                     f"'{digest}' AS wkt_md5")
     return "\nUNION ALL\n".join(rows)
 
