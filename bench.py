@@ -159,6 +159,17 @@ def main() -> None:
     images_path, n_images = ensure_images(spark, sf, cache_root)
     rows_produced = headline_job(spark, points_path, polygons)  # warm cache/JIT
     query_secs = timed_queries(spark, sf_dir)
+    # shapefile-source parse throughput (reference parity: the reference
+    # publishes no numbers, so we record ours on its largest fixture)
+    from go_shapefile_spark.sources.shapefile import read_shapefile_df
+    places = "/root/reference/testdata/10m_populated_places_simple.zip"
+    if os.path.exists(places):
+        t0 = time.monotonic()
+        n = read_shapefile_df(
+            spark, places,
+            options={"dbf": {"skip_broken_fields": True}}).count()
+        query_secs["shapefile_parse_10m_places"] = round(time.monotonic() - t0, 3)
+        assert n == 7342
     # invariant job (E13) timed over the full-bytes image table
     from go_shapefile_spark.sources.images import check_invariants
     t0 = time.monotonic()
