@@ -105,6 +105,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     raw = zlib.decompress(idat)
     stride = 3 * w
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    if not rows[:, 0].any():
+        # fast path: every scanline uses filter 0 (what our encoder
+        # writes) → the payload is the pixel matrix, one bulk reshape
+        return rows[:, 1:].reshape(h, w, 3).copy()
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):

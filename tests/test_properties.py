@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just fixtures."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from go_shapefile_spark.functions import cells as C
+from go_shapefile_spark.functions import geom_np as G
+from go_shapefile_spark.operators.spatial_join import polygon_cell_cover
+
+lon_st = st.floats(min_value=-180.0, max_value=179.999, allow_nan=False)
+lat_st = st.floats(min_value=-90.0, max_value=89.999, allow_nan=False)
+
+
+@given(st.lists(st.tuples(lon_st, lat_st), min_size=1, max_size=50),
+       st.integers(min_value=0, max_value=26))
+@settings(max_examples=200, deadline=None)
+def test_cell_roundtrip_property(points, res):
+    lon = np.array([p[0] for p in points])
+    lat = np.array([p[1] for p in points])
+    cell = C.cell_np(lon, lat, res)
+    r, ix, iy = C.cell_decode_np(cell)
+    assert (r == res).all()
+    lon0, lat0, lon1, lat1 = C.cell_bounds_np(cell)
+    # containment holds up to the binning arithmetic's rounding at cell
+    # boundaries (a point one ULP left of a boundary may quantize right —
+    # identically in all three engine twins, which is what matters)
+    tol = 1e-7
+    assert ((lon >= lon0 - tol) & (lon < lon1 + tol)).all()
+    assert ((lat >= lat0 - tol) & (lat < lat1 + tol)).all()
+    # re-encoding the cell center lands in the same cell
+    c2 = C.cell_np((lon0 + lon1) / 2, (lat0 + lat1) / 2, res)
+    np.testing.assert_array_equal(np.atleast_1d(c2), cell)
+
+
+@st.composite
+def convex_polygon(draw):
+    """Random CW convex polygon via sorted angles around a center."""
+    cx = draw(st.floats(min_value=-150, max_value=150))
+    cy = draw(st.floats(min_value=-70, max_value=70))
+    n = draw(st.integers(min_value=3, max_value=10))
+    angles = sorted(draw(st.lists(
+        st.floats(min_value=0, max_value=2 * np.pi - 0.01),
+        min_size=n, max_size=n, unique=True)))
+    if len(angles) < 3:
+        angles = [0.1, 2.0, 4.0]
+    r = draw(st.floats(min_value=1.0, max_value=20.0))
+    xs = cx + r * np.cos(angles)
+    ys = cy + r * np.sin(angles)
+    # counter-clockwise by construction → reverse for CW outer ring
+    xs, ys = xs[::-1], ys[::-1]
+    ring = np.empty(2 * (len(xs) + 1))
+    ring[0:-2:2], ring[1:-2:2] = xs, ys
+    ring[-2], ring[-1] = xs[0], ys[0]
+    return ring
+
+
+@given(convex_polygon(),
+       st.lists(st.tuples(lon_st, lat_st), min_size=20, max_size=100),
+       st.integers(min_value=4, max_value=9))
+@settings(max_examples=60, deadline=None)
+def test_cover_classification_sound_property(ring, points, res):
+    """For any convex polygon and any points: PIP via the cover's
+    full/partial classification must equal direct ray-cast PIP."""
+    poly = {"fid": 1, "coords": ring, "ends": [len(ring)]}
+    cover = polygon_cell_cover([poly], res, with_edges=True)
+    lon = np.array([p[0] for p in points])
+    lat = np.array([p[1] for p in points])
+    truth = G.point_in_polygon_chunked(lon, lat, ring, [len(ring)])
+
+    cells = C.cell_np(lon, lat, res)
+    by_cell = {}
+    for row in cover.itertuples(index=False):
+        by_cell[row.cell] = row
+    got = np.zeros(len(points), dtype=bool)
+    for i, c in enumerate(cells):
+        row = by_cell.get(int(c))
+        if row is None:
+            got[i] = False
+        elif row.full:
+            got[i] = True
+        else:
+            # partial → crossing parity from the cell-center reference
+            ref = G.point_in_polygon_chunked(
+                np.array([row.rx]), np.array([row.ry]), ring, [len(ring)])[0]
+            crossings = 0
+            for e in (row.edges or []):
+                crossings += _segments_cross(row.rx, row.ry, lon[i], lat[i],
+                                             e[0], e[1], e[2], e[3])
+            got[i] = bool(ref) ^ (crossings % 2 == 1)
+    np.testing.assert_array_equal(got, truth)
+
+
+def _segments_cross(rx, ry, px, py, ax, ay, bx, by) -> int:
+    d1 = (bx - ax) * (ry - ay) - (by - ay) * (rx - ax)
+    d2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    d3 = (px - rx) * (ay - ry) - (py - ry) * (ax - rx)
+    d4 = (px - rx) * (by - ry) - (py - ry) * (bx - rx)
+    return 1 if (d1 * d2 < 0 and d3 * d4 < 0) else 0
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_parsers_never_crash_property(data):
+    """Arbitrary bytes must raise cleanly (ShapefileError/ValueError),
+    never crash the process — the fuzz contract of the reference."""
+    from go_shapefile_spark.sources.shapefile_core import (
+        ShapefileError, parse_dbf, parse_shp, parse_shx_header)
+    for fn in (parse_shp, parse_dbf):
+        try:
+            fn(data)
+        except (ShapefileError, ValueError, OverflowError):
+            pass
+    try:
+        parse_shx_header(data[:100], len(data))
+    except (ShapefileError, ValueError):
+        pass
