@@ -35,6 +35,7 @@ from typing import Any, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import shapefile_core as core
@@ -368,6 +369,33 @@ def read_shapefile_df(spark: SparkSession, path: str, options: dict | None = Non
 
     ndf = splits_df.repartition(len(bounds), "fid_start")
     return ndf.mapInPandas(parse, schema=schema)
+
+
+def read_shapefile_dir(spark: SparkSession, directory: str,
+                       options: dict | None = None,
+                       target_records_per_split: int = 100_000) -> DataFrame:
+    """Read every shapefile under ``directory`` into one ``features``
+    DataFrame with a ``source_basename`` column.
+
+    Realistic corpora ship one shapefile per tile/region/country; this
+    unions the per-file split plans so all files parse in parallel (the
+    per-file schema must agree — enforced by unionByName with
+    allowMissingColumns=False so drift fails loudly).
+    """
+    import glob
+
+    bases = sorted({p[:-4] for p in glob.glob(os.path.join(directory, "*.shp"))})
+    bases += sorted(glob.glob(os.path.join(directory, "*.zip")))
+    if not bases:
+        raise core.ShapefileError(f"no shapefiles under {directory}")
+    out = None
+    for base in bases:
+        df = read_shapefile_df(spark, base, options,
+                               target_records_per_split=target_records_per_split)
+        df = df.withColumn("source_basename",
+                           F.lit(os.path.basename(base)))
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def file_metadata(path: str, options: dict | None = None,

@@ -57,6 +57,45 @@ def test_rasterize_vectorize_roundtrip(spark):
     assert covered == original
 
 
+def test_rasterize_real_countries(spark, ref_testdata):
+    """E8 on real geometry: rasterized ne_110m pixel area must
+    approximate each country's shoelace area, and the vectorized
+    rectangles must cover exactly the rasterized pixels."""
+    import os
+
+    from go_shapefile_spark.operators.spatial_join import polygons_from_features
+    from go_shapefile_spark.operators.tiles import rasterize_polygons, vectorize_raster
+    from go_shapefile_spark.sources.shapefile import read_shapefile_df
+    feats = read_shapefile_df(
+        spark, os.path.join(ref_testdata, "110m-admin-0-countries.zip"))
+    polys = polygons_from_features(feats.select("fid", "geometry").collect())
+    big = [p for p in polys if len(p["coords"]) > 600][:5]  # large countries
+    raster = rasterize_polygons(spark, big, res=6, tile_px=8)
+    pix = raster.toPandas()
+    assert len(pix) > 1000
+    # pixel-count area vs shoelace area (planar degrees², loose bound
+    # because pixels are coarse at res 6)
+    n = 1 << 6
+    px_area = (360.0 / n / 8) * (180.0 / n / 8)
+    for p in big:
+        x = p["coords"][0::2]
+        y = p["coords"][1::2]
+        # shoelace over all rings (holes subtract via winding)
+        area = 0.0
+        prev = 0
+        for end in p["ends"]:
+            rx, ry = x[prev // 2:end // 2], y[prev // 2:end // 2]
+            area += 0.5 * np.sum(rx[:-1] * ry[1:] - rx[1:] * ry[:-1])
+            prev = end
+        area = abs(area)
+        got = len(pix[pix.fid == p["fid"]]) * px_area
+        assert got == pytest.approx(area, rel=0.25), f"fid {p['fid']}"
+    # vectorize inverse: rectangles cover exactly the pixel set
+    rects = vectorize_raster(raster, tile_px=8).toPandas()
+    n_rect_pixels = int(((rects.x1 - rects.x0 + 1) * (rects.y1 - rects.y0 + 1)).sum())
+    assert n_rect_pixels == len(pix)
+
+
 def test_lineage_resume_idempotent(spark, tmp_path):
     from go_shapefile_spark.operators.lineage import (
         LineageLog, run_stage, stage_output)

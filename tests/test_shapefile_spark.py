@@ -51,6 +51,24 @@ def test_countries_zip_df(spark, ref_testdata):
     assert agg.x1 == 180.00000000000014
 
 
+def test_read_shapefile_dir(spark, ref_testdata, tmp_path):
+    """Directory source: multiple same-schema shapefiles union in
+    parallel with a source_basename column."""
+    import shutil
+
+    from go_shapefile_spark.sources.shapefile import read_shapefile_dir
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for ext in ("shp", "shx", "dbf", "prj"):
+        shutil.copy(os.path.join(ref_testdata, f"poly.{ext}"), d / f"a.{ext}")
+        shutil.copy(os.path.join(ref_testdata, f"poly.{ext}"), d / f"b.{ext}")
+    df = read_shapefile_dir(spark, str(d))
+    assert df.count() == 20
+    got = df.groupBy("source_basename").count().collect()
+    assert {r.source_basename: r["count"] for r in got} == {"a": 10, "b": 10}
+    assert df.where("source_basename = 'b' AND fid = 1").collect()[0].EAS_ID == 168
+
+
 def test_file_metadata(ref_testdata):
     md = file_metadata(os.path.join(ref_testdata, "poly"))
     assert md["shape_type"] == 5
