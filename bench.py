@@ -160,7 +160,9 @@ def main() -> None:
     rows_produced = headline_job(spark, points_path, polygons)  # warm cache/JIT
     query_secs = timed_queries(spark, sf_dir)
     # shapefile-source parse throughput (reference parity: the reference
-    # publishes no numbers, so we record ours on its largest fixture)
+    # publishes no numbers, so we record ours on its largest fixture and
+    # on a synthesized 2M-point file exercising the SHX-split +
+    # vectorized-point path)
     from go_shapefile_spark.sources.shapefile import read_shapefile_df
     places = "/root/reference/testdata/10m_populated_places_simple.zip"
     if os.path.exists(places):
@@ -170,6 +172,23 @@ def main() -> None:
             options={"dbf": {"skip_broken_fields": True}}).count()
         query_secs["shapefile_parse_10m_places"] = round(time.monotonic() - t0, 3)
         assert n == 7342
+    big_base = os.path.join(cache_root, "bigpoints")
+    if not os.path.exists(big_base + ".shp"):
+        import numpy as np
+
+        from go_shapefile_spark.sources.shapefile_writer import write_points
+        rng = np.random.default_rng(6)
+        n_big = 2_000_000
+        write_points(big_base, rng.uniform(-180, 180, n_big),
+                     rng.uniform(-90, 90, n_big))
+    big = read_shapefile_df(spark, big_base, target_records_per_split=100_000,
+                            flat_points=True)
+    big.count()
+    t0 = time.monotonic()
+    n = big.count()
+    dt = time.monotonic() - t0
+    query_secs["shapefile_parse_2m_points"] = round(dt, 3)
+    query_secs["shapefile_parse_records_per_s"] = round(n / dt, 1)
     # invariant job (E13) timed over the full-bytes image table
     from go_shapefile_spark.sources.images import check_invariants
     t0 = time.monotonic()
