@@ -224,6 +224,65 @@ def _crossing_filter_unrolled_sql(lon_col: str, lat_col: str, k: int) -> str:
     return f"(ref_inside != (pmod({' + '.join(terms)}, 2) = 1))"
 
 
+class PreparedCover:
+    """Session-lifetime cover artifact: the three cover DataFrames
+    (full / unrolled-narrow / HOF-wide) built once and reused across
+    joins — the pandas→Spark conversion and column flattening are paid
+    once per session, like building any index."""
+
+    def __init__(self, spark: SparkSession, polygons: list[dict], res: int):
+        self.res = res
+        cover_pdf = polygon_cell_cover(polygons, res, with_edges=True)
+        cover_pdf["edges"] = cover_pdf["edges"].map(
+            lambda e: e if e is not None else [])
+        part_pdf = cover_pdf[~cover_pdf["full"]]
+        n_edges = part_pdf["edges"].map(len)
+        full_pdf = cover_pdf[cover_pdf["full"]]
+        self.full = spark.createDataFrame(
+            full_pdf[["cell", "fid"]], schema="cell long, fid long") \
+            .withColumnRenamed("fid", "polygon_fid")
+        narrow_pdf = part_pdf[n_edges <= UNROLL_K]
+        self.narrow = None
+        self.narrow_aux: list[str] = []
+        if len(narrow_pdf):
+            flat = _flatten_edges(narrow_pdf, UNROLL_K)
+            self.narrow = spark.createDataFrame(flat) \
+                .withColumnRenamed("fid", "polygon_fid")
+            self.narrow_aux = [c for c in flat.columns
+                               if c not in ("cell", "fid")]
+        wide_pdf = part_pdf[n_edges > UNROLL_K]
+        self.wide = None
+        if len(wide_pdf):
+            self.wide = spark.createDataFrame(
+                wide_pdf.drop(columns=["full"]),
+                schema="cell long, fid long, rx double, ry double, "
+                       "ref_inside boolean, edges array<array<double>>") \
+                .withColumnRenamed("fid", "polygon_fid")
+
+
+def spatial_join_prepared(points: DataFrame, prepared: PreparedCover,
+                          lon_col: str = "lon", lat_col: str = "lat",
+                          keep_cols: list[str] | None = None) -> DataFrame:
+    """JVM spatial join against a PreparedCover (see spatial_join)."""
+    pts = points.withColumn(
+        "cell", F.expr(C.cell_sql(lon_col, lat_col, prepared.res)))
+    out = pts.join(F.broadcast(prepared.full), "cell")
+    if prepared.narrow is not None:
+        refined = (pts.join(F.broadcast(prepared.narrow), "cell")
+                   .where(F.expr(_crossing_filter_unrolled_sql(
+                       lon_col, lat_col, UNROLL_K)))
+                   .drop(*prepared.narrow_aux))
+        out = out.unionByName(refined)
+    if prepared.wide is not None:
+        refined_w = (pts.join(F.broadcast(prepared.wide), "cell")
+                     .where(F.expr(_crossing_filter_sql(lon_col, lat_col)))
+                     .drop("rx", "ry", "ref_inside", "edges"))
+        out = out.unionByName(refined_w)
+    if keep_cols is not None:
+        out = out.select(*keep_cols)
+    return out
+
+
 def spatial_join(spark: SparkSession, points: DataFrame, polygons: list[dict],
                  res: int, lon_col: str = "lon", lat_col: str = "lat",
                  keep_cols: list[str] | None = None,
