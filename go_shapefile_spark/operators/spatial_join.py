@@ -183,8 +183,10 @@ def _crossing_filter_sql(lon_col: str, lat_col: str) -> str:
     cell center) flips once per polygon-boundary crossing along the
     segment center→point.  The segment lies inside the cell, so only the
     cell's clipped ``edges`` can cross it; the crossing test is the
-    standard double-orientation segment intersection (strict — boundary
-    degeneracies are measure-zero for continuous coordinates).
+    standard double-orientation segment intersection with a half-open
+    sign rule (``d > 0`` vs ``d <= 0``), so a polygon vertex lying
+    exactly on the center→point segment — common with round-number
+    grids — still counts exactly one crossing per true boundary pass.
 
     Runs via ``aggregate()`` over the broadcast edge array: JVM, no
     Python worker.  NOTE: higher-order functions are interpreted (not
@@ -199,7 +201,7 @@ def _crossing_filter_sql(lon_col: str, lat_col: str) -> str:
     d3 = f"(({p}-rx)*(e[1]-ry) - ({q}-ry)*(e[0]-rx))"
     d4 = f"(({p}-rx)*(e[3]-ry) - ({q}-ry)*(e[2]-rx))"
     crossings = (f"aggregate(edges, 0L, (acc, e) -> acc + "
-                 f"IF({d1}*{d2} < 0 AND {d3}*{d4} < 0, 1L, 0L))")
+                 f"IF(({d1} > 0) != ({d2} > 0) AND ({d3} > 0) != ({d4} > 0), 1L, 0L))")
     return f"(ref_inside != (pmod({crossings}, 2) = 1))"
 
 
@@ -207,8 +209,9 @@ def _crossing_filter_unrolled_sql(lon_col: str, lat_col: str, k: int) -> str:
     """Crossing-parity predicate over ``k`` scalar edge columns
     (e{j}_ax..e{j}_by, NaN-padded) — statically unrolled so the whole
     filter stays inside whole-stage codegen: no array access, no lambda,
-    no per-row allocation.  NaN padding makes every comparison false, so
-    absent edges contribute zero crossings.  This is what lets the
+    no per-row allocation.  NaN padding makes every ``> 0`` comparison
+    false on both sides, so absent edges contribute zero crossings; the
+    half-open sign rule keeps vertex-on-segment degeneracies exact.  This is what lets the
     refinement stage scale linearly with cores (the interpreted
     ``aggregate()`` variant is memory-allocation-bound).
     """
@@ -220,7 +223,7 @@ def _crossing_filter_unrolled_sql(lon_col: str, lat_col: str, k: int) -> str:
         d2 = f"(({bx}-{ax})*({q}-{ay}) - ({by}-{ay})*({p}-{ax}))"
         d3 = f"(({p}-rx)*({ay}-ry) - ({q}-ry)*({ax}-rx))"
         d4 = f"(({p}-rx)*({by}-ry) - ({q}-ry)*({bx}-rx))"
-        terms.append(f"IF({d1}*{d2} < 0 AND {d3}*{d4} < 0, 1L, 0L)")
+        terms.append(f"IF(({d1} > 0) != ({d2} > 0) AND ({d3} > 0) != ({d4} > 0), 1L, 0L)")
     return f"(ref_inside != (pmod({' + '.join(terms)}, 2) = 1))"
 
 

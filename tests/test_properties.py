@@ -96,7 +96,8 @@ def _segments_cross(rx, ry, px, py, ax, ay, bx, by) -> int:
     d2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
     d3 = (px - rx) * (ay - ry) - (py - ry) * (ax - rx)
     d4 = (px - rx) * (by - ry) - (py - ry) * (bx - rx)
-    return 1 if (d1 * d2 < 0 and d3 * d4 < 0) else 0
+    # half-open sign rule — must match _crossing_filter_unrolled_sql
+    return 1 if ((d1 > 0) != (d2 > 0) and (d3 > 0) != (d4 > 0)) else 0
 
 
 @given(st.binary(min_size=0, max_size=400))
