@@ -30,9 +30,12 @@ STAGE_JOIN = "spatial_join"
 def spatial_pipeline(spark: SparkSession, points_for_bucket: Callable[[int], DataFrame],
                      polygons: list[dict], out_root: str, n_buckets: int,
                      res: int = 7,
-                     lon_col: str = "lon", lat_col: str = "lat") -> dict[str, int]:
+                     lon_col: str = "lon", lat_col: str = "lat",
+                     snapshot_id: str = "v1") -> dict[str, int]:
     """Run the bucketed spatial join with lineage; returns per-bucket rows
-    written THIS call (already-done buckets are skipped)."""
+    written THIS call (buckets already done at this ``snapshot_id`` are
+    skipped — pass ``lineage.input_snapshot_id(...)`` of the point table
+    so input changes invalidate the resume)."""
     lineage = LineageLog(f"{out_root}/_lineage")
     cover = polygon_cell_cover(polygons, res, with_edges=True)
 
@@ -47,7 +50,7 @@ def spatial_pipeline(spark: SparkSession, points_for_bucket: Callable[[int], Dat
             F.count(F.lit(1)).alias("partial_n"))
 
     return run_stage(STAGE_JOIN, [str(b) for b in range(n_buckets)],
-                     build, out_root, lineage)
+                     build, out_root, lineage, snapshot_id=snapshot_id)
 
 
 def pipeline_rollup(spark: SparkSession, out_root: str) -> DataFrame:

@@ -28,7 +28,7 @@ counts and re-checked per split.
 from __future__ import annotations
 
 import math
-import os
+import posixpath
 from dataclasses import dataclass
 from typing import Any, Iterator
 
@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import fsio
 from . import shapefile_core as core
 
 GEOMETRY_TYPE = T.StructType([
@@ -70,8 +71,15 @@ def _dbf_spark_type(f: core.DBFField, decimal_count: int) -> T.DataType:
 
 @dataclass
 class ShapefilePlan:
-    """Driver-side plan: everything a task needs to parse its split."""
-    path: str                    # file path (basename or zip)
+    """Driver-side plan: everything a task needs to parse its split.
+
+    ``path`` may be a bare local path or any pyarrow-fs URI
+    (file://, s3://, hdfs://, gs://) — tasks re-resolve it via
+    :mod:`fsio`, so the plan pickles as plain strings/arrays.
+    ``has_shp``/``has_dbf`` are captured at plan time so tasks never
+    issue existence probes (an extra HEAD per task on object stores).
+    """
+    path: str                    # file path or URI (basename or zip)
     is_zip: bool
     basename: str | None
     n_records: int
@@ -86,6 +94,8 @@ class ShapefilePlan:
     shx_lengths: np.ndarray | None
     shp_options: dict | None
     dbf_options: dict | None
+    has_shp: bool = False
+    has_dbf: bool = False
 
 
 def plan_shapefile(path: str, options: dict | None = None,
@@ -101,9 +111,10 @@ def plan_shapefile(path: str, options: dict | None = None,
     n_dbf = n_shx = None
     shape_type = 0
     header_bounds = None
+    has_shp = has_dbf = False
 
     if is_zip:
-        members = core.zip_members(path)
+        members = core.zip_members(fsio.open_seekable(path))
         if basename is not None:
             members = {ext: (n, d) for ext, (n, d) in members.items()
                        if n.rsplit("/", 1)[-1].rsplit(".", 1)[0] == basename}
@@ -116,6 +127,7 @@ def plan_shapefile(path: str, options: dict | None = None,
             raw = members["dbf"][1]
             dbf_fields = _fields_with_decimals(raw, fields)
             dbf_header_size, dbf_record_size, n_dbf = pos, hdr.record_size, hdr.records
+            has_dbf = True
         if "shx" in members:
             shx = core.parse_shx(members["shx"][1])
             shx_offsets, shx_lengths = shx.offsets, shx.content_lengths
@@ -125,13 +137,13 @@ def plan_shapefile(path: str, options: dict | None = None,
             data = members["shp"][1]
             h = core.parse_shx_header(data[:100], len(data))
             shape_type, header_bounds = h.shape_type, h.bounds
+            has_shp = True
     else:
         def read_head(ext: str, nbytes: int | None = None) -> bytes | None:
             p = f"{path}.{ext}"
-            if not os.path.exists(p):
+            if not fsio.exists(p):
                 return None
-            with open(p, "rb") as f:
-                return f.read() if nbytes is None else f.read(nbytes)
+            return fsio.read_bytes(p, 0, nbytes)
 
         cpg = read_head("cpg")
         if cpg is not None:
@@ -150,12 +162,13 @@ def plan_shapefile(path: str, options: dict | None = None,
             hdr, fields, pos = core.parse_dbf_fields(dbf_head)
             dbf_fields = _fields_with_decimals(dbf_head, fields)
             dbf_header_size, dbf_record_size, n_dbf = pos, hdr.record_size, hdr.records
+            has_dbf = True
         shp_path = f"{path}.shp"
-        if os.path.exists(shp_path):
-            with open(shp_path, "rb") as f:
-                head = f.read(100)
-            h = core.parse_shx_header(head, os.path.getsize(shp_path))
+        if fsio.exists(shp_path):
+            head = fsio.read_bytes(shp_path, 0, 100)
+            h = core.parse_shx_header(head, fsio.getsize(shp_path))
             shape_type, header_bounds = h.shape_type, h.bounds
+            has_shp = True
 
     # Record-count consistency (shapefile.go:192-196); SHP count only known
     # after parse when no SHX, re-checked per split then.
@@ -173,7 +186,8 @@ def plan_shapefile(path: str, options: dict | None = None,
         charset=charset, dbf_fields=dbf_fields,
         dbf_header_size=dbf_header_size, dbf_record_size=dbf_record_size,
         shx_offsets=shx_offsets, shx_lengths=shx_lengths,
-        shp_options=options.get("shp"), dbf_options=options.get("dbf"))
+        shp_options=options.get("shp"), dbf_options=options.get("dbf"),
+        has_shp=has_shp, has_dbf=has_dbf)
 
 
 def _fields_with_decimals(raw: bytes, fields: list[core.DBFField]) -> list[tuple[str, str, int, int]]:
@@ -266,7 +280,7 @@ def _parse_split(plan: ShapefilePlan, fid_start: int, fid_end: int,
     ``flat_ords=True`` (point types): emit ordinate columns instead of
     the geometry/bbox structs — no per-row python objects anywhere."""
     if plan.is_zip:
-        members = core.zip_members(plan.path)
+        members = core.zip_members(fsio.open_seekable(plan.path))
         if plan.basename is not None:
             members = {ext: (n, d) for ext, (n, d) in members.items()
                        if n.rsplit("/", 1)[-1].rsplit(".", 1)[0] == plan.basename}
@@ -282,17 +296,15 @@ def _parse_split(plan: ShapefilePlan, fid_start: int, fid_end: int,
     if plan.is_zip and shp_bytes is not None:
         data = core.parse_shp(shp_bytes, plan.shp_options)
         shp_records = data.records[fid_start - 1:fid_end - 1]
-    elif not plan.is_zip and os.path.exists(f"{plan.path}.shp"):
+    elif not plan.is_zip and plan.has_shp:
         if plan.shx_offsets is not None:
-            # SHX-driven split: seek straight to this range's byte span.
+            # SHX-driven split: range-read straight to this byte span.
             offs = plan.shx_offsets[fid_start - 1:fid_end - 1]
             lens = plan.shx_lengths[fid_start - 1:fid_end - 1]
             if len(offs):
                 start = int(offs[0])
                 end = int(offs[-1]) + 8 + int(lens[-1])
-                with open(f"{plan.path}.shp", "rb") as f:
-                    f.seek(start)
-                    buf = f.read(end - start)
+                buf = fsio.read_bytes(f"{plan.path}.shp", start, end - start)
                 rel = offs - start
                 fast_ords = _parse_points_vectorized(
                     buf, rel, plan.shape_type, fid_start, fid_end)
@@ -302,8 +314,8 @@ def _parse_split(plan: ShapefilePlan, fid_start: int, fid_end: int,
                         numbers=np.arange(fid_start, fid_end))
         else:
             # No SHX → sequential single task (scanner.go:511-513).
-            with open(f"{plan.path}.shp", "rb") as f:
-                data = core.parse_shp(f.read(), plan.shp_options)
+            data = core.parse_shp(fsio.read_bytes(f"{plan.path}.shp"),
+                                  plan.shp_options)
             shp_records = data.records[fid_start - 1:fid_end - 1]
 
     # --- attribute side ----------------------------------------------------
@@ -317,11 +329,10 @@ def _parse_split(plan: ShapefilePlan, fid_start: int, fid_end: int,
                 charset=plan.charset,
                 skip_broken_fields=(plan.dbf_options or {}).get("skip_broken_fields", False),
                 first_record=fid_start - 1, num_records=n)
-        elif not plan.is_zip and os.path.exists(f"{plan.path}.dbf"):
+        elif not plan.is_zip and plan.has_dbf:
             start = plan.dbf_header_size + (fid_start - 1) * plan.dbf_record_size
-            with open(f"{plan.path}.dbf", "rb") as f:
-                f.seek(start)
-                buf = f.read(n * plan.dbf_record_size)
+            buf = fsio.read_bytes(f"{plan.path}.dbf", start,
+                                  n * plan.dbf_record_size)
             dbf_rows = core.parse_dbf_records(
                 buf, hdr, fields, 0, charset=plan.charset,
                 skip_broken_fields=(plan.dbf_options or {}).get("skip_broken_fields", False),
@@ -474,10 +485,9 @@ def read_shapefile_dir(spark: SparkSession, directory: str,
     per-file schema must agree — enforced by unionByName with
     allowMissingColumns=False so drift fails loudly).
     """
-    import glob
-
-    bases = sorted({p[:-4] for p in glob.glob(os.path.join(directory, "*.shp"))})
-    bases += sorted(glob.glob(os.path.join(directory, "*.zip")))
+    files = fsio.list_files(directory)
+    bases = sorted({p[:-4] for p in files if p.lower().endswith(".shp")})
+    bases += sorted(p for p in files if p.lower().endswith(".zip"))
     if not bases:
         raise core.ShapefileError(f"no shapefiles under {directory}")
     out = None
@@ -485,7 +495,7 @@ def read_shapefile_dir(spark: SparkSession, directory: str,
         df = read_shapefile_df(spark, base, options,
                                target_records_per_split=target_records_per_split)
         df = df.withColumn("source_basename",
-                           F.lit(os.path.basename(base)))
+                           F.lit(posixpath.basename(base)))
         out = df if out is None else out.unionByName(df)
     return out
 
@@ -503,8 +513,14 @@ def _read_points_flat(spark: SparkSession, plan: ShapefilePlan,
     schema = T.StructType(fields)
 
     n = plan.n_records
-    k = max(1, math.ceil(n / target_records_per_split))
-    bounds = [(1 + i * n // k, 1 + (i + 1) * n // k) for i in range(k)]
+    if n >= 0 and plan.shx_offsets is not None:
+        k = max(1, math.ceil(n / target_records_per_split))
+        bounds = [(1 + i * n // k, 1 + (i + 1) * n // k) for i in range(k)]
+    else:
+        # unknown count (no SHX/DBF) → single sequential split with the
+        # same large-sentinel fallback as read_shapefile_df
+        n = n if n >= 0 else 1 << 40
+        bounds = [(1, n + 1)]
     splits_df = spark.createDataFrame(
         [(int(a), int(b)) for a, b in bounds], "fid_start long, fid_end long")
 

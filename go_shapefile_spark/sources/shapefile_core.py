@@ -753,14 +753,14 @@ def read_components(components: dict[str, bytes],
 
 def read_shapefile(basename: str, options: dict | None = None) -> ShapefileData:
     """Read basename.{cpg,dbf,prj,shx,shp}; missing components tolerated
-    (Read, shapefile.go:86-205)."""
-    import os
+    (Read, shapefile.go:86-205).  ``basename`` may be a local path or any
+    pyarrow-fs URI (the ReadFS analog, shapefile.go:208-320)."""
+    from . import fsio
     components: dict[str, bytes] = {}
     for ext in ("cpg", "dbf", "prj", "shx", "shp"):
         path = f"{basename}.{ext}"
-        if os.path.exists(path):
-            with open(path, "rb") as f:
-                components[ext] = f.read()
+        if fsio.exists(path):
+            components[ext] = fsio.read_bytes(path)
     return read_components(components, options)
 
 

@@ -56,3 +56,34 @@ def test_pipeline_resume_equals_single_shot(spark, tmp_path, rect_polygons):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # a third invocation is a no-op
     assert spatial_pipeline(spark, factory, rect_polygons, out, n_buckets) == {}
+
+
+def test_pipeline_snapshot_invalidation(spark, tmp_path, rect_polygons):
+    """A resume with a changed input snapshot re-runs every bucket; an
+    unchanged snapshot is a no-op (north rule: Iceberg-style snapshot-
+    driven idempotent resume)."""
+    from go_shapefile_spark.operators.lineage import input_snapshot_id
+
+    pts = with_lonlat_jvm(
+        spark.range(5000).select(F.col("id").alias("idx"),
+                                 F.xxhash64("id").alias("phash")))
+    out = str(tmp_path / "pipe_snap")
+    factory = bucketed_points(pts, 2)
+
+    src = tmp_path / "src.parquet"
+    pts.write.mode("overwrite").parquet(str(src))
+    snap1 = input_snapshot_id([str(src)])
+
+    ran = spatial_pipeline(spark, factory, rect_polygons, out, 2,
+                           snapshot_id=snap1)
+    assert set(ran) == {"0", "1"}
+    # same snapshot → resume is a no-op
+    assert spatial_pipeline(spark, factory, rect_polygons, out, 2,
+                            snapshot_id=snap1) == {}
+    # input rewritten → new snapshot id → full re-run
+    pts.limit(4000).write.mode("overwrite").parquet(str(src))
+    snap2 = input_snapshot_id([str(src)])
+    assert snap2 != snap1
+    ran2 = spatial_pipeline(spark, factory, rect_polygons, out, 2,
+                            snapshot_id=snap2)
+    assert set(ran2) == {"0", "1"}

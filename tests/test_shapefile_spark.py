@@ -74,3 +74,27 @@ def test_file_metadata(ref_testdata):
     assert md["shape_type"] == 5
     assert md["n_records"] == 10
     assert md["crs_wkt"] and "PROJCS" in md["crs_wkt"] or md["crs_wkt"]
+
+
+def test_uri_reads_match_local_path(spark, ref_testdata):
+    """file:// URIs (the pyarrow-fs remote path, reference ReadFS
+    shapefile.go:208-320) return rows identical to bare local paths —
+    splits, zip bundles, and the eager core API all resolve via fsio."""
+    base = os.path.join(ref_testdata, "poly")
+    local = read_shapefile_df(spark, base, target_records_per_split=3) \
+        .orderBy("fid").collect()
+    via_uri = read_shapefile_df(spark, f"file://{base}",
+                                target_records_per_split=3) \
+        .orderBy("fid").collect()
+    assert via_uri == local
+
+    zpath = os.path.join(ref_testdata, "110m-admin-0-countries.zip")
+    n_zip = read_shapefile_df(spark, f"file://{zpath}").count()
+    assert n_zip == 177
+
+    from go_shapefile_spark.sources.shapefile_core import read_shapefile
+    sf = read_shapefile(f"file://{base}")
+    assert sf.num_records() == 10
+
+    md = file_metadata(f"file://{base}")
+    assert md["n_records"] == 10
