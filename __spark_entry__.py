@@ -32,7 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from pyspark.sql import functions as F
 
     from go_shapefile_spark.operators.spatial_join import (
-        polygons_from_features, spatial_join)
+        PreparedCover, spatial_join_prepared)
     from go_shapefile_spark.queries import SPARK, geotagged_events_cte
     from go_shapefile_spark.sources.shapefile import read_shapefile_df
 
@@ -43,9 +43,12 @@ def entry(spark: SparkSession) -> DataFrame:
     countries_zip = "/root/reference/testdata/110m-admin-0-countries.zip"
     if os.path.exists(countries_zip):
         features = read_shapefile_df(spark, countries_zip)
-        polys = polygons_from_features(features.select("fid", "geometry").collect())
+        # cover builds distributed (mapInPandas over polygons) — nothing
+        # is collected to the driver
+        cover = PreparedCover.from_features(
+            features.select("fid", "geometry"), res=6)
         names = features.select("fid", "NAME")
-        joined = spatial_join(spark, pts, polys, res=6)
+        joined = spatial_join_prepared(pts, cover)
         return (joined.join(names, joined.polygon_fid == names.fid)
                 .groupBy("NAME").agg(F.count(F.lit(1)).alias("n_points"))
                 .orderBy(F.col("n_points").desc(), F.col("NAME")))

@@ -70,24 +70,25 @@ def ensure_points(spark, sf: float, cache_root: str) -> tuple[str, int]:
     return path, n
 
 
-def headline_job(spark, points_path: str, polygons, cover=None) -> int:
+def headline_job(spark, points_path: str, cover=None) -> int:
     """Geotag → cell → broadcast spatial join vs countries → per-country
     rollup, plus a tile rollup.  Returns tiles+join-rows produced.
     JVM-only end to end: geotag is an xxhash64 expression, PIP refinement
     is the crossing-count predicate over broadcast clipped edges.
 
     ``cover``: a PreparedCover (built once per session — an index-build
-    artifact).  The two output actions run on concurrent threads so the
-    second job's scheduling latency overlaps the first's tail."""
+    artifact; constructed DISTRIBUTED from the features DataFrame, no
+    driver-side polygon collect).  The two output actions run on
+    concurrent threads so the second job's scheduling latency overlaps
+    the first's tail."""
     from concurrent.futures import ThreadPoolExecutor
 
     from go_shapefile_spark.operators.geotag import with_lonlat_jvm
-    from go_shapefile_spark.operators.spatial_join import (
-        PreparedCover, spatial_join_prepared)
+    from go_shapefile_spark.operators.spatial_join import spatial_join_prepared
     from go_shapefile_spark.operators.tiles import tile_counts
 
-    if cover is None or not isinstance(cover, PreparedCover):
-        cover = PreparedCover(spark, polygons, JOIN_RES)
+    if cover is None:
+        cover = build_cover(spark)
 
     images = spark.read.parquet(points_path).select("idx", "phash")
     pts = with_lonlat_jvm(images)  # JVM-side geotag: scales with cores
@@ -107,11 +108,57 @@ def headline_job(spark, points_path: str, polygons, cover=None) -> int:
         return a.result() + b.result()
 
 
-def load_polygons(spark):
-    from go_shapefile_spark.operators.spatial_join import polygons_from_features
+def build_cover(spark):
+    """Session index artifact: distributed cover build from the countries
+    shapefile (no .collect() of polygons on the driver)."""
+    from go_shapefile_spark.operators.spatial_join import PreparedCover
     from go_shapefile_spark.sources.shapefile import read_shapefile_df
     features = read_shapefile_df(spark, COUNTRIES_ZIP)
-    return polygons_from_features(features.select("fid", "geometry").collect())
+    return PreparedCover.from_features(
+        features.select("fid", "geometry"), JOIN_RES)
+
+
+def bench_dbf_decode(cache_root: str, n: int = 100_000) -> tuple[float, float]:
+    """Column-vectorized DBF decode throughput (records/s) on a wide
+    mixed table (2 C, 6 int N, 3 float N, 1 D), vs the per-value row
+    loop it replaced (VERDICT r1 #2)."""
+    from go_shapefile_spark.sources import shapefile_core as core
+    from go_shapefile_spark.sources.shapefile_writer import write_dbf
+
+    path = os.path.join(cache_root, f"wide_{n}.dbf")
+    if not os.path.exists(path):
+        fields = ([("NAME", "C", 12), ("CODE", "C", 6)]
+                  + [(f"I{k}", "N", 9) for k in range(6)]
+                  + [(f"X{k}", "N", 12, 3) for k in range(3)]
+                  + [("DT", "D", 8)])
+        rows = [[f"name{i % 997}", f"C{i % 53}",
+                 *[(i * 7 + k) % 1_000_000 for k in range(6)],
+                 *[round((i + k) / 7, 3) for k in range(3)], "20210315"]
+                for i in range(n)]
+        write_dbf(path, fields, rows)
+    with open(path, "rb") as f:
+        data = f.read()
+    hdr, flds, pos = core.parse_dbf_fields(data)
+    decimals = [0, 0, 0, 0, 0, 0, 0, 0, 3, 3, 3, 0]
+    best_nat = min(_timed(lambda: core.parse_dbf_native_columns(
+        data, hdr, flds, pos, decimals)) for _ in range(3))
+    decoder = core._resolve_charset(None)
+    mat, flags, offs, total = core._dbf_matrix(data, hdr, flds, pos, 0, None, True)
+    rb = mat.tobytes()
+    rs = hdr.record_size
+
+    def rowloop():
+        return [[core.parse_dbf_value(
+            rb[r * rs:(r + 1) * rs][offs[j]:offs[j + 1]], f.type, decoder)
+            for j, f in enumerate(flds)] for r in range(total)]
+    best_row = min(_timed(rowloop) for _ in range(2))
+    return n / best_nat, n / best_row
+
+
+def _timed(fn) -> float:
+    t0 = time.monotonic()
+    fn()
+    return time.monotonic() - t0
 
 
 def timed_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -131,8 +178,8 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_at(cores: int, images_path: str, polygons, shuffle_parts: int,
-           cover=None, n_timed: int = 2) -> float:
+def run_at(cores: int, images_path: str, shuffle_parts: int,
+           n_timed: int = 2, max_partition_bytes: str = "4m") -> float:
     from go_shapefile_spark.session import get_spark
     # Split size tuned so every wave has ≥4 tasks per core on the bench
     # input — a handful of fat splits on 32 cores measures stragglers,
@@ -140,17 +187,16 @@ def run_at(cores: int, images_path: str, polygons, shuffle_parts: int,
     # 4 MB splits ≈ 300 tasks for the 100M-row table.)
     spark = get_spark(app_name=f"bench-local{cores}", cores=cores,
                       shuffle_partitions=shuffle_parts,
-                      max_partition_bytes="4m")
-    from go_shapefile_spark.operators.spatial_join import PreparedCover
-    cover = PreparedCover(spark, polygons, JOIN_RES)  # session index artifact
+                      max_partition_bytes=max_partition_bytes)
+    cover = build_cover(spark)  # session index artifact (distributed)
     # Warm-up run: JIT-compiles codegen, fills the OS page cache.  The
     # timed runs then measure steady-state throughput (what a
     # long-running cluster job sees), not process cold-start.
-    headline_job(spark, images_path, polygons, cover)
+    headline_job(spark, images_path, cover)
     times = []
     for _ in range(n_timed):
         t0 = time.monotonic()
-        headline_job(spark, images_path, polygons, cover)
+        headline_job(spark, images_path, cover)
         times.append(time.monotonic() - t0)
     spark.stop()
     return min(times)
@@ -167,10 +213,9 @@ def main() -> None:
 
     # setup (untimed): polygon parse + data generation + query timings
     spark = get_spark(app_name="bench-setup", cores=cpus)
-    polygons = load_polygons(spark)
     points_path, n_points = ensure_points(spark, sf, cache_root)
     images_path, n_images = ensure_images(spark, sf, cache_root)
-    rows_produced = headline_job(spark, points_path, polygons)  # warm cache/JIT
+    rows_produced = headline_job(spark, points_path)  # warm cache/JIT
     query_secs = timed_queries(spark, sf_dir)
     # shapefile-source parse throughput (reference parity: the reference
     # publishes no numbers, so we record ours on its largest fixture and
@@ -202,6 +247,9 @@ def main() -> None:
     dt = time.monotonic() - t0
     query_secs["shapefile_parse_2m_points"] = round(dt, 3)
     query_secs["shapefile_parse_records_per_s"] = round(n / dt, 1)
+    dbf_native, dbf_rowloop = bench_dbf_decode(cache_root)
+    query_secs["shapefile_parse_dbf_records_per_s"] = round(dbf_native, 1)
+    query_secs["shapefile_parse_dbf_rowloop_per_s"] = round(dbf_rowloop, 1)
     # invariant job (E13) timed over the full-bytes image table
     from go_shapefile_spark.sources.images import check_invariants
     t0 = time.monotonic()
@@ -220,7 +268,7 @@ def main() -> None:
     # still run and reported for throughput.
     results: dict[int, float] = {}
     if skip_scaling:
-        results[cpus] = run_at(cpus, points_path, polygons,
+        results[cpus] = run_at(cpus, points_path,
                                shuffle_parts=max(8, 2 * cpus))
     else:
         # This sandbox shows multi-minute bursts of host interference
@@ -236,10 +284,9 @@ def main() -> None:
         for _round in range(2):
             for cores, n_timed in ((2, 1), (8, 3)):
                 results[cores] = min(results[cores], run_at(
-                    cores, points_path, polygons,
+                    cores, points_path,
                     shuffle_parts=max(8, 2 * cores), n_timed=n_timed))
-        results[32] = run_at(32, points_path, polygons,
-                             shuffle_parts=64, n_timed=2)
+        results[32] = run_at(32, points_path, shuffle_parts=64, n_timed=2)
 
     value = results.get(cpus, next(iter(results.values())))
     out = {

@@ -259,6 +259,10 @@ def _geom_dict(rec: core.SHPRecord) -> dict[str, Any]:
 
 def _coerce_column(values: list, ftype: str, decimals: int):
     if ftype == "N" and decimals == 0:
+        for v in values:
+            if isinstance(v, float) and v != int(v):
+                raise core.ShapefileError(
+                    f"{v}: fractional value in zero-decimal numeric field")
         return pd.array([None if v is None else int(v) for v in values], dtype="Int64")
     if ftype == "N" or ftype == "F":
         return pd.array([None if v is None else float(v) for v in values], dtype="float64")
@@ -318,39 +322,53 @@ def _parse_split(plan: ShapefilePlan, fid_start: int, fid_end: int,
                                   plan.shp_options)
             shp_records = data.records[fid_start - 1:fid_end - 1]
 
-    # --- attribute side ----------------------------------------------------
-    dbf_rows: list[list | None] = []
+    # --- attribute side (column-vectorized, native dtypes) ------------------
+    dbf_cols: list[tuple[str, np.ndarray, np.ndarray | None]] | None = None
+    deleted: np.ndarray | None = None
     if plan.dbf_record_size:
         fields = [core.DBFField(n_, t, l, 0, 0) for n_, t, l, d in plan.dbf_fields]
+        decimals = [d for n_, t, l, d in plan.dbf_fields]
         hdr = core.DBFHeader(3, None, plan.n_records, 0, plan.dbf_record_size)  # type: ignore[arg-type]
+        skip = (plan.dbf_options or {}).get("skip_broken_fields", False)
         if plan.is_zip and dbf_bytes is not None:
-            dbf_rows = core.parse_dbf_records(
-                dbf_bytes, hdr, fields, plan.dbf_header_size,
-                charset=plan.charset,
-                skip_broken_fields=(plan.dbf_options or {}).get("skip_broken_fields", False),
+            dbf_cols, deleted = core.parse_dbf_native_columns(
+                dbf_bytes, hdr, fields, plan.dbf_header_size, decimals,
+                charset=plan.charset, skip_broken_fields=skip,
                 first_record=fid_start - 1, num_records=n)
         elif not plan.is_zip and plan.has_dbf:
             start = plan.dbf_header_size + (fid_start - 1) * plan.dbf_record_size
             buf = fsio.read_bytes(f"{plan.path}.dbf", start,
                                   n * plan.dbf_record_size)
-            dbf_rows = core.parse_dbf_records(
-                buf, hdr, fields, 0, charset=plan.charset,
-                skip_broken_fields=(plan.dbf_options or {}).get("skip_broken_fields", False),
-                first_record=0, num_records=n)
+            dbf_cols, deleted = core.parse_dbf_native_columns(
+                buf, hdr, fields, 0, decimals, charset=plan.charset,
+                skip_broken_fields=skip, first_record=0, num_records=n)
 
     n_geom = len(shp_records) if fast_ords is None else len(fast_ords)
-    if n_geom and dbf_rows and n_geom != len(dbf_rows):
+    n_attr = len(deleted) if deleted is not None else 0
+    if n_geom and n_attr and n_geom != n_attr:
         raise core.ShapefileError("inconsistent number of records")
 
-    count = n_geom or len(dbf_rows)
+    count = n_geom or n_attr
     out: dict[str, Any] = {
         "fid": pd.array(range(fid_start, fid_start + count), dtype="int64"),
-        "deleted": pd.array([r is None for r in dbf_rows] if dbf_rows
+        "deleted": pd.array(deleted if deleted is not None
                             else [False] * count, dtype="boolean"),
     }
-    for j, (name, ftype, length, decimals) in enumerate(plan.dbf_fields):
-        col = [None if r is None else r[j] for r in dbf_rows] if dbf_rows else [None] * count
-        out[name] = _coerce_column(col, ftype, decimals)
+    for j, (name, ftype, length, decs) in enumerate(plan.dbf_fields):
+        if dbf_cols is None:
+            out[name] = _coerce_column([None] * count, ftype, decs)
+        else:
+            kind, vals, mask = dbf_cols[j]
+            if kind == "int":
+                out[name] = pd.arrays.IntegerArray(vals, mask)
+            elif kind == "float":
+                out[name] = vals  # float64; NaN → null under Arrow
+            elif ftype == "L":
+                out[name] = pd.array(vals, dtype="boolean")
+            elif ftype in ("N", "F"):
+                out[name] = _coerce_column(list(vals), ftype, decs)
+            else:
+                out[name] = pd.Series(vals, dtype="object")
     if flat_ords:
         if fast_ords is None:
             fast_ords = np.array([r.coords for r in shp_records]) if \

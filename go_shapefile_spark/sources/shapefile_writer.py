@@ -29,7 +29,7 @@ def _shx_header(shape_type: int, file_length_bytes: int,
 
 
 def write_points(basename: str, xs: np.ndarray, ys: np.ndarray,
-                 fields: list[tuple[str, str, int]] | None = None,
+                 fields: list[tuple] | None = None,
                  rows: list[list] | None = None) -> None:
     """Write a Point shapefile (+SHX, +DBF when fields given)."""
     n = len(xs)
@@ -58,7 +58,7 @@ def write_points(basename: str, xs: np.ndarray, ys: np.ndarray,
 
 
 def write_polygons(basename: str, polygons: list[dict],
-                   fields: list[tuple[str, str, int]] | None = None,
+                   fields: list[tuple] | None = None,
                    rows: list[list] | None = None) -> None:
     """Write a Polygon shapefile from {coords, ends} dicts (flat XY)."""
     recs, offs = [], []
@@ -91,30 +91,46 @@ def write_polygons(basename: str, polygons: list[dict],
         write_dbf(basename + ".dbf", fields, rows or [[] for _ in polygons])
 
 
-def write_dbf(path: str, fields: list[tuple[str, str, int]],
+def write_dbf(path: str, fields: list[tuple],
               rows: list[list]) -> None:
-    """dBase III with C/N fields; values stringified + space-padded."""
-    record_size = 1 + sum(length for _, _, length in fields)
+    """dBase III with C/N fields; values stringified + space-padded.
+
+    A field spec is ``(name, type, length[, decimals])`` — the decimal
+    count lands in descriptor byte 17, which is what types the column
+    double vs long on read (SURVEY §1.3); N values with decimals are
+    fixed-point formatted to exactly that many places.
+    """
+    specs = [(f[0], f[1], int(f[2]), int(f[3]) if len(f) > 3 else 0)
+             for f in fields]
+    record_size = 1 + sum(length for _, _, length, _ in specs)
     header = bytearray(32)
     header[0] = 3
     header[1:4] = bytes([124, 1, 1])
     struct.pack_into("<I", header, 4, len(rows))
-    struct.pack_into("<H", header, 8, 32 + 32 * len(fields) + 1)
+    struct.pack_into("<H", header, 8, 32 + 32 * len(specs) + 1)
     struct.pack_into("<H", header, 10, record_size)
     out = [bytes(header)]
-    for name, ftype, length in fields:
+    for name, ftype, length, decimals in specs:
         d = bytearray(32)
         d[:len(name)] = name.encode("ascii")
         d[11] = ord(ftype)
         d[16] = length
-        d[17] = 0 if ftype == "C" or float(length) == int(length) else 0
+        d[17] = 0 if ftype == "C" else decimals
         out.append(bytes(d))
     out.append(b"\x0d")
     for row in rows:
         rec = b" "
-        for (name, ftype, length), val in zip(fields, row):
-            s = ("" if val is None else str(val)).encode("ascii")
-            rec += s.ljust(length)[:length]
+        for (name, ftype, length, decimals), val in zip(specs, row):
+            if val is None:
+                s = b""
+            elif ftype == "N" and decimals > 0:
+                s = f"{val:.{decimals}f}".encode("ascii")
+            else:
+                s = str(val).encode("ascii")
+            if len(s) > length:
+                raise ValueError(
+                    f"field {name}: value {val!r} wider than {length}")
+            rec += s.rjust(length) if ftype in ("N", "F") else s.ljust(length)
         out.append(rec)
     out.append(b"\x1a")
     with open(path, "wb") as f:

@@ -55,17 +55,39 @@ def convex_polygon(draw):
     return ring
 
 
+def _on_boundary(px, py, ring, eps=1e-12):
+    """True where (px,py) lies exactly on a ring edge (or vertex) — the
+    measure-zero set where inside/outside is convention-dependent and the
+    engine promises nothing (a border point can land on either side)."""
+    xs, ys = ring[0::2], ring[1::2]
+    ax, ay, bx, by = xs[:-1], ys[:-1], xs[1:], ys[1:]
+    cross = (bx - ax)[None, :] * (py[:, None] - ay[None, :]) - \
+            (by - ay)[None, :] * (px[:, None] - ax[None, :])
+    inx = (px[:, None] >= np.minimum(ax, bx) - eps) & \
+          (px[:, None] <= np.maximum(ax, bx) + eps)
+    iny = (py[:, None] >= np.minimum(ay, by) - eps) & \
+          (py[:, None] <= np.maximum(ay, by) + eps)
+    return ((np.abs(cross) <= eps) & inx & iny).any(axis=1)
+
+
 @given(convex_polygon(),
        st.lists(st.tuples(lon_st, lat_st), min_size=20, max_size=100),
        st.integers(min_value=4, max_value=9))
 @settings(max_examples=60, deadline=None)
 def test_cover_classification_sound_property(ring, points, res):
-    """For any convex polygon and any points: PIP via the cover's
-    full/partial classification must equal direct ray-cast PIP."""
+    """For any convex polygon and any OFF-BOUNDARY points: PIP via the
+    cover's full/partial classification must equal direct ray-cast PIP.
+    Points exactly on the boundary are excluded — there the assignment
+    is convention-dependent by design (either side is acceptable)."""
     poly = {"fid": 1, "coords": ring, "ends": [len(ring)]}
     cover = polygon_cell_cover([poly], res, with_edges=True)
     lon = np.array([p[0] for p in points])
     lat = np.array([p[1] for p in points])
+    off = ~_on_boundary(lon, lat, ring)
+    lon, lat = lon[off], lat[off]
+    points = list(zip(lon, lat))
+    if not points:
+        return
     truth = G.point_in_polygon_chunked(lon, lat, ring, [len(ring)])
 
     cells = C.cell_np(lon, lat, res)

@@ -143,3 +143,51 @@ def test_knn_no_python_udf(spark):
     plan = knn_radius(pts, pts, k=3, radius_deg=5.0)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_distributed_cover_matches_driver_cover(spark):
+    """PreparedCover.from_features (mapInPandas build, no driver collect)
+    must produce the same join output as the driver-side PreparedCover."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from go_shapefile_spark.operators.geotag import with_lonlat_jvm
+    from go_shapefile_spark.operators.spatial_join import (
+        PreparedCover, spatial_join_prepared)
+
+    rng = np.random.default_rng(21)
+    polys, rows = [], []
+    for fid in range(8):
+        x0 = float(rng.uniform(-160, 110))
+        y0 = float(rng.uniform(-70, 40))
+        w, h = float(rng.uniform(15, 45)), float(rng.uniform(10, 30))
+        ring = [x0, y0, x0, y0 + h, x0 + w, y0 + h, x0 + w, y0, x0, y0]
+        polys.append({"fid": fid, "coords": np.array(ring), "ends": [10]})
+        rows.append((fid, {"layout": "XY", "coords": ring,
+                           "ends": [10], "rings": [1]}))
+    features = spark.createDataFrame(
+        rows, "fid long, geometry struct<layout:string, "
+              "coords:array<double>, ends:array<int>, rings:array<int>>")
+    pts = with_lonlat_jvm(
+        spark.range(20000).select(F.col("id").alias("idx"),
+                                  F.xxhash64("id").alias("phash")))
+
+    driver_cover = PreparedCover(spark, polys, res=6)
+    dist_cover = PreparedCover.from_features(features, res=6)
+    assert dist_cover.broadcast is True
+    a = (spatial_join_prepared(pts, driver_cover,
+                               keep_cols=["idx", "polygon_fid"])
+         .toPandas().sort_values(["idx", "polygon_fid"]).reset_index(drop=True))
+    b = (spatial_join_prepared(pts, dist_cover,
+                               keep_cols=["idx", "polygon_fid"])
+         .toPandas().sort_values(["idx", "polygon_fid"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+    # past the broadcast threshold the join flips to shuffle-on-cell
+    small = PreparedCover.from_features(features, res=6, max_broadcast_rows=1)
+    assert small.broadcast is False
+    c = (spatial_join_prepared(pts, small, keep_cols=["idx", "polygon_fid"])
+         .toPandas().sort_values(["idx", "polygon_fid"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, c)

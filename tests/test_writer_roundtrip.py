@@ -88,3 +88,25 @@ def test_writer_files_parse_like_reference_fixture(tmp_path, ref_testdata):
     ref = read_shapefile(os.path.join(ref_testdata, "polygon_hole"))
     assert type(sf.shp.records[0]) is type(ref.shp.records[0])
     assert sf.shp.records[0].endss == [[10]]
+
+
+def test_float_n_roundtrip(spark, tmp_path):
+    """N columns with a decimal count write byte 17 and read back as
+    DoubleType with exact fixed-point values (writer decimals fix)."""
+    from go_shapefile_spark.sources.shapefile import read_shapefile_df
+
+    rng = np.random.default_rng(11)
+    xs = rng.uniform(-10, 10, 40)
+    ys = rng.uniform(-10, 10, 40)
+    vals = np.round(rng.uniform(-1000, 1000, 40), 3)
+    base = str(tmp_path / "floats")
+    write_points(base, xs, ys,
+                 fields=[("ID", "N", 8), ("VAL", "N", 12, 3)],
+                 rows=[[i, float(v)] for i, v in enumerate(vals)])
+    sf = read_shapefile(base)
+    assert sf.dbf.record(3)["VAL"] == float(f"{vals[3]:.3f}")
+    df = read_shapefile_df(spark, base).orderBy("fid")
+    dt = dict(df.dtypes)
+    assert dt["VAL"] == "double" and dt["ID"] == "bigint"
+    got = [r.VAL for r in df.collect()]
+    assert got == [float(f"{v:.3f}") for v in vals]
