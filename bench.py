@@ -166,7 +166,8 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = entry.queries()
     picks = ["q1_pricing_summary", "q5_region_revenue", "geotag_tiles",
              "dedup_minhash_lsh", "simhash_pairs", "cosine_topk",
-             "knn_events", "grid_spatial_join", "token_stats"]
+             "knn_events", "grid_spatial_join", "token_stats",
+             "embedding_neardup_bucketed", "tiles_roundtrip"]
     out = {}
     for name in picks:
         if name not in qs:

@@ -80,6 +80,20 @@ def dot(a: str, b: str, dialect: str) -> str:
     return f"list_dot_product({a}, {b})"
 
 
+def elem(arr_expr: str, idx1_expr: str, dialect: str) -> str:
+    """1-based array element access."""
+    if dialect == SPARK:
+        return f"element_at({arr_expr}, {idx1_expr})"
+    return f"{arr_expr}[{idx1_expr}]"
+
+
+def ints_0_to(n: int, dialect: str) -> str:
+    """Explodeable 0..n-1 sequence for a SELECT list."""
+    if dialect == SPARK:
+        return f"explode(sequence(0, {n - 1}))"
+    return f"unnest(range(0, {n}))"
+
+
 # Fixed (a, b) coefficients for the universal-hash family
 # h_j(x) = (a_j·x + b_j) mod p over the 32-bit shingle hash x.
 # Constants are arbitrary odd numbers < 2^30, embedded as literals so both

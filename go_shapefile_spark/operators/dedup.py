@@ -91,8 +91,18 @@ WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {threshold}
 """
 
 
-def simhash_sql(dialect: str, rel: str = "documents", bits: int = 32) -> str:
-    """Per-doc SimHash signature over md5-hashed tokens (bitwise majority)."""
+SIMHASH_BITS = 60       # widest width that stays signed-int64-safe under
+                        # Spark ANSI mode (bit 63 literals would overflow);
+                        # reference point: 64-bit SimHash, top 4 bits zero
+SIMHASH_BUCKET_CAP = 200
+
+
+def simhash_sql(dialect: str, rel: str = "documents",
+                bits: int = SIMHASH_BITS) -> str:
+    """Per-doc SimHash signature over md5-hashed tokens (bitwise majority).
+
+    Token hashes come from the first 15 md5 hex chars (60 bits), so every
+    signature bit is an independent hash bit in both engines."""
     sums = ",\n  ".join(
         f"SUM(CASE WHEN (h & {1 << j}) > 0 THEN 1 ELSE 0 END) AS s{j}"
         for j in range(bits))
@@ -103,7 +113,7 @@ WITH tokens AS (
   SELECT doc_id, {H.split_tokens("text", dialect)} AS tok FROM {rel}
 ),
 toks AS (
-  SELECT doc_id, {H.h32("tok", dialect)} AS h FROM tokens WHERE tok <> ''
+  SELECT doc_id, {H.h60("tok", dialect)} AS h FROM tokens WHERE tok <> ''
 ),
 agg AS (
   SELECT doc_id, COUNT(*) AS n,
@@ -114,9 +124,20 @@ SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM agg
 """
 
 
-def simhash_pairs_sql(dialect: str, rel: str = "documents", bits: int = 32,
-                      bands: int = 4, max_hamming: int = 6) -> str:
-    """Near-dup pairs by SimHash: band-equality candidates, Hamming verify."""
+def simhash_pairs_sql(dialect: str, rel: str = "documents",
+                      bits: int = SIMHASH_BITS, bands: int = 4,
+                      max_hamming: int = 11,
+                      max_bucket: int = SIMHASH_BUCKET_CAP) -> str:
+    """Near-dup pairs by SimHash: band-equality candidates, Hamming verify.
+
+    ``max_bucket`` caps candidate fan-out per (band, bucket): a bucket of
+    identical signatures (boilerplate/empty docs) would otherwise emit
+    O(bucket²) pairs — at 100 TB a single hot bucket can dominate the
+    whole shuffle.  The cap keeps the ``max_bucket`` smallest doc_ids per
+    bucket (deterministic in both engines); docs beyond the cap can still
+    pair through their other bands, and exact duplicates are the exact
+    dedup operator's job, not this one's.
+    """
     band_bits = bits // bands
     sig = simhash_sql(dialect, rel, bits).strip()
     band_selects = []
@@ -131,10 +152,17 @@ WITH sig AS ({sig}),
 band_keys AS (
 {bands_sql}
 ),
+capped AS (
+  SELECT doc_id, simhash, band, bkey
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY band, bkey
+                                     ORDER BY doc_id) AS rnk
+        FROM band_keys)
+  WHERE rnk <= {max_bucket}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          {H.bit_count(xor, dialect)} AS hamming
-  FROM band_keys a JOIN band_keys b
+  FROM capped a JOIN capped b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM cand WHERE hamming <= {max_hamming}

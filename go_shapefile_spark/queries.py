@@ -272,6 +272,171 @@ FROM pts GROUP BY {C.cell_sql('lon', 'lat', 4)}
 """
 
 
+# --- engine-operator gate queries (E8/E10/E11/E13) --------------------------
+
+_CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".cache")
+
+
+def bucketed_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: hash-bucketed zero-shuffle equi-join.  Both sides are written
+    bucketed on the join key (the Iceberg bucket() spec stand-in), so the
+    join plans without an Exchange (plan-asserted in pytest); the result
+    must equal the plain join the oracle runs."""
+    from pyspark.sql import functions as F
+
+    from .operators.partitioning import write_bucketed
+
+    register_tables(spark, sf_dir)
+    write_bucketed(spark.table("orders"), "gate_orders_b", "o_custkey", 8)
+    write_bucketed(spark.table("customer"), "gate_customer_b", "c_custkey", 8)
+    o = spark.table("gate_orders_b")
+    c = spark.table("gate_customer_b")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
+
+
+def q_bucketed_join_oracle(dialect: str) -> str:
+    return """
+SELECT c_nationkey, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+def lineage_resume_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11: the bucketed spatial pipeline with per-partition lineage —
+    geotagged events × nation rectangles in 4 phash buckets, each bucket
+    checkpointed, final rollup from the durable partials.  The lineage
+    ledger is snapshot-keyed on the events input, so re-runs resume (and
+    input changes invalidate); the rollup must equal the oracle's
+    single-shot join."""
+    import numpy as np
+
+    from .operators.lineage import input_snapshot_id
+    from .pipeline import pipeline_rollup, spatial_pipeline
+
+    register_tables(spark, sf_dir)
+    pts = spark.sql(
+        f"WITH {geotagged_events_cte(SPARK)} SELECT id, lon, lat FROM pts")
+    rect_rows = spark.sql(
+        f"WITH {nation_rects_cte(SPARK)} SELECT * FROM rects").collect()
+    polygons = []
+    for r in rect_rows:
+        ring = [r.x0, r.y0, r.x0, r.y1, r.x1, r.y1, r.x1, r.y0, r.x0, r.y0]
+        polygons.append({"fid": int(r.polygon_fid),
+                         "coords": np.array(ring), "ends": [10]})
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    snap = input_snapshot_id([events_path])
+    out_root = os.path.join(_CACHE_ROOT, "gate_lineage",
+                            os.path.basename(sf_dir.rstrip("/")), snap)
+
+    def bucket_points(b: int) -> DataFrame:
+        from pyspark.sql import functions as F
+        return pts.where(F.pmod(F.col("id"), F.lit(4)) == b)
+
+    spatial_pipeline(spark, bucket_points, polygons, out_root,
+                     n_buckets=4, res=6, snapshot_id=snap)
+    return pipeline_rollup(spark, out_root)
+
+
+def q_lineage_resume_oracle(dialect: str) -> str:
+    return f"""
+WITH {geotagged_events_cte(dialect)},
+{nation_rects_cte(dialect)}
+SELECT r.polygon_fid, COUNT(*) AS n_points
+FROM pts p JOIN rects r
+  ON p.lon > r.x0 AND p.lon < r.x1 AND p.lat > r.y0 AND p.lat < r.y1
+GROUP BY r.polygon_fid
+"""
+
+
+IMG_GATE_N = 2000
+
+
+def image_invariants_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13: per-row decoded-pixel + caption invariant over a deterministic
+    image table (real PNG bytes; north-rule input_hint).  The Spark side
+    decodes every image and compares pixels/captions; the oracle pins the
+    contract: n rows checked, zero violations."""
+    from pyspark.sql import functions as F
+
+    from .sources.images import check_invariants, write_images_table
+
+    path = os.path.join(_CACHE_ROOT, f"gate_images_n{IMG_GATE_N}")
+    marker = os.path.join(path, "_SUCCESS_GATE")
+    if not os.path.exists(marker):
+        write_images_table(spark, path, IMG_GATE_N)
+        with open(marker, "w") as f:
+            f.write(str(IMG_GATE_N))
+    inv = check_invariants(spark.read.parquet(path))
+    return inv.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(~F.col("pixels_ok") | ~F.col("caption_ok"), 1)
+              .otherwise(0)).alias("n_bad"))
+
+
+def q_image_invariants_oracle(dialect: str) -> str:
+    return (f"SELECT CAST({IMG_GATE_N} AS BIGINT) AS n_checked, "
+            f"CAST(0 AS BIGINT) AS n_bad")
+
+
+TILE_GATE_RES, TILE_GATE_PX = 4, 16
+
+
+def tiles_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: rasterize→vectorize roundtrip checksum.  Nation rectangles are
+    rasterized to pixel tiles, vectorized back to maximal rectangles, and
+    the per-polygon covered-pixel area (from the RECTANGLES) must equal
+    the analytically derived pixel count the oracle computes from the
+    global pixel grid — so both directions are checked against
+    independent SQL, not against each other."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from .operators.tiles import rasterize_polygons, vectorize_raster
+
+    register_tables(spark, sf_dir)
+    rect_rows = spark.sql(
+        f"WITH {nation_rects_cte(SPARK)} SELECT * FROM rects").collect()
+    polygons = []
+    for r in rect_rows:
+        ring = [r.x0, r.y0, r.x0, r.y1, r.x1, r.y1, r.x1, r.y0, r.x0, r.y0]
+        polygons.append({"fid": int(r.polygon_fid),
+                         "coords": np.array(ring), "ends": [10]})
+    raster = rasterize_polygons(spark, polygons, res=TILE_GATE_RES,
+                                tile_px=TILE_GATE_PX)
+    rects = vectorize_raster(raster, tile_px=TILE_GATE_PX)
+    area = (F.col("x1") - F.col("x0") + 1) * (F.col("y1") - F.col("y0") + 1)
+    return (rects.groupBy(F.col("fid").alias("polygon_fid"))
+            .agg(F.sum(area).alias("n_pixels")))
+
+
+def q_tiles_roundtrip_oracle(dialect: str) -> str:
+    n = (1 << TILE_GATE_RES) * TILE_GATE_PX   # global pixels per axis
+    wpx, hpx = 360.0 / n, 180.0 / n
+    xs = H.ints_0_to(n, dialect)
+    ys = H.ints_0_to(n, dialect)
+    return f"""
+WITH {nation_rects_cte(dialect)},
+xs AS (SELECT {xs} AS ix),
+ys AS (SELECT {ys} AS iy),
+pix AS (
+  SELECT CAST(-180.0 AS DOUBLE) + (ix + 0.5) * {wpx!r} AS cx,
+         CAST(-90.0 AS DOUBLE) + (iy + 0.5) * {hpx!r} AS cy
+  FROM xs CROSS JOIN ys
+)
+SELECT r.polygon_fid, COUNT(*) AS n_pixels
+FROM pix JOIN rects r
+  ON cx > r.x0 AND cx < r.x1 AND cy > r.y0 AND cy < r.y1
+GROUP BY r.polygon_fid
+"""
+
+
 # --- shapefile-source gate queries -----------------------------------------
 
 REF_TESTDATA = "/root/reference/testdata"
@@ -396,6 +561,8 @@ def build_registry():
         "fingerprint": lambda d: TX.fingerprint_sql(d),
         "cosine_topk": lambda d: SIM.cosine_topk_sql(d),
         "embedding_neardup": lambda d: SIM.embedding_neardup_sql(d, threshold=0.25),
+        "embedding_neardup_bucketed":
+            lambda d: SIM.embedding_neardup_bucketed_sql(d, threshold=0.25),
     }
     queries = {name: _sql_runner(fn) for name, fn in dual.items()}
     oracles = {name: fn(DUCK) for name, fn in dual.items()}
@@ -407,6 +574,14 @@ def build_registry():
     oracles["knn_events"] = q_knn_events_oracle(DUCK)
     queries["salted_tile_counts"] = salted_tiles_spark
     oracles["salted_tile_counts"] = q_salted_tiles_oracle(DUCK)
+    queries["bucketed_join_rollup"] = bucketed_join_spark
+    oracles["bucketed_join_rollup"] = q_bucketed_join_oracle(DUCK)
+    queries["lineage_resume_rollup"] = lineage_resume_spark
+    oracles["lineage_resume_rollup"] = q_lineage_resume_oracle(DUCK)
+    queries["image_invariants"] = image_invariants_spark
+    oracles["image_invariants"] = q_image_invariants_oracle(DUCK)
+    queries["tiles_roundtrip"] = tiles_roundtrip_spark
+    oracles["tiles_roundtrip"] = q_tiles_roundtrip_oracle(DUCK)
 
     # simhash_pairs / dedup_minhash_lsh: same algebra, but the Spark side
     # materializes the self-joined CTE once (Spark inlines CTEs, so the

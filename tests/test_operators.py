@@ -148,3 +148,47 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
         recall_den += len(truth)
     recall = recall_num / max(recall_den, 1)
     assert recall >= 0.7, f"ANN recall@10 too low: {recall:.3f}"
+
+
+def test_neardup_bucketed_recall_and_plan(spark, sf_dir):
+    """The bucketed near-dup path: (a) finds every TRUE near-duplicate
+    (planted perturbed copies, cos >= 0.98), (b) reports only pairs the
+    exact verify confirms, (c) plans without BroadcastNestedLoopJoin."""
+    import duckdb
+    import numpy as np
+
+    from go_shapefile_spark.operators.similarity import (
+        embedding_neardup_bucketed_sql, embedding_neardup_sql)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    base = spark.read.parquet(emb_path).toPandas()
+    rng = np.random.default_rng(5)
+    dup = base.copy()
+    dup["vec_id"] = dup["vec_id"] + 100_000
+    dup["embedding"] = dup["embedding"].map(
+        lambda v: (np.asarray(v) + rng.normal(0, 0.002, len(v))).astype("float32"))
+    both = pd.concat([base, dup], ignore_index=True)
+    spark.createDataFrame(both).createOrReplaceTempView("embeddings")
+
+    got = spark.sql(embedding_neardup_bucketed_sql(
+        "spark", threshold=0.9)).toPandas()
+    found = set(zip(got.vec_a, got.vec_b))
+    # every planted (i, i+100k) true near-dup pair must be recalled
+    missing = [(i, i + 100_000) for i in base["vec_id"]
+               if (i, i + 100_000) not in found]
+    assert not missing, f"missed {len(missing)} true near-dups"
+    # soundness: every reported pair really passes the exact threshold
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{emb_path}'")
+    exact = con.execute(embedding_neardup_sql("duck", threshold=0.25)).df()
+    spark.read.parquet(emb_path).createOrReplaceTempView("embeddings")
+    got25 = spark.sql(embedding_neardup_bucketed_sql(
+        "spark", threshold=0.25)).toPandas()
+    exact_pairs = set(zip(exact.vec_a, exact.vec_b))
+    got25_pairs = set(zip(got25.vec_a, got25.vec_b))
+    assert got25_pairs <= exact_pairs  # no false positives after verify
+
+    plan = spark.sql(embedding_neardup_bucketed_sql("spark", threshold=0.25)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -191,3 +191,14 @@ def test_distributed_cover_matches_driver_cover(spark):
     c = (spatial_join_prepared(pts, small, keep_cols=["idx", "polygon_fid"])
          .toPandas().sort_values(["idx", "polygon_fid"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, c)
+
+
+def test_knn_exact_plan_no_cartesian(spark):
+    """knn_exact must plan without CartesianProduct/BNLJ — the terminal
+    round is a res-0 equi-join, not a crossJoin fallback (VERDICT r1 #7)."""
+    from go_shapefile_spark.operators.knn import knn_exact
+    pts = spark.createDataFrame(_points(500, seed=7))
+    out = knn_exact(pts, pts, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
