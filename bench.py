@@ -180,12 +180,15 @@ def timed_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def run_at(cores: int, images_path: str, shuffle_parts: int,
-           n_timed: int = 2, max_partition_bytes: str = "4m") -> float:
+           n_timed: int = 2, max_partition_bytes: str = "64m") -> float:
     from go_shapefile_spark.session import get_spark
-    # Split size tuned so every wave has ≥4 tasks per core on the bench
-    # input — a handful of fat splits on 32 cores measures stragglers,
-    # not the engine. (The points cache is written as ~250k-row files;
-    # 4 MB splits ≈ 300 tasks for the 100M-row table.)
+    # Split size: swept in round 2 (BENCH.md) — 4 MB splits made the scan
+    # a 778-task stage whose per-task scheduling overhead dominated at 32
+    # cores (8→32 efficiency 0.34); 64 MB splits (~20 tasks/action, the
+    # two concurrent output actions interleave their waves) run the same
+    # job 2.1x faster at local[32] and lift 8→32 efficiency to ~0.65,
+    # at this VM's 0.68 memory-bandwidth ceiling.  Same config at every
+    # core count so the N-vs-4N ratio compares like with like.
     spark = get_spark(app_name=f"bench-local{cores}", cores=cores,
                       shuffle_partitions=shuffle_parts,
                       max_partition_bytes=max_partition_bytes)

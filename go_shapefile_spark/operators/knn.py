@@ -31,24 +31,22 @@ def radius_resolution(radius_deg: float) -> int:
     return max(0, min(C.MAX_RES, int(math.floor(math.log2(180.0 / radius_deg)))))
 
 
-def knn_radius(points: DataFrame, queries: DataFrame, k: int, radius_deg: float,
-               id_col: str = "id", lon_col: str = "lon", lat_col: str = "lat",
-               res: int | None = None) -> DataFrame:
-    """For every query row: its k nearest points within ``radius_deg``.
+KM_PER_DEG = 111.19492664455873      # Earth mean radius · π/180
+EARTH_RADIUS_KM = 6371.0088
 
-    Returns (query_id, neighbor_id, dist2, rank).  Self-pairs (same id)
-    are excluded.  Planar-degree euclidean distance (documented: the
-    reference stores raw coordinates and never does CRS math either,
-    prj.go:15-24).
+
+def _ring_candidates(points: DataFrame, queries: DataFrame, res: int,
+                     id_col: str, lon_col: str, lat_col: str) -> DataFrame:
+    """Candidate pairs via the 3×3 cell-ring equi-join (the shared
+    skeleton of both kNN metrics): (query_id, q_lon, q_lat, neighbor_id,
+    n_lon, n_lat), self-pairs excluded.
+
+    The neighborhood explodes from a literal offset array — a Generate
+    node, not a join, so the plan stays free of BroadcastNestedLoopJoin;
+    lon wraps, lat clamps.
     """
-    if res is None:
-        res = radius_resolution(radius_deg)
     n = 1 << res
     w, h = 360.0 / n, 180.0 / n
-
-    # 3×3 neighborhood via coordinate offsets: lon wraps, lat clamps.
-    # The offsets explode from a literal array — a Generate node, not a
-    # join, so the plan stays free of BroadcastNestedLoopJoin.
     offsets = F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
         for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
@@ -69,8 +67,71 @@ def knn_radius(points: DataFrame, queries: DataFrame, k: int, radius_deg: float,
                       F.col(lon_col).alias("n_lon"), F.col(lat_col).alias("n_lat"),
                       F.expr(C.cell_sql(lon_col, lat_col, res)).alias("cell"))
 
-    pairs = (q.join(p, "cell")
-             .where(F.col("neighbor_id") != F.col("query_id"))
+    return (q.join(p, "cell")
+            .where(F.col("neighbor_id") != F.col("query_id")))
+
+
+def haversine_resolution(radius_km: float, max_abs_lat: float = 85.0) -> int:
+    """Largest resolution whose 3×3 ring covers a great-circle disk of
+    ``radius_km`` for any query with |lat| ≤ max_abs_lat: the disk spans
+    ±radius/111.19 degrees of latitude and (wider, by sec φ) of
+    longitude, so both the cell height AND width must cover it."""
+    if radius_km <= 0:
+        raise ValueError("radius must be positive")
+    dlat = radius_km / KM_PER_DEG
+    phi = min(89.9, max_abs_lat + dlat)
+    dlon = radius_km / (KM_PER_DEG * math.cos(math.radians(phi)))
+    return max(0, min(C.MAX_RES,
+                      int(math.floor(math.log2(180.0 / dlat))),
+                      int(math.floor(math.log2(360.0 / dlon)))))
+
+
+def knn_radius_haversine(points: DataFrame, queries: DataFrame, k: int,
+                         radius_km: float, id_col: str = "id",
+                         lon_col: str = "lon", lat_col: str = "lat",
+                         max_abs_lat: float = 85.0,
+                         res: int | None = None) -> DataFrame:
+    """Great-circle kNN: k nearest points within ``radius_km`` by
+    haversine distance (query |lat| must be ≤ max_abs_lat — the ring
+    coverage guarantee is lat-dependent on a sphere).
+
+    Same shape as :func:`knn_radius` — 3×3 ring explode, equi-join on
+    ``cell``, JVM trig expressions, window top-k — returning
+    (query_id, neighbor_id, dist_km, rank).
+    """
+    if res is None:
+        res = haversine_resolution(radius_km, max_abs_lat)
+    pairs = _ring_candidates(points, queries, res, id_col, lon_col, lat_col)
+    hav = (
+        "2 * {R} * asin(sqrt("
+        "pow(sin(radians(q_lat - n_lat) / 2), 2) + "
+        "cos(radians(q_lat)) * cos(radians(n_lat)) * "
+        "pow(sin(radians(q_lon - n_lon) / 2), 2)))"
+    ).format(R=EARTH_RADIUS_KM)
+    pairs = (pairs.withColumn("dist_km", F.expr(hav))
+             .where(F.col("dist_km") <= float(radius_km))
+             .dropDuplicates(["query_id", "neighbor_id"]))
+    win = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(),
+                                                 F.col("neighbor_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dist_km",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+def knn_radius(points: DataFrame, queries: DataFrame, k: int, radius_deg: float,
+               id_col: str = "id", lon_col: str = "lon", lat_col: str = "lat",
+               res: int | None = None) -> DataFrame:
+    """For every query row: its k nearest points within ``radius_deg``.
+
+    Returns (query_id, neighbor_id, dist2, rank).  Self-pairs (same id)
+    are excluded.  Planar-degree euclidean distance by default (the
+    reference stores raw coordinates and never does CRS math either,
+    prj.go:15-24); great-circle distance: :func:`knn_radius_haversine`.
+    """
+    if res is None:
+        res = radius_resolution(radius_deg)
+    pairs = (_ring_candidates(points, queries, res, id_col, lon_col, lat_col)
              .withColumn("dist2",
                          (F.col("q_lon") - F.col("n_lon")) * (F.col("q_lon") - F.col("n_lon"))
                          + (F.col("q_lat") - F.col("n_lat")) * (F.col("q_lat") - F.col("n_lat")))

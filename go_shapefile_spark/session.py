@@ -35,6 +35,7 @@ def get_spark(app_name: str = "go-shapefile-spark", cores: int | None = None,
                 max_partition_bytes or os.environ.get(
                     "SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

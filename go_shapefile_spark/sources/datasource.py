@@ -1,0 +1,169 @@
+"""Spark DataSource ("shapefile" format) with filter pushdown.
+
+The DataFrame-function front door is ``read_shapefile_df``; this module
+exposes the same scan as a registered Spark data source so it composes
+with ``spark.read.format("shapefile")`` and — the point — participates
+in Catalyst's filter pushdown (SURVEY §4's ``SupportsPushDownFilters``
+follow-on, via the Python DataSource API of Spark 4):
+
+* predicates on ``fid`` prune whole partitions exactly (record-range
+  splits are fid intervals, so ``fid >= a AND fid < b`` maps to split
+  arithmetic — the Scanner.Discard analog at plan time);
+* predicates on DBF attribute columns are evaluated on the decoded
+  attribute columns BEFORE any geometry parsing — on the SHX path a
+  record whose attributes fail the filter is never byte-decoded at all
+  (``_parse_split(attr_mask_fn=...)``).
+
+Usage::
+
+    spark.dataSource.register(ShapefileDataSource)
+    df = (spark.read.format("shapefile")
+          .option("path", "/data/countries")     # basename or .zip, URI ok
+          .load()
+          .where("CONTINENT = 'Africa' AND fid > 10"))
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, EqualTo, Filter, GreaterThan,
+    GreaterThanOrEqual, InputPartition, IsNotNull, IsNull, LessThan,
+    LessThanOrEqual,
+)
+
+from . import shapefile as sf
+
+
+class _Split(InputPartition):
+    def __init__(self, fid_start: int, fid_end: int):
+        self.fid_start = fid_start
+        self.fid_end = fid_end
+
+
+class ShapefileDataSource(DataSource):
+    """``format("shapefile")``: options path (required), basename,
+    records_per_split, charset, skip_broken_fields."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "shapefile"
+
+    def _plan(self) -> sf.ShapefilePlan:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("shapefile source requires option 'path'")
+        opts = {}
+        if self.options.get("charset"):
+            opts.setdefault("dbf", {})["charset"] = self.options["charset"]
+        if str(self.options.get("skip_broken_fields", "")).lower() == "true":
+            opts.setdefault("dbf", {})["skip_broken_fields"] = True
+        return sf.plan_shapefile(path, opts or None,
+                                 self.options.get("basename"))
+
+    def schema(self):
+        return sf.features_schema(self._plan())
+
+    def reader(self, schema) -> "ShapefileReader":
+        return ShapefileReader(
+            self._plan(), schema,
+            int(self.options.get("records_per_split", 100_000)))
+
+
+# pushable comparison filters on scalar attribute columns
+_CMP = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+
+
+class ShapefileReader(DataSourceReader):
+    def __init__(self, plan: sf.ShapefilePlan, schema, records_per_split: int):
+        self.plan = plan
+        self.schema = schema
+        self.records_per_split = records_per_split
+        # fid interval [lo, hi) narrowed by pushed fid predicates
+        n = plan.n_records if plan.n_records >= 0 else (1 << 40)
+        self.fid_lo, self.fid_hi = 1, n + 1
+        self.attr_filters: list[Filter] = []
+        self._attr_cols = {name for name, *_ in plan.dbf_fields} | {"deleted"}
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept fid-range predicates (exact partition pruning) and
+        scalar comparisons/null-tests on attribute columns (exact
+        row-level masks applied before geometry decode).  Everything
+        else is yielded back for Spark to evaluate."""
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            if col == "fid" and isinstance(f, _CMP):
+                v = int(f.value)
+                if isinstance(f, EqualTo):
+                    self.fid_lo = max(self.fid_lo, v)
+                    self.fid_hi = min(self.fid_hi, v + 1)
+                elif isinstance(f, GreaterThan):
+                    self.fid_lo = max(self.fid_lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.fid_lo = max(self.fid_lo, v)
+                elif isinstance(f, LessThan):
+                    self.fid_hi = min(self.fid_hi, v + 1 - 1)
+                else:
+                    self.fid_hi = min(self.fid_hi, v + 1)
+            elif (col in self._attr_cols and self.plan.has_dbf
+                    and (isinstance(f, _CMP) or isinstance(f, (IsNull, IsNotNull)))):
+                self.attr_filters.append(f)
+            else:
+                yield f
+
+    def partitions(self) -> list[_Split]:
+        lo, hi = self.fid_lo, min(self.fid_hi,
+                                  (self.plan.n_records + 1
+                                   if self.plan.n_records >= 0 else self.fid_hi))
+        if hi <= lo:
+            return [_Split(1, 1)]  # fully pruned → one empty split
+        if self.plan.is_zip or self.plan.shx_offsets is None:
+            return [_Split(lo, hi)]
+        n = hi - lo
+        k = max(1, math.ceil(n / self.records_per_split))
+        return [_Split(lo + i * n // k, lo + (i + 1) * n // k)
+                for i in range(k)]
+
+    def _mask(self, adf) -> np.ndarray:
+        keep = np.ones(len(adf), dtype=bool)
+        for f in self.attr_filters:
+            col = adf[f.attribute[0]]
+            if isinstance(f, IsNull):
+                m = col.isna()
+            elif isinstance(f, IsNotNull):
+                m = ~col.isna()
+            else:
+                v = f.value
+                if isinstance(f, EqualTo):
+                    m = col == v
+                elif isinstance(f, GreaterThan):
+                    m = col > v
+                elif isinstance(f, GreaterThanOrEqual):
+                    m = col >= v
+                elif isinstance(f, LessThan):
+                    m = col < v
+                else:
+                    m = col <= v
+                m = m.fillna(False) if hasattr(m, "fillna") else m
+            keep &= np.asarray(m, dtype=bool)
+        return keep
+
+    def read(self, partition: _Split):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        if partition.fid_end <= partition.fid_start:
+            return
+        mask_fn = self._mask if self.attr_filters else None
+        pdf = sf._parse_split(self.plan, partition.fid_start,
+                              partition.fid_end, attr_mask_fn=mask_fn)
+        if not len(pdf):
+            return
+        arrow_schema = to_arrow_schema(self.schema)
+        yield pa.RecordBatch.from_pandas(pdf, schema=arrow_schema,
+                                         preserve_index=False)

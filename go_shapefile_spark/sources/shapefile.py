@@ -277,78 +277,10 @@ def _ord_names(shape_type: int) -> list[str]:
             4: ["x", "y", "z", "m"]}[stride]
 
 
-def _parse_split(plan: ShapefilePlan, fid_start: int, fid_end: int,
-                 flat_ords: bool = False) -> pd.DataFrame:
-    """Parse records [fid_start, fid_end) (1-based fids) into a pandas batch.
-
-    ``flat_ords=True`` (point types): emit ordinate columns instead of
-    the geometry/bbox structs — no per-row python objects anywhere."""
-    if plan.is_zip:
-        members = core.zip_members(fsio.open_seekable(plan.path))
-        if plan.basename is not None:
-            members = {ext: (n, d) for ext, (n, d) in members.items()
-                       if n.rsplit("/", 1)[-1].rsplit(".", 1)[0] == plan.basename}
-        shp_bytes = members.get("shp", (None, None))[1]
-        dbf_bytes = members.get("dbf", (None, None))[1]
-    else:
-        shp_bytes = dbf_bytes = None
-
-    n = fid_end - fid_start
-    # --- geometry side -----------------------------------------------------
-    shp_records: list[core.SHPRecord] = []
-    fast_ords: np.ndarray | None = None  # vectorized point fast path
-    if plan.is_zip and shp_bytes is not None:
-        data = core.parse_shp(shp_bytes, plan.shp_options)
-        shp_records = data.records[fid_start - 1:fid_end - 1]
-    elif not plan.is_zip and plan.has_shp:
-        if plan.shx_offsets is not None:
-            # SHX-driven split: range-read straight to this byte span.
-            offs = plan.shx_offsets[fid_start - 1:fid_end - 1]
-            lens = plan.shx_lengths[fid_start - 1:fid_end - 1]
-            if len(offs):
-                start = int(offs[0])
-                end = int(offs[-1]) + 8 + int(lens[-1])
-                buf = fsio.read_bytes(f"{plan.path}.shp", start, end - start)
-                rel = offs - start
-                fast_ords = _parse_points_vectorized(
-                    buf, rel, plan.shape_type, fid_start, fid_end)
-                if fast_ords is None:
-                    shp_records = core.parse_shp_range(
-                        buf, rel, plan.shp_options,
-                        numbers=np.arange(fid_start, fid_end))
-        else:
-            # No SHX → sequential single task (scanner.go:511-513).
-            data = core.parse_shp(fsio.read_bytes(f"{plan.path}.shp"),
-                                  plan.shp_options)
-            shp_records = data.records[fid_start - 1:fid_end - 1]
-
-    # --- attribute side (column-vectorized, native dtypes) ------------------
-    dbf_cols: list[tuple[str, np.ndarray, np.ndarray | None]] | None = None
-    deleted: np.ndarray | None = None
-    if plan.dbf_record_size:
-        fields = [core.DBFField(n_, t, l, 0, 0) for n_, t, l, d in plan.dbf_fields]
-        decimals = [d for n_, t, l, d in plan.dbf_fields]
-        hdr = core.DBFHeader(3, None, plan.n_records, 0, plan.dbf_record_size)  # type: ignore[arg-type]
-        skip = (plan.dbf_options or {}).get("skip_broken_fields", False)
-        if plan.is_zip and dbf_bytes is not None:
-            dbf_cols, deleted = core.parse_dbf_native_columns(
-                dbf_bytes, hdr, fields, plan.dbf_header_size, decimals,
-                charset=plan.charset, skip_broken_fields=skip,
-                first_record=fid_start - 1, num_records=n)
-        elif not plan.is_zip and plan.has_dbf:
-            start = plan.dbf_header_size + (fid_start - 1) * plan.dbf_record_size
-            buf = fsio.read_bytes(f"{plan.path}.dbf", start,
-                                  n * plan.dbf_record_size)
-            dbf_cols, deleted = core.parse_dbf_native_columns(
-                buf, hdr, fields, 0, decimals, charset=plan.charset,
-                skip_broken_fields=skip, first_record=0, num_records=n)
-
-    n_geom = len(shp_records) if fast_ords is None else len(fast_ords)
-    n_attr = len(deleted) if deleted is not None else 0
-    if n_geom and n_attr and n_geom != n_attr:
-        raise core.ShapefileError("inconsistent number of records")
-
-    count = n_geom or n_attr
+def _attr_columns(plan: ShapefilePlan, dbf_cols, deleted,
+                  fid_start: int, count: int) -> dict[str, Any]:
+    """Assemble the attribute columns (fid, deleted, DBF fields) into
+    pandas-ready arrays."""
     out: dict[str, Any] = {
         "fid": pd.array(range(fid_start, fid_start + count), dtype="int64"),
         "deleted": pd.array(deleted if deleted is not None
@@ -369,6 +301,125 @@ def _parse_split(plan: ShapefilePlan, fid_start: int, fid_end: int,
                 out[name] = _coerce_column(list(vals), ftype, decs)
             else:
                 out[name] = pd.Series(vals, dtype="object")
+    return out
+
+
+def _parse_split(plan: ShapefilePlan, fid_start: int, fid_end: int,
+                 flat_ords: bool = False,
+                 attr_mask_fn=None) -> pd.DataFrame:
+    """Parse records [fid_start, fid_end) (1-based fids) into a pandas batch.
+
+    ``flat_ords=True`` (point types): emit ordinate columns instead of
+    the geometry/bbox structs — no per-row python objects anywhere.
+
+    ``attr_mask_fn`` (DataSource filter pushdown): called with the
+    attribute-only DataFrame, returns a boolean keep-mask.  Attributes
+    decode first, so records the mask rejects never reach the geometry
+    parser — on the SHX path only the selected records' byte offsets are
+    parsed at all.
+    """
+    if plan.is_zip:
+        members = core.zip_members(fsio.open_seekable(plan.path))
+        if plan.basename is not None:
+            members = {ext: (n, d) for ext, (n, d) in members.items()
+                       if n.rsplit("/", 1)[-1].rsplit(".", 1)[0] == plan.basename}
+        shp_bytes = members.get("shp", (None, None))[1]
+        dbf_bytes = members.get("dbf", (None, None))[1]
+    else:
+        shp_bytes = dbf_bytes = None
+
+    n = fid_end - fid_start
+    # --- attribute side (column-vectorized, native dtypes) ------------------
+    dbf_cols: list[tuple[str, np.ndarray, np.ndarray | None]] | None = None
+    deleted: np.ndarray | None = None
+    if plan.dbf_record_size:
+        fields = [core.DBFField(n_, t, l, 0, 0) for n_, t, l, d in plan.dbf_fields]
+        decimals = [d for n_, t, l, d in plan.dbf_fields]
+        hdr = core.DBFHeader(3, None, plan.n_records, 0, plan.dbf_record_size)  # type: ignore[arg-type]
+        skip = (plan.dbf_options or {}).get("skip_broken_fields", False)
+        if plan.is_zip and dbf_bytes is not None:
+            dbf_cols, deleted = core.parse_dbf_native_columns(
+                dbf_bytes, hdr, fields, plan.dbf_header_size, decimals,
+                charset=plan.charset, skip_broken_fields=skip,
+                first_record=fid_start - 1, num_records=n)
+        elif not plan.is_zip and plan.has_dbf:
+            start = plan.dbf_header_size + (fid_start - 1) * plan.dbf_record_size
+            buf = fsio.read_bytes(f"{plan.path}.dbf", start,
+                                  n * plan.dbf_record_size)
+            dbf_cols, deleted = core.parse_dbf_native_columns(
+                buf, hdr, fields, 0, decimals, charset=plan.charset,
+                skip_broken_fields=skip, first_record=0, num_records=n)
+    n_attr = len(deleted) if deleted is not None else 0
+
+    # pushed-down attribute mask: evaluated before any geometry work
+    sel: np.ndarray | None = None
+    adf: pd.DataFrame | None = None
+    if n_attr:
+        adf = pd.DataFrame(_attr_columns(plan, dbf_cols, deleted,
+                                         fid_start, n_attr))
+        if attr_mask_fn is not None:
+            sel = np.asarray(attr_mask_fn(adf), dtype=bool)
+            adf = adf[sel].reset_index(drop=True)
+
+    # --- geometry side (selective under a pushed mask) ----------------------
+    shp_records: list[core.SHPRecord] = []
+    fast_ords: np.ndarray | None = None  # vectorized point fast path
+    geom_selected = False                # geometry already mask-subset?
+    if plan.is_zip and shp_bytes is not None:
+        data = core.parse_shp(shp_bytes, plan.shp_options)
+        shp_records = data.records[fid_start - 1:fid_end - 1]
+    elif not plan.is_zip and plan.has_shp:
+        if plan.shx_offsets is not None:
+            # SHX-driven split: range-read straight to this byte span.
+            offs = plan.shx_offsets[fid_start - 1:fid_end - 1]
+            lens = plan.shx_lengths[fid_start - 1:fid_end - 1]
+            if len(offs):
+                start = int(offs[0])
+                end = int(offs[-1]) + 8 + int(lens[-1])
+                buf = fsio.read_bytes(f"{plan.path}.shp", start, end - start)
+                rel = offs - start
+                fast_ords = _parse_points_vectorized(
+                    buf, rel, plan.shape_type, fid_start, fid_end)
+                if fast_ords is None:
+                    if sel is not None and len(rel) == len(sel):
+                        # selective parse: only the records the pushed
+                        # filter kept are ever decoded
+                        fids = np.arange(fid_start, fid_end)[sel]
+                        shp_records = core.parse_shp_range(
+                            buf, rel[sel], plan.shp_options, numbers=fids)
+                        geom_selected = True
+                    else:
+                        shp_records = core.parse_shp_range(
+                            buf, rel, plan.shp_options,
+                            numbers=np.arange(fid_start, fid_end))
+        else:
+            # No SHX → sequential single task (scanner.go:511-513).
+            data = core.parse_shp(fsio.read_bytes(f"{plan.path}.shp"),
+                                  plan.shp_options)
+            shp_records = data.records[fid_start - 1:fid_end - 1]
+
+    # count consistency (shapefile.go:192-196), on pre-mask counts
+    if geom_selected:
+        n_geom_check = n_attr  # selective parse validated fids directly
+    else:
+        n_geom_check = len(fast_ords) if fast_ords is not None else len(shp_records)
+    if n_geom_check and n_attr and n_geom_check != n_attr:
+        raise core.ShapefileError("inconsistent number of records")
+
+    # subset full-parsed geometry by the mask
+    if sel is not None and not geom_selected:
+        if fast_ords is not None and len(fast_ords) == len(sel):
+            fast_ords = fast_ords[sel]
+        elif shp_records and len(shp_records) == len(sel):
+            shp_records = [r for r, m in zip(shp_records, sel) if m]
+
+    n_geom = len(shp_records) if fast_ords is None else len(fast_ords)
+    if adf is not None:
+        out: dict[str, Any] = {c: adf[c] for c in adf.columns}
+        count = len(adf)
+    else:
+        count = n_geom
+        out = _attr_columns(plan, dbf_cols, deleted, fid_start, count)
     if flat_ords:
         if fast_ords is None:
             fast_ords = np.array([r.coords for r in shp_records]) if \

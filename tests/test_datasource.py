@@ -1,0 +1,90 @@
+"""spark.read.format("shapefile") — Python DataSource with pushdown."""
+
+import os
+
+import pytest
+from pyspark.sql.datasource import EqualTo, GreaterThan, In, LessThan
+
+from go_shapefile_spark.sources.datasource import (
+    ShapefileDataSource, ShapefileReader,
+)
+from go_shapefile_spark.sources.shapefile import (
+    features_schema, plan_shapefile, read_shapefile_df,
+)
+
+
+@pytest.fixture(scope="module")
+def ds_spark(spark):
+    spark.dataSource.register(ShapefileDataSource)
+    return spark
+
+
+def test_format_matches_function_reader(ds_spark, ref_testdata):
+    base = os.path.join(ref_testdata, "poly")
+    via_format = (ds_spark.read.format("shapefile").option("path", base)
+                  .load().orderBy("fid").collect())
+    via_fn = read_shapefile_df(ds_spark, base).orderBy("fid").collect()
+    assert via_format == via_fn
+
+
+def test_attribute_pushdown_results(ds_spark, ref_testdata):
+    base = os.path.join(ref_testdata, "poly")
+    df = ds_spark.read.format("shapefile").option("path", base).load()
+    got = sorted((r.fid, r.AREA) for r in
+                 df.where("AREA > 300000 AND fid > 2").collect())
+    exp = sorted((r.fid, r.AREA) for r in
+                 read_shapefile_df(ds_spark, base)
+                 .where("AREA > 300000 AND fid > 2").collect())
+    assert got == exp and len(got) > 0
+    # string equality + zip bundle path
+    zpath = os.path.join(ref_testdata, "110m-admin-0-countries.zip")
+    dfz = ds_spark.read.format("shapefile").option("path", zpath).load()
+    got_z = dfz.where("SOVEREIGNT = 'France'").select("NAME").collect()
+    exp_z = (read_shapefile_df(ds_spark, zpath)
+             .where("SOVEREIGNT = 'France'").select("NAME").collect())
+    assert sorted(got_z) == sorted(exp_z) and len(got_z) > 0
+
+
+def test_fid_pushdown_prunes_partitions(ref_testdata):
+    """fid-range predicates prune whole splits exactly at plan time —
+    the DataSourceV2 analog of Scanner.Discard (scanner.go:458-525)."""
+    plan = plan_shapefile(os.path.join(ref_testdata, "poly"))
+    r = ShapefileReader(plan, features_schema(plan), records_per_split=2)
+    assert len(r.partitions()) == 5  # 10 records / 2 per split
+    leftover = list(r.pushFilters([GreaterThan(("fid",), 4),
+                                   LessThan(("fid",), 8)]))
+    assert leftover == []            # fully handled by pruning
+    parts = [(p.fid_start, p.fid_end) for p in r.partitions()]
+    assert parts == [(5, 6), (6, 8)]
+    # unsupported filters are yielded back for Spark to evaluate
+    r2 = ShapefileReader(plan, features_schema(plan), records_per_split=2)
+    back = list(r2.pushFilters([In(("fid",), (1, 5)),
+                                EqualTo(("AREA",), 215229.266)]))
+    assert len(back) == 1 and isinstance(back[0], In)
+    assert len(r2.attr_filters) == 1
+
+
+def test_pushdown_skips_geometry_decode(ds_spark, ref_testdata, monkeypatch):
+    """Records rejected by a pushed attribute filter never reach the
+    geometry parser on the SHX path (selective parse_shp_range)."""
+    import go_shapefile_spark.sources.shapefile_core as core
+
+    seen = []
+    orig = core.parse_shp_range
+
+    def counting(buf, offsets, options=None, numbers=None):
+        seen.append(len(offsets))
+        return orig(buf, offsets, options, numbers=numbers)
+
+    monkeypatch.setattr(core, "parse_shp_range", counting)
+    monkeypatch.setattr(
+        "go_shapefile_spark.sources.shapefile.core.parse_shp_range", counting)
+    plan = plan_shapefile(os.path.join(ref_testdata, "poly"))
+    schema = features_schema(plan)
+    r = ShapefileReader(plan, schema, records_per_split=100)
+    list(r.pushFilters([GreaterThan(("AREA",), 300000.0)]))
+    [part] = r.partitions()
+    batches = list(r.read(part))
+    n_rows = sum(b.num_rows for b in batches)
+    assert seen == [n_rows]  # parsed exactly the surviving records
+    assert 0 < n_rows < 10

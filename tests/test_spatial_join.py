@@ -202,3 +202,40 @@ def test_knn_exact_plan_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_haversine_matches_numpy_oracle(spark):
+    """Great-circle kNN equals a numpy haversine brute force."""
+    from go_shapefile_spark.operators.knn import (
+        EARTH_RADIUS_KM, knn_radius_haversine)
+
+    pts = _points(1500, seed=44)
+    pts = pts[pts["lat"].abs() <= 84].reset_index(drop=True)
+    df = spark.createDataFrame(pts)
+    queries = df.where("id % 37 = 0")
+    k, radius_km = 4, 500.0
+    got = (knn_radius_haversine(df, queries, k=k, radius_km=radius_km)
+           .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+    lon = np.radians(pts["lon"].to_numpy())
+    lat = np.radians(pts["lat"].to_numpy())
+    qi = pts.index[pts["id"] % 37 == 0]
+    exp_rows = []
+    for i in qi:
+        d = 2 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(
+            np.sin((lat[i] - lat) / 2) ** 2 +
+            np.cos(lat[i]) * np.cos(lat) * np.sin((lon[i] - lon) / 2) ** 2))
+        d[i] = np.inf
+        ids = pts["id"].to_numpy()
+        order = np.lexsort((ids, d))
+        taken = [(int(ids[j]), d[j]) for j in order if d[j] <= radius_km][:k]
+        for r, (nid, dk) in enumerate(taken):
+            exp_rows.append((int(pts["id"].iloc[i]), nid, r + 1, dk))
+    exp = pd.DataFrame(exp_rows,
+                       columns=["query_id", "neighbor_id", "rank", "dist_km"]) \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "neighbor_id", "rank"]].astype("int64"),
+        exp[["query_id", "neighbor_id", "rank"]].astype("int64"))
+    np.testing.assert_allclose(got["dist_km"], exp["dist_km"], rtol=1e-9)
