@@ -437,6 +437,90 @@ GROUP BY r.polygon_fid
 """
 
 
+STREAM_RES, STREAM_WINDOW_S = 5, 300
+
+
+def _stream_source_dir(src_file: str) -> str:
+    """Spark's file stream source wants a directory; the testdata tables
+    are single parquet files — expose one through a temp dir symlink."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="gate_stream_src_")
+    os.symlink(src_file, os.path.join(d, os.path.basename(src_file)))
+    return d
+
+
+def streaming_tiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming front door, gated: readStream over the events parquet →
+    JVM geotag → Morton cell → watermarked tumbling-window counts,
+    drained with one availableNow trigger.  Backfill-equals-batch is the
+    contract: the oracle computes the same rollup relationally."""
+    import tempfile
+    import uuid
+
+    from .streaming.events import run_available_now, streaming_tile_counts
+
+    src = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(src).schema
+    out = streaming_tile_counts(
+        spark, _stream_source_dir(src), schema, res=STREAM_RES,
+        window=f"{STREAM_WINDOW_S} seconds", watermark="600 seconds")
+    name = f"gate_stream_tiles_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="gate_stream_tiles_")
+    run_available_now(out, ckpt, query_name=name)
+    from pyspark.sql import functions as F
+    return (spark.table(name)
+            .select(F.unix_timestamp("window_start").cast("long")
+                    .alias("window_start"),
+                    "cell", "n"))
+
+
+def q_streaming_tiles_oracle(dialect: str) -> str:
+    ep = _epoch_s("ts", dialect)
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         CAST(FLOOR({ep} / {STREAM_WINDOW_S}) * {STREAM_WINDOW_S} AS BIGINT)
+           AS window_start,
+         {GT.lon_sql('event_id', dialect)} AS lon,
+         {GT.lat_sql('event_id', dialect)} AS lat
+  FROM events
+)
+SELECT window_start, {C.cell_sql('lon', 'lat', STREAM_RES)} AS cell,
+       COUNT(*) AS n
+FROM pts
+GROUP BY window_start, {C.cell_sql('lon', 'lat', STREAM_RES)}
+"""
+
+
+def streaming_sessions_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionizer (applyInPandasWithState), gated:
+    drain the bounded events source, keep each user's final running
+    totals (update-mode emissions are monotonic).  The oracle is the
+    batch sessionization SQL."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from .streaming.events import run_available_now
+    from .streaming.sessions import sessionize_stream
+
+    src = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(src).schema
+    out = sessionize_stream(spark, _stream_source_dir(src), schema, gap_s=1800)
+    name = f"gate_stream_sessions_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="gate_stream_sessions_")
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name).groupBy("user_id")
+            .agg(F.max("n_sessions").alias("n_sessions"),
+                 F.max("n_events").alias("n_events")))
+
+
 # --- shapefile-source gate queries -----------------------------------------
 
 REF_TESTDATA = "/root/reference/testdata"
@@ -582,6 +666,10 @@ def build_registry():
     oracles["image_invariants"] = q_image_invariants_oracle(DUCK)
     queries["tiles_roundtrip"] = tiles_roundtrip_spark
     oracles["tiles_roundtrip"] = q_tiles_roundtrip_oracle(DUCK)
+    queries["streaming_tile_rollup"] = streaming_tiles_spark
+    oracles["streaming_tile_rollup"] = q_streaming_tiles_oracle(DUCK)
+    queries["streaming_sessions"] = streaming_sessions_spark
+    oracles["streaming_sessions"] = q_event_sessions(DUCK)
 
     # simhash_pairs / dedup_minhash_lsh: same algebra, but the Spark side
     # materializes the self-joined CTE once (Spark inlines CTEs, so the

@@ -582,10 +582,11 @@ def _read_points_flat(spark: SparkSession, plan: ShapefilePlan,
     schema = T.StructType(fields)
 
     n = plan.n_records
-    if n >= 0 and plan.shx_offsets is not None:
+    if n >= 0 and plan.shx_offsets is not None and not plan.is_zip:
         k = max(1, math.ceil(n / target_records_per_split))
         bounds = [(1 + i * n // k, 1 + (i + 1) * n // k) for i in range(k)]
     else:
+        # zip (not splittable: every split would re-read the member) or
         # unknown count (no SHX/DBF) → single sequential split with the
         # same large-sentinel fallback as read_shapefile_df
         n = n if n >= 0 else 1 << 40

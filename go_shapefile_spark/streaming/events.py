@@ -29,6 +29,9 @@ def streaming_tile_counts(spark: SparkSession, source_dir: str, schema: str,
                           ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
     """File-source stream → watermarked per-(window, cell) counts."""
     stream = (spark.readStream.schema(schema).parquet(source_dir)
+              # NTZ parquet timestamps → LTZ: watermarks require TIMESTAMP
+              # (session TZ is UTC, so the instant is unchanged)
+              .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
               .withColumn("lon", F.expr(lon_sql(id_col, "spark")))
               .withColumn("lat", F.expr(lat_sql(id_col, "spark")))
               .withColumn("cell", F.expr(C.cell_sql("lon", "lat", res))))
