@@ -20,7 +20,6 @@ Partitioning: the generator writes parquet partitioned by
 
 from __future__ import annotations
 
-import os
 import struct
 import zlib
 from typing import Iterator

@@ -26,7 +26,7 @@ import struct
 import zipfile
 from dataclasses import dataclass, field
 from datetime import date, timedelta
-from typing import Any, BinaryIO, Iterable
+from typing import Any, BinaryIO
 
 import numpy as np
 

@@ -21,16 +21,16 @@ def main() -> None:
     # import AFTER session start: resolves from the --py-files zip
     from go_shapefile_spark.operators.geotag import with_lonlat_jvm
     from go_shapefile_spark.operators.spatial_join import (
-        polygons_from_features, spatial_join)
+        PreparedCover, spatial_join_prepared)
     from go_shapefile_spark.sources.shapefile import read_shapefile_df
 
     feats = read_shapefile_df(
         spark, "/root/reference/testdata/110m-admin-0-countries.zip")
-    polys = polygons_from_features(feats.select("fid", "geometry").collect())
+    cover = PreparedCover.from_features(feats.select("fid", "geometry"), res=6)
     pts = with_lonlat_jvm(spark.range(20000).withColumnRenamed("id", "idx"),
                           key_col="idx")
-    joined = spatial_join(spark, pts, polys, res=6,
-                          keep_cols=["idx", "polygon_fid"])
+    joined = spatial_join_prepared(pts, cover,
+                                   keep_cols=["idx", "polygon_fid"])
     n = joined.count()
     print(json.dumps({"submit_smoke_join_rows": n}))
     assert n > 1000, "join produced implausibly few rows"
