@@ -138,3 +138,80 @@ def test_parsers_never_crash_property(data):
         parse_shx_header(data[:100], len(data))
     except (ShapefileError, ValueError):
         pass
+
+
+# --- DBF column-kernel properties: fast decode == per-value reference ------
+
+_dbf_numeric_text = st.one_of(
+    st.just(""),
+    st.integers(min_value=-10**12, max_value=10**12).map(str),
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False).map(
+        lambda v: f"{v:.4f}"),
+    st.sampled_from(["1e5", "+7", "-0", ".5", "1.", "1_2", "--3", "1 2",
+                     "abc", "NaN", "inf", "1.2.3", "0x10", " 42", "4 2 "]),
+)
+
+
+@given(st.lists(_dbf_numeric_text, min_size=1, max_size=60),
+       st.integers(min_value=6, max_value=18),
+       st.booleans())
+@settings(max_examples=150, deadline=None)
+def test_dbf_numeric_kernels_match_reference(values, width, as_float):
+    """For ANY cell text (valid or junk): the vectorized int/float column
+    kernels either produce exactly what parse_dbf_value produces, or fall
+    back — they never silently accept what the reference rejects or
+    change a value."""
+    import numpy as np
+
+    from go_shapefile_spark.sources import shapefile_core as core
+
+    padded = []
+    for v in values:
+        b = v.encode()[:width]
+        b = b.rjust(width) if len(b) <= width else b[:width]
+        padded.append(b)
+    sub = np.frombuffer(b"".join(padded), dtype=np.uint8).reshape(-1, width)
+    kernel = core._parse_float_column if as_float else core._parse_int_column
+    try:
+        vals, blank = kernel(np.ascontiguousarray(sub))
+    except core._FallbackDecode:
+        return  # per-value path takes over — always correct
+    ftype = "F" if as_float else "N"
+    for i, raw in enumerate(padded):
+        try:
+            ref = core.parse_dbf_value(raw, ftype, "latin-1")
+        except core.ShapefileError:
+            raise AssertionError(
+                f"kernel accepted {raw!r} which the reference rejects")
+        if ref is None:
+            assert blank[i]
+        elif as_float:
+            assert vals[i] == float(ref), (raw, vals[i], ref)
+        else:
+            assert not blank[i] and vals[i] == ref, (raw, vals[i], ref)
+
+
+_dbf_text = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=255),
+    min_size=0, max_size=14)
+
+
+@given(st.lists(_dbf_text, min_size=1, max_size=40))
+@settings(max_examples=150, deadline=None)
+def test_dbf_text_kernel_matches_reference(values):
+    """C-column fast decode (block decode + slicing) == per-value trim +
+    decode for arbitrary byte soup, or falls back."""
+    import numpy as np
+
+    from go_shapefile_spark.sources import shapefile_core as core
+
+    width = 14
+    padded = [v.encode("latin-1")[:width].ljust(width) for v in values]
+    sub = np.frombuffer(b"".join(padded), dtype=np.uint8).reshape(-1, width)
+    try:
+        got = core._decode_text_column_fast(np.ascontiguousarray(sub),
+                                            "latin-1")
+    except core._FallbackDecode:
+        return
+    for i, raw in enumerate(padded):
+        assert got[i] == core.parse_dbf_value(raw, "C", "latin-1"), raw

@@ -96,6 +96,41 @@ def main() -> None:
     audit.assert_pruned_schema(li, 2)
     sections.append(("Parquet pushdown/pruning", checks, formatted(li)))
 
+    # distributed-cover join: same predicate shape, cover built via
+    # mapInPandas (no driver collect), then broadcast
+    from go_shapefile_spark.operators.spatial_join import (
+        PreparedCover, spatial_join_prepared)
+    cover = PreparedCover.from_features(feats.select("fid", "geometry"), res=7)
+    joined2 = spatial_join_prepared(pts, cover,
+                                    keep_cols=["idx", "polygon_fid"])
+    plan = audit.executed_plan(joined2)
+    checks = [
+        ("BroadcastHashJoin used", "BroadcastHashJoin" in plan),
+        ("no CartesianProduct/BNLJ",
+         "CartesianProduct" not in plan
+         and "BroadcastNestedLoopJoin" not in plan),
+    ]
+    sections.append(("Spatial join against DISTRIBUTED-built cover "
+                     "(PreparedCover.from_features)", checks, formatted(joined2)))
+
+    # shapefile DataSource: pushed filters reach the Python scan
+    from go_shapefile_spark.sources.datasource import ShapefileDataSource
+    spark.dataSource.register(ShapefileDataSource)
+    ds = (spark.read.format("shapefile")
+          .option("path", "/root/reference/testdata/poly").load()
+          .where("AREA > 300000 AND fid > 2").select("fid", "AREA"))
+    plan = audit.executed_plan(ds)
+    fmt = formatted(ds)
+    checks = [
+        ("filters pushed into the Python data source",
+         "PushedFilters: [" in fmt and "GreaterThan(AREA,300000.0)" in fmt),
+        ("no residual Filter node (source applied them exactly)",
+         "Filter (" not in fmt and ds.count() == 3),
+    ]
+    sections.append(("shapefile DataSource filter pushdown "
+                     "(fid split pruning + attribute masks)",
+                     checks, formatted(ds)))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the engine's hot paths\n\n")
         f.write("Generated by `python tools/explain_audit.py`.\n\n")
