@@ -73,14 +73,21 @@ def _ring_candidates(points: DataFrame, queries: DataFrame, res: int,
 
 def haversine_resolution(radius_km: float, max_abs_lat: float = 85.0) -> int:
     """Largest resolution whose 3×3 ring covers a great-circle disk of
-    ``radius_km`` for any query with |lat| ≤ max_abs_lat: the disk spans
-    ±radius/111.19 degrees of latitude and (wider, by sec φ) of
-    longitude, so both the cell height AND width must cover it."""
+    ``radius_km`` for any query with |lat| ≤ max_abs_lat.
+
+    The disk spans ±radius/111.19 degrees of latitude; its maximum
+    longitude half-span for a CENTER at latitude φ is
+    ``asin(sin(r/R) / cos φ)`` (the spherical bounding-box formula), so
+    both the cell height and width must cover those spans.  If the disk
+    reaches the pole (sin(r/R) ≥ cos φ) every longitude is in range and
+    only res 0 covers — callers handle such queries via the polar-cap
+    path instead."""
     if radius_km <= 0:
         raise ValueError("radius must be positive")
-    dlat = radius_km / KM_PER_DEG
-    phi = min(89.9, max_abs_lat + dlat)
-    dlon = radius_km / (KM_PER_DEG * math.cos(math.radians(phi)))
+    dlat = math.degrees(radius_km / EARTH_RADIUS_KM)
+    s = math.sin(radius_km / EARTH_RADIUS_KM) / \
+        math.cos(math.radians(max_abs_lat))
+    dlon = 360.0 if s >= 1 else math.degrees(math.asin(s))
     return max(0, min(C.MAX_RES,
                       int(math.floor(math.log2(180.0 / dlat))),
                       int(math.floor(math.log2(360.0 / dlon)))))
@@ -92,25 +99,50 @@ def knn_radius_haversine(points: DataFrame, queries: DataFrame, k: int,
                          max_abs_lat: float = 85.0,
                          res: int | None = None) -> DataFrame:
     """Great-circle kNN: k nearest points within ``radius_km`` by
-    haversine distance (query |lat| must be ≤ max_abs_lat — the ring
-    coverage guarantee is lat-dependent on a sphere).
+    haversine distance — exact for EVERY query latitude.
 
-    Same shape as :func:`knn_radius` — 3×3 ring explode, equi-join on
-    ``cell``, JVM trig expressions, window top-k — returning
+    Queries with |lat| ≤ max_abs_lat run the 3×3 ring equi-join (same
+    shape as :func:`knn_radius`; cell resolution from the spherical
+    bounding-box formula).  Polar-cap queries (|lat| > max_abs_lat),
+    whose disks can wrap every longitude, join only against the points
+    whose latitude is within reach of the cap (|lat| >
+    max_abs_lat − Δlat) — a tiny fraction of any realistic corpus, so
+    that small nested-loop join is bounded by construction.  Returns
     (query_id, neighbor_id, dist_km, rank).
     """
     if res is None:
         res = haversine_resolution(radius_km, max_abs_lat)
-    pairs = _ring_candidates(points, queries, res, id_col, lon_col, lat_col)
+    dlat = math.degrees(radius_km / EARTH_RADIUS_KM)
     hav = (
         "2 * {R} * asin(sqrt("
         "pow(sin(radians(q_lat - n_lat) / 2), 2) + "
         "cos(radians(q_lat)) * cos(radians(n_lat)) * "
         "pow(sin(radians(q_lon - n_lon) / 2), 2)))"
     ).format(R=EARTH_RADIUS_KM)
-    pairs = (pairs.withColumn("dist_km", F.expr(hav))
+
+    low_q = queries.where(F.abs(F.col(lat_col)) <= max_abs_lat)
+    pairs = (_ring_candidates(points, low_q, res, id_col, lon_col, lat_col)
+             .withColumn("dist_km", F.expr(hav))
              .where(F.col("dist_km") <= float(radius_km))
-             .dropDuplicates(["query_id", "neighbor_id"]))
+             .dropDuplicates(["query_id", "neighbor_id"])
+             .select("query_id", "neighbor_id", "dist_km"))
+
+    cap_q = (queries.where(F.abs(F.col(lat_col)) > max_abs_lat)
+             .select(F.col(id_col).alias("query_id"),
+                     F.col(lon_col).alias("q_lon"),
+                     F.col(lat_col).alias("q_lat")))
+    cap_pts = (points.where(F.abs(F.col(lat_col)) > max_abs_lat - dlat)
+               .select(F.col(id_col).alias("neighbor_id"),
+                       F.col(lon_col).alias("n_lon"),
+                       F.col(lat_col).alias("n_lat")))
+    cap_pairs = (cap_q.join(cap_pts,
+                            F.signum("q_lat") == F.signum("n_lat"))
+                 .where(F.col("neighbor_id") != F.col("query_id"))
+                 .withColumn("dist_km", F.expr(hav))
+                 .where(F.col("dist_km") <= float(radius_km))
+                 .select("query_id", "neighbor_id", "dist_km"))
+    pairs = pairs.unionByName(cap_pairs)
+
     win = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(),
                                                  F.col("neighbor_id").asc())
     return (pairs.withColumn("rank", F.row_number().over(win))

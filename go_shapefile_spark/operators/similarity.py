@@ -115,7 +115,7 @@ def embedding_neardup_bucketed_sql(dialect: str, rel: str = "embeddings",
     else:
         q_cte = f"""q AS (
   SELECT e.vec_id, p.i,
-         CAST(FLOOR(CAST(e.embedding[p.i + 1] AS DOUBLE)
+         CAST(FLOOR(CAST({H.elem('e.embedding', 'p.i + 1', dialect)} AS DOUBLE)
                     * {NEARDUP_QSCALE}) AS BIGINT) AS qv
   FROM {rel} e CROSS JOIN (SELECT {H.ints_0_to(dim, dialect)} AS i) p
 )"""

@@ -249,9 +249,12 @@ def _crossing_filter_unrolled_sql(lon_col: str, lat_col: str, k: int) -> str:
     """Crossing-parity predicate over ``k`` scalar edge columns
     (e{j}_ax..e{j}_by, NaN-padded) — statically unrolled so the whole
     filter stays inside whole-stage codegen: no array access, no lambda,
-    no per-row allocation.  NaN padding makes every ``> 0`` comparison
-    false on both sides, so absent edges contribute zero crossings; the
-    half-open sign rule keeps vertex-on-segment degeneracies exact.  This is what lets the
+    no per-row allocation.  NaN padding contributes zero crossings
+    because Spark SQL orders NaN greater than every number, so BOTH
+    sides of each ``(d > 0) != (d > 0)`` evaluate TRUE and the
+    inequality is false (do NOT rewrite as a mixed AND/NOT form — that
+    would count phantom crossings on the NaN rows); the half-open sign
+    rule keeps vertex-on-segment degeneracies exact.  This is what lets the
     refinement stage scale linearly with cores (the interpreted
     ``aggregate()`` variant is memory-allocation-bound).
     """

@@ -251,6 +251,49 @@ SELECT query_id, neighbor_id, dist2, CAST(rank AS BIGINT) AS rank FROM ranked WH
 """
 
 
+KNN_HAV_K, KNN_HAV_RADIUS_KM, KNN_HAV_MOD = 5, 250.0, 71
+
+
+def knn_haversine_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle kNN gate: same ring-join engine path, haversine
+    metric (E7 metric option)."""
+    from pyspark.sql import functions as F
+
+    from .operators.knn import knn_radius_haversine
+
+    register_tables(spark, sf_dir)
+    pts = spark.sql(f"WITH {geotagged_events_cte(SPARK)} SELECT id, lon, lat FROM pts")
+    queries = pts.where(pts.id % KNN_HAV_MOD == 0)
+    out = knn_radius_haversine(pts, queries, k=KNN_HAV_K,
+                               radius_km=KNN_HAV_RADIUS_KM)
+    return out.withColumn("dist_km", F.round("dist_km", 6))
+
+
+def q_knn_haversine_oracle(dialect: str) -> str:
+    from .operators.knn import EARTH_RADIUS_KM
+    hav = (f"2 * {EARTH_RADIUS_KM} * asin(sqrt("
+           "pow(sin(radians(q.lat - p.lat) / 2), 2) + "
+           "cos(radians(q.lat)) * cos(radians(p.lat)) * "
+           "pow(sin(radians(q.lon - p.lon) / 2), 2)))")
+    return f"""
+WITH {geotagged_events_cte(dialect)},
+q AS (SELECT * FROM pts WHERE id % {KNN_HAV_MOD} = 0),
+pairs AS (
+  SELECT q.id AS query_id, p.id AS neighbor_id, {hav} AS dist_km
+  FROM q JOIN pts p ON q.id <> p.id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dist_km,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist_km ASC, neighbor_id ASC) AS rank
+  FROM pairs WHERE dist_km <= {KNN_HAV_RADIUS_KM!r}
+)
+SELECT query_id, neighbor_id, ROUND(dist_km, 6) AS dist_km,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {KNN_HAV_K}
+"""
+
+
 def salted_tiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E9: salted two-phase tile counts — same result as a plain groupBy
     (the oracle), robust to hot-cell skew."""
@@ -656,6 +699,8 @@ def build_registry():
     oracles["grid_spatial_join"] = q_grid_spatial_join_oracle(DUCK)
     queries["knn_events"] = knn_events_spark
     oracles["knn_events"] = q_knn_events_oracle(DUCK)
+    queries["knn_events_haversine"] = knn_haversine_spark
+    oracles["knn_events_haversine"] = q_knn_haversine_oracle(DUCK)
     queries["salted_tile_counts"] = salted_tiles_spark
     oracles["salted_tile_counts"] = q_salted_tiles_oracle(DUCK)
     queries["bucketed_join_rollup"] = bucketed_join_spark

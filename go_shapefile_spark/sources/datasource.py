@@ -54,6 +54,11 @@ class ShapefileDataSource(DataSource):
         return "shapefile"
 
     def _plan(self) -> sf.ShapefilePlan:
+        # Spark calls schema() and reader() separately — cache the header
+        # pre-pass so a zip bundle isn't re-read/decompressed per call
+        cached = getattr(self, "_cached_plan", None)
+        if cached is not None:
+            return cached
         path = self.options.get("path")
         if not path:
             raise ValueError("shapefile source requires option 'path'")
@@ -62,8 +67,9 @@ class ShapefileDataSource(DataSource):
             opts.setdefault("dbf", {})["charset"] = self.options["charset"]
         if str(self.options.get("skip_broken_fields", "")).lower() == "true":
             opts.setdefault("dbf", {})["skip_broken_fields"] = True
-        return sf.plan_shapefile(path, opts or None,
-                                 self.options.get("basename"))
+        self._cached_plan = sf.plan_shapefile(path, opts or None,
+                                              self.options.get("basename"))
+        return self._cached_plan
 
     def schema(self):
         return sf.features_schema(self._plan())

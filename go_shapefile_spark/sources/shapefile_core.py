@@ -822,12 +822,17 @@ def _decode_column_fast(sub: np.ndarray, f: DBFField, decoder: str) -> np.ndarra
             years = d[:, 0] * 1000 + d[:, 1] * 100 + d[:, 2] * 10 + d[:, 3]
             months = d[:, 4] * 10 + d[:, 5]
             days = d[:, 6] * 10 + d[:, 7]
-            if ((years < 1) | (years > 9998)).any():
-                raise _FallbackDecode  # outside datetime.date after rollover
             # Go time.Date normalization, fully vectorized: months roll
             # into years, then day offsets roll across month boundaries
             ym = years * 12 + (months - 1) - 1970 * 12
             d64 = ym.astype("M8[M]").astype("M8[D]") + (days - 1).astype("m8[D]")
+            # datetime.date covers years 1..9999; rolled-over dates outside
+            # it must go through the per-value parser (which raises the
+            # module's ShapefileError) — datetime64.tolist() would silently
+            # return raw ints for them
+            if ((d64 < np.datetime64("0001-01-01")) |
+                    (d64 > np.datetime64("9999-12-31"))).any():
+                raise _FallbackDecode
             # date objects only for the distinct days (dates repeat heavily)
             uniq, inv = np.unique(d64, return_inverse=True)
             out[:] = np.array(uniq.tolist(), dtype=object)[inv]
@@ -963,19 +968,21 @@ def parse_dbf_native_columns(
         except _FallbackDecode:
             col_live = _decode_column_slow(sub, f, decoder, skip_broken_fields)
         if want_int or want_float:
-            col_live = _coerce_numeric_objects(col_live, f, want_int)
+            col_live = _coerce_numeric_objects(col_live, f, want_int,
+                                               skip_broken_fields)
         full = np.empty(total, dtype=object)
         full[live] = col_live
         out.append(("object", full, None))
     return out, deleted
 
 
-def _coerce_numeric_objects(col: np.ndarray, f: DBFField,
-                            want_int: bool) -> np.ndarray:
+def _coerce_numeric_objects(col: np.ndarray, f: DBFField, want_int: bool,
+                            skip_broken_fields: bool = False) -> np.ndarray:
     """Reference-typed N/F objects → the declared column type.  A float
     landing in a zero-decimal column must be integral — truncation would
     silently corrupt data (a fractional value under decimals=0 is a
-    malformed file)."""
+    malformed file); under skip_broken_fields the cell nulls out like
+    every other per-value defect."""
     out = np.empty(len(col), dtype=object)
     for i, v in enumerate(col):
         if v is None:
@@ -983,6 +990,9 @@ def _coerce_numeric_objects(col: np.ndarray, f: DBFField,
         elif want_int:
             if isinstance(v, float):
                 if v != int(v):
+                    if skip_broken_fields:
+                        out[i] = None
+                        continue
                     raise ShapefileError(
                         f"field {f.name}: {v}: fractional value in "
                         f"zero-decimal numeric field")

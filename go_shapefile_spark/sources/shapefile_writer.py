@@ -54,7 +54,8 @@ def write_points(basename: str, xs: np.ndarray, ys: np.ndarray,
         f.write(_shx_header(1, 100 + 8 * n, bbox) + shx_rec.tobytes())
 
     if fields is not None:
-        write_dbf(basename + ".dbf", fields, rows or [[] for _ in range(n)])
+        write_dbf(basename + ".dbf", fields,
+                  rows or [[None] * len(fields) for _ in range(n)])
 
 
 def write_polygons(basename: str, polygons: list[dict],
@@ -88,7 +89,8 @@ def write_polygons(basename: str, polygons: list[dict],
     with open(basename + ".shx", "wb") as f:
         f.write(_shx_header(5, 100 + len(shx), bbox) + shx)
     if fields is not None:
-        write_dbf(basename + ".dbf", fields, rows or [[] for _ in polygons])
+        write_dbf(basename + ".dbf", fields,
+                  rows or [[None] * len(fields) for _ in polygons])
 
 
 def write_dbf(path: str, fields: list[tuple],
@@ -119,6 +121,9 @@ def write_dbf(path: str, fields: list[tuple],
         out.append(bytes(d))
     out.append(b"\x0d")
     for row in rows:
+        if len(row) != len(specs):
+            raise ValueError(
+                f"row has {len(row)} values for {len(specs)} fields")
         rec = b" "
         for (name, ftype, length, decimals), val in zip(specs, row):
             if val is None:

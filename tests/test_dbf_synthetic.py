@@ -112,3 +112,65 @@ def test_spark_source_full_type_matrix(spark, tmp_path):
     assert rows[4].ACTIVE is False
     assert str(rows[1].BORN) == "1999-12-31"
     assert rows[1].geometry.coords == [10.0, 20.0]
+
+
+def test_d_field_rollover_out_of_date_range_raises_cleanly():
+    """A D value whose Go-style rollover lands outside datetime.date's
+    year range must raise ShapefileError through BOTH decode paths —
+    never leak raw epoch-day ints into the column (r2 review finding)."""
+    import struct
+
+    import pytest
+
+    from go_shapefile_spark.sources import shapefile_core as core
+
+    hdr = bytearray(32)
+    hdr[0] = 3
+    hdr[1:4] = bytes([120, 1, 15])
+    struct.pack_into("<I", hdr, 4, 1)
+    struct.pack_into("<H", hdr, 8, 32 + 32 + 1)
+    struct.pack_into("<H", hdr, 10, 9)
+    desc = bytearray(32)
+    desc[:2] = b"DT"
+    desc[11] = ord("D")
+    desc[16] = 8
+    data = bytes(hdr) + bytes(desc) + b"\x0d" + b" 99989901" + b"\x1a"
+    with pytest.raises(core.ShapefileError, match="unrepresentable date"):
+        core.parse_dbf(data)
+    hdr2, flds, pos = core.parse_dbf_fields(data)
+    with pytest.raises(core.ShapefileError, match="unrepresentable date"):
+        core.parse_dbf_native_columns(data, hdr2, flds, pos, [0])
+    # skip mode nulls the cell instead
+    cols, _ = core.parse_dbf_native_columns(data, hdr2, flds, pos, [0],
+                                            skip_broken_fields=True)
+    assert cols[0][1][0] is None
+
+
+def test_fractional_zero_decimal_skip_mode():
+    """decimals=0 N column holding '1.5': hard error without skip,
+    null cell with skip_broken_fields (r2 review finding)."""
+    import struct
+
+    import pytest
+
+    from go_shapefile_spark.sources import shapefile_core as core
+
+    hdr = bytearray(32)
+    hdr[0] = 3
+    hdr[1:4] = bytes([120, 1, 15])
+    struct.pack_into("<I", hdr, 4, 1)
+    struct.pack_into("<H", hdr, 8, 32 + 32 + 1)
+    struct.pack_into("<H", hdr, 10, 7)
+    desc = bytearray(32)
+    desc[:1] = b"V"
+    desc[11] = ord("N")
+    desc[16] = 6
+    data = bytes(hdr) + bytes(desc) + b"\x0d" + b"    1.5" + b"\x1a"
+    hdr2, flds, pos = core.parse_dbf_fields(data)
+    with pytest.raises(core.ShapefileError, match="fractional value"):
+        core.parse_dbf_native_columns(data, hdr2, flds, pos, [0])
+    cols, _ = core.parse_dbf_native_columns(data, hdr2, flds, pos, [0],
+                                            skip_broken_fields=True)
+    assert cols[0][1][0] is None
+    # the reference-typed API still returns the float (per-value typing)
+    assert core.parse_dbf(data).records[0] == [1.5]

@@ -239,3 +239,46 @@ def test_knn_haversine_matches_numpy_oracle(spark):
         got[["query_id", "neighbor_id", "rank"]].astype("int64"),
         exp[["query_id", "neighbor_id", "rank"]].astype("int64"))
     np.testing.assert_allclose(got["dist_km"], exp["dist_km"], rtol=1e-9)
+
+
+def test_knn_haversine_polar_cap_exact(spark):
+    """Queries above max_abs_lat take the polar-cap path and still get
+    exact results (r2 review finding: the ring cannot cover a disk that
+    wraps every longitude near the pole)."""
+    from go_shapefile_spark.operators.knn import (
+        EARTH_RADIUS_KM, knn_radius_haversine)
+
+    rng = np.random.default_rng(7)
+    n = 400
+    pts = pd.DataFrame({
+        "id": np.arange(n),
+        "lon": rng.uniform(-180, 180, n),
+        # half the points clustered near the north pole
+        "lat": np.concatenate([rng.uniform(80, 90, n // 2),
+                               rng.uniform(-60, 60, n - n // 2)]),
+    })
+    df = spark.createDataFrame(pts)
+    queries = df.where("lat > 86")   # all in the cap
+    k, radius_km = 3, 700.0
+    got = (knn_radius_haversine(df, queries, k=k, radius_km=radius_km)
+           .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+    lon = np.radians(pts["lon"].to_numpy())
+    lat = np.radians(pts["lat"].to_numpy())
+    exp_rows = []
+    for i in pts.index[pts["lat"] > 86]:
+        d = 2 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(
+            np.sin((lat[i] - lat) / 2) ** 2 +
+            np.cos(lat[i]) * np.cos(lat) * np.sin((lon[i] - lon) / 2) ** 2))
+        d[i] = np.inf
+        order = np.lexsort((pts["id"].to_numpy(), d))
+        taken = [(int(pts["id"].iloc[j]), d[j]) for j in order
+                 if d[j] <= radius_km][:k]
+        for r, (nid, dk) in enumerate(taken):
+            exp_rows.append((int(pts["id"].iloc[i]), nid, r + 1))
+    exp = pd.DataFrame(exp_rows, columns=["query_id", "neighbor_id", "rank"]) \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(exp) > 0 and len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "neighbor_id", "rank"]].astype("int64"),
+        exp.astype("int64"))
