@@ -254,6 +254,29 @@ def main() -> None:
     dbf_native, dbf_rowloop = bench_dbf_decode(cache_root)
     query_secs["shapefile_parse_dbf_records_per_s"] = round(dbf_native, 1)
     query_secs["shapefile_parse_dbf_rowloop_per_s"] = round(dbf_rowloop, 1)
+    # polygon corpus scan (vectorized ring-winding kernel + Arrow emit)
+    polys_base = os.path.join(cache_root, "bigpolys")
+    if not os.path.exists(polys_base + ".shp"):
+        import numpy as np
+
+        from go_shapefile_spark.sources.shapefile_writer import write_polygons
+        rng = np.random.default_rng(12)
+        n_poly = 200_000
+        cx = rng.uniform(-170, 170, n_poly)
+        cy = rng.uniform(-80, 80, n_poly)
+        w_ = rng.uniform(0.01, 0.5, n_poly)
+        h_ = rng.uniform(0.01, 0.5, n_poly)
+        write_polygons(polys_base, [
+            {"coords": [cx[i]-w_[i], cy[i]-h_[i], cx[i]-w_[i], cy[i]+h_[i],
+                        cx[i]+w_[i], cy[i]+h_[i], cx[i]+w_[i], cy[i]-h_[i],
+                        cx[i]-w_[i], cy[i]-h_[i]], "ends": [10]}
+            for i in range(n_poly)])
+    pol = read_shapefile_df(spark, polys_base, target_records_per_split=20_000)
+    pol.count()
+    t0 = time.monotonic()
+    n = pol.count()
+    dt = time.monotonic() - t0
+    query_secs["shapefile_parse_polygons_per_s"] = round(n / dt, 1)
     # invariant job (E13) timed over the full-bytes image table
     from go_shapefile_spark.sources.images import check_invariants
     t0 = time.monotonic()

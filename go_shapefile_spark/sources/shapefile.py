@@ -496,6 +496,101 @@ def _parse_points_vectorized(buf: bytes, rel_offsets: np.ndarray,
     return arr["ords"]
 
 
+def _arrow_split_batch(plan: ShapefilePlan, fid_start: int, fid_end: int,
+                       arrow_schema, attr_mask_fn=None):
+    """One split → one Arrow RecordBatch, columnar end to end when the
+    vectorized polygon kernel applies.
+
+    The per-row cost of the features scan is NOT parsing but building a
+    Python dict per geometry for Arrow conversion; this path builds the
+    geometry/bbox struct columns directly as Arrow ListArrays over the
+    kernel's flat buffers — zero per-record Python for XY polygon
+    corpora.  Anything the kernel declines falls back to the pandas path
+    (same rows, same schema)."""
+    import pyarrow as pa
+
+    vec = None
+    if (not plan.is_zip and plan.has_shp and plan.shx_offsets is not None
+            and plan.shape_type == core.SHAPE_TYPE_POLYGON
+            and attr_mask_fn is None):
+        offs = plan.shx_offsets[fid_start - 1:fid_end - 1]
+        lens = plan.shx_lengths[fid_start - 1:fid_end - 1]
+        if len(offs):
+            start = int(offs[0])
+            end = int(offs[-1]) + 8 + int(lens[-1])
+            buf = fsio.read_bytes(f"{plan.path}.shp", start, end - start)
+            vec = core.parse_polygons_vectorized(
+                buf, offs - start, np.arange(fid_start, fid_end),
+                plan.shp_options)
+    if vec is None:
+        pdf = _parse_split(plan, fid_start, fid_end,
+                           attr_mask_fn=attr_mask_fn)
+        return pa.RecordBatch.from_pandas(pdf, schema=arrow_schema,
+                                          preserve_index=False)
+
+    n = vec["n"]
+    arrays = []
+    # --- attribute columns ---------------------------------------------
+    dbf_cols = deleted = None
+    if plan.dbf_record_size and plan.has_dbf:
+        fields = [core.DBFField(n_, t, l, 0, 0) for n_, t, l, d in plan.dbf_fields]
+        decimals = [d for n_, t, l, d in plan.dbf_fields]
+        hdr = core.DBFHeader(3, None, plan.n_records, 0, plan.dbf_record_size)  # type: ignore[arg-type]
+        dstart = plan.dbf_header_size + (fid_start - 1) * plan.dbf_record_size
+        dbuf = fsio.read_bytes(f"{plan.path}.dbf", dstart,
+                               n * plan.dbf_record_size)
+        dbf_cols, deleted = core.parse_dbf_native_columns(
+            dbuf, hdr, fields, 0, decimals, charset=plan.charset,
+            skip_broken_fields=(plan.dbf_options or {}).get(
+                "skip_broken_fields", False),
+            first_record=0, num_records=n)
+        if len(deleted) != n:
+            raise core.ShapefileError("inconsistent number of records")
+    arrays.append(pa.array(np.arange(fid_start, fid_start + n), pa.int64()))
+    arrays.append(pa.array(deleted if deleted is not None
+                           else np.zeros(n, dtype=bool)))
+    for j, (name, ftype, length, decs) in enumerate(plan.dbf_fields):
+        if dbf_cols is None:
+            arrays.append(pa.nulls(n, arrow_schema.field(name).type))
+            continue
+        kind, vals, mask = dbf_cols[j]
+        if kind == "int":
+            arrays.append(pa.array(vals, mask=mask))
+        elif kind == "float":
+            arrays.append(pa.array(vals, from_pandas=True))  # NaN → null
+        else:
+            arrays.append(pa.array(vals.tolist(),
+                                   type=arrow_schema.field(name).type))
+    # --- geometry struct --------------------------------------------------
+    arrays.append(pa.array(np.full(n, core.SHAPE_TYPE_POLYGON, np.int32)))
+    coord_counts = 2 * vec["num_points"]
+    coord_offs = np.concatenate(([0], np.cumsum(coord_counts))).astype("int32")
+    coords_arr = pa.ListArray.from_arrays(
+        pa.array(coord_offs), pa.array(vec["coords"], pa.float64()))
+    ends_offs = np.concatenate(([0], np.cumsum(vec["num_parts"]))).astype("int32")
+    ends_arr = pa.ListArray.from_arrays(
+        pa.array(ends_offs), pa.array(vec["ends_rel"].astype(np.int32)))
+    rings_offs = np.concatenate(
+        ([0], np.cumsum(vec["polys_per_rec"]))).astype("int32")
+    rings_arr = pa.ListArray.from_arrays(
+        pa.array(rings_offs), pa.array(vec["rings_flat"].astype(np.int32)))
+    layout_arr = pa.array(["XY"] * n)
+    geom_type = arrow_schema.field("geometry").type
+    arrays.append(pa.StructArray.from_arrays(
+        [layout_arr, coords_arr, ends_arr, rings_arr],
+        fields=list(geom_type)))
+    # --- bbox struct -------------------------------------------------------
+    bb = vec["bbox"]
+    nulls = pa.nulls(n, pa.float64())
+    bbox_type = arrow_schema.field("bbox").type
+    arrays.append(pa.StructArray.from_arrays(
+        [pa.array(bb[:, 0]), pa.array(bb[:, 1]),
+         pa.array(bb[:, 2]), pa.array(bb[:, 3]),
+         nulls, nulls, nulls, nulls],
+        fields=list(bbox_type)))
+    return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+
 def read_shapefile_df(spark: SparkSession, path: str, options: dict | None = None,
                       basename: str | None = None,
                       target_records_per_split: int = 100_000,
@@ -532,15 +627,19 @@ def read_shapefile_df(spark: SparkSession, path: str, options: dict | None = Non
     splits_df = spark.createDataFrame(
         [(int(a), int(b)) for a, b in bounds], "fid_start long, fid_end long")
 
-    def parse(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in iterator:
-            for a, b in zip(pdf["fid_start"], pdf["fid_end"]):
-                batch = _parse_split(plan, int(a), int(b))
-                if len(batch):
-                    yield batch
+    from pyspark.sql.pandas.types import to_arrow_schema
+    arrow_schema = to_arrow_schema(schema)
+
+    def parse(batches):
+        for rb in batches:
+            for a, b in zip(rb.column("fid_start").to_pylist(),
+                            rb.column("fid_end").to_pylist()):
+                out = _arrow_split_batch(plan, int(a), int(b), arrow_schema)
+                if out.num_rows:
+                    yield out
 
     ndf = splits_df.repartition(len(bounds), "fid_start")
-    return ndf.mapInPandas(parse, schema=schema)
+    return ndf.mapInArrow(parse, schema=schema)
 
 
 def read_shapefile_dir(spark: SparkSession, directory: str,

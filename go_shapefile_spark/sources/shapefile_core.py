@@ -385,6 +385,150 @@ def parse_shp(data: bytes, options: dict | None = None,
     return SHPData(header, records)
 
 
+def _gather_view(buf: np.ndarray, offsets: np.ndarray, nbytes: int,
+                 dtype: str) -> np.ndarray:
+    """Gather ``nbytes`` at each offset and reinterpret — the batched
+    equivalent of struct.unpack_from per record."""
+    idx = offsets[:, None] + np.arange(nbytes)
+    return np.ascontiguousarray(buf[idx]).view(dtype).ravel()
+
+
+def parse_polygons_vectorized(data: bytes, rel_offsets: np.ndarray,
+                              numbers: np.ndarray,
+                              options: dict | None = None) -> dict | None:
+    """Batch-decode XY Polygon records without per-record Python.
+
+    The per-record loop (``parse_shp_record``) costs ~10 µs/record in
+    interpreter overhead — the dominant term for a parcels-scale polygon
+    corpus.  Given the SHX byte offsets of a split, every fixed-layout
+    field of every record gathers in one numpy fancy-index; the
+    variable-length parts/points regions concatenate through index
+    arithmetic (repeat + cumsum); ring winding areas (shp.go:287-293)
+    compute globally with ``np.add.reduceat``.
+
+    Returns flat arrays the Arrow emit path builds ListArrays from, or
+    ``None`` for ANY irregularity — wrong/NULL shape type, guard-option
+    violations, content-length mismatches, bad parts, degenerate rings —
+    so the per-record reference parser (exact error text, full guard
+    semantics) takes over.  Validation here is a strict SUBSET check:
+    everything this path accepts, the reference parser would accept with
+    identical output (asserted by the parity test).
+    """
+    options = options or {}
+    n = len(rel_offsets)
+    if n == 0:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    R = rel_offsets.astype(np.int64)
+    if int(R[-1]) + 8 + 52 > len(buf):
+        return None
+    nums = _gather_view(buf, R, 4, ">u4").astype(np.int64)
+    halfs = _gather_view(buf, R + 4, 4, ">u4").astype(np.int64)
+    content = 2 * halfs
+    if not np.array_equal(nums, numbers):
+        return None
+    if (content < 4).any():
+        return None
+    mrs = options.get("max_record_size")
+    if mrs and (content > mrs).any():
+        return None
+    if ((R + 8 + content) > len(buf)).any():
+        return None
+    types = _gather_view(buf, R + 8, 4, "<u4").astype(np.int64)
+    if not (types == SHAPE_TYPE_POLYGON).all():
+        return None
+    bbox = _gather_view(buf, R + 12, 32, "<f8").reshape(n, 4)
+    num_parts = _gather_view(buf, R + 44, 4, "<u4").astype(np.int64)
+    num_points = _gather_view(buf, R + 48, 4, "<u4").astype(np.int64)
+    if (num_parts == 0).any():
+        return None
+    mp = options.get("max_parts")
+    if mp and (num_parts > mp).any():
+        return None
+    mpts = options.get("max_points")
+    if mpts and (num_points > mpts).any():
+        return None
+    expected = 4 + 32 + 4 + 4 * num_parts + 4 + 16 * num_points
+    if not np.array_equal(content, expected):
+        return None
+
+    # --- gather all parts ---------------------------------------------------
+    parts_start = R + 52
+    total_parts = int(num_parts.sum())
+    rec_of_part = np.repeat(np.arange(n), num_parts)
+    within = np.arange(total_parts) - np.repeat(
+        np.concatenate(([0], np.cumsum(num_parts)[:-1])), num_parts)
+    part_byte_idx = parts_start[rec_of_part] + 4 * within
+    parts = _gather_view(buf, part_byte_idx, 4, "<u4").astype(np.int64)
+    first_part = within == 0
+    if (parts[first_part] != 0).any():
+        return None
+    scaled = 2 * parts                       # flat-coord offsets (XY)
+    max_part = 2 * num_points[rec_of_part]
+    if (scaled > max_part).any():
+        return None
+    # per-ring flat-coord end offsets, record-relative: each part's end
+    # is the next part's start, the last part's end is 2*numPoints
+    ring_ends_rel = np.empty(total_parts, dtype=np.int64)
+    ring_ends_rel[:-1] = scaled[1:]
+    last_part = np.concatenate((first_part[1:], [True]))
+    ring_ends_rel[last_part] = 2 * num_points[rec_of_part[last_part]]
+    if ((~last_part) & (ring_ends_rel < scaled)).any():
+        return None  # decreasing parts → malformed; let the slow path rule
+
+    # --- gather all coordinates --------------------------------------------
+    coords_start = parts_start + 4 * num_parts
+    total_points = int(num_points.sum())
+    rec_of_point = np.repeat(np.arange(n), num_points)
+    pwithin = np.arange(total_points) - np.repeat(
+        np.concatenate(([0], np.cumsum(num_points)[:-1])), num_points)
+    pt_byte_idx = coords_start[rec_of_point] + 16 * pwithin
+    coords = _gather_view(buf, pt_byte_idx, 16, "<f8")  # flat interleaved xy
+
+    # --- ring winding decomposition (shp.go:261-283), batched ---------------
+    point_base = np.concatenate(([0], np.cumsum(num_points)))  # per record
+    ring_rec = rec_of_part
+    ring_start_pt = point_base[ring_rec] + scaled // 2
+    ring_end_pt = point_base[ring_rec] + ring_ends_rel // 2
+    ring_len = ring_end_pt - ring_start_pt
+    if (ring_len < 4).any():
+        return None
+    x = coords[0::2]
+    y = coords[1::2]
+    terms = (y[1:] - y[:-1]) * (x[1:] + x[:-1])
+    red = np.add.reduceat(terms, ring_start_pt)
+    # reduceat slices run to the NEXT ring start: subtract the seam term
+    # that crosses into the following ring
+    seam = np.zeros(total_parts)
+    not_last_ring = ring_end_pt < total_points
+    seam[not_last_ring] = terms[ring_end_pt[not_last_ring] - 1]
+    areas = red - seam
+    # |area| below summation noise: the winding sign is not trustworthy
+    # here (reduceat's sequential sum vs np.sum's pairwise sum can differ
+    # in the last ulp) — let the per-record parser decide those
+    if (np.abs(areas) < 1e-12).any():
+        return None
+    # CW (negative) non-first rings open a new polygon
+    new_poly = (areas < 0) & ~first_part
+    poly_start = first_part | new_poly
+    # rings per polygon: distance between consecutive polygon starts
+    poly_start_idx = np.nonzero(poly_start)[0]
+    rings_flat = np.diff(np.concatenate((poly_start_idx, [total_parts])))
+    polys_per_rec = np.zeros(n, dtype=np.int64)
+    np.add.at(polys_per_rec, ring_rec[poly_start_idx], 1)
+
+    return {
+        "n": n,
+        "num_points": num_points,
+        "num_parts": num_parts,
+        "coords": coords,                    # flat interleaved, all records
+        "ends_rel": ring_ends_rel,           # per ring, record-relative
+        "rings_flat": rings_flat.astype(np.int64),  # rings per polygon
+        "polys_per_rec": polys_per_rec,      # polygons per record
+        "bbox": bbox,                        # (n, 4) xmin ymin xmax ymax
+    }
+
+
 def parse_shp_range(data: bytes, byte_offsets: np.ndarray,
                     options: dict | None = None,
                     numbers: np.ndarray | None = None) -> list[SHPRecord]:
