@@ -277,6 +277,16 @@ def main() -> None:
     n = pol.count()
     dt = time.monotonic() - t0
     query_secs["shapefile_parse_polygons_per_s"] = round(n / dt, 1)
+    # distributed cover build over a 200k-polygon corpus (E4 at 1000x the
+    # Natural Earth polygon count; mapInPandas across tasks, no driver
+    # collect). Res 6 keeps the cover broadcastable for these small rects.
+    from go_shapefile_spark.operators.spatial_join import PreparedCover
+    t0 = time.monotonic()
+    big_cover = PreparedCover.from_features(
+        pol.select("fid", "geometry"), res=6)
+    query_secs["cover_build_200k_polygons_s"] = round(
+        time.monotonic() - t0, 3)
+    query_secs["cover_200k_broadcastable"] = bool(big_cover.broadcast)
     # invariant job (E13) timed over the full-bytes image table
     from go_shapefile_spark.sources.images import check_invariants
     t0 = time.monotonic()

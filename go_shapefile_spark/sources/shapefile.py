@@ -511,7 +511,8 @@ def _arrow_split_batch(plan: ShapefilePlan, fid_start: int, fid_end: int,
 
     vec = None
     if (not plan.is_zip and plan.has_shp and plan.shx_offsets is not None
-            and plan.shape_type == core.SHAPE_TYPE_POLYGON
+            and plan.shape_type in (core.SHAPE_TYPE_POLYGON,
+                                    core.SHAPE_TYPE_POLYLINE)
             and attr_mask_fn is None):
         offs = plan.shx_offsets[fid_start - 1:fid_end - 1]
         lens = plan.shx_lengths[fid_start - 1:fid_end - 1]
@@ -521,7 +522,7 @@ def _arrow_split_batch(plan: ShapefilePlan, fid_start: int, fid_end: int,
             buf = fsio.read_bytes(f"{plan.path}.shp", start, end - start)
             vec = core.parse_polygons_vectorized(
                 buf, offs - start, np.arange(fid_start, fid_end),
-                plan.shp_options)
+                plan.shp_options, shape_type=plan.shape_type)
     if vec is None:
         pdf = _parse_split(plan, fid_start, fid_end,
                            attr_mask_fn=attr_mask_fn)
@@ -562,7 +563,7 @@ def _arrow_split_batch(plan: ShapefilePlan, fid_start: int, fid_end: int,
             arrays.append(pa.array(vals.tolist(),
                                    type=arrow_schema.field(name).type))
     # --- geometry struct --------------------------------------------------
-    arrays.append(pa.array(np.full(n, core.SHAPE_TYPE_POLYGON, np.int32)))
+    arrays.append(pa.array(np.full(n, plan.shape_type, np.int32)))
     coord_counts = 2 * vec["num_points"]
     coord_offs = np.concatenate(([0], np.cumsum(coord_counts))).astype("int32")
     coords_arr = pa.ListArray.from_arrays(

@@ -395,8 +395,10 @@ def _gather_view(buf: np.ndarray, offsets: np.ndarray, nbytes: int,
 
 def parse_polygons_vectorized(data: bytes, rel_offsets: np.ndarray,
                               numbers: np.ndarray,
-                              options: dict | None = None) -> dict | None:
-    """Batch-decode XY Polygon records without per-record Python.
+                              options: dict | None = None,
+                              shape_type: int = SHAPE_TYPE_POLYGON) -> dict | None:
+    """Batch-decode XY Polygon (or Polyline) records without per-record
+    Python.
 
     The per-record loop (``parse_shp_record``) costs ~10 µs/record in
     interpreter overhead — the dominant term for a parcels-scale polygon
@@ -412,8 +414,12 @@ def parse_polygons_vectorized(data: bytes, rel_offsets: np.ndarray,
     so the per-record reference parser (exact error text, full guard
     semantics) takes over.  Validation here is a strict SUBSET check:
     everything this path accepts, the reference parser would accept with
-    identical output (asserted by the parity test).
+    identical output (asserted by the parity test).  Polylines skip the
+    winding pass (the reference decomposes rings for polygons only,
+    shp.go:261-283).
     """
+    if shape_type not in (SHAPE_TYPE_POLYGON, SHAPE_TYPE_POLYLINE):
+        return None
     options = options or {}
     n = len(rel_offsets)
     if n == 0:
@@ -435,7 +441,7 @@ def parse_polygons_vectorized(data: bytes, rel_offsets: np.ndarray,
     if ((R + 8 + content) > len(buf)).any():
         return None
     types = _gather_view(buf, R + 8, 4, "<u4").astype(np.int64)
-    if not (types == SHAPE_TYPE_POLYGON).all():
+    if not (types == shape_type).all():
         return None
     bbox = _gather_view(buf, R + 12, 32, "<f8").reshape(n, 4)
     num_parts = _gather_view(buf, R + 44, 4, "<u4").astype(np.int64)
@@ -486,36 +492,42 @@ def parse_polygons_vectorized(data: bytes, rel_offsets: np.ndarray,
     coords = _gather_view(buf, pt_byte_idx, 16, "<f8")  # flat interleaved xy
 
     # --- ring winding decomposition (shp.go:261-283), batched ---------------
-    point_base = np.concatenate(([0], np.cumsum(num_points)))  # per record
-    ring_rec = rec_of_part
-    ring_start_pt = point_base[ring_rec] + scaled // 2
-    ring_end_pt = point_base[ring_rec] + ring_ends_rel // 2
-    ring_len = ring_end_pt - ring_start_pt
-    if (ring_len < 4).any():
-        return None
-    x = coords[0::2]
-    y = coords[1::2]
-    terms = (y[1:] - y[:-1]) * (x[1:] + x[:-1])
-    red = np.add.reduceat(terms, ring_start_pt)
-    # reduceat slices run to the NEXT ring start: subtract the seam term
-    # that crosses into the following ring
-    seam = np.zeros(total_parts)
-    not_last_ring = ring_end_pt < total_points
-    seam[not_last_ring] = terms[ring_end_pt[not_last_ring] - 1]
-    areas = red - seam
-    # |area| below summation noise: the winding sign is not trustworthy
-    # here (reduceat's sequential sum vs np.sum's pairwise sum can differ
-    # in the last ulp) — let the per-record parser decide those
-    if (np.abs(areas) < 1e-12).any():
-        return None
-    # CW (negative) non-first rings open a new polygon
-    new_poly = (areas < 0) & ~first_part
-    poly_start = first_part | new_poly
-    # rings per polygon: distance between consecutive polygon starts
-    poly_start_idx = np.nonzero(poly_start)[0]
-    rings_flat = np.diff(np.concatenate((poly_start_idx, [total_parts])))
-    polys_per_rec = np.zeros(n, dtype=np.int64)
-    np.add.at(polys_per_rec, ring_rec[poly_start_idx], 1)
+    if shape_type == SHAPE_TYPE_POLYGON:
+        point_base = np.concatenate(([0], np.cumsum(num_points)))  # per record
+        ring_rec = rec_of_part
+        ring_start_pt = point_base[ring_rec] + scaled // 2
+        ring_end_pt = point_base[ring_rec] + ring_ends_rel // 2
+        ring_len = ring_end_pt - ring_start_pt
+        if (ring_len < 4).any():
+            return None
+        x = coords[0::2]
+        y = coords[1::2]
+        terms = (y[1:] - y[:-1]) * (x[1:] + x[:-1])
+        red = np.add.reduceat(terms, ring_start_pt)
+        # reduceat slices run to the NEXT ring start: subtract the seam
+        # term that crosses into the following ring
+        seam = np.zeros(total_parts)
+        not_last_ring = ring_end_pt < total_points
+        seam[not_last_ring] = terms[ring_end_pt[not_last_ring] - 1]
+        areas = red - seam
+        # |area| below summation noise: the winding sign is not
+        # trustworthy here (reduceat's sequential sum vs np.sum's
+        # pairwise sum can differ in the last ulp) — let the per-record
+        # parser decide those
+        if (np.abs(areas) < 1e-12).any():
+            return None
+        # CW (negative) non-first rings open a new polygon
+        new_poly = (areas < 0) & ~first_part
+        poly_start = first_part | new_poly
+        # rings per polygon: distance between consecutive polygon starts
+        poly_start_idx = np.nonzero(poly_start)[0]
+        rings_flat = np.diff(np.concatenate((poly_start_idx, [total_parts])))
+        polys_per_rec = np.zeros(n, dtype=np.int64)
+        np.add.at(polys_per_rec, ring_rec[poly_start_idx], 1)
+    else:
+        # polylines carry no ring structure (rings = [] per record)
+        rings_flat = np.empty(0, dtype=np.int64)
+        polys_per_rec = np.zeros(n, dtype=np.int64)
 
     return {
         "n": n,

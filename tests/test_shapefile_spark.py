@@ -164,3 +164,64 @@ def test_vectorized_polygon_kernel_parity(spark, tmp_path, monkeypatch):
         assert row.bbox.xmin == rec.bounds[0]
         assert row.bbox.ymax == rec.bounds[3]
         assert row.geometry.layout == "XY"
+
+
+def test_vectorized_polyline_kernel_parity(spark, tmp_path, monkeypatch):
+    """Polyline records through the batched kernel match the per-record
+    parser (no winding pass; rings stay empty)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from go_shapefile_spark.sources import shapefile_core as core
+    from go_shapefile_spark.sources.shapefile_writer import _shx_header
+
+    rng = np.random.default_rng(3)
+    recs, offs = [], []
+    pos = 100
+    lines = []
+    for i in range(30):
+        npts = int(rng.integers(2, 9))
+        parts = [0] if npts < 5 else [0, npts // 2]
+        xy = rng.uniform(-50, 50, 2 * npts)
+        lines.append((xy, [2 * p for p in parts[1:]] + [2 * npts]))
+        body = _struct.pack("<I4dII", 3, xy[0::2].min(), xy[1::2].min(),
+                            xy[0::2].max(), xy[1::2].max(), len(parts), npts)
+        body += np.asarray(parts, dtype="<u4").tobytes()
+        body += xy.astype("<f8").tobytes()
+        recs.append(_struct.pack(">II", i + 1, len(body) // 2) + body)
+        offs.append((pos // 2, len(body) // 2))
+        pos += 8 + len(body)
+    payload = b"".join(recs)
+    base = str(tmp_path / "lines")
+    bbox = (-50.0, -50.0, 50.0, 50.0)
+    with open(base + ".shp", "wb") as f:
+        f.write(_shx_header(3, 100 + len(payload), bbox) + payload)
+    shx = b"".join(_struct.pack(">II", o, l) for o, l in offs)
+    with open(base + ".shx", "wb") as f:
+        f.write(_shx_header(3, 100 + len(shx), bbox) + shx)
+
+    # kernel engages in-process
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    import go_shapefile_spark.sources.shapefile as sfmod
+    from go_shapefile_spark.sources.shapefile import (
+        _arrow_split_batch, features_schema, plan_shapefile)
+    monkeypatch.setattr(sfmod, "_parse_split",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("fell back")))
+    plan = plan_shapefile(base)
+    rb = _arrow_split_batch(plan, 1, 31,
+                            to_arrow_schema(features_schema(plan)))
+    assert rb.num_rows == 30
+    monkeypatch.undo()
+
+    ref = core.read_shapefile(base)
+    rows = read_shapefile_df(spark, base, target_records_per_split=7) \
+        .orderBy("fid").collect()
+    for i, row in enumerate(rows):
+        rec = ref.shp.records[i]
+        assert list(row.geometry.coords) == rec.coords.tolist()
+        assert list(row.geometry.ends) == [int(e) for e in rec.ends]
+        assert list(row.geometry.rings) == []
+        assert row.shape_type == 3
