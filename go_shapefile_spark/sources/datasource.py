@@ -160,16 +160,16 @@ class ShapefileReader(DataSourceReader):
         return keep
 
     def read(self, partition: _Split):
-        import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
         if partition.fid_end <= partition.fid_start:
             return
         mask_fn = self._mask if self.attr_filters else None
-        pdf = sf._parse_split(self.plan, partition.fid_start,
-                              partition.fid_end, attr_mask_fn=mask_fn)
-        if not len(pdf):
-            return
-        arrow_schema = to_arrow_schema(self.schema)
-        yield pa.RecordBatch.from_pandas(pdf, schema=arrow_schema,
-                                         preserve_index=False)
+        # columnar Arrow emit (vectorized geometry kernel) when no
+        # attribute mask is pushed; pandas fallback otherwise
+        rb = sf._arrow_split_batch(self.plan, partition.fid_start,
+                                   partition.fid_end,
+                                   to_arrow_schema(self.schema),
+                                   attr_mask_fn=mask_fn)
+        if rb.num_rows:
+            yield rb
