@@ -343,12 +343,7 @@ def _parse_split(plan: ShapefilePlan, fid_start: int, fid_end: int,
                 charset=plan.charset, skip_broken_fields=skip,
                 first_record=fid_start - 1, num_records=n)
         elif not plan.is_zip and plan.has_dbf:
-            start = plan.dbf_header_size + (fid_start - 1) * plan.dbf_record_size
-            buf = fsio.read_bytes(f"{plan.path}.dbf", start,
-                                  n * plan.dbf_record_size)
-            dbf_cols, deleted = core.parse_dbf_native_columns(
-                buf, hdr, fields, 0, decimals, charset=plan.charset,
-                skip_broken_fields=skip, first_record=0, num_records=n)
+            dbf_cols, deleted = _read_split_dbf(plan, fid_start, n)
     n_attr = len(deleted) if deleted is not None else 0
 
     # pushed-down attribute mask: evaluated before any geometry work
@@ -371,13 +366,9 @@ def _parse_split(plan: ShapefilePlan, fid_start: int, fid_end: int,
     elif not plan.is_zip and plan.has_shp:
         if plan.shx_offsets is not None:
             # SHX-driven split: range-read straight to this byte span.
-            offs = plan.shx_offsets[fid_start - 1:fid_end - 1]
-            lens = plan.shx_lengths[fid_start - 1:fid_end - 1]
-            if len(offs):
-                start = int(offs[0])
-                end = int(offs[-1]) + 8 + int(lens[-1])
-                buf = fsio.read_bytes(f"{plan.path}.shp", start, end - start)
-                rel = offs - start
+            got = _read_split_shp(plan, fid_start, fid_end)
+            if got is not None:
+                buf, rel = got
                 fast_ords = _parse_points_vectorized(
                     buf, rel, plan.shape_type, fid_start, fid_end)
                 if fast_ords is None:
@@ -496,6 +487,34 @@ def _parse_points_vectorized(buf: bytes, rel_offsets: np.ndarray,
     return arr["ords"]
 
 
+def _read_split_dbf(plan: ShapefilePlan, fid_start: int, n: int):
+    """Decode this split's DBF byte range into native columns (shared by
+    the pandas and Arrow emit paths)."""
+    fields = [core.DBFField(n_, t, l, 0, 0) for n_, t, l, d in plan.dbf_fields]
+    decimals = [d for n_, t, l, d in plan.dbf_fields]
+    hdr = core.DBFHeader(3, None, plan.n_records, 0, plan.dbf_record_size)  # type: ignore[arg-type]
+    start = plan.dbf_header_size + (fid_start - 1) * plan.dbf_record_size
+    buf = fsio.read_bytes(f"{plan.path}.dbf", start, n * plan.dbf_record_size)
+    return core.parse_dbf_native_columns(
+        buf, hdr, fields, 0, decimals, charset=plan.charset,
+        skip_broken_fields=(plan.dbf_options or {}).get(
+            "skip_broken_fields", False),
+        first_record=0, num_records=n)
+
+
+def _read_split_shp(plan: ShapefilePlan, fid_start: int,
+                    fid_end: int) -> tuple[bytes, np.ndarray] | None:
+    """One range-read of this split's .shp byte span → (buffer, relative
+    record offsets); None when the split is empty."""
+    offs = plan.shx_offsets[fid_start - 1:fid_end - 1]
+    lens = plan.shx_lengths[fid_start - 1:fid_end - 1]
+    if not len(offs):
+        return None
+    start = int(offs[0])
+    end = int(offs[-1]) + 8 + int(lens[-1])
+    return fsio.read_bytes(f"{plan.path}.shp", start, end - start), offs - start
+
+
 def _arrow_split_batch(plan: ShapefilePlan, fid_start: int, fid_end: int,
                        arrow_schema, attr_mask_fn=None):
     """One split → one Arrow RecordBatch, columnar end to end when the
@@ -509,20 +528,24 @@ def _arrow_split_batch(plan: ShapefilePlan, fid_start: int, fid_end: int,
     (same rows, same schema)."""
     import pyarrow as pa
 
+    # the columnar build is positional over the FULL features schema; a
+    # user-supplied (pruned/reordered) read schema takes the by-name
+    # pandas conversion instead
+    full_names = [f.name for f in features_schema(plan).fields]
     vec = None
     if (not plan.is_zip and plan.has_shp and plan.shx_offsets is not None
             and plan.shape_type in (core.SHAPE_TYPE_POLYGON,
                                     core.SHAPE_TYPE_POLYLINE)
-            and attr_mask_fn is None):
-        offs = plan.shx_offsets[fid_start - 1:fid_end - 1]
-        lens = plan.shx_lengths[fid_start - 1:fid_end - 1]
-        if len(offs):
-            start = int(offs[0])
-            end = int(offs[-1]) + 8 + int(lens[-1])
-            buf = fsio.read_bytes(f"{plan.path}.shp", start, end - start)
+            and attr_mask_fn is None
+            and [f.name for f in arrow_schema] == full_names):
+        got = _read_split_shp(plan, fid_start, fid_end)
+        if got is not None:
+            buf, rel = got
             vec = core.parse_polygons_vectorized(
-                buf, offs - start, np.arange(fid_start, fid_end),
+                buf, rel, np.arange(fid_start, fid_end),
                 plan.shp_options, shape_type=plan.shape_type)
+            if vec is not None and 2 * int(vec["num_points"].sum()) >= (1 << 31):
+                vec = None  # ListArray int32 offsets would overflow
     if vec is None:
         pdf = _parse_split(plan, fid_start, fid_end,
                            attr_mask_fn=attr_mask_fn)
@@ -534,17 +557,7 @@ def _arrow_split_batch(plan: ShapefilePlan, fid_start: int, fid_end: int,
     # --- attribute columns ---------------------------------------------
     dbf_cols = deleted = None
     if plan.dbf_record_size and plan.has_dbf:
-        fields = [core.DBFField(n_, t, l, 0, 0) for n_, t, l, d in plan.dbf_fields]
-        decimals = [d for n_, t, l, d in plan.dbf_fields]
-        hdr = core.DBFHeader(3, None, plan.n_records, 0, plan.dbf_record_size)  # type: ignore[arg-type]
-        dstart = plan.dbf_header_size + (fid_start - 1) * plan.dbf_record_size
-        dbuf = fsio.read_bytes(f"{plan.path}.dbf", dstart,
-                               n * plan.dbf_record_size)
-        dbf_cols, deleted = core.parse_dbf_native_columns(
-            dbuf, hdr, fields, 0, decimals, charset=plan.charset,
-            skip_broken_fields=(plan.dbf_options or {}).get(
-                "skip_broken_fields", False),
-            first_record=0, num_records=n)
+        dbf_cols, deleted = _read_split_dbf(plan, fid_start, n)
         if len(deleted) != n:
             raise core.ShapefileError("inconsistent number of records")
     arrays.append(pa.array(np.arange(fid_start, fid_start + n), pa.int64()))

@@ -386,11 +386,27 @@ def parse_shp(data: bytes, options: dict | None = None,
 
 
 def _gather_view(buf: np.ndarray, offsets: np.ndarray, nbytes: int,
-                 dtype: str) -> np.ndarray:
+                 dtype: str, chunk: int = 2_000_000) -> np.ndarray:
     """Gather ``nbytes`` at each offset and reinterpret — the batched
-    equivalent of struct.unpack_from per record."""
-    idx = offsets[:, None] + np.arange(nbytes)
-    return np.ascontiguousarray(buf[idx]).view(dtype).ravel()
+    equivalent of struct.unpack_from per record.
+
+    Index matrices are int32 (split buffers are far below 2 GiB) and the
+    gather is chunked, so transient memory stays bounded at ~chunk·nbytes
+    regardless of how many values a split holds."""
+    n = len(offsets)
+    within = np.arange(nbytes, dtype=np.int32)
+    if n <= chunk:
+        idx = offsets.astype(np.int32)[:, None] + within
+        return np.ascontiguousarray(buf[idx]).view(dtype).ravel()
+    out = np.empty(n * (nbytes // np.dtype(dtype).itemsize)
+                   if np.dtype(dtype).itemsize != nbytes else n, dtype=dtype)
+    per = nbytes // np.dtype(dtype).itemsize
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        idx = offsets[s:e].astype(np.int32)[:, None] + within
+        out[s * per:e * per] = np.ascontiguousarray(
+            buf[idx]).view(dtype).ravel()
+    return out
 
 
 def parse_polygons_vectorized(data: bytes, rel_offsets: np.ndarray,
@@ -425,8 +441,13 @@ def parse_polygons_vectorized(data: bytes, rel_offsets: np.ndarray,
     if n == 0:
         return None
     buf = np.frombuffer(data, dtype=np.uint8)
+    if len(buf) >= (1 << 31):
+        return None  # int32 gather indices; splits never get this big
     R = rel_offsets.astype(np.int64)
-    if int(R[-1]) + 8 + 52 > len(buf):
+    # offsets must be in-bounds AND monotonic (a malformed SHX otherwise
+    # sends fancy indexing out of range → the reference parser's clean
+    # "unexpected EOF" must win instead)
+    if R[0] < 0 or (np.diff(R) <= 0).any() or (R + 60 > len(buf)).any():
         return None
     nums = _gather_view(buf, R, 4, ">u4").astype(np.int64)
     halfs = _gather_view(buf, R + 4, 4, ">u4").astype(np.int64)
@@ -510,11 +531,16 @@ def parse_polygons_vectorized(data: bytes, rel_offsets: np.ndarray,
         not_last_ring = ring_end_pt < total_points
         seam[not_last_ring] = terms[ring_end_pt[not_last_ring] - 1]
         areas = red - seam
-        # |area| below summation noise: the winding sign is not
-        # trustworthy here (reduceat's sequential sum vs np.sum's
-        # pairwise sum can differ in the last ulp) — let the per-record
-        # parser decide those
-        if (np.abs(areas) < 1e-12).any():
+        # Winding-sign trust guard: reduceat (sequential) and the
+        # reference's np.sum (pairwise) can disagree by the accumulated
+        # rounding error, which scales with term magnitude and ring
+        # length — near-degenerate slivers at large coordinates flip
+        # sign.  Require |area| to clear a per-ring error bound
+        # (ring_len · 4·eps · max|term|), else defer to the reference
+        # parser.  Exactly-zero areas (reference error) also defer.
+        term_max = np.maximum.reduceat(np.abs(terms), ring_start_pt)
+        tol = ring_len * (4 * np.finfo(np.float64).eps) * term_max
+        if (np.abs(areas) <= tol).any():
             return None
         # CW (negative) non-first rings open a new polygon
         new_poly = (areas < 0) & ~first_part

@@ -179,12 +179,10 @@ def test_vectorized_polyline_kernel_parity(spark, tmp_path, monkeypatch):
     rng = np.random.default_rng(3)
     recs, offs = [], []
     pos = 100
-    lines = []
     for i in range(30):
         npts = int(rng.integers(2, 9))
         parts = [0] if npts < 5 else [0, npts // 2]
         xy = rng.uniform(-50, 50, 2 * npts)
-        lines.append((xy, [2 * p for p in parts[1:]] + [2 * npts]))
         body = _struct.pack("<I4dII", 3, xy[0::2].min(), xy[1::2].min(),
                             xy[0::2].max(), xy[1::2].max(), len(parts), npts)
         body += np.asarray(parts, dtype="<u4").tobytes()
