@@ -319,11 +319,10 @@ def main() -> None:
         import math
         results = {2: math.inf, 8: math.inf, 32: math.inf}
         for _round in range(2):
-            for cores, n_timed in ((2, 1), (8, 3)):
+            for cores, n_timed in ((2, 1), (8, 3), (32, 2)):
                 results[cores] = min(results[cores], run_at(
                     cores, points_path,
                     shuffle_parts=max(8, 2 * cores), n_timed=n_timed))
-        results[32] = run_at(32, points_path, shuffle_parts=64, n_timed=2)
 
     value = results.get(cpus, next(iter(results.values())))
     out = {
