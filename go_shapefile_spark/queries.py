@@ -251,6 +251,38 @@ SELECT query_id, neighbor_id, dist2, CAST(rank AS BIGINT) AS rank FROM ranked WH
 """
 
 
+def knn_exact_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded exact kNN gate: progressive ring expansion with the
+    res-0 terminal round (E7 exact variant) vs a cross-join oracle."""
+    from .operators.knn import knn_exact
+
+    register_tables(spark, sf_dir)
+    pts = spark.sql(f"WITH {geotagged_events_cte(SPARK)} SELECT id, lon, lat FROM pts")
+    queries = pts.where(pts.id % KNN_QUERY_MOD == 0)
+    return knn_exact(pts, queries, k=KNN_K, start_res=6)
+
+
+def q_knn_exact_oracle(dialect: str) -> str:
+    return f"""
+WITH {geotagged_events_cte(dialect)},
+q AS (SELECT * FROM pts WHERE id % {KNN_QUERY_MOD} = 0),
+pairs AS (
+  SELECT q.id AS query_id, p.id AS neighbor_id,
+         (q.lon - p.lon) * (q.lon - p.lon)
+       + (q.lat - p.lat) * (q.lat - p.lat) AS dist2
+  FROM q JOIN pts p ON q.id <> p.id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dist2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist2 ASC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, dist2, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
 KNN_HAV_K, KNN_HAV_RADIUS_KM, KNN_HAV_MOD = 5, 250.0, 71
 
 
@@ -701,6 +733,8 @@ def build_registry():
     oracles["knn_events"] = q_knn_events_oracle(DUCK)
     queries["knn_events_haversine"] = knn_haversine_spark
     oracles["knn_events_haversine"] = q_knn_haversine_oracle(DUCK)
+    queries["knn_events_exact"] = knn_exact_spark
+    oracles["knn_events_exact"] = q_knn_exact_oracle(DUCK)
     queries["salted_tile_counts"] = salted_tiles_spark
     oracles["salted_tile_counts"] = q_salted_tiles_oracle(DUCK)
     queries["bucketed_join_rollup"] = bucketed_join_spark
