@@ -34,6 +34,20 @@ def repartition_by_cell_range(df: DataFrame, n_partitions: int,
 
 def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,
                    n_buckets: int, sort_col: str | None = None) -> None:
+    """Write ``df`` as a hash-bucketed managed table, idempotently.
+
+    A managed-table location left in the warehouse dir by a *previous*
+    session makes a fresh session's ``saveAsTable`` throw
+    LOCATION_ALREADY_EXISTS — mode("overwrite") cannot help because the
+    new catalog never registered the table.  So: drop the table if the
+    catalog knows it, AND delete any orphaned location it does not.
+    """
+    from ..sources import fsio
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    fsio.rmtree(warehouse.rstrip("/") + "/" + table_name.lower())
     writer = df.write.mode("overwrite").format("parquet") \
         .bucketBy(n_buckets, bucket_col)
     if sort_col:

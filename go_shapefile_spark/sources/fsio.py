@@ -116,14 +116,37 @@ def makedirs(path: str) -> None:
     fs.create_dir(p, recursive=True)
 
 
+def rmtree(path: str) -> None:
+    """Recursively delete a file or directory; no-op when absent.
+
+    Accepts ``file:`` / ``file://`` URIs as well as bare paths (Spark's
+    ``spark.sql.warehouse.dir`` reports managed-table locations as
+    ``file:/...`` URIs).
+    """
+    if path.startswith("file:") and "://" not in path:
+        path = "/" + path[5:].lstrip("/")
+    fs, p = resolve(path)
+    t = fs.get_file_info(p).type
+    if t == pafs.FileType.Directory:
+        fs.delete_dir(p)
+    elif t == pafs.FileType.File:
+        fs.delete_file(p)
+
+
 def list_files(directory: str) -> list[str]:
     """Non-recursive file listing; returns full paths/URIs."""
     fs, p = resolve(directory)
     sel = pafs.FileSelector(p, allow_not_found=True)
     prefix = ""
     if "://" in directory:
-        scheme = directory.split("://", 1)[0]
-        prefix = f"{scheme}://"
+        # Preserve scheme AND authority (hdfs://host:8020/dir must not
+        # come back as hdfs:///dir): the fs-local path is a suffix of the
+        # original URI, so everything before it is the stable prefix.
+        base = directory.rstrip("/") or directory
+        if p and base.endswith(p):
+            prefix = base[: len(base) - len(p)]
+        else:
+            prefix = directory.split("://", 1)[0] + "://"
     out = []
     for i in fs.get_file_info(sel):
         if i.type == pafs.FileType.File:
