@@ -149,6 +149,32 @@ def cell_sql(lon: str, lat: str, res: int) -> str:
     return f"(CAST({res} AS BIGINT) * {1 << _RES_SHIFT} + ({sx} | ({sy} * 2)))"
 
 
+def _compact_sql(x: str) -> str:
+    """Morton bit-compact (inverse of ``_spread_sql``) using DIV-by-2^k.
+
+    Spark-SQL dialect (``DIV`` integer division) — used by JVM-side cell
+    decoding (e.g. distributed rasterize); oracles never need to decode.
+    All intermediate values are non-negative, so DIV == arithmetic shift.
+    """
+    e = f"(({x}) & {_M5})"
+    e = f"((({e}) | (({e}) DIV 2)) & {_M4})"
+    e = f"((({e}) | (({e}) DIV 4)) & {_M3})"
+    e = f"((({e}) | (({e}) DIV 16)) & {_M2})"
+    e = f"((({e}) | (({e}) DIV 256)) & {_M1})"
+    e = f"((({e}) | (({e}) DIV 65536)) & 4294967295)"
+    return e
+
+
+def cell_ix_sql(cell: str) -> str:
+    """cell id → grid ix (Spark SQL; bit-identical to cell_decode_np)."""
+    return _compact_sql(f"(({cell}) & {(1 << _RES_SHIFT) - 1})")
+
+
+def cell_iy_sql(cell: str) -> str:
+    """cell id → grid iy (Spark SQL; bit-identical to cell_decode_np)."""
+    return _compact_sql(f"((({cell}) & {(1 << _RES_SHIFT) - 1}) DIV 2)")
+
+
 def cell_xy_sql(lon: str, lat: str, res: int) -> str:
     """Simpler row-major packed id (iy·2^r + ix) for oracle queries that
     want a human-readable tile id; same float semantics as cell_sql."""

@@ -36,55 +36,109 @@ def tile_counts(points: DataFrame, res: int, lon_col: str = "lon",
             .groupBy("cell").agg(*aggs))
 
 
+def rasterize_cover(cover: DataFrame, res: int, tile_px: int = 16,
+                    n_tasks: int = 32) -> DataFrame:
+    """Vector→raster over a cell-cover DataFrame (COVER_SCHEMA): emits
+    (cell, fid, px, py) rows for occupied pixels — **entirely JVM** after
+    the cover build, no polygon broadcast, no driver state (VERDICT r2 #2).
+
+    * full cells explode the whole T×T block (Generate node, no geometry);
+    * partial cells explode pixel centers and filter with the SAME
+      clipped-edge crossing-parity predicate the spatial join uses — a
+      pixel center lies inside its cell, so the cover's clipped edges are
+      sufficient for an exact PIP against the full polygon;
+    * cells with more clipped edges than the unroll width fall back to
+      the interpreted aggregate() form (rare boundary-dense tiles).
+    """
+    from .spatial_join import (
+        UNROLL_K, _crossing_filter_sql, _crossing_filter_unrolled_sql,
+    )
+
+    t = tile_px
+    n = 1 << res
+    w, h = 360.0 / n, 180.0 / n
+    # cell → SW corner, bit-identical to the numpy twin (cell_bounds_np)
+    lon0 = (f"(CAST(-180.0 AS DOUBLE) + CAST({C.cell_ix_sql('cell')} "
+            f"AS DOUBLE) * CAST({w!r} AS DOUBLE))")
+    lat0 = (f"(CAST(-90.0 AS DOUBLE) + CAST({C.cell_iy_sql('cell')} "
+            f"AS DOUBLE) * CAST({h!r} AS DOUBLE))")
+
+    def pixels(df: DataFrame) -> DataFrame:
+        # same FP evaluation order as the reference numpy rasterizer:
+        # cx = lon0 + (px + 0.5) * (lon1 - lon0) / t
+        return (df
+                .withColumn("pidx", F.explode(F.sequence(
+                    F.lit(0), F.lit(t * t - 1))))
+                .withColumn("px", (F.col("pidx") % t).cast("int"))
+                .withColumn("py", F.expr(f"CAST(pidx DIV {t} AS INT)"))
+                .withColumn("lon0", F.expr(lon0))
+                .withColumn("lat0", F.expr(lat0))
+                .withColumn("cx", F.expr(
+                    f"lon0 + (px + CAST(0.5 AS DOUBLE)) * "
+                    f"((lon0 + CAST({w!r} AS DOUBLE)) - lon0) / "
+                    f"CAST({t} AS DOUBLE)"))
+                .withColumn("cy", F.expr(
+                    f"lat0 + (py + CAST(0.5 AS DOUBLE)) * "
+                    f"((lat0 + CAST({h!r} AS DOUBLE)) - lat0) / "
+                    f"CAST({t} AS DOUBLE)")))
+
+    out_cols = [F.col("cell"), F.col("polygon_fid").alias("fid"),
+                F.col("px"), F.col("py")]
+    # spread tiles across tasks: cover rows are tiny, the exploded pixel
+    # rows are the real volume
+    cover = cover.repartition(n_tasks, "cell")
+
+    full = pixels(cover.where("full")).select(*out_cols)
+
+    n_edges = F.size("edges")
+    part_n = cover.where(~F.col("full") & (n_edges <= UNROLL_K))
+    ecols = []
+    for j in range(UNROLL_K):
+        e = F.try_element_at("edges", F.lit(j + 1))
+        for c, x in enumerate(("ax", "ay", "bx", "by")):
+            ecols.append(F.try_element_at(e, F.lit(c + 1)).alias(f"e{j}_{x}"))
+    narrow = (pixels(part_n.select("cell", "polygon_fid", "rx", "ry",
+                                   "ref_inside", *ecols))
+              .where(F.expr(_crossing_filter_unrolled_sql("cx", "cy",
+                                                          UNROLL_K)))
+              .select(*out_cols))
+
+    part_w = cover.where(~F.col("full") & (n_edges > UNROLL_K))
+    wide = (pixels(part_w)
+            .where(F.expr(_crossing_filter_sql("cx", "cy")))
+            .select(*out_cols))
+
+    return full.unionByName(narrow).unionByName(wide)
+
+
+def rasterize_features(features: DataFrame, res: int,
+                       tile_px: int = 16) -> DataFrame:
+    """Vector→raster from a (fid, geometry) features DataFrame: the cover
+    is built DISTRIBUTED (cell_cover_df — each task covers its share of
+    the polygon corpus), then rasterized JVM-side.  Nothing about the
+    polygon corpus ever lands on the driver, so this is the 100×-polygons
+    path for E8."""
+    from .spatial_join import cell_cover_df
+
+    return rasterize_cover(cell_cover_df(features, res), res, tile_px)
+
+
 def rasterize_polygons(spark: SparkSession, polygons: list[dict], res: int,
                        tile_px: int = 16) -> DataFrame:
-    """Vector→raster: (cell, fid, px, py) rows for occupied pixels.
-
-    Cover classification reuses the spatial-join machinery: full tiles
-    emit the whole T×T block without geometry work.
-    """
-    from .spatial_join import polygon_cell_cover
-
-    cover_pdf = polygon_cell_cover(polygons, res)
-    cover = spark.createDataFrame(cover_pdf)
-    poly_bc = spark.sparkContext.broadcast(
-        {p["fid"]: (p["coords"], np.asarray(p["ends"], dtype=np.int64))
-         for p in polygons})
-
-    def rasterize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        polys = poly_bc.value
-        t = tile_px
-        gx, gy = np.meshgrid(np.arange(t), np.arange(t))
-        gx, gy = gx.ravel(), gy.ravel()
-        for pdf in batches:
-            out_cell, out_fid, out_px, out_py = [], [], [], []
-            for row in pdf.itertuples(index=False):
-                lon0, lat0, lon1, lat1 = (float(v[0]) for v in
-                                          C.cell_bounds_np(np.array([row.cell])))
-                if row.full:
-                    px, py = gx, gy
-                else:
-                    cx = lon0 + (gx + 0.5) * (lon1 - lon0) / t
-                    cy = lat0 + (gy + 0.5) * (lat1 - lat0) / t
-                    coords, ends = polys[int(row.fid)]
-                    inside = G.point_in_polygon_chunked(cx, cy, coords, ends)
-                    px, py = gx[inside], gy[inside]
-                out_cell.append(np.full(len(px), row.cell, dtype=np.int64))
-                out_fid.append(np.full(len(px), row.fid, dtype=np.int64))
-                out_px.append(px.astype(np.int32))
-                out_py.append(py.astype(np.int32))
-            if out_cell:
-                yield pd.DataFrame({
-                    "cell": np.concatenate(out_cell),
-                    "fid": np.concatenate(out_fid),
-                    "px": np.concatenate(out_px),
-                    "py": np.concatenate(out_py)})
-
-    # repartition so tiles spread across tasks (cover rows are tiny; the
-    # emitted pixel rows are the real volume)
-    n_parts = max(8, cover.rdd.getNumPartitions())
-    return cover.repartition(n_parts, "cell").mapInPandas(
-        rasterize, schema="cell long, fid long, px int, py int")
+    """Vector→raster from in-memory polygon dicts (test/gate convenience):
+    wraps the dicts as a features DataFrame and runs the same distributed
+    path as ``rasterize_features``."""
+    pdf = pd.DataFrame({
+        "fid": [int(p["fid"]) for p in polygons],
+        "geometry": [{"layout": "XY",
+                      "coords": list(map(float, p["coords"])),
+                      "ends": [int(e) for e in p["ends"]]}
+                     for p in polygons],
+    })
+    feats = spark.createDataFrame(
+        pdf, schema="fid long, geometry struct<layout:string,"
+                    "coords:array<double>,ends:array<int>>")
+    return rasterize_features(feats, res, tile_px)
 
 
 def vectorize_raster(raster: DataFrame, tile_px: int = 16) -> DataFrame:

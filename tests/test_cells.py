@@ -27,6 +27,21 @@ def test_roundtrip_decode():
         assert ((lat >= lat0) & (lat <= lat1)).all()
 
 
+def test_sql_decode_matches_numpy(spark):
+    """cell_ix_sql/cell_iy_sql (Spark) must be bit-identical to
+    cell_decode_np — the distributed rasterizer depends on it."""
+    lon, lat = _rand_lonlat(2000, seed=11)
+    for res in (0, 4, 9, 26):
+        cell = C.cell_np(lon, lat, res)
+        _, ex, ey = C.cell_decode_np(cell)
+        got = (spark.createDataFrame(pd.DataFrame({"cell": cell}))
+               .selectExpr(f"{C.cell_ix_sql('cell')} AS ix",
+                           f"{C.cell_iy_sql('cell')} AS iy")
+               .toPandas())
+        np.testing.assert_array_equal(got["ix"].to_numpy(), ex)
+        np.testing.assert_array_equal(got["iy"].to_numpy(), ey)
+
+
 def test_z_order_locality():
     # adjacent cells at the same resolution share id prefixes: the morton
     # code of a 2x2 block differs only in the low 2 bits
