@@ -785,13 +785,31 @@ def build_registry():
         queries["shapefile_countries_summary"] = shapefile_countries_spark
         oracles["shapefile_countries_summary"] = shapefile_countries_oracle()
 
-    # Approximate ANN: no SQL oracle (recall measured in pytest against
-    # the exact cosine_topk baseline) → rows-only check.
-    def ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Approximate ANN, oracle-gated on its recall contract (VERDICT r2
+    # #3, image_invariants pattern): Spark runs the LSH top-k AND the
+    # exact top-k, computes recall@k in-plan, and the oracle pins
+    # (n_queries from the table, recall_pass = 1).  A recall regression
+    # or a query that silently drops out flips the gate red.
+    def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
         register_tables(spark, sf_dir)
         emb = spark.table("embeddings")
-        dim = len(emb.select("embedding").first()[0])
-        return SIM.lsh_ann_topk(emb, dim=dim)
-    queries["ann_lsh_topk"] = ann
+        ann = SIM.lsh_ann_topk(emb)   # dim discovered worker-side
+        exact = spark.sql(SIM.cosine_topk_sql(SPARK)) \
+            .select("query_id", "neighbor_id")
+        hits = exact.join(ann.select("query_id", "neighbor_id"),
+                          ["query_id", "neighbor_id"], "left_semi")
+        n_queries = emb.where(F.col("vec_id") % 50 == 0).count()
+        n_exact = exact.count()
+        recall = (hits.count() / n_exact) if n_exact else 1.0
+        return spark.createDataFrame(
+            [(n_queries, int(recall >= 0.7))],
+            schema="n_queries long, recall_pass long")
+    queries["ann_recall"] = ann_recall
+    oracles["ann_recall"] = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_pass
+FROM embeddings WHERE vec_id % 50 = 0
+"""
 
     return queries, oracles

@@ -19,8 +19,8 @@ def test_registry_shape():
     # every oracle key has a query; rows-only queries are the only
     # entries allowed to lack an oracle
     assert set(oracles) <= set(qs)
-    missing = set(qs) - set(oracles)
-    assert missing <= {"ann_lsh_topk"}
+    # every query is oracle-gated (ann recall got its oracle in r3)
+    assert set(qs) == set(oracles)
     for sql in oracles.values():
         assert "SELECT" in sql.upper()
 
