@@ -84,6 +84,9 @@ class ShapefileDataSource(DataSource):
 _CMP = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
 
 
+_BBOX_COL = {"xmin": 0, "ymin": 1, "xmax": 2, "ymax": 3}
+
+
 class ShapefileReader(DataSourceReader):
     def __init__(self, plan: sf.ShapefilePlan, schema, records_per_split: int):
         self.plan = plan
@@ -94,17 +97,29 @@ class ShapefileReader(DataSourceReader):
         self.fid_lo, self.fid_hi = 1, n + 1
         self.attr_filters: list[Filter] = []
         self._attr_cols = {name for name, *_ in plan.dbf_fields} | {"deleted"}
+        # bbox predicates are testable before decode only on the SHX
+        # range-read path (zip members decompress whole anyway)
+        self.bbox_filters: list[tuple[Filter, float]] = []
+        self._bbox_ok = (not plan.is_zip and plan.shx_offsets is not None
+                         and plan.has_shp)
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Accept fid-range predicates (exact partition pruning) and
-        scalar comparisons/null-tests on attribute columns (exact
-        row-level masks applied before geometry decode).  Everything
-        else is yielded back for Spark to evaluate."""
+        """Accept fid-range predicates (exact partition pruning), scalar
+        comparisons/null-tests on attribute columns (exact row-level
+        masks applied before geometry decode), and comparisons on
+        ``bbox.xmin/ymin/xmax/ymax`` (tested against the record-header
+        bounds BEFORE geometry decode; the file-header bbox prunes whole
+        scans — reference shxheader.go:53-102, shp.go:176-190).
+        Everything else is yielded back for Spark to evaluate."""
         for f in filters:
             attr = getattr(f, "attribute", None)
             col = attr[0] if attr and len(attr) == 1 else None
             if col == "fid" and isinstance(f, _CMP):
-                v = int(f.value)
+                try:
+                    v = int(f.value)
+                except (TypeError, ValueError):
+                    yield f   # non-integer literal → let Spark evaluate
+                    continue
                 if isinstance(f, EqualTo):
                     self.fid_lo = max(self.fid_lo, v)
                     self.fid_hi = min(self.fid_hi, v + 1)
@@ -119,14 +134,51 @@ class ShapefileReader(DataSourceReader):
             elif (col in self._attr_cols and self.plan.has_dbf
                     and (isinstance(f, _CMP) or isinstance(f, (IsNull, IsNotNull)))):
                 self.attr_filters.append(f)
+            elif (self._bbox_ok and isinstance(f, _CMP) and attr
+                    and len(attr) == 2 and attr[0] == "bbox"
+                    and attr[1] in _BBOX_COL):
+                try:
+                    self.bbox_filters.append((f, float(f.value)))
+                except (TypeError, ValueError):
+                    yield f
             else:
                 yield f
+
+    def _header_prunes_all(self) -> bool:
+        """True when a pushed bbox predicate is unsatisfiable given the
+        file-header bounds: every record bbox ordinate lies within the
+        header's [min, max] for its axis, so a comparison that excludes
+        that whole interval excludes every record (file-level pruning)."""
+        hb = self.plan.header_bounds
+        if hb is None or not self.bbox_filters:
+            return False
+        # bounds tuple is (mins..., maxs...) per layout: XY (x,y | x,y),
+        # XYM (x,y,m | x,y,m), XYZM (x,y,z,m | x,y,z,m)
+        half = len(hb) // 2
+        x_rng, y_rng = (hb[0], hb[half]), (hb[1], hb[half + 1])
+        if x_rng[0] > x_rng[1] or y_rng[0] > y_rng[1]:
+            return False   # NoData-scrubbed header bounds → unknown
+        axis_rng = {"xmin": x_rng, "xmax": x_rng,
+                    "ymin": y_rng, "ymax": y_rng}
+        for f, v in self.bbox_filters:
+            lo, hi = axis_rng[f.attribute[1]]
+            if isinstance(f, EqualTo) and (v < lo or v > hi):
+                return True
+            if isinstance(f, GreaterThan) and hi <= v:
+                return True
+            if isinstance(f, GreaterThanOrEqual) and hi < v:
+                return True
+            if isinstance(f, LessThan) and lo >= v:
+                return True
+            if isinstance(f, LessThanOrEqual) and lo > v:
+                return True
+        return False
 
     def partitions(self) -> list[_Split]:
         lo, hi = self.fid_lo, min(self.fid_hi,
                                   (self.plan.n_records + 1
                                    if self.plan.n_records >= 0 else self.fid_hi))
-        if hi <= lo:
+        if hi <= lo or self._header_prunes_all():
             return [_Split(1, 1)]  # fully pruned → one empty split
         if self.plan.is_zip or self.plan.shx_offsets is None:
             return [_Split(lo, hi)]
@@ -159,17 +211,39 @@ class ShapefileReader(DataSourceReader):
             keep &= np.asarray(m, dtype=bool)
         return keep
 
+    def _bbox_mask(self, buf: bytes, rel: np.ndarray) -> np.ndarray:
+        """Keep-mask over a split's records from their header bounds —
+        evaluated before any decode.  NaN bounds (Null shapes) fail
+        every comparison, matching SQL NULL predicate semantics."""
+        bb = sf.record_bounds_quick(buf, rel)
+        keep = np.ones(len(rel), dtype=bool)
+        for f, v in self.bbox_filters:
+            c = bb[:, _BBOX_COL[f.attribute[1]]]
+            if isinstance(f, EqualTo):
+                keep &= c == v
+            elif isinstance(f, GreaterThan):
+                keep &= c > v
+            elif isinstance(f, GreaterThanOrEqual):
+                keep &= c >= v
+            elif isinstance(f, LessThan):
+                keep &= c < v
+            else:
+                keep &= c <= v
+        return keep
+
     def read(self, partition: _Split):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         if partition.fid_end <= partition.fid_start:
             return
         mask_fn = self._mask if self.attr_filters else None
+        bbox_fn = self._bbox_mask if self.bbox_filters else None
         # columnar Arrow emit (vectorized geometry kernel) when no
-        # attribute mask is pushed; pandas fallback otherwise
+        # row mask is pushed; selective-decode pandas path otherwise
         rb = sf._arrow_split_batch(self.plan, partition.fid_start,
                                    partition.fid_end,
                                    to_arrow_schema(self.schema),
-                                   attr_mask_fn=mask_fn)
+                                   attr_mask_fn=mask_fn,
+                                   bbox_mask_fn=bbox_fn)
         if rb.num_rows:
             yield rb
