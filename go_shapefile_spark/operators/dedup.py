@@ -134,9 +134,13 @@ def simhash_pairs_sql(dialect: str, rel: str = "documents",
     identical signatures (boilerplate/empty docs) would otherwise emit
     O(bucket²) pairs — at 100 TB a single hot bucket can dominate the
     whole shuffle.  The cap keeps the ``max_bucket`` smallest doc_ids per
-    bucket (deterministic in both engines); docs beyond the cap can still
-    pair through their other bands, and exact duplicates are the exact
-    dedup operator's job, not this one's.
+    bucket (deterministic in both engines).  This is a documented
+    approximation: a doc past the cap in one band usually pairs through
+    its other bands, but two docs with IDENTICAL signatures rank past the
+    cap in EVERY band together, so pairs among >max_bucket same-signature
+    docs are not recoverable here — by design, because same-signature
+    floods are boilerplate and exact duplicates are the exact-dedup
+    operator's job, not this one's.
     """
     band_bits = bits // bands
     sig = simhash_sql(dialect, rel, bits).strip()

@@ -135,8 +135,17 @@ def knn_radius_haversine(points: DataFrame, queries: DataFrame, k: int,
                .select(F.col(id_col).alias("neighbor_id"),
                        F.col(lon_col).alias("n_lon"),
                        F.col(lat_col).alias("n_lat")))
-    cap_pairs = (cap_q.join(cap_pts,
-                            F.signum("q_lat") == F.signum("n_lat"))
+    if dlat >= max_abs_lat:
+        # the cap disk can cross the equator (radius ≳ 9,300 km):
+        # hemisphere pruning is no longer sound — and signum(0) = 0 rows
+        # would never match — so join every in-reach candidate
+        cap_joined = cap_q.crossJoin(cap_pts)
+    else:
+        # sound because an opposite-hemisphere point is ≥ max_abs_lat
+        # degrees of latitude away — farther than the radius
+        cap_joined = cap_q.join(cap_pts,
+                                F.signum("q_lat") == F.signum("n_lat"))
+    cap_pairs = (cap_joined
                  .where(F.col("neighbor_id") != F.col("query_id"))
                  .withColumn("dist_km", F.expr(hav))
                  .where(F.col("dist_km") <= float(radius_km))
@@ -178,6 +187,58 @@ def knn_radius(points: DataFrame, queries: DataFrame, k: int, radius_deg: float,
                     F.col("rank").cast("long").alias("rank")))
 
 
+def _terminal_pairs(points: DataFrame, remaining: DataFrame,
+                    id_col: str, lon_col: str, lat_col: str,
+                    n_salts: int) -> DataFrame:
+    """All (remaining query × point) candidate pairs, equi-joined on a
+    deterministic point-side salt so the join stage spreads over
+    ``n_salts`` partitions (split out of :func:`_terminal_topk` so tests
+    can probe the join-stage parallelism directly)."""
+    p = points.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(lon_col).alias("n_lon"), F.col(lat_col).alias("n_lat"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+         .cast("int").alias("salt"))
+    q = remaining.select(
+        F.col(id_col).alias("query_id"),
+        F.col(lon_col).alias("q_lon"), F.col(lat_col).alias("q_lat"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("salt"))
+    return (q.join(p, "salt")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("dist2",
+                        (F.col("q_lon") - F.col("n_lon")) * (F.col("q_lon") - F.col("n_lon"))
+                        + (F.col("q_lat") - F.col("n_lat")) * (F.col("q_lat") - F.col("n_lat"))))
+
+
+def _terminal_topk(points: DataFrame, remaining: DataFrame, k: int,
+                   id_col: str = "id", lon_col: str = "lon",
+                   lat_col: str = "lat", n_salts: int = 32) -> DataFrame:
+    """Complete top-k of the still-unfinished queries against ALL points
+    — the terminal round of :func:`knn_exact` — salted so the work
+    spreads over ``n_salts`` shuffle partitions instead of funnelling
+    through one res-0 cell key (VERDICT r2 #7).
+
+    Points take a deterministic salt; the (typically tiny) query frontier
+    replicates once per salt; the equi-join on ``salt`` gives every salt
+    partition all queries × 1/n_salts of the points.  A per-(query, salt)
+    top-k prunes before the global per-query top-k, so the final window
+    sees ≤ k·n_salts rows per query.  Exact: each (query, point) pair
+    appears in exactly one salt partition.
+    """
+    pairs = _terminal_pairs(points, remaining, id_col, lon_col, lat_col,
+                            n_salts)
+    w_salt = Window.partitionBy("query_id", "salt") \
+        .orderBy(F.col("dist2").asc(), F.col("neighbor_id").asc())
+    cand = (pairs.withColumn("r1", F.row_number().over(w_salt))
+            .where(F.col("r1") <= k))
+    win = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(),
+                                                 F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dist2",
+                    F.col("rank").cast("long").alias("rank")))
+
+
 def knn_exact(points: DataFrame, queries: DataFrame, k: int,
               id_col: str = "id", lon_col: str = "lon", lat_col: str = "lat",
               start_res: int = 6, max_rounds: int | None = None) -> DataFrame:
@@ -189,8 +250,10 @@ def knn_exact(points: DataFrame, queries: DataFrame, k: int,
     unseen point is provably farther (outside the covered disk).
     Unfinished queries escalate to a coarser resolution (radius ×2);
     typically 1-2 rounds finish >99% of queries.  The terminal round
-    runs at res 0, where the single world cell makes the join complete
-    by construction — no CartesianProduct/BNLJ anywhere (plan-tested).
+    (:func:`_terminal_topk`) joins the residual frontier against ALL
+    points on a salt key, so even an adversarial all-remote query set
+    spreads over n_salts tasks — no CartesianProduct/BNLJ anywhere
+    (plan-tested), no single-partition funnel.
 
     The surviving-queries frontier is ``localCheckpoint``ed each round:
     lineage stays one round deep (no stacked anti-join recompute), and
@@ -208,14 +271,12 @@ def knn_exact(points: DataFrame, queries: DataFrame, k: int,
     for i in range(rounds):
         last = res == 0 or i == rounds - 1
         if last:
-            # res 0 = one world cell: every point joins every remaining
-            # query through the cell key (complete, still an equi-join);
-            # 540° exceeds the maximum planar-degree distance, so the
-            # radius filter never rejects.
-            results.append(knn_radius(points, remaining, k=k,
-                                      radius_deg=540.0, id_col=id_col,
-                                      lon_col=lon_col, lat_col=lat_col,
-                                      res=0))
+            # terminal: complete top-k against all points, salted across
+            # n_salts shuffle partitions (a res-0 single-cell equi-join
+            # would put all remaining work in ONE task)
+            results.append(_terminal_topk(points, remaining, k=k,
+                                          id_col=id_col, lon_col=lon_col,
+                                          lat_col=lat_col))
             break
         radius = 180.0 / (1 << res)          # covered by the 3x3 ring
         got = knn_radius(points, remaining, k=k, radius_deg=radius,
