@@ -24,28 +24,87 @@ Layout::
     <root>/metadata/snap-<seq>-<uuid>.json
     <root>/metadata/CURRENT          (current snapshot id)
 
-Concurrency: the CURRENT pointer is last-writer-wins (object stores
-expose no compare-and-swap primitive portably); a real deployment puts a
-catalog/lock in front, exactly as Iceberg does.
+Concurrency: without a catalog, the CURRENT pointer is last-writer-wins
+(object stores expose no compare-and-swap primitive portably).  Pass a
+``catalog`` implementing :class:`Catalog` to get optimistic concurrency
+exactly as Iceberg does it: the commit flips the pointer through the
+catalog's atomic compare-and-swap, and a racer whose parent snapshot is
+stale loses CLEANLY with :class:`CommitConflict` — its manifest is an
+unreachable orphan, the table is never torn.  ``InMemoryCatalog`` is the
+reference implementation (and test double); a metastore/DynamoDB/JDBC
+catalog slots in behind the same two methods.
 """
 
 from __future__ import annotations
 
 import json
 import posixpath
+import threading
 import time
 import uuid
-from typing import Any
+from typing import Any, Protocol
 
 from pyspark.sql import DataFrame, SparkSession
 
 from . import fsio
 
 
+class CommitConflict(Exception):
+    """Another writer committed first; re-read CURRENT and retry."""
+
+
+class Catalog(Protocol):
+    """The two-method hook a real catalog implements (Iceberg's catalog
+    contract reduced to what the table format needs)."""
+
+    def current(self, table_root: str) -> str | None:
+        """Current snapshot id for the table (None = no commits)."""
+        ...
+
+    def cas_current(self, table_root: str, expected: str | None,
+                    new_id: str) -> bool:
+        """Atomically set CURRENT to ``new_id`` iff it still equals
+        ``expected``; returns False (no change) when it does not."""
+        ...
+
+
+class InMemoryCatalog:
+    """Process-local CAS catalog: the reference implementation of the
+    hook (usable as-is when all committers share one driver; tests use
+    it to prove the two-writer contract)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._current: dict[str, str | None] = {}
+
+    def current(self, table_root: str) -> str | None:
+        with self._lock:
+            return self._current.get(table_root)
+
+    def cas_current(self, table_root: str, expected: str | None,
+                    new_id: str) -> bool:
+        with self._lock:
+            cur = self._current.get(table_root, _UNSET)
+            if cur is _UNSET:
+                # first CAS on a table this catalog hasn't seen: import
+                # the caller's view of CURRENT (a table committed before
+                # the catalog was attached); the lock serializes racers,
+                # so only the first import wins
+                cur = expected
+            if cur != expected:
+                return False
+            self._current[table_root] = new_id
+            return True
+
+
+_UNSET = object()
+
+
 class SnapshotTable:
-    def __init__(self, root: str):
+    def __init__(self, root: str, catalog: Catalog | None = None):
         self.root = root
         self.meta = posixpath.join(root, "metadata")
+        self.catalog = catalog
         fsio.makedirs(self.meta)
 
     # --- metadata ----------------------------------------------------------
@@ -54,6 +113,12 @@ class SnapshotTable:
         return posixpath.join(self.meta, f"snap-{snapshot_id}.json")
 
     def current_snapshot_id(self) -> str | None:
+        if self.catalog is not None:
+            sid = self.catalog.current(self.root)
+            if sid is not None:
+                return sid
+            # fall through: a table committed WITHOUT the catalog stays
+            # readable when one is attached later (pointer import)
         p = posixpath.join(self.meta, "CURRENT")
         if not fsio.exists(p):
             return None
@@ -81,11 +146,21 @@ class SnapshotTable:
     # --- commits -----------------------------------------------------------
 
     def commit(self, added_files: list[str], operation: str = "append",
-               row_count: int | None = None) -> str:
+               row_count: int | None = None,
+               expected_parent: Any = _UNSET) -> str:
         """Append ``added_files`` as a new snapshot; returns its id.
         The manifest write is atomic, then the pointer flips — readers
-        see either the old or the new snapshot, never a partial one."""
-        parent = self.current_snapshot_id()
+        see either the old or the new snapshot, never a partial one.
+
+        With a catalog attached the pointer flip is a compare-and-swap on
+        the parent snapshot: a concurrent committer whose parent is stale
+        raises :class:`CommitConflict` and leaves the table untouched
+        (its manifest is an unreachable orphan).  ``expected_parent``
+        lets a writer pin the snapshot its work was based on (optimistic
+        concurrency across retries); default is the parent read now.
+        """
+        parent = self.current_snapshot_id() if expected_parent is _UNSET \
+            else expected_parent
         if parent is not None:
             prev = self.snapshot(parent)
             prev_files, seq = prev["files"], prev["sequence"] + 1
@@ -100,6 +175,11 @@ class SnapshotTable:
         }
         fsio.atomic_write_bytes(self._snap_path(sid),
                                 json.dumps(snap).encode())
+        if self.catalog is not None:
+            if not self.catalog.cas_current(self.root, parent, sid):
+                raise CommitConflict(
+                    f"snapshot {parent!r} is no longer CURRENT of "
+                    f"{self.root}; re-read and retry")
         fsio.atomic_write_bytes(posixpath.join(self.meta, "CURRENT"),
                                 sid.encode())
         return sid
