@@ -161,21 +161,27 @@ def _timed(fn) -> float:
     return time.monotonic() - t0
 
 
-def timed_queries(spark, sf_dir: str) -> dict[str, float]:
+def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
+    """Per-query timings with the same interleaved-minimum protocol as the
+    headline (VERDICT r2 #8): the pick list runs ``n_rounds`` full passes
+    and each query keeps its minimum, so one host-noise burst cannot
+    pollute a recorded number (noise only ever inflates a run)."""
     import __spark_entry__ as entry
     qs = entry.queries()
     picks = ["q1_pricing_summary", "q5_region_revenue", "geotag_tiles",
              "dedup_minhash_lsh", "simhash_pairs", "cosine_topk",
              "knn_events", "grid_spatial_join", "token_stats",
              "embedding_neardup_bucketed", "tiles_roundtrip"]
-    out = {}
-    for name in picks:
-        if name not in qs:
-            continue
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.monotonic() - t0, 3)
+    out: dict[str, float] = {}
+    for _round in range(n_rounds):
+        for name in picks:
+            if name not in qs:
+                continue
+            t0 = time.monotonic()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.monotonic() - t0, 3)
+            out[name] = min(out.get(name, float("inf")), dt)
     return out
 
 
@@ -246,11 +252,9 @@ def main() -> None:
     big = read_shapefile_df(spark, big_base, target_records_per_split=100_000,
                             flat_points=True)
     big.count()
-    t0 = time.monotonic()
-    n = big.count()
-    dt = time.monotonic() - t0
+    dt = min(_timed(big.count) for _ in range(2))
     query_secs["shapefile_parse_2m_points"] = round(dt, 3)
-    query_secs["shapefile_parse_records_per_s"] = round(n / dt, 1)
+    query_secs["shapefile_parse_records_per_s"] = round(2_000_000 / dt, 1)
     dbf_native, dbf_rowloop = bench_dbf_decode(cache_root)
     query_secs["shapefile_parse_dbf_records_per_s"] = round(dbf_native, 1)
     query_secs["shapefile_parse_dbf_rowloop_per_s"] = round(dbf_rowloop, 1)
@@ -273,9 +277,8 @@ def main() -> None:
             for i in range(n_poly)])
     pol = read_shapefile_df(spark, polys_base, target_records_per_split=20_000)
     pol.count()
-    t0 = time.monotonic()
-    n = pol.count()
-    dt = time.monotonic() - t0
+    dt = min(_timed(pol.count) for _ in range(2))
+    n = 200_000
     query_secs["shapefile_parse_polygons_per_s"] = round(n / dt, 1)
     # distributed cover build over a 200k-polygon corpus (E4 at 1000x the
     # Natural Earth polygon count; mapInPandas across tasks, no driver
@@ -287,13 +290,41 @@ def main() -> None:
     query_secs["cover_build_200k_polygons_s"] = round(
         time.monotonic() - t0, 3)
     query_secs["cover_200k_broadcastable"] = bool(big_cover.broadcast)
+    # distributed rasterize over the same 200k-polygon corpus (E8 at
+    # scale: cover built in tasks, pixel stages pure JVM, no driver
+    # collect of polygons — VERDICT r2 #2)
+    from go_shapefile_spark.operators.tiles import rasterize_features
+    raster = rasterize_features(pol.select("fid", "geometry"), res=6,
+                                tile_px=8)
+    n_pix = raster.count()
+    dt = min(_timed(raster.count) for _ in range(2))
+    query_secs["rasterize_200k_polygons_s"] = round(dt, 3)
+    query_secs["rasterize_200k_pixels"] = int(n_pix)
+    # many-file corpus read: header planning runs inside tasks, so driver
+    # wall time is O(1) in file count (VERDICT r2 #6)
+    dir_500 = os.path.join(cache_root, "corpus500")
+    if not os.path.exists(os.path.join(dir_500, "tile0499.shp")):
+        import shutil
+        os.makedirs(dir_500, exist_ok=True)
+        for i in range(500):
+            for ext in ("shp", "shx", "dbf"):
+                shutil.copy(f"/root/reference/testdata/poly.{ext}",
+                            os.path.join(dir_500, f"tile{i:04d}.{ext}"))
+    from go_shapefile_spark.sources.shapefile import read_shapefile_dir
+
+    def read_dir_500():
+        assert read_shapefile_dir(spark, dir_500).count() == 5000
+    query_secs["shapefile_dir_500_files_s"] = round(
+        min(_timed(read_dir_500) for _ in range(2)), 3)
     # invariant job (E13) timed over the full-bytes image table
     from go_shapefile_spark.sources.images import check_invariants
-    t0 = time.monotonic()
-    inv = check_invariants(spark.read.parquet(images_path))
-    bad = inv.where("pixels_ok = false OR caption_ok = false").count()
-    query_secs["image_invariants"] = round(time.monotonic() - t0, 3)
-    assert bad == 0, f"{bad} rows violate the decode/caption invariant"
+
+    def invariant_job():
+        inv = check_invariants(spark.read.parquet(images_path))
+        bad = inv.where("pixels_ok = false OR caption_ok = false").count()
+        assert bad == 0, f"{bad} rows violate the decode/caption invariant"
+    query_secs["image_invariants"] = round(
+        min(_timed(invariant_job) for _ in range(2)), 3)
     spark.stop()
 
     skip_scaling = os.environ.get("BENCH_SKIP_SCALING") == "1"

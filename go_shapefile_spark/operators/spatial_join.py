@@ -77,7 +77,8 @@ def polygons_from_features(features_rows) -> list[dict]:
 
 
 COVER_SCHEMA = ("cell long, polygon_fid long, full boolean, rx double, "
-                "ry double, ref_inside boolean, edges array<array<double>>")
+                "ry double, ref_inside boolean, edges array<array<double>>, "
+                "lon0 double, lat0 double")
 
 
 def cell_cover_df(features: DataFrame, res: int) -> DataFrame:
@@ -106,7 +107,7 @@ def cell_cover_df(features: DataFrame, res: int) -> DataFrame:
                 lambda e: e if e is not None else [])
             cover = cover.rename(columns={"fid": "polygon_fid"})
             yield cover[["cell", "polygon_fid", "full", "rx", "ry",
-                         "ref_inside", "edges"]]
+                         "ref_inside", "edges", "lon0", "lat0"]]
 
     # spread polygons across tasks — the cover build is CPU-bound per
     # polygon and input files may pack all polygons into one split
@@ -132,7 +133,9 @@ def polygon_cell_cover(polygons: list[dict], res: int,
     the polygon parity at that reference, and ``edges`` — the clipped
     edge list (every polygon edge whose bbox overlaps the cell; a
     conservative superset of the edges that can cross a segment lying
-    inside the cell).
+    inside the cell) — plus the cell's SW corner ``lon0, lat0`` so
+    consumers (the rasterizer) never decode the cell id in SQL (the
+    Morton-decode expression inlined per pixel blows codegen up).
 
     Returns pandas DataFrame (cell:int64, fid:int64, full:bool
     [, rx, ry, ref_inside, edges]).
@@ -199,6 +202,10 @@ def polygon_cell_cover(polygons: list[dict], res: int,
             base["ref_inside"] = np.concatenate(
                 [np.ones(len(cell_full), dtype=bool), ref_inside_part])
             base["edges"] = edges_col
+            base["lon0"] = np.concatenate([lon0[interior][inside_interior],
+                                           lon0[partial]])
+            base["lat0"] = np.concatenate([lat0[interior][inside_interior],
+                                           lat0[partial]])
         frames.append(base)
     if not frames:
         cols = {"cell": np.array([], dtype=np.int64),
@@ -345,7 +352,8 @@ class PreparedCover:
         self.wide = None
         if len(wide_pdf):
             self.wide = spark.createDataFrame(
-                wide_pdf.drop(columns=["full"]),
+                wide_pdf.drop(columns=["full", "lon0", "lat0"],
+                              errors="ignore"),
                 schema="cell long, fid long, rx double, ry double, "
                        "ref_inside boolean, edges array<array<double>>") \
                 .withColumnRenamed("fid", "polygon_fid")
@@ -402,6 +410,7 @@ def spatial_join(spark: SparkSession, points: DataFrame, polygons: list[dict],
             cover_pdf = cover_pdf.copy()
         cover_pdf["edges"] = cover_pdf["edges"].map(
             lambda e: e if e is not None else [])
+        cover_pdf = cover_pdf.drop(columns=["lon0", "lat0"], errors="ignore")
         cover = spark.createDataFrame(
             cover_pdf,
             schema="cell long, fid long, full boolean, rx double, ry double, "
@@ -450,6 +459,7 @@ def spatial_join(spark: SparkSession, points: DataFrame, polygons: list[dict],
         if keep_cols is not None:
             out = out.select(*keep_cols)
         return out
+    # (pandas-refine method below never materializes lon0/lat0)
 
     cover_pdf = polygon_cell_cover(polygons, res)
     cover = spark.createDataFrame(cover_pdf).withColumnRenamed("fid", "polygon_fid")

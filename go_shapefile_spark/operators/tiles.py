@@ -57,12 +57,12 @@ def rasterize_cover(cover: DataFrame, res: int, tile_px: int = 16,
     t = tile_px
     n = 1 << res
     w, h = 360.0 / n, 180.0 / n
-    # cell → SW corner, bit-identical to the numpy twin (cell_bounds_np)
-    lon0 = (f"(CAST(-180.0 AS DOUBLE) + CAST({C.cell_ix_sql('cell')} "
-            f"AS DOUBLE) * CAST({w!r} AS DOUBLE))")
-    lat0 = (f"(CAST(-90.0 AS DOUBLE) + CAST({C.cell_iy_sql('cell')} "
-            f"AS DOUBLE) * CAST({h!r} AS DOUBLE))")
 
+    # The cover carries each cell's SW corner (lon0/lat0, computed in the
+    # numpy cover build) — decoding the Morton id in SQL here would inline
+    # a multi-KB expression into every one of the predicate's ~150 cx/cy
+    # references and blow whole-stage codegen into MB-scale task binaries
+    # (measured: 8-19 MiB binaries, 10x slowdown).
     def pixels(df: DataFrame) -> DataFrame:
         # same FP evaluation order as the reference numpy rasterizer:
         # cx = lon0 + (px + 0.5) * (lon1 - lon0) / t
@@ -71,8 +71,6 @@ def rasterize_cover(cover: DataFrame, res: int, tile_px: int = 16,
                     F.lit(0), F.lit(t * t - 1))))
                 .withColumn("px", (F.col("pidx") % t).cast("int"))
                 .withColumn("py", F.expr(f"CAST(pidx DIV {t} AS INT)"))
-                .withColumn("lon0", F.expr(lon0))
-                .withColumn("lat0", F.expr(lat0))
                 .withColumn("cx", F.expr(
                     f"lon0 + (px + CAST(0.5 AS DOUBLE)) * "
                     f"((lon0 + CAST({w!r} AS DOUBLE)) - lon0) / "
@@ -84,31 +82,25 @@ def rasterize_cover(cover: DataFrame, res: int, tile_px: int = 16,
 
     out_cols = [F.col("cell"), F.col("polygon_fid").alias("fid"),
                 F.col("px"), F.col("py")]
-    # spread tiles across tasks: cover rows are tiny, the exploded pixel
-    # rows are the real volume
-    cover = cover.repartition(n_tasks, "cell")
-
-    full = pixels(cover.where("full")).select(*out_cols)
-
-    n_edges = F.size("edges")
-    part_n = cover.where(~F.col("full") & (n_edges <= UNROLL_K))
     ecols = []
     for j in range(UNROLL_K):
         e = F.try_element_at("edges", F.lit(j + 1))
         for c, x in enumerate(("ax", "ay", "bx", "by")):
             ecols.append(F.try_element_at(e, F.lit(c + 1)).alias(f"e{j}_{x}"))
-    narrow = (pixels(part_n.select("cell", "polygon_fid", "rx", "ry",
-                                   "ref_inside", *ecols))
-              .where(F.expr(_crossing_filter_unrolled_sql("cx", "cy",
-                                                          UNROLL_K)))
-              .select(*out_cols))
-
-    part_w = cover.where(~F.col("full") & (n_edges > UNROLL_K))
-    wide = (pixels(part_w)
-            .where(F.expr(_crossing_filter_sql("cx", "cy")))
-            .select(*out_cols))
-
-    return full.unionByName(narrow).unionByName(wide)
+    # ONE scan of the cover (no per-branch union, which would re-run the
+    # cover build once per branch): spread tiles across tasks — cover rows
+    # are tiny, the exploded pixel rows are the real volume — then explode
+    # pixels and pick the predicate per row.  Full cells keep every pixel;
+    # cells within the unroll width run the codegen'd crossing predicate;
+    # the rare boundary-dense cells take the interpreted aggregate() form.
+    base = (cover.repartition(n_tasks, "cell")
+            .select("cell", "polygon_fid", "full", "rx", "ry", "ref_inside",
+                    "lon0", "lat0", F.size("edges").alias("n_edges"),
+                    "edges", *ecols))
+    keep = (f"full OR (CASE WHEN n_edges <= {UNROLL_K} "
+            f"THEN {_crossing_filter_unrolled_sql('cx', 'cy', UNROLL_K)} "
+            f"ELSE {_crossing_filter_sql('cx', 'cy')} END)")
+    return pixels(base).where(F.expr(keep)).select(*out_cols)
 
 
 def rasterize_features(features: DataFrame, res: int,
@@ -117,10 +109,13 @@ def rasterize_features(features: DataFrame, res: int,
     is built DISTRIBUTED (cell_cover_df — each task covers its share of
     the polygon corpus), then rasterized JVM-side.  Nothing about the
     polygon corpus ever lands on the driver, so this is the 100×-polygons
-    path for E8."""
+    path for E8.  The cover is cached: the rasterizer's three branches
+    (full / unrolled / wide) each scan it, and without the cache each
+    branch would re-run the Python cover build."""
     from .spatial_join import cell_cover_df
 
-    return rasterize_cover(cell_cover_df(features, res), res, tile_px)
+    return rasterize_cover(cell_cover_df(features, res).cache(), res,
+                           tile_px)
 
 
 def rasterize_polygons(spark: SparkSession, polygons: list[dict], res: int,

@@ -44,7 +44,8 @@ def test_spatial_join_is_broadcast(spark, ref_testdata):
 def test_rasterize_pixel_stages_are_jvm(spark):
     """E8 vector→raster: past the cover build, rasterization is pure JVM —
     no polygon broadcast, no Python stage (VERDICT r2 #2)."""
-    from go_shapefile_spark.operators.spatial_join import polygon_cell_cover
+    from go_shapefile_spark.operators.spatial_join import (
+        COVER_SCHEMA, polygon_cell_cover)
     from go_shapefile_spark.operators.tiles import rasterize_cover
 
     ring = [10.0, 10.0, 10.0, 40.0, 40.0, 40.0, 40.0, 10.0, 10.0, 10.0]
@@ -55,8 +56,7 @@ def test_rasterize_pixel_stages_are_jvm(spark):
         lambda e: e if e is not None else [])
     cover = spark.createDataFrame(
         cover_pdf.rename(columns={"fid": "polygon_fid"}),
-        schema="cell long, polygon_fid long, full boolean, rx double, "
-               "ry double, ref_inside boolean, edges array<array<double>>")
+        schema=COVER_SCHEMA)
     raster = rasterize_cover(cover, res=4, tile_px=8)
     assert_no_python_udf(raster)
     assert raster.count() > 0
