@@ -131,6 +131,56 @@ def main() -> None:
                      "(fid split pruning + attribute masks)",
                      checks, formatted(ds)))
 
+    # bbox pushdown: the comparison is evaluated inside the source against
+    # record-header bounds (before geometry decode); it must vanish from
+    # the post-scan plan
+    ds_bb = (spark.read.format("shapefile")
+             .option("path", "/root/reference/testdata/poly").load()
+             .where("bbox.xmin > 479000").select("fid"))
+    plan = audit.executed_plan(ds_bb)
+    checks = [
+        ("bbox comparison absent from post-scan plan (pushed)",
+         "479000" not in plan),
+        ("rows filtered by the source", ds_bb.count() == 9),
+    ]
+    sections.append(("shapefile DataSource bbox pushdown "
+                     "(record-header bounds before decode)",
+                     checks, formatted(ds_bb)))
+
+    # distributed rasterize: past the cover build the pixel stages are
+    # pure JVM (audited on a pre-built cover so the plan isolates them)
+    from go_shapefile_spark.operators.spatial_join import (
+        COVER_SCHEMA, polygon_cell_cover)
+    from go_shapefile_spark.operators.tiles import rasterize_cover
+    cover_pdf = polygon_cell_cover(polys[:5], 5, with_edges=True)
+    cover_pdf["edges"] = cover_pdf["edges"].map(
+        lambda e: e if e is not None else [])
+    cover_df = spark.createDataFrame(
+        cover_pdf.rename(columns={"fid": "polygon_fid"}), schema=COVER_SCHEMA)
+    raster = rasterize_cover(cover_df, res=5, tile_px=8)
+    try:
+        audit.assert_no_python_udf(raster)
+        ok = True
+    except AssertionError:
+        ok = False
+    sections.append(("Vector→raster tiles (single-pass, clipped-edge "
+                     "crossing predicate per pixel)",
+                     [("no Python nodes past the cover build", ok)],
+                     formatted(raster)))
+
+    # exact-kNN terminal round: salted equi-join, never one cell key
+    from go_shapefile_spark.operators.knn import _terminal_topk
+    qs = pts.withColumnRenamed("idx", "id").where("id % 5000 = 0")
+    term = _terminal_topk(pts.withColumnRenamed("idx", "id"), qs, k=5)
+    plan = audit.executed_plan(term)
+    checks = [
+        ("join keyed on the 32-value salt", "salt" in plan),
+        ("no CartesianProduct/BNLJ", "CartesianProduct" not in plan
+         and "BroadcastNestedLoopJoin" not in plan),
+    ]
+    sections.append(("Exact-kNN terminal round (salted complete top-k)",
+                     checks, formatted(term)))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the engine's hot paths\n\n")
         f.write("Generated by `python tools/explain_audit.py`.\n\n")
