@@ -241,31 +241,31 @@ def main() -> None:
         query_secs["shapefile_parse_10m_places"] = round(time.monotonic() - t0, 3)
         assert n == 7342
     big_base = os.path.join(cache_root, "bigpoints")
+    n_big = 2_000_000   # divisor below must track the generated corpus
     if not os.path.exists(big_base + ".shp"):
         import numpy as np
 
         from go_shapefile_spark.sources.shapefile_writer import write_points
         rng = np.random.default_rng(6)
-        n_big = 2_000_000
         write_points(big_base, rng.uniform(-180, 180, n_big),
                      rng.uniform(-90, 90, n_big))
     big = read_shapefile_df(spark, big_base, target_records_per_split=100_000,
                             flat_points=True)
-    big.count()
+    assert big.count() == n_big, "stale .cache/bigpoints corpus"
     dt = min(_timed(big.count) for _ in range(2))
     query_secs["shapefile_parse_2m_points"] = round(dt, 3)
-    query_secs["shapefile_parse_records_per_s"] = round(2_000_000 / dt, 1)
+    query_secs["shapefile_parse_records_per_s"] = round(n_big / dt, 1)
     dbf_native, dbf_rowloop = bench_dbf_decode(cache_root)
     query_secs["shapefile_parse_dbf_records_per_s"] = round(dbf_native, 1)
     query_secs["shapefile_parse_dbf_rowloop_per_s"] = round(dbf_rowloop, 1)
     # polygon corpus scan (vectorized ring-winding kernel + Arrow emit)
     polys_base = os.path.join(cache_root, "bigpolys")
+    n_poly = 200_000    # divisor below must track the generated corpus
     if not os.path.exists(polys_base + ".shp"):
         import numpy as np
 
         from go_shapefile_spark.sources.shapefile_writer import write_polygons
         rng = np.random.default_rng(12)
-        n_poly = 200_000
         cx = rng.uniform(-170, 170, n_poly)
         cy = rng.uniform(-80, 80, n_poly)
         w_ = rng.uniform(0.01, 0.5, n_poly)
@@ -276,10 +276,9 @@ def main() -> None:
                         cx[i]-w_[i], cy[i]-h_[i]], "ends": [10]}
             for i in range(n_poly)])
     pol = read_shapefile_df(spark, polys_base, target_records_per_split=20_000)
-    pol.count()
+    assert pol.count() == n_poly, "stale .cache/bigpolys corpus"
     dt = min(_timed(pol.count) for _ in range(2))
-    n = 200_000
-    query_secs["shapefile_parse_polygons_per_s"] = round(n / dt, 1)
+    query_secs["shapefile_parse_polygons_per_s"] = round(n_poly / dt, 1)
     # distributed cover build over a 200k-polygon corpus (E4 at 1000x the
     # Natural Earth polygon count; mapInPandas across tasks, no driver
     # collect). Res 6 keeps the cover broadcastable for these small rects.

@@ -152,9 +152,16 @@ def cell_sql(lon: str, lat: str, res: int) -> str:
 def _compact_sql(x: str) -> str:
     """Morton bit-compact (inverse of ``_spread_sql``) using DIV-by-2^k.
 
-    Spark-SQL dialect (``DIV`` integer division) — used by JVM-side cell
-    decoding (e.g. distributed rasterize); oracles never need to decode.
-    All intermediate values are non-negative, so DIV == arithmetic shift.
+    Spark-SQL dialect (``DIV`` integer division); all intermediate values
+    are non-negative, so DIV == arithmetic shift.
+
+    WARNING — utility for one-shot projections only (parity-tested in
+    pytest; no hot path uses it).  The expression text DOUBLES per stage
+    (~3 KB total), and CollapseProject will inline it into every
+    reference: the rasterizer once decoded cells this way inside its
+    ~150-reference crossing predicate and codegen blew up into 8-19 MiB
+    task binaries (10× slowdown, BENCH.md round 3).  Carry decoded
+    columns (e.g. the cover's lon0/lat0) through fat predicates instead.
     """
     e = f"(({x}) & {_M5})"
     e = f"((({e}) | (({e}) DIV 2)) & {_M4})"

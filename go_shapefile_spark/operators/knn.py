@@ -106,8 +106,12 @@ def knn_radius_haversine(points: DataFrame, queries: DataFrame, k: int,
     bounding-box formula).  Polar-cap queries (|lat| > max_abs_lat),
     whose disks can wrap every longitude, join only against the points
     whose latitude is within reach of the cap (|lat| >
-    max_abs_lat − Δlat) — a tiny fraction of any realistic corpus, so
-    that small nested-loop join is bounded by construction.  Returns
+    max_abs_lat − Δlat) — a tiny fraction of any realistic corpus for
+    radii below ~9,400 km.  Past that (Δlat ≥ max_abs_lat) the cap disk
+    can cross the equator, hemisphere pruning stops being sound, and the
+    in-reach filter passes everything: the join degrades to cap-queries ×
+    ALL points — inherent for a near-global radius — salted over 32
+    tasks so it is at least spread, never a one-task funnel.  Returns
     (query_id, neighbor_id, dist_km, rank).
     """
     if res is None:
@@ -138,8 +142,15 @@ def knn_radius_haversine(points: DataFrame, queries: DataFrame, k: int,
     if dlat >= max_abs_lat:
         # the cap disk can cross the equator (radius ≳ 9,300 km):
         # hemisphere pruning is no longer sound — and signum(0) = 0 rows
-        # would never match — so join every in-reach candidate
-        cap_joined = cap_q.crossJoin(cap_pts)
+        # would never match — so join every in-reach candidate, salted
+        # so the near-global fan-out spreads over tasks
+        n_salts = 32
+        cap_joined = (cap_q.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+            .join(cap_pts.withColumn(
+                "salt", F.pmod(F.xxhash64("neighbor_id"),
+                               F.lit(n_salts)).cast("int")), "salt")
+            .drop("salt"))
     else:
         # sound because an opposite-hemisphere point is ≥ max_abs_lat
         # degrees of latitude away — farther than the radius

@@ -46,8 +46,15 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,
 
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    fsio.rmtree(warehouse.rstrip("/") + "/" + table_name.lower())
+    # the orphan lives under the OWNING database's location (qualified
+    # names and a non-default current database included), not under
+    # warehouse/<table_name> — resolve it through the catalog
+    if "." in table_name:
+        db, tbl = table_name.rsplit(".", 1)
+    else:
+        db, tbl = spark.catalog.currentDatabase(), table_name
+    db_loc = spark.catalog.getDatabase(db).locationUri
+    fsio.rmtree(db_loc.rstrip("/") + "/" + tbl.lower())
     writer = df.write.mode("overwrite").format("parquet") \
         .bucketBy(n_buckets, bucket_col)
     if sort_col:

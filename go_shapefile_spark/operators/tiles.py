@@ -3,10 +3,12 @@
 * ``tile_counts`` — per-cell rollup of a point table (the "tiles" half of
   the headline metric).  Pure built-ins: map-side partial aggregation,
   one shuffle on the Morton ``cell`` key.
-* ``rasterize_polygons`` — vector→raster: every (tile, polygon) cover
-  entry becomes a T×T occupancy grid; full-cover tiles short-circuit to
-  all-ones without touching geometry; partial tiles ray-cast pixel
-  centers.  Runs distributed via ``mapInPandas`` over the cover.
+* ``rasterize_features`` / ``rasterize_cover`` — vector→raster: every
+  (tile, polygon) cover entry becomes a T×T occupancy grid; full-cover
+  tiles short-circuit to all-ones without touching geometry; partial
+  tiles test pixel centers with the spatial join's clipped-edge
+  crossing-parity predicate — pure JVM past the (distributed) cover
+  build, no polygon state on the driver.
 * ``vectorize_raster`` — raster→vector: per-tile pixel rows are merged
   into maximal horizontal runs, then rectangles, via ``applyInPandas``
   per (cell, fid) group.  Output rectangles are exact covers of the
@@ -109,9 +111,11 @@ def rasterize_features(features: DataFrame, res: int,
     is built DISTRIBUTED (cell_cover_df — each task covers its share of
     the polygon corpus), then rasterized JVM-side.  Nothing about the
     polygon corpus ever lands on the driver, so this is the 100×-polygons
-    path for E8.  The cover is cached: the rasterizer's three branches
-    (full / unrolled / wide) each scan it, and without the cache each
-    branch would re-run the Python cover build."""
+    path for E8.  The cover (tiny: O(cells), no pixel rows) is cached so
+    REPEATED ACTIONS over the raster — rasterize→vectorize pipelines
+    re-traversed, bench re-counts — don't re-run the Python cover build;
+    a single action scans it once either way.  Session-lifetime cache,
+    same policy as PreparedCover's index artifact."""
     from .spatial_join import cell_cover_df
 
     return rasterize_cover(cell_cover_df(features, res).cache(), res,

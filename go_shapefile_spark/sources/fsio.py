@@ -139,14 +139,19 @@ def list_files(directory: str) -> list[str]:
     sel = pafs.FileSelector(p, allow_not_found=True)
     prefix = ""
     if "://" in directory:
-        # Preserve scheme AND authority (hdfs://host:8020/dir must not
-        # come back as hdfs:///dir): the fs-local path is a suffix of the
-        # original URI, so everything before it is the stable prefix.
-        base = directory.rstrip("/") or directory
-        if p and base.endswith(p):
-            prefix = base[: len(base) - len(p)]
+        # Preserve scheme AND authority (hdfs://host:8020/dir — or just
+        # hdfs://host:8020/ — must not come back as hdfs:///dir).  Two
+        # URI styles exist: bucket-in-path filesystems (s3/gs: the
+        # fs-local path already starts with the bucket) keep a bare
+        # scheme:// prefix; authority filesystems (hdfs: fs-local path is
+        # /dir) keep scheme://authority.
+        scheme, rest = directory.split("://", 1)
+        authority = rest.split("/", 1)[0]
+        first_seg = p.lstrip("/").split("/", 1)[0] if p else ""
+        if authority and first_seg != authority:
+            prefix = f"{scheme}://{authority}"
         else:
-            prefix = directory.split("://", 1)[0] + "://"
+            prefix = f"{scheme}://"
     out = []
     for i in fs.get_file_info(sel):
         if i.type == pafs.FileType.File:

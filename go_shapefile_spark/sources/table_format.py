@@ -29,10 +29,13 @@ Concurrency: without a catalog, the CURRENT pointer is last-writer-wins
 ``catalog`` implementing :class:`Catalog` to get optimistic concurrency
 exactly as Iceberg does it: the commit flips the pointer through the
 catalog's atomic compare-and-swap, and a racer whose parent snapshot is
-stale loses CLEANLY with :class:`CommitConflict` — its manifest is an
-unreachable orphan, the table is never torn.  ``InMemoryCatalog`` is the
-reference implementation (and test double); a metastore/DynamoDB/JDBC
-catalog slots in behind the same two methods.
+stale loses CLEANLY with :class:`CommitConflict` — its staged manifest
+is deleted, the table is never torn.  With a catalog attached the
+catalog is the SOURCE OF TRUTH for CURRENT (it must be as durable as
+the commits it orders); the CURRENT file becomes a best-effort,
+regression-guarded hint for catalog-less readers.  ``InMemoryCatalog``
+is the reference implementation (and test double); a metastore/
+DynamoDB/JDBC catalog slots in behind the same two methods.
 """
 
 from __future__ import annotations
@@ -119,10 +122,7 @@ class SnapshotTable:
                 return sid
             # fall through: a table committed WITHOUT the catalog stays
             # readable when one is attached later (pointer import)
-        p = posixpath.join(self.meta, "CURRENT")
-        if not fsio.exists(p):
-            return None
-        return fsio.read_bytes(p).decode().strip() or None
+        return self._current_from_file()
 
     def snapshot(self, snapshot_id: str) -> dict[str, Any]:
         return json.loads(fsio.read_bytes(self._snap_path(snapshot_id)))
@@ -177,12 +177,30 @@ class SnapshotTable:
                                 json.dumps(snap).encode())
         if self.catalog is not None:
             if not self.catalog.cas_current(self.root, parent, sid):
+                # clean loser: remove the manifest we just staged so the
+                # metadata dir only ever holds committed snapshots
+                fsio.rmtree(self._snap_path(sid))
                 raise CommitConflict(
                     f"snapshot {parent!r} is no longer CURRENT of "
                     f"{self.root}; re-read and retry")
+            # With a catalog the CATALOG is the authority; the CURRENT
+            # file is a best-effort hint for catalog-less readers.  Guard
+            # it against regression: a preempted winner must not overwrite
+            # a later winner's pointer (files alone cannot order writers —
+            # that is exactly why durable deployments need the catalog).
+            prev_sid = self._current_from_file()
+            if prev_sid is not None and \
+                    self.snapshot(prev_sid)["sequence"] >= seq:
+                return sid
         fsio.atomic_write_bytes(posixpath.join(self.meta, "CURRENT"),
                                 sid.encode())
         return sid
+
+    def _current_from_file(self) -> str | None:
+        p = posixpath.join(self.meta, "CURRENT")
+        if not fsio.exists(p):
+            return None
+        return fsio.read_bytes(p).decode().strip() or None
 
     def append(self, df: DataFrame) -> str:
         """Stage a DataFrame as parquet under a unique data dir, then

@@ -126,6 +126,11 @@ def test_catalog_cas_two_writers_one_loses_cleanly(tmp_path):
     assert len(snaps) == 4
     assert all(a["snapshot_id"] == b["parent"]
                for a, b in zip(snaps, snaps[1:]))
+    # losers' staged manifests were deleted: metadata dir holds exactly
+    # the committed chain
+    n_manifests = len([p for p in fsio.list_files(t1.meta)
+                       if "snap-" in p])
+    assert n_manifests == 4
 
 
 def test_catalog_imports_pre_catalog_table(tmp_path):
