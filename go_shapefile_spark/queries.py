@@ -550,6 +550,94 @@ def streaming_tiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cell", "n"))
 
 
+def streaming_spatial_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the headline spatial join (E6 over a stream):
+    events stream → JVM geotag → broadcast cell-cover join vs nation
+    rectangles → per-polygon counts, drained availableNow.  The oracle
+    is the relational rectangle-containment rollup — streaming backfill
+    must equal batch."""
+    import tempfile
+    import uuid
+
+    import numpy as np
+
+    from .operators.spatial_join import PreparedCover
+    from .streaming.events import (
+        run_available_now, streaming_spatial_join_counts)
+
+    register_tables(spark, sf_dir)
+    rect_rows = spark.sql(
+        f"WITH {nation_rects_cte(SPARK)} SELECT * FROM rects").collect()
+    polygons = []
+    for r in rect_rows:
+        ring = [r.x0, r.y0, r.x0, r.y1, r.x1, r.y1, r.x1, r.y0, r.x0, r.y0]
+        polygons.append({"fid": int(r.polygon_fid),
+                         "coords": np.array(ring), "ends": [10]})
+    prepared = PreparedCover(spark, polygons, res=5)
+    src = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(src).schema
+    out = streaming_spatial_join_counts(
+        spark, _stream_source_dir(src), schema, prepared)
+    name = f"gate_stream_join_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="gate_stream_join_")
+    run_available_now(out, ckpt, query_name=name)
+    return spark.table(name)
+
+
+def q_streaming_spatial_join_oracle(dialect: str) -> str:
+    return f"""
+WITH {geotagged_events_cte(dialect)},
+{nation_rects_cte(dialect)}
+SELECT r.polygon_fid, COUNT(*) AS n_points
+FROM pts p JOIN rects r
+  ON p.lon > r.x0 AND p.lon < r.x1 AND p.lat > r.y0 AND p.lat < r.y1
+GROUP BY r.polygon_fid
+"""
+
+
+def snapshot_incremental_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11/table format, oracle-gated: events are committed to a
+    SnapshotTable in two atomic appends (even ids, then odd ids); the
+    gate reads ONLY the second commit via the snapshot-diff incremental
+    read and rolls it up.  The oracle computes the same rollup
+    relationally from the odd-id slice — so snapshot isolation,
+    manifests, and the incremental file diff are all on the hash-checked
+    path, not just in pytest."""
+    from pyspark.sql import functions as F
+
+    from .sources import fsio
+    from .sources.table_format import SnapshotTable
+
+    register_tables(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_CACHE_ROOT, f"gate_snaptbl_{tag}")
+    marker = root + ".base_snapshot"
+    if not os.path.exists(marker):
+        fsio.rmtree(root)   # half-built leftover from a crashed run
+        t = SnapshotTable(root)
+        ev = spark.table("events")
+        s1 = t.append(ev.where("event_id % 2 = 0"))
+        t.append(ev.where("event_id % 2 = 1"))
+        with open(marker, "w") as f:
+            f.write(s1)
+    with open(marker) as f:
+        base = f.read().strip()
+    inc = SnapshotTable(root).incremental(spark, base)
+    return (inc.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("event_id").alias("min_id"),
+                 F.max("event_id").alias("max_id")))
+
+
+def q_snapshot_incremental_oracle(dialect: str) -> str:
+    return """
+SELECT user_id, COUNT(*) AS n_events,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM events WHERE event_id % 2 = 1
+GROUP BY user_id
+"""
+
+
 def q_streaming_tiles_oracle(dialect: str) -> str:
     ep = _epoch_s("ts", dialect)
     return f"""
@@ -749,6 +837,10 @@ def build_registry():
     oracles["streaming_tile_rollup"] = q_streaming_tiles_oracle(DUCK)
     queries["streaming_sessions"] = streaming_sessions_spark
     oracles["streaming_sessions"] = q_event_sessions(DUCK)
+    queries["streaming_spatial_join"] = streaming_spatial_join_spark
+    oracles["streaming_spatial_join"] = q_streaming_spatial_join_oracle(DUCK)
+    queries["snapshot_incremental_rollup"] = snapshot_incremental_spark
+    oracles["snapshot_incremental_rollup"] = q_snapshot_incremental_oracle(DUCK)
 
     # simhash_pairs / dedup_minhash_lsh: same algebra, but the Spark side
     # materializes the self-joined CTE once (Spark inlines CTEs, so the

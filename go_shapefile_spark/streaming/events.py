@@ -42,6 +42,28 @@ def streaming_tile_counts(spark: SparkSession, source_dir: str, schema: str,
             .select(F.col("w.start").alias("window_start"), "cell", "n"))
 
 
+def streaming_spatial_join_counts(spark: SparkSession, source_dir: str,
+                                  schema, prepared,
+                                  id_col: str = "event_id") -> DataFrame:
+    """Streaming twin of the headline spatial join: readStream → JVM
+    geotag → Morton cell → stream-static broadcast join against a
+    PreparedCover (full/unrolled/wide branches all work on streams —
+    stream-static equi-joins are stateless) → per-polygon counts.
+
+    The aggregation keyed on polygon_fid is the only stateful operator;
+    with a complete-mode sink a streaming backfill equals the batch
+    spatial join (oracle-gated)."""
+    from ..operators.spatial_join import spatial_join_prepared
+
+    stream = (spark.readStream.schema(schema).parquet(source_dir)
+              .withColumn("lon", F.expr(lon_sql(id_col, "spark")))
+              .withColumn("lat", F.expr(lat_sql(id_col, "spark"))))
+    joined = spatial_join_prepared(stream, prepared,
+                                   keep_cols=[id_col, "polygon_fid"])
+    return joined.groupBy("polygon_fid").agg(
+        F.count(F.lit(1)).alias("n_points"))
+
+
 def run_available_now(df: DataFrame, checkpoint_dir: str,
                       query_name: str = "tiles") -> None:
     """Drain everything currently available into a memory sink (used by
