@@ -105,3 +105,72 @@ def frame_sample(videos: DataFrame, every_n: int = 10,
 
     return videos.mapInPandas(
         run, schema="video_id string, frame_idx int, frame binary")
+
+
+AHASH_GRID = 8          # 8x8 grid -> 64-bit hash
+AHASH_BANDS = 4         # 4 x 16-bit bands for the LSH candidate join
+
+
+def image_ahash(images: DataFrame, stub_ok: bool = True) -> DataFrame:
+    """Perceptual average-hash over DECODED pixels: grayscale → exact
+    8×8 block means (the generator's sizes are multiples of 8) → bit i
+    set iff block i's mean exceeds the image mean → (image_id, ahash).
+
+    This is the image-payload analog of the text SimHash: a tiny
+    locality-sensitive signature computed from the actual pixel content
+    (not metadata), so re-encoded or slightly-perturbed copies land
+    within a few bits of their original.  Arrow-batched; per-image codec
+    work is inherent.
+    """
+    g = AHASH_GRID
+    weights = np.uint64(1) << np.arange(g * g, dtype=np.uint64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for row in pdf.itertuples(index=False):
+                img = _decode(row, stub_ok)
+                gray = img.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                blocks = gray.reshape(g, h // g, g, w // g).mean(axis=(1, 3))
+                bits = (blocks.ravel() > gray.mean()).astype(np.uint64)
+                hashes.append((bits * weights).sum(dtype=np.uint64))
+                ids.append(row.image_id)
+            # uint64 accumulate, reinterpret as int64 (bit 63 = sign)
+            yield pd.DataFrame({"image_id": ids,
+                                "ahash": np.array(hashes, dtype=np.uint64)
+                                .view(np.int64)})
+
+    return images.mapInPandas(run, schema="image_id string, ahash long")
+
+
+def image_neardup_pairs(images: DataFrame, max_hamming: int = 6,
+                        stub_ok: bool = True) -> DataFrame:
+    """Near-duplicate image pairs by perceptual hash: candidates must
+    share ≥1 of ``AHASH_BANDS`` 16-bit bands (equi-join — never the n²
+    pair space), verified by Hamming distance on the full 64-bit hash.
+    A ≤1-bit perturbation leaves ≥3 of 4 bands identical, so true
+    near-dups are always candidates.  All JVM past the hash build.
+    Returns (image_a, image_b, hamming).
+    """
+    from pyspark.sql import functions as F
+
+    sig = image_ahash(images, stub_ok=stub_ok)
+    bands = sig.select(
+        "image_id", "ahash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.expr(f"shiftrightunsigned(ahash, {16 * b}) & 65535")
+                      .alias("bkey"))
+            for b in range(AHASH_BANDS)])).alias("bb")) \
+        .select("image_id", "ahash", "bb.band", "bb.bkey")
+    a = bands.select(F.col("image_id").alias("image_a"),
+                     F.col("ahash").alias("hash_a"), "band", "bkey")
+    b = bands.select(F.col("image_id").alias("image_b"),
+                     F.col("ahash").alias("hash_b"), "band", "bkey")
+    return (a.join(b, ["band", "bkey"])
+            .where(F.col("image_a") < F.col("image_b"))
+            .select("image_a", "image_b",
+                    F.expr("bit_count(hash_a ^ hash_b)").alias("hamming"))
+            .distinct()
+            .where(F.col("hamming") <= max_hamming))

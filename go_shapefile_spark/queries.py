@@ -638,6 +638,68 @@ GROUP BY user_id
 """
 
 
+IMGDUP_N, IMGDUP_PLANTED, IMGDUP_MAX_HAMMING = 800, 40, 6
+
+
+def _ensure_imgdup_table(spark: SparkSession) -> str:
+    """Gate corpus: IMGDUP_N deterministic images + IMGDUP_PLANTED
+    perturbed PNG copies (one pixel channel bumped, re-encoded) whose ids
+    are 'dup-<original id>' — a known near-dup ground truth with real
+    codec work on both sides."""
+    import numpy as np
+
+    from .sources.images import (
+        IMAGES_SCHEMA, decode_image, encode_png, generate_batch)
+
+    path = os.path.join(_CACHE_ROOT, f"gate_imgdup_n{IMGDUP_N}")
+    marker = os.path.join(path, "_SUCCESS_GATE")
+    if os.path.exists(marker):
+        return path
+    pdf = generate_batch(0, IMGDUP_N)
+    png = pdf[pdf.fmt == "png"].reset_index(drop=True)
+    step = max(1, len(png) // IMGDUP_PLANTED)
+    origs = png.iloc[::step][:IMGDUP_PLANTED]
+    assert len(origs) == IMGDUP_PLANTED
+    rows = []
+    for r in origs.itertuples(index=False):
+        px = decode_image(r.bytes, "png")
+        px[0, 0, 0] = np.uint8((int(px[0, 0, 0]) + 8) % 256)
+        rows.append((f"dup-{r.image_id}", encode_png(px), r.w, r.h,
+                     "png", r.caption, r.phash))
+    import pandas as pd
+    dup_pdf = pd.DataFrame(rows, columns=list(pdf.columns))
+    full = pd.concat([pdf, dup_pdf], ignore_index=True)
+    spark.createDataFrame(full, schema=IMAGES_SCHEMA) \
+        .repartition(8).write.mode("overwrite").parquet(path)
+    with open(marker, "w") as f:
+        f.write(str(len(full)))
+    return path
+
+
+def image_neardup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup by perceptual hash over DECODED pixels (the image
+    payload's SimHash analog): ahash → 16-bit-band candidates → Hamming
+    verify.  The contract the oracle pins: every planted perturbed copy
+    pairs with its original, and no unplanted pair appears."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import image_neardup_pairs
+
+    path = _ensure_imgdup_table(spark)
+    pairs = image_neardup_pairs(spark.read.parquet(path),
+                                max_hamming=IMGDUP_MAX_HAMMING)
+    planted = (F.col("image_b") == F.concat(F.lit("dup-"), F.col("image_a"))) | \
+              (F.col("image_a") == F.concat(F.lit("dup-"), F.col("image_b")))
+    return pairs.agg(
+        F.sum(F.when(planted, 1).otherwise(0)).alias("n_planted_found"),
+        F.sum(F.when(~planted, 1).otherwise(0)).alias("n_unexpected"))
+
+
+def q_image_neardup_oracle(dialect: str) -> str:
+    return (f"SELECT CAST({IMGDUP_PLANTED} AS BIGINT) AS n_planted_found, "
+            f"CAST(0 AS BIGINT) AS n_unexpected")
+
+
 def q_streaming_tiles_oracle(dialect: str) -> str:
     ep = _epoch_s("ts", dialect)
     return f"""
@@ -841,6 +903,8 @@ def build_registry():
     oracles["streaming_spatial_join"] = q_streaming_spatial_join_oracle(DUCK)
     queries["snapshot_incremental_rollup"] = snapshot_incremental_spark
     oracles["snapshot_incremental_rollup"] = q_snapshot_incremental_oracle(DUCK)
+    queries["image_neardup"] = image_neardup_spark
+    oracles["image_neardup"] = q_image_neardup_oracle(DUCK)
 
     # simhash_pairs / dedup_minhash_lsh: same algebra, but the Spark side
     # materializes the self-joined CTE once (Spark inlines CTEs, so the

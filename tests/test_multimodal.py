@@ -55,3 +55,42 @@ def test_frame_sample_explodes_rows(spark):
     assert sorted(got["v1"]) == [0, 10, 20]
     assert sorted(got["v2"]) == [0]
     assert all(len(f) == 4 * 4 * 3 for f in frames["frame"])
+
+
+def test_image_ahash_neardup(spark):
+    """Perceptual ahash: a 1-pixel perturbation stays within 1 bit of its
+    original; unrelated noise images are far; the pair join is a banded
+    equi-join (no BNLJ/cartesian)."""
+    import numpy as np
+    import pandas as pd
+
+    from go_shapefile_spark.operators.multimodal import (
+        image_ahash, image_neardup_pairs)
+    from go_shapefile_spark.sources.images import (
+        IMAGES_SCHEMA, decode_image, encode_png, generate_batch)
+
+    pdf = generate_batch(0, 60)
+    png = pdf[pdf.fmt == "png"].reset_index(drop=True)
+    r = png.iloc[3]
+    px = decode_image(r.bytes, "png")
+    px[0, 0, 0] = np.uint8((int(px[0, 0, 0]) + 8) % 256)
+    dup = pd.DataFrame([(f"dup-{r.image_id}", encode_png(px), r.w, r.h,
+                         "png", r.caption, r.phash)], columns=pdf.columns)
+    df = spark.createDataFrame(pd.concat([pdf, dup], ignore_index=True),
+                               schema=IMAGES_SCHEMA)
+    sig = {row.image_id: row.ahash for row in image_ahash(df).collect()}
+    ham = bin(int(sig[r.image_id]) ^ int(sig[f"dup-{r.image_id}"]) &
+              0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham <= 1
+    others = [v for k, v in sig.items()
+              if k not in (r.image_id, f"dup-{r.image_id}")]
+    far = [bin((int(sig[r.image_id]) ^ int(v)) & 0xFFFFFFFFFFFFFFFF).count("1")
+           for v in others]
+    assert min(far) > 6   # unrelated noise images never pair
+
+    pairs = image_neardup_pairs(df, max_hamming=6)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = [tuple(sorted((p.image_a, p.image_b))) for p in pairs.collect()]
+    assert got == [tuple(sorted((r.image_id, f"dup-{r.image_id}")))]
