@@ -21,6 +21,12 @@ Usage::
           .option("path", "/data/countries")     # basename or .zip, URI ok
           .load()
           .where("CONTINENT = 'Africa' AND fid > 10"))
+
+    # directory mode: one partition per shapefile, header planning inside
+    # tasks (driver O(1) in file count), a source_basename column, and
+    # file-level pruning from source_basename equality / bbox predicates
+    tiles = (spark.read.format("shapefile").option("path", "/data/tiles")
+             .load().where("bbox.xmin > 5.0 AND bbox.xmax < 15.0"))
 """
 
 from __future__ import annotations
@@ -53,31 +59,64 @@ class ShapefileDataSource(DataSource):
     def name(cls) -> str:
         return "shapefile"
 
-    def _plan(self) -> sf.ShapefilePlan:
-        # Spark calls schema() and reader() separately — cache the header
-        # pre-pass so a zip bundle isn't re-read/decompressed per call
-        cached = getattr(self, "_cached_plan", None)
-        if cached is not None:
-            return cached
-        path = self.options.get("path")
-        if not path:
-            raise ValueError("shapefile source requires option 'path'")
+    def _opts(self) -> dict | None:
         opts = {}
         if self.options.get("charset"):
             opts.setdefault("dbf", {})["charset"] = self.options["charset"]
         if str(self.options.get("skip_broken_fields", "")).lower() == "true":
             opts.setdefault("dbf", {})["skip_broken_fields"] = True
-        self._cached_plan = sf.plan_shapefile(path, opts or None,
+        return opts or None
+
+    def _bases(self) -> list[str] | None:
+        """Directory mode: shapefile basenames/zips under option path
+        (one driver listing); None when path is a single file/bundle."""
+        cached = getattr(self, "_cached_bases", False)
+        if cached is not False:
+            return cached
+        from . import fsio
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("shapefile source requires option 'path'")
+        bases = None
+        if fsio.is_dir(path):
+            files = fsio.list_files(path)
+            bases = sorted({p[:-4] for p in files
+                            if p.lower().endswith(".shp")})
+            bases += sorted(p for p in files if p.lower().endswith(".zip"))
+            if not bases:
+                raise ValueError(f"no shapefiles under {path}")
+        self._cached_bases = bases
+        return bases
+
+    def _plan(self) -> sf.ShapefilePlan:
+        # Spark calls schema() and reader() separately — cache the header
+        # pre-pass so a zip bundle isn't re-read/decompressed per call.
+        # Directory mode plans ONE representative file (schema only);
+        # per-file headers are read inside tasks.
+        cached = getattr(self, "_cached_plan", None)
+        if cached is not None:
+            return cached
+        bases = self._bases()
+        path = bases[0] if bases else self.options.get("path")
+        self._cached_plan = sf.plan_shapefile(path, self._opts(),
                                               self.options.get("basename"))
         return self._cached_plan
 
     def schema(self):
-        return sf.features_schema(self._plan())
+        base = sf.features_schema(self._plan())
+        if self._bases() is not None:
+            from pyspark.sql import types as T
+            return T.StructType(list(base.fields) + [
+                T.StructField("source_basename", T.StringType())])
+        return base
 
-    def reader(self, schema) -> "ShapefileReader":
-        return ShapefileReader(
-            self._plan(), schema,
-            int(self.options.get("records_per_split", 100_000)))
+    def reader(self, schema):
+        bases = self._bases()
+        rps = int(self.options.get("records_per_split", 100_000))
+        if bases is not None:
+            return ShapefileDirReader(bases, self._plan(), schema, rps,
+                                      self._opts())
+        return ShapefileReader(self._plan(), schema, rps)
 
 
 # pushable comparison filters on scalar attribute columns
@@ -145,34 +184,7 @@ class ShapefileReader(DataSourceReader):
                 yield f
 
     def _header_prunes_all(self) -> bool:
-        """True when a pushed bbox predicate is unsatisfiable given the
-        file-header bounds: every record bbox ordinate lies within the
-        header's [min, max] for its axis, so a comparison that excludes
-        that whole interval excludes every record (file-level pruning)."""
-        hb = self.plan.header_bounds
-        if hb is None or not self.bbox_filters:
-            return False
-        # bounds tuple is (mins..., maxs...) per layout: XY (x,y | x,y),
-        # XYM (x,y,m | x,y,m), XYZM (x,y,z,m | x,y,z,m)
-        half = len(hb) // 2
-        x_rng, y_rng = (hb[0], hb[half]), (hb[1], hb[half + 1])
-        if x_rng[0] > x_rng[1] or y_rng[0] > y_rng[1]:
-            return False   # NoData-scrubbed header bounds → unknown
-        axis_rng = {"xmin": x_rng, "xmax": x_rng,
-                    "ymin": y_rng, "ymax": y_rng}
-        for f, v in self.bbox_filters:
-            lo, hi = axis_rng[f.attribute[1]]
-            if isinstance(f, EqualTo) and (v < lo or v > hi):
-                return True
-            if isinstance(f, GreaterThan) and hi <= v:
-                return True
-            if isinstance(f, GreaterThanOrEqual) and hi < v:
-                return True
-            if isinstance(f, LessThan) and lo >= v:
-                return True
-            if isinstance(f, LessThanOrEqual) and lo > v:
-                return True
-        return False
+        return _header_prunes(self.plan.header_bounds, self.bbox_filters)
 
     def partitions(self) -> list[_Split]:
         lo, hi = self.fid_lo, min(self.fid_hi,
@@ -188,48 +200,10 @@ class ShapefileReader(DataSourceReader):
                 for i in range(k)]
 
     def _mask(self, adf) -> np.ndarray:
-        keep = np.ones(len(adf), dtype=bool)
-        for f in self.attr_filters:
-            col = adf[f.attribute[0]]
-            if isinstance(f, IsNull):
-                m = col.isna()
-            elif isinstance(f, IsNotNull):
-                m = ~col.isna()
-            else:
-                v = f.value
-                if isinstance(f, EqualTo):
-                    m = col == v
-                elif isinstance(f, GreaterThan):
-                    m = col > v
-                elif isinstance(f, GreaterThanOrEqual):
-                    m = col >= v
-                elif isinstance(f, LessThan):
-                    m = col < v
-                else:
-                    m = col <= v
-                m = m.fillna(False) if hasattr(m, "fillna") else m
-            keep &= np.asarray(m, dtype=bool)
-        return keep
+        return _attr_keep(adf, self.attr_filters)
 
     def _bbox_mask(self, buf: bytes, rel: np.ndarray) -> np.ndarray:
-        """Keep-mask over a split's records from their header bounds —
-        evaluated before any decode.  NaN bounds (Null shapes) fail
-        every comparison, matching SQL NULL predicate semantics."""
-        bb = sf.record_bounds_quick(buf, rel)
-        keep = np.ones(len(rel), dtype=bool)
-        for f, v in self.bbox_filters:
-            c = bb[:, _BBOX_COL[f.attribute[1]]]
-            if isinstance(f, EqualTo):
-                keep &= c == v
-            elif isinstance(f, GreaterThan):
-                keep &= c > v
-            elif isinstance(f, GreaterThanOrEqual):
-                keep &= c >= v
-            elif isinstance(f, LessThan):
-                keep &= c < v
-            else:
-                keep &= c <= v
-        return keep
+        return _bbox_keep(buf, rel, self.bbox_filters)
 
     def read(self, partition: _Split):
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -247,3 +221,207 @@ class ShapefileReader(DataSourceReader):
                                    bbox_mask_fn=bbox_fn)
         if rb.num_rows:
             yield rb
+
+
+def _attr_keep(adf, filters: list[Filter]) -> np.ndarray:
+    """Keep-mask over decoded attribute columns (SQL NULL-fails-predicate
+    semantics)."""
+    keep = np.ones(len(adf), dtype=bool)
+    for f in filters:
+        col = adf[f.attribute[0]]
+        if isinstance(f, IsNull):
+            m = col.isna()
+        elif isinstance(f, IsNotNull):
+            m = ~col.isna()
+        else:
+            v = f.value
+            if isinstance(f, EqualTo):
+                m = col == v
+            elif isinstance(f, GreaterThan):
+                m = col > v
+            elif isinstance(f, GreaterThanOrEqual):
+                m = col >= v
+            elif isinstance(f, LessThan):
+                m = col < v
+            else:
+                m = col <= v
+            m = m.fillna(False) if hasattr(m, "fillna") else m
+        keep &= np.asarray(m, dtype=bool)
+    return keep
+
+
+def _bbox_keep(buf: bytes, rel: np.ndarray,
+               filters: list[tuple[Filter, float]]) -> np.ndarray:
+    """Keep-mask from record-header bounds — evaluated BEFORE any decode.
+    NaN bounds (Null shapes) fail every comparison, matching SQL NULL
+    predicate semantics."""
+    bb = sf.record_bounds_quick(buf, rel)
+    keep = np.ones(len(rel), dtype=bool)
+    for f, v in filters:
+        c = bb[:, _BBOX_COL[f.attribute[1]]]
+        if isinstance(f, EqualTo):
+            keep &= c == v
+        elif isinstance(f, GreaterThan):
+            keep &= c > v
+        elif isinstance(f, GreaterThanOrEqual):
+            keep &= c >= v
+        elif isinstance(f, LessThan):
+            keep &= c < v
+        else:
+            keep &= c <= v
+    return keep
+
+
+def _header_prunes(header_bounds: tuple | None,
+                   bbox_filters: list[tuple[Filter, float]]) -> bool:
+    """True when a pushed bbox predicate is unsatisfiable given the
+    file-header bounds: every record bbox ordinate lies within the
+    header's [min, max] for its axis, so a comparison that excludes
+    that whole interval excludes every record (file-level pruning)."""
+    hb = header_bounds
+    if hb is None or not bbox_filters:
+        return False
+    # bounds tuple is (mins..., maxs...) per layout: XY (x,y | x,y),
+    # XYM (x,y,m | x,y,m), XYZM (x,y,z,m | x,y,z,m)
+    half = len(hb) // 2
+    x_rng, y_rng = (hb[0], hb[half]), (hb[1], hb[half + 1])
+    if x_rng[0] > x_rng[1] or y_rng[0] > y_rng[1]:
+        return False   # NoData-scrubbed header bounds → unknown
+    axis_rng = {"xmin": x_rng, "xmax": x_rng,
+                "ymin": y_rng, "ymax": y_rng}
+    for f, v in bbox_filters:
+        lo, hi = axis_rng[f.attribute[1]]
+        if isinstance(f, EqualTo) and (v < lo or v > hi):
+            return True
+        if isinstance(f, GreaterThan) and hi <= v:
+            return True
+        if isinstance(f, GreaterThanOrEqual) and hi < v:
+            return True
+        if isinstance(f, LessThan) and lo >= v:
+            return True
+        if isinstance(f, LessThanOrEqual) and lo > v:
+            return True
+    return False
+
+
+class _FileSplit(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class ShapefileDirReader(DataSourceReader):
+    """Directory mode of ``format("shapefile")``: one input partition per
+    shapefile; ALL header reads (split planning, bbox file pruning)
+    happen inside tasks, so the driver does exactly one directory
+    listing no matter the corpus size — the DataSource twin of
+    ``read_shapefile_dir``.
+
+    Pushdown: attribute masks and bbox predicates work per file exactly
+    as in single-file mode (bbox pre-tested on the SHX range-read path,
+    applied post-parse — still exact — on zip members); equality on
+    ``source_basename`` prunes whole files at plan time; bbox predicates
+    prune whole files by header bounds inside the task.
+    """
+
+    def __init__(self, bases: list[str], rep_plan: sf.ShapefilePlan,
+                 schema, records_per_split: int, options: dict | None):
+        self.bases = bases
+        self.rep_plan = rep_plan
+        self.schema = schema
+        self.records_per_split = records_per_split
+        self.sf_options = options
+        self.attr_filters: list[Filter] = []
+        self.bbox_filters: list[tuple[Filter, float]] = []
+        self.basename_eqs: list[str] = []
+        self._attr_cols = {name for name, *_ in rep_plan.dbf_fields} | {"deleted"}
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            if (col == "source_basename" and isinstance(f, EqualTo)
+                    and isinstance(f.value, str)):
+                self.basename_eqs.append(f.value)
+            elif (col in self._attr_cols and self.rep_plan.has_dbf
+                    and (isinstance(f, _CMP) or isinstance(f, (IsNull, IsNotNull)))):
+                self.attr_filters.append(f)
+            elif (isinstance(f, _CMP) and attr and len(attr) == 2
+                    and attr[0] == "bbox" and attr[1] in _BBOX_COL):
+                try:
+                    self.bbox_filters.append((f, float(f.value)))
+                except (TypeError, ValueError):
+                    yield f
+            else:
+                # fid predicates are not globally meaningful across files
+                yield f
+
+    def partitions(self) -> list[_FileSplit]:
+        import posixpath
+        bases = self.bases
+        for v in self.basename_eqs:
+            bases = [b for b in bases if posixpath.basename(b) == v]
+        return [_FileSplit(b) for b in bases] or [_FileSplit("")]
+
+    def read(self, partition: _FileSplit):
+        import posixpath
+
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        if not partition.path:
+            return
+        plan = sf.plan_shapefile(partition.path, self.sf_options)
+        if _header_prunes(plan.header_bounds, self.bbox_filters):
+            return   # whole file outside the query window
+        full = to_arrow_schema(self.schema)
+        base_schema = pa.schema(
+            [f for f in full if f.name != "source_basename"])
+        can_pretest = (not plan.is_zip and plan.shx_offsets is not None
+                       and plan.has_shp)
+        mask_fn = (lambda adf: _attr_keep(adf, self.attr_filters)) \
+            if self.attr_filters else None
+        bbox_fn = (lambda buf, rel: _bbox_keep(buf, rel, self.bbox_filters)) \
+            if (self.bbox_filters and can_pretest) else None
+        if plan.n_records >= 0 and can_pretest:
+            step = self.records_per_split
+            bounds = [(a, min(a + step, plan.n_records + 1))
+                      for a in range(1, plan.n_records + 1, step)]
+        else:
+            n = plan.n_records if plan.n_records >= 0 else (1 << 40)
+            bounds = [(1, n + 1)]
+        name = posixpath.basename(partition.path)
+        for a, b in bounds:
+            rb = sf._arrow_split_batch(plan, a, b, base_schema,
+                                       attr_mask_fn=mask_fn,
+                                       bbox_mask_fn=bbox_fn)
+            if self.bbox_filters and bbox_fn is None and rb.num_rows:
+                rb = _bbox_postfilter(rb, self.bbox_filters)
+            if rb.num_rows:
+                yield pa.RecordBatch.from_arrays(
+                    list(rb.columns) +
+                    [pa.array([name] * rb.num_rows, pa.string())],
+                    schema=full)
+
+
+def _bbox_postfilter(rb, filters: list[tuple[Filter, float]]):
+    """Exact bbox filtering AFTER parse, for files that cannot range-read
+    (zip members): same comparisons, applied to the decoded bbox struct."""
+    import pyarrow as pa
+
+    bbox = rb.column(rb.schema.get_field_index("bbox"))
+    keep = np.ones(rb.num_rows, dtype=bool)
+    for f, v in filters:
+        # nulls → NaN, which fails every comparison (SQL semantics)
+        c = bbox.field(f.attribute[1]).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if isinstance(f, EqualTo):
+            keep &= c == v
+        elif isinstance(f, GreaterThan):
+            keep &= c > v
+        elif isinstance(f, GreaterThanOrEqual):
+            keep &= c >= v
+        elif isinstance(f, LessThan):
+            keep &= c < v
+        else:
+            keep &= c <= v
+    return rb.filter(pa.array(keep))

@@ -164,3 +164,37 @@ def test_pushdown_skips_geometry_decode(ds_spark, ref_testdata, monkeypatch):
     n_rows = sum(b.num_rows for b in batches)
     assert seen == [n_rows]  # parsed exactly the surviving records
     assert 0 < n_rows < 10
+
+
+def test_format_directory_mode(ds_spark, ref_testdata, tmp_path):
+    """format("shapefile") on a DIRECTORY: one partition per file, header
+    planning inside tasks, source_basename file pruning, and bbox
+    predicates exact on both the SHX pre-test path (.shp files) and the
+    post-parse path (zip bundles)."""
+    import shutil
+    import zipfile
+
+    d = tmp_path / "dscorpus"
+    d.mkdir()
+    for i in range(4):
+        for ext in ("shp", "shx", "dbf"):
+            shutil.copy(os.path.join(ref_testdata, f"poly.{ext}"),
+                        d / f"t{i}.{ext}")
+    # one zip bundle with the same schema → post-parse bbox filtering
+    with zipfile.ZipFile(d / "z0.zip", "w") as z:
+        for ext in ("shp", "shx", "dbf"):
+            z.write(os.path.join(ref_testdata, f"poly.{ext}"), f"poly.{ext}")
+    df = ds_spark.read.format("shapefile").option("path", str(d)).load()
+    assert df.count() == 50
+    assert df.select("source_basename").distinct().count() == 5
+    # file pruning via source_basename equality
+    assert df.where("source_basename = 't2'").count() == 10
+    # bbox predicate: identical result on every file, zip included
+    got = (df.where("bbox.ymax < 4765000")
+           .groupBy("source_basename").count().collect())
+    assert {r.source_basename: r["count"] for r in got} == {
+        "t0": 3, "t1": 3, "t2": 3, "t3": 3, "z0.zip": 3}
+    # header bbox prune: off-window → empty
+    assert df.where("bbox.xmin > 999999999").count() == 0
+    # attribute pushdown still applies per file
+    assert df.where("AREA > 300000").count() == 15
