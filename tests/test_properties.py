@@ -215,3 +215,46 @@ def test_dbf_text_kernel_matches_reference(values):
         return
     for i, raw in enumerate(padded):
         assert got[i] == core.parse_dbf_value(raw, "C", "latin-1"), raw
+
+
+@given(st.lists(st.tuples(st.floats(-170, 170), st.floats(-80, 80),
+                          st.floats(0.001, 20), st.floats(0.001, 20)),
+                min_size=1, max_size=12),
+       st.booleans())
+@settings(max_examples=25, deadline=None)
+def test_record_bounds_quick_matches_decode_property(rects, as_points):
+    """record_bounds_quick (raw header gather) equals the fully-decoded
+    record bounds for arbitrary writer-generated polygon AND point files."""
+    import tempfile
+
+    import numpy as np
+
+    from go_shapefile_spark.sources.shapefile import (
+        _read_split_shp, plan_shapefile, record_bounds_quick)
+    from go_shapefile_spark.sources import shapefile_core as core
+    from go_shapefile_spark.sources.shapefile_writer import (
+        write_points, write_polygons)
+
+    base = tempfile.mkdtemp(prefix="rbq_") + "/g"
+    if as_points:
+        xs = np.array([r[0] for r in rects])
+        ys = np.array([r[1] for r in rects])
+        write_points(base, xs, ys)
+    else:
+        polys = []
+        for cx, cy, w, h in rects:
+            ring = [cx - w, cy - h, cx - w, cy + h, cx + w, cy + h,
+                    cx + w, cy - h, cx - w, cy - h]
+            polys.append({"coords": ring, "ends": [10]})
+        write_polygons(base, polys)
+    plan = plan_shapefile(base)
+    buf, rel = _read_split_shp(plan, 1, plan.n_records + 1)
+    quick = record_bounds_quick(buf, rel)
+    recs = core.parse_shp_range(buf, rel,
+                                numbers=np.arange(1, plan.n_records + 1))
+    for i, r in enumerate(recs):
+        if r.shape_type in core.POINT_TYPES:
+            exp = [r.coords[0], r.coords[1], r.coords[0], r.coords[1]]
+        else:
+            exp = list(r.bounds[:2]) + list(r.bounds[2:4])
+        np.testing.assert_array_equal(quick[i], exp)
