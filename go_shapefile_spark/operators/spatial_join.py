@@ -142,7 +142,18 @@ def polygon_cell_cover(polygons: list[dict], res: int,
     """
     n = 1 << res
     w, h = 360.0 / n, 180.0 / n
-    frames = []
+    # Accumulate per-polygon numpy chunks and build ONE DataFrame at the
+    # end: a pandas frame per polygon (six __setitem__ block inserts
+    # each) was ~80% of the build time at 200k polygons (profiled).
+    cells_l: list[np.ndarray] = []
+    fids_l: list[np.ndarray] = []
+    full_l: list[np.ndarray] = []
+    rx_l: list[np.ndarray] = []
+    ry_l: list[np.ndarray] = []
+    ref_l: list[np.ndarray] = []
+    lon0_l: list[np.ndarray] = []
+    lat0_l: list[np.ndarray] = []
+    edges_all: list[list | None] = []
     for poly in polygons:
         coords, ends, fid = poly["coords"], poly["ends"], poly["fid"]
         x0, y0, x1, y1 = G.polygon_bbox(coords)
@@ -178,12 +189,12 @@ def polygon_cell_cover(polygons: list[dict], res: int,
         cell_full = C.cell_from_xy(gx[interior][inside_interior],
                                    gy[interior][inside_interior], res)
         cell_part = C.cell_from_xy(gx[partial], gy[partial], res)
-        base = pd.DataFrame({
-            "cell": np.concatenate([cell_full, cell_part]),
-            "fid": np.int64(fid),
-            "full": np.concatenate([np.ones(len(cell_full), dtype=bool),
-                                    np.zeros(len(cell_part), dtype=bool)]),
-        })
+        n_rows = len(cell_full) + len(cell_part)
+        cells_l.append(np.concatenate([cell_full, cell_part]))
+        fids_l.append(np.full(n_rows, fid, dtype=np.int64))
+        full_l.append(np.concatenate(
+            [np.ones(len(cell_full), dtype=bool),
+             np.zeros(len(cell_part), dtype=bool)]))
         if with_edges:
             # edge segments as [x1, y1, x2, y2] rows
             segs = _edge_segments(coords, ends)
@@ -193,26 +204,33 @@ def polygon_cell_cover(polygons: list[dict], res: int,
                 centers_x[partial], centers_y[partial], coords, ends) \
                 if partial.any() else np.zeros(0, dtype=bool)
             part_rows = np.nonzero(partial)[0]
-            edges_col: list[list | None] = [None] * len(cell_full) + [
-                segs[hits[i]].tolist() for i in part_rows]
-            base["rx"] = np.concatenate([centers_x[interior][inside_interior],
-                                         centers_x[partial]])
-            base["ry"] = np.concatenate([centers_y[interior][inside_interior],
-                                         centers_y[partial]])
-            base["ref_inside"] = np.concatenate(
-                [np.ones(len(cell_full), dtype=bool), ref_inside_part])
-            base["edges"] = edges_col
-            base["lon0"] = np.concatenate([lon0[interior][inside_interior],
-                                           lon0[partial]])
-            base["lat0"] = np.concatenate([lat0[interior][inside_interior],
-                                           lat0[partial]])
-        frames.append(base)
-    if not frames:
+            edges_all.extend([None] * len(cell_full))
+            edges_all.extend(segs[hits[i]].tolist() for i in part_rows)
+            rx_l.append(np.concatenate([centers_x[interior][inside_interior],
+                                        centers_x[partial]]))
+            ry_l.append(np.concatenate([centers_y[interior][inside_interior],
+                                        centers_y[partial]]))
+            ref_l.append(np.concatenate(
+                [np.ones(len(cell_full), dtype=bool), ref_inside_part]))
+            lon0_l.append(np.concatenate([lon0[interior][inside_interior],
+                                          lon0[partial]]))
+            lat0_l.append(np.concatenate([lat0[interior][inside_interior],
+                                          lat0[partial]]))
+    if not cells_l:
         cols = {"cell": np.array([], dtype=np.int64),
                 "fid": np.array([], dtype=np.int64),
                 "full": np.array([], dtype=bool)}
         return pd.DataFrame(cols)
-    return pd.concat(frames, ignore_index=True)
+    out = {"cell": np.concatenate(cells_l),
+           "fid": np.concatenate(fids_l),
+           "full": np.concatenate(full_l)}
+    if with_edges:
+        out.update(rx=np.concatenate(rx_l), ry=np.concatenate(ry_l),
+                   ref_inside=np.concatenate(ref_l))
+        out["edges"] = pd.Series(edges_all, dtype="object")
+        out["lon0"] = np.concatenate(lon0_l)
+        out["lat0"] = np.concatenate(lat0_l)
+    return pd.DataFrame(out)
 
 
 def _edge_segments(coords: np.ndarray, ends) -> np.ndarray:
