@@ -112,9 +112,11 @@ AHASH_BANDS = 4         # 4 x 16-bit bands for the LSH candidate join
 
 
 def image_ahash(images: DataFrame, stub_ok: bool = True) -> DataFrame:
-    """Perceptual average-hash over DECODED pixels: grayscale → exact
-    8×8 block means (the generator's sizes are multiples of 8) → bit i
-    set iff block i's mean exceeds the image mean → (image_id, ahash).
+    """Perceptual average-hash over DECODED pixels: grayscale → 8×8 block
+    means (pixel y maps to block ``y·8 // h``, so ANY image size works;
+    blocks are exact equal partitions when the size is a multiple of 8)
+    → bit i set iff block i's mean exceeds the image mean →
+    (image_id, ahash).
 
     This is the image-payload analog of the text SimHash: a tiny
     locality-sensitive signature computed from the actual pixel content
@@ -132,8 +134,13 @@ def image_ahash(images: DataFrame, stub_ok: bool = True) -> DataFrame:
                 img = _decode(row, stub_ok)
                 gray = img.astype(np.float64).mean(axis=2)
                 h, w = gray.shape
-                blocks = gray.reshape(g, h // g, g, w // g).mean(axis=(1, 3))
-                bits = (blocks.ravel() > gray.mean()).astype(np.uint64)
+                by = np.arange(h) * g // h
+                bx = np.arange(w) * g // w
+                bid = (by[:, None] * g + bx[None, :]).ravel()
+                sums = np.bincount(bid, weights=gray.ravel(), minlength=g * g)
+                cnts = np.bincount(bid, minlength=g * g)
+                blocks = sums / np.maximum(cnts, 1)
+                bits = (blocks > gray.mean()).astype(np.uint64)
                 hashes.append((bits * weights).sum(dtype=np.uint64))
                 ids.append(row.image_id)
             # uint64 accumulate, reinterpret as int64 (bit 63 = sign)
@@ -144,13 +151,18 @@ def image_ahash(images: DataFrame, stub_ok: bool = True) -> DataFrame:
     return images.mapInPandas(run, schema="image_id string, ahash long")
 
 
-def image_neardup_pairs(images: DataFrame, max_hamming: int = 6,
+def image_neardup_pairs(images: DataFrame, max_hamming: int = 3,
                         stub_ok: bool = True) -> DataFrame:
     """Near-duplicate image pairs by perceptual hash: candidates must
     share ≥1 of ``AHASH_BANDS`` 16-bit bands (equi-join — never the n²
     pair space), verified by Hamming distance on the full 64-bit hash.
-    A ≤1-bit perturbation leaves ≥3 of 4 bands identical, so true
-    near-dups are always candidates.  All JVM past the hash build.
+
+    RECALL GUARANTEE: banding finds every pair differing in at most
+    ``AHASH_BANDS - 1`` bits (pigeonhole: ≤3 differing bits leave ≥1 of
+    4 bands identical), which is why ``max_hamming`` defaults to 3 —
+    pairs at distance 4+ are found only probabilistically (when their
+    differing bits cluster into few bands).  Raise AHASH_BANDS for a
+    wider guarantee.  All JVM past the hash build.
     Returns (image_a, image_b, hamming).
     """
     from pyspark.sql import functions as F
@@ -168,9 +180,11 @@ def image_neardup_pairs(images: DataFrame, max_hamming: int = 6,
                      F.col("ahash").alias("hash_a"), "band", "bkey")
     b = bands.select(F.col("image_id").alias("image_b"),
                      F.col("ahash").alias("hash_b"), "band", "bkey")
+    # filter BEFORE distinct: hamming is functionally determined by the
+    # pair, so this is equivalent and shuffles only surviving near-dups
     return (a.join(b, ["band", "bkey"])
             .where(F.col("image_a") < F.col("image_b"))
             .select("image_a", "image_b",
                     F.expr("bit_count(hash_a ^ hash_b)").alias("hamming"))
-            .distinct()
-            .where(F.col("hamming") <= max_hamming))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())

@@ -611,7 +611,9 @@ def snapshot_incremental_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/"))
     root = os.path.join(_CACHE_ROOT, f"gate_snaptbl_{tag}")
-    marker = root + ".base_snapshot"
+    # marker lives INSIDE the table root so `rm -rf <root>` self-heals
+    # (a marker outliving the table would skip the rebuild forever)
+    marker = os.path.join(root, "_GATE_BASE")
     if not os.path.exists(marker):
         fsio.rmtree(root)   # half-built leftover from a crashed run
         t = SnapshotTable(root)
@@ -638,7 +640,7 @@ GROUP BY user_id
 """
 
 
-IMGDUP_N, IMGDUP_PLANTED, IMGDUP_MAX_HAMMING = 800, 40, 6
+IMGDUP_N, IMGDUP_PLANTED, IMGDUP_MAX_HAMMING = 800, 40, 3
 
 
 def _ensure_imgdup_table(spark: SparkSession) -> str:

@@ -79,10 +79,7 @@ class ShapefileDataSource(DataSource):
             raise ValueError("shapefile source requires option 'path'")
         bases = None
         if fsio.is_dir(path):
-            files = fsio.list_files(path)
-            bases = sorted({p[:-4] for p in files
-                            if p.lower().endswith(".shp")})
-            bases += sorted(p for p in files if p.lower().endswith(".zip"))
+            bases = sf.discover_shapefile_bases(path)
             if not bases:
                 raise ValueError(f"no shapefiles under {path}")
         self._cached_bases = bases
@@ -115,7 +112,8 @@ class ShapefileDataSource(DataSource):
         rps = int(self.options.get("records_per_split", 100_000))
         if bases is not None:
             return ShapefileDirReader(bases, self._plan(), schema, rps,
-                                      self._opts())
+                                      self._opts(),
+                                      self.options.get("basename"))
         return ShapefileReader(self._plan(), schema, rps)
 
 
@@ -124,6 +122,26 @@ _CMP = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
 
 
 _BBOX_COL = {"xmin": 0, "ymin": 1, "xmax": 2, "ymax": 3}
+
+
+def _try_accept_row_filter(f: Filter, attr, col, attr_cols: set,
+                           has_dbf: bool, bbox_ok: bool,
+                           attr_filters: list,
+                           bbox_filters: list) -> bool:
+    """Shared attr/bbox filter classification for both readers; returns
+    False when the caller must yield the filter back to Spark."""
+    if (col in attr_cols and has_dbf
+            and (isinstance(f, _CMP) or isinstance(f, (IsNull, IsNotNull)))):
+        attr_filters.append(f)
+        return True
+    if (bbox_ok and isinstance(f, _CMP) and attr and len(attr) == 2
+            and attr[0] == "bbox" and attr[1] in _BBOX_COL):
+        try:
+            bbox_filters.append((f, float(f.value)))
+            return True
+        except (TypeError, ValueError):
+            return False
+    return False
 
 
 class ShapefileReader(DataSourceReader):
@@ -170,17 +188,9 @@ class ShapefileReader(DataSourceReader):
                     self.fid_hi = min(self.fid_hi, v + 1 - 1)
                 else:
                     self.fid_hi = min(self.fid_hi, v + 1)
-            elif (col in self._attr_cols and self.plan.has_dbf
-                    and (isinstance(f, _CMP) or isinstance(f, (IsNull, IsNotNull)))):
-                self.attr_filters.append(f)
-            elif (self._bbox_ok and isinstance(f, _CMP) and attr
-                    and len(attr) == 2 and attr[0] == "bbox"
-                    and attr[1] in _BBOX_COL):
-                try:
-                    self.bbox_filters.append((f, float(f.value)))
-                except (TypeError, ValueError):
-                    yield f
-            else:
+            elif not _try_accept_row_filter(
+                    f, attr, col, self._attr_cols, self.plan.has_dbf,
+                    self._bbox_ok, self.attr_filters, self.bbox_filters):
                 yield f
 
     def _header_prunes_all(self) -> bool:
@@ -324,12 +334,16 @@ class ShapefileDirReader(DataSourceReader):
     """
 
     def __init__(self, bases: list[str], rep_plan: sf.ShapefilePlan,
-                 schema, records_per_split: int, options: dict | None):
+                 schema, records_per_split: int, options: dict | None,
+                 member_basename: str | None = None):
         self.bases = bases
         self.rep_plan = rep_plan
         self.schema = schema
         self.records_per_split = records_per_split
         self.sf_options = options
+        # zip-member filter (option "basename"): must apply to per-file
+        # task plans too, or multi-layer bundles parse the wrong member
+        self.member_basename = member_basename
         self.attr_filters: list[Filter] = []
         self.bbox_filters: list[tuple[Filter, float]] = []
         self.basename_eqs: list[str] = []
@@ -342,17 +356,11 @@ class ShapefileDirReader(DataSourceReader):
             if (col == "source_basename" and isinstance(f, EqualTo)
                     and isinstance(f.value, str)):
                 self.basename_eqs.append(f.value)
-            elif (col in self._attr_cols and self.rep_plan.has_dbf
-                    and (isinstance(f, _CMP) or isinstance(f, (IsNull, IsNotNull)))):
-                self.attr_filters.append(f)
-            elif (isinstance(f, _CMP) and attr and len(attr) == 2
-                    and attr[0] == "bbox" and attr[1] in _BBOX_COL):
-                try:
-                    self.bbox_filters.append((f, float(f.value)))
-                except (TypeError, ValueError):
-                    yield f
-            else:
-                # fid predicates are not globally meaningful across files
+            elif not _try_accept_row_filter(
+                    f, attr, col, self._attr_cols, self.rep_plan.has_dbf,
+                    True, self.attr_filters, self.bbox_filters):
+                # (fid predicates are not globally meaningful across files
+                # and fall through here)
                 yield f
 
     def partitions(self) -> list[_FileSplit]:
@@ -370,7 +378,8 @@ class ShapefileDirReader(DataSourceReader):
 
         if not partition.path:
             return
-        plan = sf.plan_shapefile(partition.path, self.sf_options)
+        plan = sf.plan_shapefile(partition.path, self.sf_options,
+                                 self.member_basename)
         if _header_prunes(plan.header_bounds, self.bbox_filters):
             return   # whole file outside the query window
         full = to_arrow_schema(self.schema)

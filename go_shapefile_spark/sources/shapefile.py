@@ -709,6 +709,16 @@ def read_shapefile_df(spark: SparkSession, path: str, options: dict | None = Non
     return ndf.mapInArrow(parse, schema=schema)
 
 
+def discover_shapefile_bases(directory: str) -> list[str]:
+    """Shapefile corpus discovery (shared by ``read_shapefile_dir`` and
+    the DataSource's directory mode): every .shp basename plus every
+    .zip bundle under ``directory``, sorted."""
+    files = fsio.list_files(directory)
+    bases = sorted({p[:-4] for p in files if p.lower().endswith(".shp")})
+    bases += sorted(p for p in files if p.lower().endswith(".zip"))
+    return bases
+
+
 def _header_intersects(bounds: tuple | None,
                        bbox: tuple[float, float, float, float]) -> bool:
     """Does a file-header bounds tuple intersect a (x0, y0, x1, y1) query
@@ -750,9 +760,7 @@ def read_shapefile_dir(spark: SparkSession, directory: str,
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    files = fsio.list_files(directory)
-    bases = sorted({p[:-4] for p in files if p.lower().endswith(".shp")})
-    bases += sorted(p for p in files if p.lower().endswith(".zip"))
+    bases = discover_shapefile_bases(directory)
     if not bases:
         raise core.ShapefileError(f"no shapefiles under {directory}")
 

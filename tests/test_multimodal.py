@@ -79,8 +79,8 @@ def test_image_ahash_neardup(spark):
     df = spark.createDataFrame(pd.concat([pdf, dup], ignore_index=True),
                                schema=IMAGES_SCHEMA)
     sig = {row.image_id: row.ahash for row in image_ahash(df).collect()}
-    ham = bin(int(sig[r.image_id]) ^ int(sig[f"dup-{r.image_id}"]) &
-              0xFFFFFFFFFFFFFFFF).count("1")
+    ham = bin((int(sig[r.image_id]) ^ int(sig[f"dup-{r.image_id}"]))
+              & 0xFFFFFFFFFFFFFFFF).count("1")
     assert ham <= 1
     others = [v for k, v in sig.items()
               if k not in (r.image_id, f"dup-{r.image_id}")]
@@ -94,3 +94,25 @@ def test_image_ahash_neardup(spark):
     assert "CartesianProduct" not in plan
     got = [tuple(sorted((p.image_a, p.image_b))) for p in pairs.collect()]
     assert got == [tuple(sorted((r.image_id, f"dup-{r.image_id}")))]
+
+
+def test_image_ahash_arbitrary_sizes(spark):
+    """ahash must handle images whose size is not a multiple of 8 (block
+    assignment by y*8//h) and stay deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    from go_shapefile_spark.operators.multimodal import image_ahash
+    from go_shapefile_spark.sources.images import IMAGES_SCHEMA, encode_png
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i, (w, h) in enumerate([(10, 10), (7, 13), (8, 8), (24, 10)]):
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        rows.append((f"odd-{i}", encode_png(px), w, h, "png", "c", i))
+    pdf = pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h",
+                                      "fmt", "caption", "phash"])
+    df = spark.createDataFrame(pdf, schema=IMAGES_SCHEMA)
+    a = sorted((r.image_id, r.ahash) for r in image_ahash(df).collect())
+    b = sorted((r.image_id, r.ahash) for r in image_ahash(df).collect())
+    assert a == b and len(a) == 4

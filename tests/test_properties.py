@@ -235,23 +235,24 @@ def test_record_bounds_quick_matches_decode_property(rects, as_points):
     from go_shapefile_spark.sources.shapefile_writer import (
         write_points, write_polygons)
 
-    base = tempfile.mkdtemp(prefix="rbq_") + "/g"
-    if as_points:
-        xs = np.array([r[0] for r in rects])
-        ys = np.array([r[1] for r in rects])
-        write_points(base, xs, ys)
-    else:
-        polys = []
-        for cx, cy, w, h in rects:
-            ring = [cx - w, cy - h, cx - w, cy + h, cx + w, cy + h,
-                    cx + w, cy - h, cx - w, cy - h]
-            polys.append({"coords": ring, "ends": [10]})
-        write_polygons(base, polys)
-    plan = plan_shapefile(base)
-    buf, rel = _read_split_shp(plan, 1, plan.n_records + 1)
-    quick = record_bounds_quick(buf, rel)
-    recs = core.parse_shp_range(buf, rel,
-                                numbers=np.arange(1, plan.n_records + 1))
+    with tempfile.TemporaryDirectory(prefix="rbq_") as d:
+        base = d + "/g"
+        if as_points:
+            xs = np.array([r[0] for r in rects])
+            ys = np.array([r[1] for r in rects])
+            write_points(base, xs, ys)
+        else:
+            polys = []
+            for cx, cy, w, h in rects:
+                ring = [cx - w, cy - h, cx - w, cy + h, cx + w, cy + h,
+                        cx + w, cy - h, cx - w, cy - h]
+                polys.append({"coords": ring, "ends": [10]})
+            write_polygons(base, polys)
+        plan = plan_shapefile(base)
+        buf, rel = _read_split_shp(plan, 1, plan.n_records + 1)
+        quick = record_bounds_quick(buf, rel)
+        recs = core.parse_shp_range(buf, rel,
+                                    numbers=np.arange(1, plan.n_records + 1))
     for i, r in enumerate(recs):
         if r.shape_type in core.POINT_TYPES:
             exp = [r.coords[0], r.coords[1], r.coords[0], r.coords[1]]
