@@ -248,13 +248,20 @@ def lsh_ann_topk(df: DataFrame, dim: int | None = None, k: int = 10,
         df.where(F.col(id_col) % query_mod == 0), n_planes, n_tables,
         vec_col, id_col, seed=1234, dim=dim)
 
-    vecs = df.select(F.col(id_col), F.col(vec_col))
     queries = q_sig.withColumnRenamed(id_col, "query_id")
     cands = (queries.join(sig.withColumnRenamed(id_col, "neighbor_id"),
                           ["table", "bucket"])
              .where(F.col("neighbor_id") != F.col("query_id"))
              .select("query_id", "neighbor_id").distinct())
+    return _exact_rerank_topk(df, cands, k, vec_col, id_col)
 
+
+def _exact_rerank_topk(df: DataFrame, cands: DataFrame, k: int,
+                       vec_col: str, id_col: str) -> DataFrame:
+    """Exact cosine re-rank of (query_id, neighbor_id) candidate pairs:
+    joins the vectors back, scores with a JVM zip_with/aggregate fold,
+    window top-k per query.  Shared by every ANN index (LSH, IVF)."""
+    vecs = df.select(F.col(id_col), F.col(vec_col))
     qv = vecs.withColumnRenamed(id_col, "query_id") \
         .withColumnRenamed(vec_col, "qv")
     cv = vecs.withColumnRenamed(id_col, "neighbor_id") \
@@ -270,3 +277,66 @@ def lsh_ann_topk(df: DataFrame, dim: int | None = None, k: int = 10,
                                                  F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(win))
             .where(F.col("rank") <= k))
+
+
+def ivf_ann_topk(df: DataFrame, k: int = 10, n_centroids: int = 64,
+                 n_probe: int = 16, vec_col: str = "embedding",
+                 id_col: str = "vec_id", query_mod: int = 50,
+                 seed: int = 7, train_fraction: float = 1.0,
+                 max_iter: int = 10) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine — the second ANN
+    index next to :func:`lsh_ann_topk`, per the coarse-quantizer design
+    every vector store uses:
+
+    1. **train**: Spark-ML KMeans fits ``n_centroids`` coarse centroids
+       (on a ``train_fraction`` sample at scale — the model is tiny);
+    2. **assign**: every vector gets its nearest-centroid id via
+       ``model.transform`` — JVM, one pass, no Python;
+    3. **probe**: each query scores ALL centroids (a tiny broadcast
+       literal) and keeps its ``n_probe`` nearest inverted lists;
+    4. **search**: probes equi-join the assignment table on
+       ``centroid`` — candidates are the probed lists only, never the
+       full corpus — then the shared exact re-rank scores them.
+
+    Recall/latency trades on ``n_probe / n_centroids`` (probed fraction).
+    Randomly-directed embedding corpora (near-orthogonal neighbor sets)
+    need a larger probed fraction than clustered real-world embeddings;
+    recall@10 ≥ 0.7 vs the exact baseline is pytest- and oracle-gated.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fv = df.select(F.col(id_col),
+                   array_to_vector(F.col(vec_col).cast("array<double>"))
+                   .alias("fv"))
+    train = fv if train_fraction >= 1.0 else \
+        fv.sample(fraction=train_fraction, seed=seed)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
+                   featuresCol="fv", predictionCol="centroid").fit(train)
+    assign = model.transform(fv).select(
+        F.col(id_col).alias("neighbor_id"), "centroid")
+
+    centers = np.asarray([np.asarray(c) for c in model.clusterCenters()])
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cn = centers / np.maximum(
+            np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-12)
+            sims = mat @ cn.T                          # (n, n_centroids)
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            yield pd.DataFrame({
+                "query_id": np.repeat(pdf[id_col].to_numpy(), n_probe),
+                "centroid": top.ravel().astype(np.int32)})
+
+    probes = (df.where(F.col(id_col) % query_mod == 0)
+              .select(id_col, vec_col)
+              .mapInPandas(probe, schema="query_id long, centroid int"))
+    cands = (probes.join(assign, "centroid")
+             .where(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id").distinct())
+    return _exact_rerank_topk(df, cands, k, vec_col, id_col)

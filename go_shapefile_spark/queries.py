@@ -944,37 +944,48 @@ def build_registry():
         oracles["shapefile_countries_summary"] = shapefile_countries_oracle()
 
     # Approximate ANN, oracle-gated on its recall contract (VERDICT r2
-    # #3, image_invariants pattern): Spark runs the LSH top-k AND the
-    # exact top-k, computes recall@k in-plan, and the oracle pins
+    # #3, image_invariants pattern): Spark runs the approximate top-k AND
+    # the exact top-k, computes recall@k in-plan, and the oracle pins
     # (n_queries from the table, recall_pass = 1).  A recall regression
-    # or a query that silently drops out flips the gate red.
+    # or a query that silently drops out flips the gate red.  Two index
+    # types share the gate scaffold: hyperplane LSH and KMeans IVF.
     ANN_QUERY_MOD = 50   # shared by the ANN call, the filter, the oracle
 
-    def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from pyspark.sql import functions as F
+    def _ann_recall_gate(ann_fn):
+        def gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from pyspark.sql import functions as F
 
-        register_tables(spark, sf_dir)
-        emb = spark.table("embeddings")
-        ann = SIM.lsh_ann_topk(emb, query_mod=ANN_QUERY_MOD)
-        exact = spark.sql(SIM.cosine_topk_sql(SPARK, query_mod=ANN_QUERY_MOD)) \
-            .select("query_id", "neighbor_id")
-        # one action computes both counts (a separate exact.count() would
-        # re-run the O(n²) brute-force sub-plan from scratch)
-        stats = (exact.join(ann.select("query_id", "neighbor_id",
-                                       F.lit(1).alias("hit")),
-                            ["query_id", "neighbor_id"], "left_outer")
-                 .agg(F.count(F.lit(1)).alias("n_exact"),
-                      F.count("hit").alias("n_hits"))
-                 .collect()[0])
-        n_queries = emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0).count()
-        recall = (stats.n_hits / stats.n_exact) if stats.n_exact else 1.0
-        return spark.createDataFrame(
-            [(n_queries, int(recall >= 0.7))],
-            schema="n_queries long, recall_pass long")
-    queries["ann_recall"] = ann_recall
-    oracles["ann_recall"] = f"""
+            register_tables(spark, sf_dir)
+            emb = spark.table("embeddings")
+            ann = ann_fn(emb)
+            exact = spark.sql(
+                SIM.cosine_topk_sql(SPARK, query_mod=ANN_QUERY_MOD)) \
+                .select("query_id", "neighbor_id")
+            # one action computes both counts (a separate exact.count()
+            # would re-run the O(n²) brute-force sub-plan from scratch)
+            stats = (exact.join(ann.select("query_id", "neighbor_id",
+                                           F.lit(1).alias("hit")),
+                                ["query_id", "neighbor_id"], "left_outer")
+                     .agg(F.count(F.lit(1)).alias("n_exact"),
+                          F.count("hit").alias("n_hits"))
+                     .collect()[0])
+            n_queries = emb.where(
+                F.col("vec_id") % ANN_QUERY_MOD == 0).count()
+            recall = (stats.n_hits / stats.n_exact) if stats.n_exact else 1.0
+            return spark.createDataFrame(
+                [(n_queries, int(recall >= 0.7))],
+                schema="n_queries long, recall_pass long")
+        return gate
+
+    recall_oracle = f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_pass
 FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
 """
+    queries["ann_recall"] = _ann_recall_gate(
+        lambda emb: SIM.lsh_ann_topk(emb, query_mod=ANN_QUERY_MOD))
+    oracles["ann_recall"] = recall_oracle
+    queries["ivf_recall"] = _ann_recall_gate(
+        lambda emb: SIM.ivf_ann_topk(emb, query_mod=ANN_QUERY_MOD))
+    oracles["ivf_recall"] = recall_oracle
 
     return queries, oracles

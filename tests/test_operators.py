@@ -219,3 +219,32 @@ def test_neardup_bucketed_recall_and_plan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_ann_recall_and_plan(spark, sf_dir):
+    """IVF ANN (KMeans coarse quantizer + probed inverted lists) must
+    reach recall@10 >= 0.7 vs the exact baseline, and its search join is
+    an equi-join on centroid (no BNLJ / cartesian)."""
+    import duckdb
+
+    from go_shapefile_spark.operators.similarity import (
+        cosine_topk_sql, ivf_ann_topk)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    emb = spark.read.parquet(emb_path)
+    result = ivf_ann_topk(emb, k=10)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = result.toPandas()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{emb_path}'")
+    exact = con.execute(cosine_topk_sql("duck", k=10)).df()
+    num = den = 0
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp["neighbor_id"])
+        approx = set(got[got.query_id == qid]["neighbor_id"])
+        num += len(truth & approx)
+        den += len(truth)
+    assert num / max(den, 1) >= 0.7, f"IVF recall@10 too low: {num/den:.3f}"
