@@ -114,3 +114,46 @@ def fingerprint_sql(dialect: str, rel: str = "documents") -> str:
 SELECT doc_id, source, {fp} AS fingerprint
 FROM {rel}
 """
+
+
+def winnow_fingerprint_sql(dialect: str, rel: str = "documents",
+                           k: int = 7, window: int = 4) -> str:
+    """Winnowing fingerprints (the rolling-hash document fingerprint of
+    MOSS): hash every k-gram, slide a ``window``-wide frame over the
+    hash sequence, keep each frame's MINIMUM — the classic guarantee
+    that any shared substring of length ≥ k + window - 1 contributes at
+    least one identical fingerprint to both documents.
+
+    Expressed as pure relational algebra (positions explode → k-gram
+    hash → windowed MIN → DISTINCT), so Spark and DuckDB run the
+    identical computation; the gate aggregates per doc (count / min /
+    max / sum of fingerprints — sums stay far below int64 under ANSI
+    because k-gram hashes are 32-bit).
+    """
+    from ..functions import hashes as H
+
+    kg = H.h32(f"SUBSTRING(text, pos, {k})", dialect)
+    return f"""
+WITH positions AS (
+  SELECT doc_id, text,
+         {H.seq_1_to(f"GREATEST(1, LENGTH(text) - {k - 1})", dialect)} AS pos
+  FROM {rel}
+),
+kgrams AS (
+  SELECT doc_id, pos, {kg} AS h
+  FROM positions
+),
+winmins AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ASC
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+           AS fp
+  FROM kgrams
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM winmins
+)
+SELECT doc_id, COUNT(*) AS n_fps,
+       MIN(fp) AS min_fp, MAX(fp) AS max_fp, SUM(fp) AS sum_fp
+FROM fps GROUP BY doc_id
+"""

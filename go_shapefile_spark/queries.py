@@ -870,6 +870,7 @@ def build_registry():
         "quality_score": lambda d: TX.quality_score_sql(d),
         "langid": lambda d: TX.langid_sql(d),
         "fingerprint": lambda d: TX.fingerprint_sql(d),
+        "fingerprint_winnow": lambda d: TX.winnow_fingerprint_sql(d),
         "cosine_topk": lambda d: SIM.cosine_topk_sql(d),
         "embedding_neardup": lambda d: SIM.embedding_neardup_sql(d, threshold=0.25),
         "embedding_neardup_bucketed":

@@ -248,3 +248,30 @@ def test_ivf_ann_recall_and_plan(spark, sf_dir):
         num += len(truth & approx)
         den += len(truth)
     assert num / max(den, 1) >= 0.7, f"IVF recall@10 too low: {num/den:.3f}"
+
+
+def test_winnowing_guarantee(spark):
+    """The winnowing property: documents sharing a substring of length
+    >= k + window - 1 share at least one fingerprint; disjoint-alphabet
+    docs share none."""
+    import pandas as pd
+
+    from go_shapefile_spark.operators.text import winnow_fingerprint_sql
+
+    shared = "the quick brown fox jumps over the lazy dog again"
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["AAAA " + shared + " BBBB",
+                 "CCCCCCC " + shared + " DDDD",
+                 "zzzzyyyyxxxxwwwwvvvvuuuuttttssssrrrrqqqq"],
+    })
+    spark.createDataFrame(pdf).createOrReplaceTempView("wdocs")
+    sql = winnow_fingerprint_sql("spark", rel="wdocs", k=7, window=4)
+    # swap the aggregate tail for the raw fingerprint sets
+    body = sql[:sql.index("SELECT doc_id, COUNT(*)")]
+    fps = spark.sql(body + "SELECT doc_id, fp FROM fps").toPandas()
+    s1 = set(fps[fps.doc_id == 1].fp)
+    s2 = set(fps[fps.doc_id == 2].fp)
+    s3 = set(fps[fps.doc_id == 3].fp)
+    assert s1 & s2          # shared >= k+w-1 substring -> shared fp
+    assert not (s1 & s3) and not (s2 & s3)
