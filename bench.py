@@ -30,7 +30,12 @@ from pyspark.sql import functions as F  # noqa: E402
 REPO = os.path.dirname(os.path.abspath(__file__))
 COUNTRIES_ZIP = "/root/reference/testdata/110m-admin-0-countries.zip"
 TILE_RES = 7
-JOIN_RES = 7
+# Cover resolution: output-invariant (join rows identical at any res,
+# test-pinned); res 8 halves the partial-cell band so far fewer rows run
+# the unrolled crossing predicate, while the cover stays tiny (~33k rows
+# broadcast).  Interleaved sweep (r3): res7 6.71s / res8 5.21s / res9
+# 7.42s (bigger cover raises probe+build cost) → res 8.
+JOIN_RES = 8
 
 
 def _sf_of(sf_dir: str) -> float:
