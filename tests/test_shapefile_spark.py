@@ -248,3 +248,31 @@ def test_vectorized_polyline_kernel_parity(spark, tmp_path, monkeypatch):
         assert list(row.geometry.ends) == [int(e) for e in rec.ends]
         assert list(row.geometry.rings) == []
         assert row.shape_type == 3
+
+
+def test_read_shapefile_df_bbox_window(spark, ref_testdata):
+    """bbox window on the function front door: pre-decode pushdown on the
+    SHX path, post-parse filter on zips — identical rows either way, and
+    both equal the unpushed scan filtered relationally."""
+    base = os.path.join(ref_testdata, "poly")
+    # intersects records 8 and 9 only (ymax ≤ 4764000 band)
+    window = (478000.0, 4762900.0, 482000.0, 4764000.0)
+    qx0, qy0, qx1, qy1 = window
+    pred = (F.col("bbox.xmax") >= qx0) & (F.col("bbox.xmin") <= qx1) & \
+           (F.col("bbox.ymax") >= qy0) & (F.col("bbox.ymin") <= qy1)
+    exp = sorted(r.fid for r in
+                 read_shapefile_df(spark, base).where(pred).collect())
+    got = sorted(r.fid for r in
+                 read_shapefile_df(spark, base, bbox=window).collect())
+    assert got == exp and 0 < len(got) < 10
+    # whole-file prune for an off-window bbox
+    assert read_shapefile_df(spark, base, bbox=(0, 0, 1, 1)).count() == 0
+    # zip path (post-parse filter): countries in a northern window
+    zpath = os.path.join(ref_testdata, "110m-admin-0-countries.zip")
+    wz = (-10.0, 50.0, 20.0, 60.0)
+    got_z = sorted(r.NAME for r in
+                   read_shapefile_df(spark, zpath, bbox=wz).collect())
+    exp_z = sorted(r.NAME for r in read_shapefile_df(spark, zpath).where(
+        (F.col("bbox.xmax") >= wz[0]) & (F.col("bbox.xmin") <= wz[2]) &
+        (F.col("bbox.ymax") >= wz[1]) & (F.col("bbox.ymin") <= wz[3])).collect())
+    assert got_z == exp_z and "Germany" in got_z
