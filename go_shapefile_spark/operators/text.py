@@ -154,6 +154,7 @@ fps AS (
   SELECT DISTINCT doc_id, fp FROM winmins
 )
 SELECT doc_id, COUNT(*) AS n_fps,
-       MIN(fp) AS min_fp, MAX(fp) AS max_fp, SUM(fp) AS sum_fp
+       MIN(fp) AS min_fp, MAX(fp) AS max_fp,
+       CAST(SUM(fp) AS BIGINT) AS sum_fp
 FROM fps GROUP BY doc_id
 """

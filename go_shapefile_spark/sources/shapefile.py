@@ -685,19 +685,27 @@ def read_shapefile_df(spark: SparkSession, path: str, options: dict | None = Non
     after parse — same rows either way.
     """
     plan = plan_shapefile(path, options, basename)
+    pruned = (bbox is not None
+              and not _header_intersects(plan.header_bounds, bbox))
     if flat_points:
         if plan.shape_type not in core.POINT_TYPES:
             raise core.ShapefileError(
                 "flat_points requires a Point-type shapefile")
         out = _read_points_flat(spark, plan, target_records_per_split)
+        if pruned:
+            # whole file outside the window (folds to an empty relation)
+            return out.where(F.lit(False))
         if bbox is not None:
+            # per-record pre-decode masking is intentionally skipped on
+            # the flat path: the whole-split frombuffer decode is faster
+            # than a selective decode, and this filter is codegen'd
             qx0, qy0, qx1, qy1 = (float(v) for v in bbox)
             out = out.where((F.col("x") >= qx0) & (F.col("x") <= qx1) &
                             (F.col("y") >= qy0) & (F.col("y") <= qy1))
         return out
     schema = features_schema(plan)
 
-    if bbox is not None and not _header_intersects(plan.header_bounds, bbox):
+    if pruned:
         return spark.createDataFrame([], schema)   # whole file pruned
 
     if plan.n_records >= 0 and not plan.is_zip and plan.shx_offsets is not None:
