@@ -70,3 +70,51 @@ def test_stateful_sessionizer_matches_batch_oracle(spark, sf_dir, tmp_path):
     assert len(got) == len(exp)
     assert (got["n_sessions"].to_numpy() == exp["n_sessions"].to_numpy()).all()
     assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics: after the watermark passes a window's end,
+    an event arriving for that window is DROPPED — the window's emitted
+    (append-mode) aggregate never changes across restarts."""
+    import datetime as dt
+    import glob
+
+    import pandas as pd
+
+    src = str(tmp_path / "late_src")
+    sink = str(tmp_path / "late_sink")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def write_batch(name, times):
+        pdf = pd.DataFrame({
+            "event_id": list(range(len(times))),
+            "ts": [dt.datetime(2024, 1, 1, 10, m, s) for m, s in times]})
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite") \
+            .parquet(stage)
+        part = glob.glob(os.path.join(stage, "*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, name + ".parquet"))
+
+    def run():
+        stream = (spark.readStream.schema("event_id long, ts timestamp")
+                  .parquet(src)
+                  .withWatermark("ts", "10 minutes")
+                  .groupBy(F.window("ts", "5 minutes").alias("w"))
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .select(F.col("w.start").alias("ws"), "n"))
+        q = (stream.writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {r.ws.minute: r.n for r in spark.read.parquet(sink).collect()}
+
+    # batch 1: three events in the 10:00 window + one at 10:30 that
+    # pushes the watermark to 10:20, finalizing the 10:00 window
+    write_batch("b1", [(0, 10), (1, 20), (4, 30), (30, 0)])
+    assert run() == {0: 3}
+    # batch 2: a LATE event for the closed 10:00 window (dropped) plus an
+    # on-time 11:00 event that finalizes the 10:30 window
+    write_batch("b2", [(2, 0), (59, 0)])
+    # late row dropped: 10:00 stays 3, never re-emitted or updated
+    assert run() == {0: 3, 30: 1}
