@@ -38,6 +38,58 @@ def tile_counts(points: DataFrame, res: int, lon_col: str = "lon",
             .groupBy("cell").agg(*aggs))
 
 
+def parent_cell_sql(cell: str) -> str:
+    """Parent cell id (one resolution coarser) from a cell id — pure
+    int arithmetic on the Morton code (drop the low 2 interleave bits,
+    decrement the packed resolution).  Spark SQL dialect (DIV)."""
+    res_part = f"(({cell}) DIV {1 << 52})"
+    morton = f"(({cell}) & {(1 << 52) - 1})"
+    return f"((({res_part}) - 1) * {1 << 52} + (({morton}) DIV 4))"
+
+
+def tile_pyramid(points: DataFrame, max_res: int, min_res: int = 0,
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 extra_sums: list[str] | None = None) -> DataFrame:
+    """Multi-resolution tile pyramid: per-cell counts at every resolution
+    in [min_res, max_res], SCANNING THE POINTS ONCE.
+
+    The base level aggregates the raw points; every coarser level rolls
+    up from its child level by parent-cell arithmetic (4 child rows per
+    parent — each rollup shuffle is ~4× smaller than the previous), so
+    the point table is never re-scanned per level.  This is the tiled
+    analog of an OLAP rollup; counts (and optional SUM columns) are
+    exactly additive under the cell hierarchy because every point maps
+    to one cell per level and parents partition their children.
+
+    Each level is materialized once (``localCheckpoint`` — index-build
+    semantics, computed at call time): without it the returned union
+    would re-run the base aggregation once per level branch (Spark does
+    not reuse the exchanges here — measured 4 scans for 4 levels).  At
+    production scale the levels would be committed to the snapshot
+    table instead; the shape of the computation is the same.
+
+    Returns (res int, cell long, n long [, sum_<col>...]).
+    """
+    sums = list(extra_sums or [])
+    base_aggs = [F.count(F.lit(1)).alias("n")] + \
+        [F.sum(c).alias(f"sum_{c}") for c in sums]
+    roll_aggs = [F.sum("n").alias("n")] + \
+        [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sums]
+    cur = (points
+           .withColumn("cell", F.expr(C.cell_sql(lon_col, lat_col, max_res)))
+           .groupBy("cell").agg(*base_aggs)).localCheckpoint()
+    levels = [cur.select(F.lit(max_res).alias("res"), "*")]
+    for r in range(max_res - 1, min_res - 1, -1):
+        cur = (cur.select(F.expr(parent_cell_sql("cell")).alias("cell"),
+                          "n", *[f"sum_{c}" for c in sums])
+               .groupBy("cell").agg(*roll_aggs)).localCheckpoint()
+        levels.append(cur.select(F.lit(r).alias("res"), "*"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
 def rasterize_cover(cover: DataFrame, res: int, tile_px: int = 16,
                     n_tasks: int = 32) -> DataFrame:
     """Vector→raster over a cell-cover DataFrame (COVER_SCHEMA): emits

