@@ -176,7 +176,8 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
     picks = ["q1_pricing_summary", "q5_region_revenue", "geotag_tiles",
              "dedup_minhash_lsh", "simhash_pairs", "cosine_topk",
              "knn_events", "grid_spatial_join", "token_stats",
-             "embedding_neardup_bucketed", "tiles_roundtrip"]
+             "embedding_neardup_bucketed", "tiles_roundtrip",
+             "tile_pyramid", "fingerprint_winnow"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:
