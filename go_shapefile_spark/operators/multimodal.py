@@ -152,7 +152,8 @@ def image_ahash(images: DataFrame, stub_ok: bool = True) -> DataFrame:
 
 
 def image_neardup_pairs(images: DataFrame, max_hamming: int = 3,
-                        stub_ok: bool = True) -> DataFrame:
+                        stub_ok: bool = True,
+                        max_bucket: int = 200) -> DataFrame:
     """Near-duplicate image pairs by perceptual hash: candidates must
     share ≥1 of ``AHASH_BANDS`` 16-bit bands (equi-join — never the n²
     pair space), verified by Hamming distance on the full 64-bit hash.
@@ -163,8 +164,17 @@ def image_neardup_pairs(images: DataFrame, max_hamming: int = 3,
     pairs at distance 4+ are found only probabilistically (when their
     differing bits cluster into few bands).  Raise AHASH_BANDS for a
     wider guarantee.  All JVM past the hash build.
+
+    ``max_bucket`` caps candidate fan-out per (band, bucket) — the same
+    documented approximation as the text SimHash cap: a flood of
+    IDENTICAL images (blank frames, placeholder thumbnails) would
+    otherwise emit O(bucket²) pairs in one hot bucket, and pairs among
+    >max_bucket same-hash images are not recoverable through other
+    bands (they collide in every band together).  Exact-duplicate
+    floods belong to exact dedup, not the perceptual pass.
     Returns (image_a, image_b, hamming).
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     sig = image_ahash(images, stub_ok=stub_ok)
@@ -176,6 +186,9 @@ def image_neardup_pairs(images: DataFrame, max_hamming: int = 3,
                       .alias("bkey"))
             for b in range(AHASH_BANDS)])).alias("bb")) \
         .select("image_id", "ahash", "bb.band", "bb.bkey")
+    w_bucket = Window.partitionBy("band", "bkey").orderBy("image_id")
+    bands = (bands.withColumn("rnk", F.row_number().over(w_bucket))
+             .where(F.col("rnk") <= max_bucket).drop("rnk"))
     a = bands.select(F.col("image_id").alias("image_a"),
                      F.col("ahash").alias("hash_a"), "band", "bkey")
     b = bands.select(F.col("image_id").alias("image_b"),
