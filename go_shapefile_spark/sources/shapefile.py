@@ -800,8 +800,11 @@ def read_shapefile_dir(spark: SparkSession, directory: str,
     10k headers across the cluster, not serially on the driver.
 
     ``bbox=(x0, y0, x1, y1)`` skips whole files whose header bounds
-    (shxheader.go:53-102) don't intersect the window — file-level
-    partition pruning for geographic queries.
+    (shxheader.go:53-102) don't intersect the window (file-level
+    partition pruning), bounds-tests surviving records from their
+    record headers BEFORE geometry decode on the SHX path, and filters
+    zip members post-parse — the same semantics as
+    ``read_shapefile_df(bbox=...)`` per file.
 
     All files must share the representative file's schema; a mismatched
     file fails its task loudly (Arrow schema error) rather than silently
@@ -856,6 +859,8 @@ def read_shapefile_dir(spark: SparkSession, directory: str,
               .mapInPandas(plan_splits,
                            "path string, fid_start long, fid_end long"))
 
+    window = None if bbox is None else tuple(float(v) for v in bbox)
+
     def parse(batches):
         plans: dict[str, ShapefilePlan] = {}
         for rb in batches:
@@ -865,7 +870,13 @@ def read_shapefile_dir(spark: SparkSession, directory: str,
                 plan = plans.get(p)
                 if plan is None:
                     plan = plans[p] = plan_shapefile(p, options)
-                out = _arrow_split_batch(plan, int(a), int(b), arrow_base)
+                pretest = (window is not None and not plan.is_zip
+                           and plan.shx_offsets is not None and plan.has_shp)
+                bbox_fn = (lambda buf, rel:
+                           _bbox_window_mask(buf, rel, window)) \
+                    if pretest else None
+                out = _arrow_split_batch(plan, int(a), int(b), arrow_base,
+                                         bbox_mask_fn=bbox_fn)
                 if not out.num_rows:
                     continue
                 name = posixpath.basename(p)
@@ -874,8 +885,17 @@ def read_shapefile_dir(spark: SparkSession, directory: str,
                     [pa.array([name] * out.num_rows, pa.string())],
                     schema=arrow_full)
 
-    return (splits.repartition(F.col("path"), F.col("fid_start"))
-            .mapInArrow(parse, schema=schema))
+    df = (splits.repartition(F.col("path"), F.col("fid_start"))
+          .mapInArrow(parse, schema=schema))
+    if window is not None:
+        # exact semantics on files the pre-test couldn't cover (zips, no
+        # SHX); idempotent on the rest
+        qx0, qy0, qx1, qy1 = window
+        df = df.where((F.col("bbox.xmax") >= qx0) &
+                      (F.col("bbox.xmin") <= qx1) &
+                      (F.col("bbox.ymax") >= qy0) &
+                      (F.col("bbox.ymin") <= qy1))
+    return df
 
 
 def _read_points_flat(spark: SparkSession, plan: ShapefilePlan,

@@ -87,10 +87,13 @@ def test_read_shapefile_dir_many_files_and_bbox_prune(spark, ref_testdata,
     assert df.count() == 300
     assert df.select("source_basename").distinct().count() == 30
     # poly header bounds sit near (478315, 4762880)-(481645, 4765610):
-    # an intersecting window keeps all files, a remote one prunes all
+    # an intersecting window keeps all FILES, and within each file only
+    # the records whose bounds intersect it (fids 8 and 9 for this
+    # window — see the record-bounds dump in test_datasource); a remote
+    # window prunes every file at header level
     assert read_shapefile_dir(spark, str(d),
                               bbox=(479000, 4763000, 480000, 4764000)) \
-        .count() == 300
+        .count() == 30 * 2
     assert read_shapefile_dir(spark, str(d), bbox=(0, 0, 10, 10)).count() == 0
 
 
