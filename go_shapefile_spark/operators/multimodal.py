@@ -165,13 +165,15 @@ def image_neardup_pairs(images: DataFrame, max_hamming: int = 3,
     differing bits cluster into few bands).  Raise AHASH_BANDS for a
     wider guarantee.  All JVM past the hash build.
 
-    ``max_bucket`` caps candidate fan-out per (band, bucket) — the same
-    documented approximation as the text SimHash cap: a flood of
+    ``max_bucket`` caps fan-out per (band, bucket, **ahash**): a flood of
     IDENTICAL images (blank frames, placeholder thumbnails) would
-    otherwise emit O(bucket²) pairs in one hot bucket, and pairs among
-    >max_bucket same-hash images are not recoverable through other
-    bands (they collide in every band together).  Exact-duplicate
-    floods belong to exact dedup, not the perceptual pass.
+    otherwise emit O(flood²) pairs in every band, so only ``max_bucket``
+    of each identical-hash group joins — bounding the flood's pair count
+    at O(max_bucket²) while every DISTINCT hash keeps all its band rows,
+    so the ≤``AHASH_BANDS - 1``-bit recall guarantee between distinct
+    hashes is untouched (a near-dup OF a flooded hash still pairs with
+    the kept copies).  Identical pairs beyond the cap belong to exact
+    dedup, not the perceptual pass.
     Returns (image_a, image_b, hamming).
     """
     from pyspark.sql import Window
@@ -186,7 +188,7 @@ def image_neardup_pairs(images: DataFrame, max_hamming: int = 3,
                       .alias("bkey"))
             for b in range(AHASH_BANDS)])).alias("bb")) \
         .select("image_id", "ahash", "bb.band", "bb.bkey")
-    w_bucket = Window.partitionBy("band", "bkey").orderBy("image_id")
+    w_bucket = Window.partitionBy("band", "bkey", "ahash").orderBy("image_id")
     bands = (bands.withColumn("rnk", F.row_number().over(w_bucket))
              .where(F.col("rnk") <= max_bucket).drop("rnk"))
     a = bands.select(F.col("image_id").alias("image_a"),

@@ -70,6 +70,10 @@ def tile_pyramid(points: DataFrame, max_res: int, min_res: int = 0,
 
     Returns (res int, cell long, n long [, sum_<col>...]).
     """
+    if not 0 <= min_res <= max_res <= C.MAX_RES:
+        raise ValueError(
+            f"need 0 <= min_res <= max_res <= {C.MAX_RES}, "
+            f"got [{min_res}, {max_res}]")
     sums = list(extra_sums or [])
     base_aggs = [F.count(F.lit(1)).alias("n")] + \
         [F.sum(c).alias(f"sum_{c}") for c in sums]

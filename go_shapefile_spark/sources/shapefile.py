@@ -585,19 +585,29 @@ def _arrow_split_batch(plan: ShapefilePlan, fid_start: int, fid_end: int,
     # pandas conversion instead
     full_names = [f.name for f in features_schema(plan).fields]
     vec = None
+    keep: np.ndarray | None = None
+    fids = np.arange(fid_start, fid_end)
     if (not plan.is_zip and plan.has_shp and plan.shx_offsets is not None
             and plan.shape_type in (core.SHAPE_TYPE_POLYGON,
                                     core.SHAPE_TYPE_POLYLINE)
-            and attr_mask_fn is None and bbox_mask_fn is None
+            and attr_mask_fn is None
             and [f.name for f in arrow_schema] == full_names):
         got = _read_split_shp(plan, fid_start, fid_end)
         if got is not None:
             buf, rel = got
-            vec = core.parse_polygons_vectorized(
-                buf, rel, np.arange(fid_start, fid_end),
-                plan.shp_options, shape_type=plan.shape_type)
-            if vec is not None and 2 * int(vec["num_points"].sum()) >= (1 << 31):
-                vec = None  # ListArray int32 offsets would overflow
+            if bbox_mask_fn is not None:
+                # SELECTIVE vectorized decode: mask from the record
+                # headers, then the kernel gathers only survivors — the
+                # columnar path stays available under bbox pushdown
+                keep = np.asarray(bbox_mask_fn(buf, rel), dtype=bool)
+                rel, fids = rel[keep], fids[keep]
+            if len(rel):
+                vec = core.parse_polygons_vectorized(
+                    buf, rel, fids,
+                    plan.shp_options, shape_type=plan.shape_type)
+                if vec is not None and \
+                        2 * int(vec["num_points"].sum()) >= (1 << 31):
+                    vec = None  # ListArray int32 offsets would overflow
     if vec is None:
         pdf = _parse_split(plan, fid_start, fid_end,
                            attr_mask_fn=attr_mask_fn,
@@ -606,14 +616,19 @@ def _arrow_split_batch(plan: ShapefilePlan, fid_start: int, fid_end: int,
                                           preserve_index=False)
 
     n = vec["n"]
+    n_full = fid_end - fid_start
     arrays = []
     # --- attribute columns ---------------------------------------------
     dbf_cols = deleted = None
     if plan.dbf_record_size and plan.has_dbf:
-        dbf_cols, deleted = _read_split_dbf(plan, fid_start, n)
-        if len(deleted) != n:
+        dbf_cols, deleted = _read_split_dbf(plan, fid_start, n_full)
+        if len(deleted) != n_full:
             raise core.ShapefileError("inconsistent number of records")
-    arrays.append(pa.array(np.arange(fid_start, fid_start + n), pa.int64()))
+        if keep is not None:
+            deleted = deleted[keep]
+            dbf_cols = [(k, v[keep], None if m is None else m[keep])
+                        for k, v, m in dbf_cols]
+    arrays.append(pa.array(fids, pa.int64()))
     arrays.append(pa.array(deleted if deleted is not None
                            else np.zeros(n, dtype=bool)))
     for j, (name, ftype, length, decs) in enumerate(plan.dbf_fields):

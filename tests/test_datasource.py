@@ -105,16 +105,19 @@ def test_bbox_header_prune_and_decode_skip(ref_testdata, monkeypatch):
     parts = r.partitions()
     assert [(p.fid_start, p.fid_end) for p in parts] == [(1, 1)]
 
+    # polygons now take the SELECTIVE vectorized kernel under a bbox
+    # mask: count the record offsets the kernel is asked to gather
     seen = []
-    orig = core.parse_shp_range
+    orig = core.parse_polygons_vectorized
 
-    def counting(buf, offsets, options=None, numbers=None):
+    def counting(buf, offsets, *a, **k):
         seen.append(len(offsets))
-        return orig(buf, offsets, options, numbers=numbers)
+        return orig(buf, offsets, *a, **k)
 
-    monkeypatch.setattr(core, "parse_shp_range", counting)
+    monkeypatch.setattr(core, "parse_polygons_vectorized", counting)
     monkeypatch.setattr(
-        "go_shapefile_spark.sources.shapefile.core.parse_shp_range", counting)
+        "go_shapefile_spark.sources.shapefile.core.parse_polygons_vectorized",
+        counting)
     r2 = ShapefileReader(plan, schema, records_per_split=100)
     assert list(r2.pushFilters([GT(("bbox", "ymax"), 4765000.0)])) == []
     [part] = r2.partitions()

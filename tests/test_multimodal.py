@@ -116,3 +116,34 @@ def test_image_ahash_arbitrary_sizes(spark):
     a = sorted((r.image_id, r.ahash) for r in image_ahash(df).collect())
     b = sorted((r.image_id, r.ahash) for r in image_ahash(df).collect())
     assert a == b and len(a) == 4
+
+
+def test_image_neardup_bucket_cap_flood(spark):
+    """A flood of identical images must not blow up the candidate join
+    (pairs bounded by the per-hash cap), while a 1-bit-off near-dup OF
+    the flooded hash is still found (recall guarantee preserved)."""
+    import numpy as np
+    import pandas as pd
+
+    from go_shapefile_spark.operators.multimodal import image_neardup_pairs
+    from go_shapefile_spark.sources.images import IMAGES_SCHEMA, encode_png
+
+    rng = np.random.default_rng(5)
+    base_px = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    rows = [(f"flood-{i:04d}", encode_png(base_px), 16, 16, "png", "c", 0)
+            for i in range(30)]
+    near_px = base_px.copy()
+    near_px[0, 0, 0] = np.uint8((int(near_px[0, 0, 0]) + 120) % 256)
+    rows.append(("near-dup", encode_png(near_px), 16, 16, "png", "c", 1))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h",
+                                    "fmt", "caption", "phash"]),
+        schema=IMAGES_SCHEMA)
+    pairs = image_neardup_pairs(df, max_bucket=5).toPandas()
+    flood_pairs = pairs[pairs.image_a.str.startswith("flood")
+                        & pairs.image_b.str.startswith("flood")]
+    # identical-hash fan-out bounded by the cap: C(5,2) = 10, never C(30,2)
+    assert len(flood_pairs) == 10
+    near = pairs[(pairs.image_a == "near-dup") | (pairs.image_b == "near-dup")]
+    # the near-dup still pairs with the KEPT flood copies
+    assert len(near) == 5 and (near.hamming <= 3).all()

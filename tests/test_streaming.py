@@ -114,7 +114,7 @@ def test_watermark_drops_late_events(spark, tmp_path):
     write_batch("b1", [(0, 10), (1, 20), (4, 30), (30, 0)])
     assert run() == {0: 3}
     # batch 2: a LATE event for the closed 10:00 window (dropped) plus an
-    # on-time 11:00 event that finalizes the 10:30 window
+    # on-time 10:59 event that finalizes the 10:30 window
     write_batch("b2", [(2, 0), (59, 0)])
     # late row dropped: 10:00 stays 3, never re-emitted or updated
     assert run() == {0: 3, 30: 1}
