@@ -42,3 +42,25 @@ def test_seekable_open(tmp_path):
     f = fsio.open_seekable(f"file://{p}")
     f.seek(4)
     assert f.read(3) == b"456"
+
+
+def test_list_files_uri_edge_cases(tmp_path):
+    """Authority-preserving listings survive trailing slashes and the
+    results round-trip back through fsio reads; rmtree is idempotent and
+    accepts file: URIs (the Spark warehouse.dir form)."""
+    d = tmp_path / "edge"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"x")
+    (d / "b.bin").write_bytes(b"y")
+    plain = fsio.list_files(str(d))
+    slashed = fsio.list_files(f"file://{d}/")
+    unslashed = fsio.list_files(f"file://{d}")
+    assert len(plain) == len(slashed) == len(unslashed) == 2
+    # every listed URI is directly readable through fsio again
+    for f in slashed:
+        assert f.startswith("file://")
+        assert fsio.read_bytes(f) in (b"x", b"y")
+    # rmtree: file: single-slash URI form, then a no-op on re-delete
+    fsio.rmtree(f"file:{d}")
+    assert not fsio.exists(str(d))
+    fsio.rmtree(str(d))   # absent → no-op, no raise
