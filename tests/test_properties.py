@@ -259,3 +259,36 @@ def test_record_bounds_quick_matches_decode_property(rects, as_points):
         else:
             exp = list(r.bounds[:2]) + list(r.bounds[2:4])
         np.testing.assert_array_equal(quick[i], exp)
+
+
+@given(st.lists(st.text(alphabet="abcdefgh ", min_size=1, max_size=60),
+                min_size=1, max_size=6))
+@settings(max_examples=20, deadline=None)
+def test_winnowing_matches_pure_python_reference(spark, texts):
+    """Third-implementation check: the dual-dialect winnowing SQL must
+    equal an independent pure-python winnow (hashlib k-gram hashes,
+    sliding-window minima, set semantics) on arbitrary text."""
+    import hashlib
+
+    import pandas as pd
+
+    from go_shapefile_spark.operators.text import winnow_fingerprint_sql
+
+    k, w = 7, 4
+
+    def py_winnow(text):
+        n = max(1, len(text) - k + 1)
+        hs = [int(hashlib.md5(text[i:i + k].encode()).hexdigest()[:8], 16)
+              for i in range(n)]
+        fps = {min(hs[i:i + w]) for i in range(len(hs))}
+        return fps
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    spark.createDataFrame(pdf).createOrReplaceTempView("pydocs")
+    got = spark.sql(winnow_fingerprint_sql("spark", rel="pydocs", k=k,
+                                           window=w)).toPandas()
+    for r in got.itertuples(index=False):
+        fps = py_winnow(texts[r.doc_id])
+        assert r.n_fps == len(fps)
+        assert r.min_fp == min(fps) and r.max_fp == max(fps)
+        assert r.sum_fp == sum(fps)
