@@ -152,35 +152,41 @@ def image_ahash(images: DataFrame, stub_ok: bool = True) -> DataFrame:
 
 
 def image_neardup_pairs(images: DataFrame, max_hamming: int = 3,
-                        stub_ok: bool = True,
-                        max_bucket: int = 200) -> DataFrame:
-    """Near-duplicate image pairs by perceptual hash: candidates must
-    share ≥1 of ``AHASH_BANDS`` 16-bit bands (equi-join — never the n²
-    pair space), verified by Hamming distance on the full 64-bit hash.
+                        stub_ok: bool = True) -> DataFrame:
+    """Near-duplicate image pairs by perceptual hash: the output is a
+    SPANNING edge set for near-dup clustering — run connected components
+    over it for groups — not the O(n²) all-pairs list:
 
-    RECALL GUARANTEE: banding finds every pair differing in at most
-    ``AHASH_BANDS - 1`` bits (pigeonhole: ≤3 differing bits leave ≥1 of
-    4 bands identical), which is why ``max_hamming`` defaults to 3 —
-    pairs at distance 4+ are found only probabilistically (when their
-    differing bits cluster into few bands).  Raise AHASH_BANDS for a
-    wider guarantee.  All JVM past the hash build.
+    * every identical-hash group contributes (representative, member)
+      edges at Hamming 0 — linear in the group, so a flood of identical
+      images (blank frames, placeholder thumbnails) never explodes;
+    * DISTINCT hashes pair through their representatives: candidate
+      rep pairs must share ≥1 of ``AHASH_BANDS`` 16-bit bands (equi-join
+      — never the n² pair space) and verify by full-hash Hamming.
 
-    ``max_bucket`` caps fan-out per (band, bucket, **ahash**): a flood of
-    IDENTICAL images (blank frames, placeholder thumbnails) would
-    otherwise emit O(flood²) pairs in every band, so only ``max_bucket``
-    of each identical-hash group joins — bounding the flood's pair count
-    at O(max_bucket²) while every DISTINCT hash keeps all its band rows,
-    so the ≤``AHASH_BANDS - 1``-bit recall guarantee between distinct
-    hashes is untouched (a near-dup OF a flooded hash still pairs with
-    the kept copies).  Identical pairs beyond the cap belong to exact
-    dedup, not the perceptual pass.
+    Every image with a true near-duplicate therefore appears in ≥1
+    output edge (its group edge, or its rep's edge) — nothing is capped
+    away.  RECALL GUARANTEE between distinct hashes: banding finds every
+    rep pair differing in at most ``AHASH_BANDS - 1`` bits (pigeonhole:
+    ≤3 differing bits leave ≥1 of 4 bands identical), which is why
+    ``max_hamming`` defaults to 3; wider distances are found only
+    probabilistically.  All JVM past the hash build.
     Returns (image_a, image_b, hamming).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     sig = image_ahash(images, stub_ok=stub_ok)
-    bands = sig.select(
+    w_hash = Window.partitionBy("ahash").orderBy("image_id")
+    ranked = sig.withColumn("rnk", F.row_number().over(w_hash))
+    reps = ranked.where(F.col("rnk") == 1).drop("rnk")
+    # identical-hash edges: rep ↔ every other member, Hamming 0
+    same = (ranked.where(F.col("rnk") > 1)
+            .join(reps.select(F.col("ahash"),
+                              F.col("image_id").alias("image_a")), "ahash")
+            .select("image_a", F.col("image_id").alias("image_b"),
+                    F.lit(0).alias("hamming")))
+    bands = reps.select(
         "image_id", "ahash",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
@@ -188,18 +194,17 @@ def image_neardup_pairs(images: DataFrame, max_hamming: int = 3,
                       .alias("bkey"))
             for b in range(AHASH_BANDS)])).alias("bb")) \
         .select("image_id", "ahash", "bb.band", "bb.bkey")
-    w_bucket = Window.partitionBy("band", "bkey", "ahash").orderBy("image_id")
-    bands = (bands.withColumn("rnk", F.row_number().over(w_bucket))
-             .where(F.col("rnk") <= max_bucket).drop("rnk"))
     a = bands.select(F.col("image_id").alias("image_a"),
                      F.col("ahash").alias("hash_a"), "band", "bkey")
     b = bands.select(F.col("image_id").alias("image_b"),
                      F.col("ahash").alias("hash_b"), "band", "bkey")
     # filter BEFORE distinct: hamming is functionally determined by the
     # pair, so this is equivalent and shuffles only surviving near-dups
-    return (a.join(b, ["band", "bkey"])
-            .where(F.col("image_a") < F.col("image_b"))
-            .select("image_a", "image_b",
-                    F.expr("bit_count(hash_a ^ hash_b)").alias("hamming"))
-            .where(F.col("hamming") <= max_hamming)
-            .distinct())
+    distinct_pairs = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("image_a") < F.col("image_b"))
+        .select("image_a", "image_b",
+                F.expr("bit_count(hash_a ^ hash_b)").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct())
+    return distinct_pairs.unionByName(same)

@@ -304,19 +304,20 @@ def ivf_ann_topk(df: DataFrame, k: int = 10, n_centroids: int = 64,
     recall@10 ≥ 0.7 vs the exact baseline is pytest- and oracle-gated.
     """
     from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
     from pyspark.ml.functions import array_to_vector
 
-    n_probe = min(n_probe, n_centroids)
     # L2-normalize BEFORE clustering (spherical k-means): the inverted
     # lists must use the same metric the probes rank by — Euclidean on
     # unit vectors is monotone in cosine, so assignment and probing
-    # agree even when raw vector norms vary across the corpus
-    norm = ("sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) * x), "
-            "CAST(0.0 AS DOUBLE), (a, b) -> a + b))").format(v=vec_col)
-    unit = (f"transform({vec_col}, x -> CAST(x AS DOUBLE) / "
-            f"greatest({norm}, CAST(1e-12 AS DOUBLE)))")
-    fv = df.select(F.col(id_col),
-                   array_to_vector(F.expr(unit)).alias("fv"))
+    # agree even when raw vector norms vary across the corpus.  ML's
+    # Normalizer runs JVM-side (a HOF that re-evaluated the norm inside
+    # the transform lambda would be O(d²) interpreted work per row).
+    raw = df.select(F.col(id_col),
+                    array_to_vector(F.col(vec_col).cast("array<double>"))
+                    .alias("fv_raw"))
+    fv = (Normalizer(inputCol="fv_raw", outputCol="fv", p=2.0)
+          .transform(raw).select(id_col, "fv"))
     train = fv if train_fraction >= 1.0 else \
         fv.sample(fraction=train_fraction, seed=seed)
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
@@ -325,6 +326,8 @@ def ivf_ann_topk(df: DataFrame, k: int = 10, n_centroids: int = 64,
         F.col(id_col).alias("neighbor_id"), "centroid")
 
     centers = np.asarray([np.asarray(c) for c in model.clusterCenters()])
+    # KMeans can return fewer centers than k on tiny/degenerate corpora
+    n_probe = min(n_probe, len(centers))
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cn = centers / np.maximum(

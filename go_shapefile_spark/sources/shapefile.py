@@ -601,6 +601,13 @@ def _arrow_split_batch(plan: ShapefilePlan, fid_start: int, fid_end: int,
                 # columnar path stays available under bbox pushdown
                 keep = np.asarray(bbox_mask_fn(buf, rel), dtype=bool)
                 rel, fids = rel[keep], fids[keep]
+                if not len(rel):
+                    # fully pruned split: emit empty directly (falling
+                    # through to _parse_split would re-read the same
+                    # byte span and decode the whole DBF for zero rows)
+                    return pa.RecordBatch.from_arrays(
+                        [pa.array([], type=f.type) for f in arrow_schema],
+                        schema=arrow_schema)
             if len(rel):
                 vec = core.parse_polygons_vectorized(
                     buf, rel, fids,

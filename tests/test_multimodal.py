@@ -118,10 +118,11 @@ def test_image_ahash_arbitrary_sizes(spark):
     assert a == b and len(a) == 4
 
 
-def test_image_neardup_bucket_cap_flood(spark):
-    """A flood of identical images must not blow up the candidate join
-    (pairs bounded by the per-hash cap), while a 1-bit-off near-dup OF
-    the flooded hash is still found (recall guarantee preserved)."""
+def test_image_neardup_flood_spanning_edges(spark):
+    """A flood of identical images must not blow up the output (linear
+    rep↔member edges, never O(flood²)), every flood member appears in an
+    edge, and a 1-bit-off near-dup OF the flooded hash still pairs with
+    the flood's representative."""
     import numpy as np
     import pandas as pd
 
@@ -139,11 +140,14 @@ def test_image_neardup_bucket_cap_flood(spark):
         pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h",
                                     "fmt", "caption", "phash"]),
         schema=IMAGES_SCHEMA)
-    pairs = image_neardup_pairs(df, max_bucket=5).toPandas()
+    pairs = image_neardup_pairs(df).toPandas()
     flood_pairs = pairs[pairs.image_a.str.startswith("flood")
                         & pairs.image_b.str.startswith("flood")]
-    # identical-hash fan-out bounded by the cap: C(5,2) = 10, never C(30,2)
-    assert len(flood_pairs) == 10
+    # linear spanning edges (rep ↔ 29 members), never C(30,2) = 435
+    assert len(flood_pairs) == 29 and (flood_pairs.hamming == 0).all()
+    touched = set(flood_pairs.image_a) | set(flood_pairs.image_b)
+    assert len(touched) == 30   # every flood member appears in an edge
     near = pairs[(pairs.image_a == "near-dup") | (pairs.image_b == "near-dup")]
-    # the near-dup still pairs with the KEPT flood copies
-    assert len(near) == 5 and (near.hamming <= 3).all()
+    # the near-dup pairs with the flood's representative
+    assert len(near) == 1 and (near.hamming <= 3).all()
+    assert len(pairs) == 30
