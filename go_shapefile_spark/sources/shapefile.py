@@ -567,6 +567,40 @@ def _read_split_shp(plan: ShapefilePlan, fid_start: int,
     return fsio.read_bytes(f"{plan.path}.shp", start, end - start), offs - start
 
 
+def _arrow_attr_arrays(plan: ShapefilePlan, fid_start: int, n_full: int,
+                       keep: np.ndarray | None, n: int, arrow_schema):
+    """Attribute-side Arrow arrays (deleted flag + DBF fields) for one
+    split, decoded straight from the split's DBF byte range — shared by
+    the columnar polygon and flat-point emit paths.  ``keep`` optionally
+    subsets the ``n_full`` decoded records down to ``n`` survivors."""
+    import pyarrow as pa
+
+    dbf_cols = deleted = None
+    if plan.dbf_record_size and plan.has_dbf:
+        dbf_cols, deleted = _read_split_dbf(plan, fid_start, n_full)
+        if len(deleted) != n_full:
+            raise core.ShapefileError("inconsistent number of records")
+        if keep is not None:
+            deleted = deleted[keep]
+            dbf_cols = [(k, v[keep], None if m is None else m[keep])
+                        for k, v, m in dbf_cols]
+    arrays = [pa.array(deleted if deleted is not None
+                       else np.zeros(n, dtype=bool))]
+    for j, (name, ftype, length, decs) in enumerate(plan.dbf_fields):
+        if dbf_cols is None:
+            arrays.append(pa.nulls(n, arrow_schema.field(name).type))
+            continue
+        kind, vals, mask = dbf_cols[j]
+        if kind == "int":
+            arrays.append(pa.array(vals, mask=mask))
+        elif kind == "float":
+            arrays.append(pa.array(vals, from_pandas=True))  # NaN → null
+        else:
+            arrays.append(pa.array(vals.tolist(),
+                                   type=arrow_schema.field(name).type))
+    return arrays
+
+
 def _arrow_split_batch(plan: ShapefilePlan, fid_start: int, fid_end: int,
                        arrow_schema, attr_mask_fn=None, bbox_mask_fn=None):
     """One split → one Arrow RecordBatch, columnar end to end when the
@@ -586,7 +620,6 @@ def _arrow_split_batch(plan: ShapefilePlan, fid_start: int, fid_end: int,
     full_names = [f.name for f in features_schema(plan).fields]
     vec = None
     keep: np.ndarray | None = None
-    fids = np.arange(fid_start, fid_end)
     if (not plan.is_zip and plan.has_shp and plan.shx_offsets is not None
             and plan.shape_type in (core.SHAPE_TYPE_POLYGON,
                                     core.SHAPE_TYPE_POLYLINE)
@@ -595,6 +628,9 @@ def _arrow_split_batch(plan: ShapefilePlan, fid_start: int, fid_end: int,
         got = _read_split_shp(plan, fid_start, fid_end)
         if got is not None:
             buf, rel = got
+            # sized to the records actually present — fid_end may be a
+            # large sentinel when the record count is unknown upstream
+            fids = fid_start + np.arange(len(rel), dtype=np.int64)
             if bbox_mask_fn is not None:
                 # SELECTIVE vectorized decode: mask from the record
                 # headers, then the kernel gathers only survivors — the
@@ -624,32 +660,10 @@ def _arrow_split_batch(plan: ShapefilePlan, fid_start: int, fid_end: int,
 
     n = vec["n"]
     n_full = fid_end - fid_start
-    arrays = []
     # --- attribute columns ---------------------------------------------
-    dbf_cols = deleted = None
-    if plan.dbf_record_size and plan.has_dbf:
-        dbf_cols, deleted = _read_split_dbf(plan, fid_start, n_full)
-        if len(deleted) != n_full:
-            raise core.ShapefileError("inconsistent number of records")
-        if keep is not None:
-            deleted = deleted[keep]
-            dbf_cols = [(k, v[keep], None if m is None else m[keep])
-                        for k, v, m in dbf_cols]
-    arrays.append(pa.array(fids, pa.int64()))
-    arrays.append(pa.array(deleted if deleted is not None
-                           else np.zeros(n, dtype=bool)))
-    for j, (name, ftype, length, decs) in enumerate(plan.dbf_fields):
-        if dbf_cols is None:
-            arrays.append(pa.nulls(n, arrow_schema.field(name).type))
-            continue
-        kind, vals, mask = dbf_cols[j]
-        if kind == "int":
-            arrays.append(pa.array(vals, mask=mask))
-        elif kind == "float":
-            arrays.append(pa.array(vals, from_pandas=True))  # NaN → null
-        else:
-            arrays.append(pa.array(vals.tolist(),
-                                   type=arrow_schema.field(name).type))
+    arrays = [pa.array(fids, pa.int64())]
+    arrays += _arrow_attr_arrays(plan, fid_start, n_full, keep, n,
+                                 arrow_schema)
     # --- geometry struct --------------------------------------------------
     arrays.append(pa.array(np.full(n, plan.shape_type, np.int32)))
     coord_counts = 2 * vec["num_points"]
@@ -920,6 +934,38 @@ def read_shapefile_dir(spark: SparkSession, directory: str,
     return df
 
 
+def _arrow_points_flat_batch(plan: ShapefilePlan, fid_start: int,
+                             fid_end: int, arrow_schema):
+    """One flat-point split → one Arrow RecordBatch built directly from
+    the vectorized decoder's numpy columns — no pandas frame in between
+    (the frame build + from_pandas conversion was ~30% of the scan wall
+    time at 2M points; see BENCH.md round 4)."""
+    import pyarrow as pa
+
+    ords = None
+    if not plan.is_zip and plan.has_shp and plan.shx_offsets is not None:
+        got = _read_split_shp(plan, fid_start, fid_end)
+        if got is None:
+            return pa.RecordBatch.from_arrays(
+                [pa.array([], type=f.type) for f in arrow_schema],
+                schema=arrow_schema)
+        buf, rel = got
+        fid_end = fid_start + len(rel)  # clamp unknown-count sentinels
+        ords = _parse_points_vectorized(buf, rel, plan.shape_type,
+                                        fid_start, fid_end)
+    if ords is None:
+        # irregular records / zip / no SHX → validated slow path
+        pdf = _parse_split(plan, fid_start, fid_end, flat_ords=True)
+        return pa.RecordBatch.from_pandas(pdf, schema=arrow_schema,
+                                          preserve_index=False)
+    n = len(ords)
+    arrays = [pa.array(np.arange(fid_start, fid_end, dtype=np.int64))]
+    arrays += _arrow_attr_arrays(plan, fid_start, n, None, n, arrow_schema)
+    for j in range(ords.shape[1]):
+        arrays.append(pa.array(np.ascontiguousarray(ords[:, j])))
+    return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+
 def _read_points_flat(spark: SparkSession, plan: ShapefilePlan,
                       target_records_per_split: int) -> DataFrame:
     """Point-type scan emitting flat x/y(/z/m) double columns + DBF cols."""
@@ -945,13 +991,20 @@ def _read_points_flat(spark: SparkSession, plan: ShapefilePlan,
     splits_df = spark.createDataFrame(
         [(int(a), int(b)) for a, b in bounds], "fid_start long, fid_end long")
 
-    def parse(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in iterator:
-            for a, b in zip(pdf["fid_start"], pdf["fid_end"]):
-                yield _parse_split(plan, int(a), int(b), flat_ords=True)
+    from pyspark.sql.pandas.types import to_arrow_schema
+    arrow_schema = to_arrow_schema(schema)
+
+    def parse(batches):
+        for rb in batches:
+            for a, b in zip(rb.column("fid_start").to_pylist(),
+                            rb.column("fid_end").to_pylist()):
+                out = _arrow_points_flat_batch(plan, int(a), int(b),
+                                               arrow_schema)
+                if out.num_rows:
+                    yield out
 
     return splits_df.repartition(len(bounds), "fid_start") \
-        .mapInPandas(parse, schema=schema)
+        .mapInArrow(parse, schema=schema)
 
 
 def file_metadata(path: str, options: dict | None = None,
