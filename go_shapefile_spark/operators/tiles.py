@@ -41,9 +41,10 @@ def parent_cell_sql(cell: str) -> str:
     """Parent cell id (one resolution coarser) from a cell id — pure
     int arithmetic on the Morton code (drop the low 2 interleave bits,
     decrement the packed resolution).  Spark SQL dialect (DIV)."""
-    res_part = f"(({cell}) DIV {1 << 52})"
-    morton = f"(({cell}) & {(1 << 52) - 1})"
-    return f"((({res_part}) - 1) * {1 << 52} + (({morton}) DIV 4))"
+    res_base = 1 << C._RES_SHIFT
+    res_part = f"(({cell}) DIV {res_base})"
+    morton = f"(({cell}) & {res_base - 1})"
+    return f"((({res_part}) - 1) * {res_base} + (({morton}) DIV 4))"
 
 
 def tile_pyramid(points: DataFrame, max_res: int, min_res: int = 0,

@@ -459,8 +459,14 @@ def _parse_split(plan: ShapefilePlan, fid_start: int, fid_end: int,
     else:
         count = n_geom
         out = _attr_columns(plan, dbf_cols, deleted, fid_start, count)
-        if sel is not None and len(sel) == fid_end - fid_start:
-            # no attribute side: fids must follow the pushed bbox mask
+        if sel is not None:
+            # no attribute side: fids must follow the pushed bbox mask.
+            # A mask that doesn't span the split would silently assign
+            # consecutive wrong fids — fail loudly instead.
+            if len(sel) != fid_end - fid_start:
+                raise core.ShapefileError(
+                    f"pushed mask length {len(sel)} != split span "
+                    f"{fid_end - fid_start}")
             out["fid"] = pd.array(np.arange(fid_start, fid_end)[sel],
                                   dtype="int64")
     if flat_ords:

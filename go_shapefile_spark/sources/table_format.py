@@ -188,9 +188,16 @@ class SnapshotTable:
             # it against regression: a preempted winner must not overwrite
             # a later winner's pointer (files alone cannot order writers —
             # that is exactly why durable deployments need the catalog).
-            prev_sid = self._current_from_file()
-            if prev_sid is not None and \
-                    self.snapshot(prev_sid)["sequence"] >= seq:
+            # The commit has already SUCCEEDED (catalog CAS won): a
+            # broken/stale hint must not surface as a commit failure, or
+            # a retrying caller would double-append.  Skip the hint
+            # update instead — the catalog is the source of truth.
+            try:
+                prev_sid = self._current_from_file()
+                if prev_sid is not None and \
+                        self.snapshot(prev_sid)["sequence"] >= seq:
+                    return sid
+            except Exception:
                 return sid
         fsio.atomic_write_bytes(posixpath.join(self.meta, "CURRENT"),
                                 sid.encode())

@@ -279,3 +279,37 @@ def test_read_shapefile_df_bbox_window(spark, ref_testdata):
         (F.col("bbox.xmax") >= wz[0]) & (F.col("bbox.xmin") <= wz[2]) &
         (F.col("bbox.ymax") >= wz[1]) & (F.col("bbox.ymin") <= wz[3])).collect())
     assert got_z == exp_z and "Germany" in got_z
+
+
+def test_unknown_record_count_read(spark, tmp_path):
+    """A bare .shp with no .shx/.dbf has an unknown record count
+    (plan.n_records = -1) and reads via one sequential split whose
+    fid_end is a large sentinel — the read must size every per-record
+    array from the records actually present, not the sentinel span
+    (round-3 regression: an unconditional arange over the span
+    attempted an 8 TiB allocation)."""
+    import shutil
+
+    import numpy as np
+
+    from go_shapefile_spark.sources.shapefile import plan_shapefile
+    from go_shapefile_spark.sources.shapefile_writer import (write_points,
+                                                             write_polygons)
+
+    rng = np.random.default_rng(11)
+    pbase = str(tmp_path / "barepts")
+    write_points(pbase, rng.uniform(-10, 10, 50), rng.uniform(-10, 10, 50))
+    os.remove(pbase + ".shx")
+    assert plan_shapefile(pbase).n_records == -1
+    flat = read_shapefile_df(spark, pbase, flat_points=True).collect()
+    assert [r.fid for r in flat] == list(range(1, 51))
+    nested = read_shapefile_df(spark, pbase).collect()
+    assert [r.fid for r in nested] == list(range(1, 51))
+
+    ring = [0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0]
+    gbase = str(tmp_path / "barepolys")
+    write_polygons(gbase, [{"coords": ring, "ends": [10]}] * 7)
+    with_shx = read_shapefile_df(spark, gbase).collect()
+    os.remove(gbase + ".shx")
+    bare = read_shapefile_df(spark, gbase).collect()
+    assert [r.fid for r in bare] == [r.fid for r in with_shx] == list(range(1, 8))
