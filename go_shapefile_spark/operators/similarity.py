@@ -282,7 +282,7 @@ def _exact_rerank_topk(df: DataFrame, cands: DataFrame, k: int,
 def ivf_ann_topk(df: DataFrame, k: int = 10, n_centroids: int = 64,
                  n_probe: int = 16, vec_col: str = "embedding",
                  id_col: str = "vec_id", query_mod: int = 50,
-                 seed: int = 7, train_fraction: float = 1.0,
+                 seed: int = 7, train_fraction: float | None = None,
                  max_iter: int = 10) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine — the second ANN
     index next to :func:`lsh_ann_topk`, per the coarse-quantizer design
@@ -318,6 +318,14 @@ def ivf_ann_topk(df: DataFrame, k: int = 10, n_centroids: int = 64,
                     .alias("fv_raw"))
     fv = (Normalizer(inputCol="fv_raw", outputCol="fv", p=2.0)
           .transform(raw).select(id_col, "fv"))
+    if train_fraction is None:
+        # Auto-sample the coarse-quantizer training set: ≥256 vectors
+        # per centroid is plenty for a stable k-means model, and a
+        # full-corpus fit would be maxIter extra whole-corpus passes at
+        # 100 TB.  The count() here is one columnar scan — cheap next
+        # to even a single KMeans iteration over the same rows.
+        n = fv.count()
+        train_fraction = min(1.0, (256.0 * n_centroids) / max(n, 1))
     train = fv if train_fraction >= 1.0 else \
         fv.sample(fraction=train_fraction, seed=seed)
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter,

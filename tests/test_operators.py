@@ -249,6 +249,20 @@ def test_ivf_ann_recall_and_plan(spark, sf_dir):
         den += len(truth)
     assert num / max(den, 1) >= 0.7, f"IVF recall@10 too low: {num/den:.3f}"
 
+    # sampled coarse-quantizer training (the 100-TB default) must still
+    # clear the recall bar — the model quality, not the training-set
+    # size, carries the guarantee
+    got_s = ivf_ann_topk(emb, k=10, train_fraction=0.3,
+                         n_probe=32).toPandas()
+    num = den = 0
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp["neighbor_id"])
+        approx = set(got_s[got_s.query_id == qid]["neighbor_id"])
+        num += len(truth & approx)
+        den += len(truth)
+    assert num / max(den, 1) >= 0.7, \
+        f"sampled-training IVF recall@10 too low: {num/den:.3f}"
+
 
 def test_winnowing_guarantee(spark):
     """The winnowing property: documents sharing a substring of length
