@@ -125,26 +125,24 @@ def rasterize_cover(cover: DataFrame, res: int, tile_px: int = 16,
         # same FP evaluation order as the reference numpy rasterizer:
         # cx = lon0 + (px + 0.5) * (lon1 - lon0) / t
         return (df
-                .withColumn("pidx", F.explode(F.sequence(
-                    F.lit(0), F.lit(t * t - 1))))
-                .withColumn("px", (F.col("pidx") % t).cast("int"))
-                .withColumn("py", F.expr(f"CAST(pidx DIV {t} AS INT)"))
-                .withColumn("cx", F.expr(
+                .selectExpr("*", f"explode(sequence(0, {t * t - 1})) AS pidx")
+                .selectExpr("*", f"CAST(pidx % {t} AS INT) AS px",
+                            f"CAST(pidx DIV {t} AS INT) AS py")
+                .selectExpr(
+                    "*",
                     f"lon0 + (px + CAST(0.5 AS DOUBLE)) * "
                     f"((lon0 + CAST({w!r} AS DOUBLE)) - lon0) / "
-                    f"CAST({t} AS DOUBLE)"))
-                .withColumn("cy", F.expr(
+                    f"CAST({t} AS DOUBLE) AS cx",
                     f"lat0 + (py + CAST(0.5 AS DOUBLE)) * "
                     f"((lat0 + CAST({h!r} AS DOUBLE)) - lat0) / "
-                    f"CAST({t} AS DOUBLE)")))
+                    f"CAST({t} AS DOUBLE) AS cy"))
 
-    out_cols = [F.col("cell"), F.col("polygon_fid").alias("fid"),
-                F.col("px"), F.col("py")]
-    ecols = []
-    for j in range(UNROLL_K):
-        e = F.try_element_at("edges", F.lit(j + 1))
-        for c, x in enumerate(("ax", "ay", "bx", "by")):
-            ecols.append(F.try_element_at(e, F.lit(c + 1)).alias(f"e{j}_{x}"))
+    # edge-ordinate projection as ONE selectExpr (a Column per ordinate
+    # would be ~200 py4j round trips — ~0.5 s of driver latency per call)
+    ecols = [f"try_element_at(try_element_at(edges, {j + 1}), {c + 1}) "
+             f"AS e{j}_{x}"
+             for j in range(UNROLL_K)
+             for c, x in enumerate(("ax", "ay", "bx", "by"))]
     # ONE scan of the cover (no per-branch union, which would re-run the
     # cover build once per branch): spread tiles across tasks — cover rows
     # are tiny, the exploded pixel rows are the real volume — then explode
@@ -152,13 +150,14 @@ def rasterize_cover(cover: DataFrame, res: int, tile_px: int = 16,
     # cells within the unroll width run the codegen'd crossing predicate;
     # the rare boundary-dense cells take the interpreted aggregate() form.
     base = (cover.repartition(n_tasks, "cell")
-            .select("cell", "polygon_fid", "full", "rx", "ry", "ref_inside",
-                    "lon0", "lat0", F.size("edges").alias("n_edges"),
-                    "edges", *ecols))
+            .selectExpr("cell", "polygon_fid", "full", "rx", "ry",
+                        "ref_inside", "lon0", "lat0",
+                        "size(edges) AS n_edges", "edges", *ecols))
     keep = (f"full OR (CASE WHEN n_edges <= {UNROLL_K} "
             f"THEN {_crossing_filter_unrolled_sql('cx', 'cy', UNROLL_K)} "
             f"ELSE {_crossing_filter_sql('cx', 'cy')} END)")
-    return pixels(base).where(F.expr(keep)).select(*out_cols)
+    return (pixels(base).where(F.expr(keep))
+            .selectExpr("cell", "polygon_fid AS fid", "px", "py"))
 
 
 def rasterize_features(features: DataFrame, res: int,

@@ -28,11 +28,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 SPARK, DUCK = H.SPARK, H.DUCK
 
 
+_REGISTERED: dict[str, str] = {}  # applicationId -> sf_dir last registered
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register the testdata tables as temp views, once per (session,
+    sf_dir).  Re-registering is pure driver overhead — each
+    ``spark.read.parquet`` re-reads the file footer for schema inference
+    (~1.4 s across the 10 tables), and temp views persist for the
+    session — so repeated gate/bench queries skip it."""
+    app = spark.sparkContext.applicationId
+    if _REGISTERED.get(app) == sf_dir:
+        return
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             spark.read.parquet(path).createOrReplaceTempView(t)
+    _REGISTERED[app] = sf_dir
 
 
 def _epoch_s(e: str, dialect: str) -> str:
