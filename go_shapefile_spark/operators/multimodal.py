@@ -1,14 +1,16 @@
 """Multimodal column operators: image decode / resize / feature-extract /
 frame-sample over opaque ``binary`` columns with typed metadata.
 
-Real parts (this container has zlib + numpy): PNG decode via the
-pure-python codec, nearest-neighbor resize, color-moment + histogram
-feature extraction — all vectorized numpy inside Arrow-batched
-``mapInPandas``.  STUBBED parts (no image/video codecs in the sandbox,
-clearly marked): jpeg decode and video frame extraction raise
-``NotImplementedError`` in strict mode or produce deterministic fakes in
-``stub_ok`` mode — the Spark-side plumbing (schema, batch shape, UDF
-signatures, partitioning) is real and tested either way.
+Real parts: PNG decode (sources/images.py) and baseline-JFIF JPEG decode
+(sources/jpeg_codec.py, pure numpy), nearest-neighbor resize,
+color-moment + histogram feature extraction, perceptual hashing.  Decode
+is inherently per-image; everything downstream batches across images —
+same-shape images stack into one (n, h, w, 3) array per Arrow batch and
+resize/featurize/ahash run as single stacked numpy ops.  STUBBED (no
+video codec in the sandbox, clearly marked): video frame extraction
+raises ``NotImplementedError`` in strict mode or produces deterministic
+fakes in ``stub_ok`` mode — the exploding-rows plumbing is real and
+tested either way.
 """
 
 from __future__ import annotations
@@ -25,13 +27,27 @@ FEATURE_DIM = 6 + 12  # mean/std per channel + 4-bin histogram per channel
 
 
 def _decode(row, stub_ok: bool) -> np.ndarray | None:
-    if row.fmt == "png":
-        return decode_image(row.bytes, "png")
+    if row.fmt in ("png", "jpeg"):
+        return decode_image(row.bytes, row.fmt)
     if stub_ok:
-        # deterministic fake decode: regenerate from phash (documented
-        # stand-in for the missing jpeg codec)
+        # deterministic fake decode for formats with no sandbox codec
         return pixels_from_phash(int(row.phash), int(row.w), int(row.h))
     raise NotImplementedError(f"no codec for {row.fmt!r} in this environment")
+
+
+def _decoded_stacks(pdf: pd.DataFrame, stub_ok: bool):
+    """Decode a batch and group same-shape images into stacked arrays:
+    yields (row_indices, (n, h, w, 3) uint8 stack).  Decode is per-image
+    by nature; the stacks let every downstream stage (resize, features,
+    hashing) run as ONE numpy op across the group instead of per row."""
+    by_shape: dict[tuple[int, int], tuple[list, list]] = {}
+    for i, row in enumerate(pdf.itertuples(index=False)):
+        img = _decode(row, stub_ok)
+        idxs, imgs = by_shape.setdefault(img.shape[:2], ([], []))
+        idxs.append(i)
+        imgs.append(img)
+    for (h, w), (idxs, imgs) in by_shape.items():
+        yield np.asarray(idxs), np.stack(imgs)
 
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -52,24 +68,49 @@ def image_features(img: np.ndarray) -> np.ndarray:
     return np.concatenate(feats).astype(np.float32)
 
 
+def _featurize_stack(stack: np.ndarray) -> np.ndarray:
+    """(n, h, w, 3) uint8 → (n, FEATURE_DIM) float32, one numpy pass:
+    identical math to :func:`image_features` per image."""
+    n = len(stack)
+    f = stack.reshape(n, -1, 3).astype(np.float64)
+    npx = f.shape[1]
+    mean = f.mean(axis=1) / 255.0
+    std = f.std(axis=1) / 255.0
+    hists = []
+    for c in range(3):
+        # 4 bins over [0, 256): bin = value >> 6, same edges as
+        # np.histogram(range=(0, 256), bins=4) for uint8 input
+        b = stack[..., c].reshape(n, -1) >> 6
+        idx = (np.arange(n)[:, None] * 4 + b).ravel()
+        hists.append(np.bincount(idx, minlength=n * 4)
+                     .reshape(n, 4) / npx)
+    return np.concatenate([mean, std] + hists, axis=1).astype(np.float32)
+
+
 def decode_resize_featurize(images: DataFrame, out_w: int = 8, out_h: int = 8,
                             stub_ok: bool = True) -> DataFrame:
     """images(image_id, bytes, w, h, fmt, phash, ...) →
     (image_id, fmt, thumb binary, feature array<float>).
 
-    One Arrow batch in, one out; per-image work is numpy-only.  The
-    thumbnail is raw RGB bytes of the resized image (out_h·out_w·3)."""
+    Decode is per-image (codec); resize and featurize run ONCE per
+    same-shape stack (single fancy-index / reduction over (n, h, w, 3)).
+    The thumbnail is raw RGB bytes of the resized image (out_h·out_w·3)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, fmts, thumbs, feats = [], [], [], []
-            for row in pdf.itertuples(index=False):
-                img = _decode(row, stub_ok)
-                thumb = resize_nearest(img, out_w, out_h)
-                ids.append(row.image_id)
-                fmts.append(row.fmt)
-                thumbs.append(thumb.tobytes())
-                feats.append(image_features(img).tolist())
-            yield pd.DataFrame({"image_id": ids, "fmt": fmts,
+            n = len(pdf)
+            thumbs = [None] * n
+            feats = [None] * n
+            for idxs, stack in _decoded_stacks(pdf, stub_ok):
+                h, w = stack.shape[1:3]
+                ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                resized = stack[:, ys[:, None], xs[None, :]]
+                fs = _featurize_stack(stack)
+                for j, i in enumerate(idxs):
+                    thumbs[i] = resized[j].tobytes()
+                    feats[i] = fs[j].tolist()
+            yield pd.DataFrame({"image_id": pdf["image_id"],
+                                "fmt": pdf["fmt"],
                                 "thumb": thumbs, "feature": feats})
 
     return images.mapInPandas(
@@ -129,24 +170,23 @@ def image_ahash(images: DataFrame, stub_ok: bool = True) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, hashes = [], []
-            for row in pdf.itertuples(index=False):
-                img = _decode(row, stub_ok)
-                gray = img.astype(np.float64).mean(axis=2)
-                h, w = gray.shape
+            hashes = np.zeros(len(pdf), dtype=np.uint64)
+            for idxs, stack in _decoded_stacks(pdf, stub_ok):
+                gray = stack.astype(np.float64).mean(axis=3)  # (n, h, w)
+                n, h, w = gray.shape
                 by = np.arange(h) * g // h
                 bx = np.arange(w) * g // w
                 bid = (by[:, None] * g + bx[None, :]).ravel()
-                sums = np.bincount(bid, weights=gray.ravel(), minlength=g * g)
-                cnts = np.bincount(bid, minlength=g * g)
-                blocks = sums / np.maximum(cnts, 1)
-                bits = (blocks > gray.mean()).astype(np.uint64)
-                hashes.append((bits * weights).sum(dtype=np.uint64))
-                ids.append(row.image_id)
+                onehot = np.equal(bid[:, None],
+                                  np.arange(g * g)[None, :]).astype(np.float64)
+                sums = gray.reshape(n, -1) @ onehot           # (n, g*g)
+                blocks = sums / np.maximum(onehot.sum(axis=0), 1)
+                bits = (blocks > gray.mean(axis=(1, 2))[:, None]) \
+                    .astype(np.uint64)
+                hashes[idxs] = (bits * weights).sum(axis=1, dtype=np.uint64)
             # uint64 accumulate, reinterpret as int64 (bit 63 = sign)
-            yield pd.DataFrame({"image_id": ids,
-                                "ahash": np.array(hashes, dtype=np.uint64)
-                                .view(np.int64)})
+            yield pd.DataFrame({"image_id": pdf["image_id"],
+                                "ahash": hashes.view(np.int64)})
 
     return images.mapInPandas(run, schema="image_id string, ahash long")
 

@@ -447,14 +447,18 @@ IMG_GATE_N = 2000
 
 def image_invariants_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E13: per-row decoded-pixel + caption invariant over a deterministic
-    image table (real PNG bytes; north-rule input_hint).  The Spark side
-    decodes every image and compares pixels/captions; the oracle pins the
-    contract: n rows checked, zero violations."""
+    image table (real PNG + baseline-JFIF bytes; north-rule input_hint).
+    The Spark side decodes every image and compares pixels/captions; the
+    oracle pins the contract: n rows checked, zero violations.  The cache
+    path carries the JPEG quality so codec changes regenerate the gate
+    corpus instead of replaying stale bytes."""
     from pyspark.sql import functions as F
 
-    from .sources.images import check_invariants, write_images_table
+    from .sources.images import (JPEG_QUALITY, check_invariants,
+                                 write_images_table)
 
-    path = os.path.join(_CACHE_ROOT, f"gate_images_n{IMG_GATE_N}")
+    path = os.path.join(_CACHE_ROOT,
+                        f"gate_images_n{IMG_GATE_N}_q{JPEG_QUALITY}")
     marker = os.path.join(path, "_SUCCESS_GATE")
     if not os.path.exists(marker):
         write_images_table(spark, path, IMG_GATE_N)
@@ -692,9 +696,11 @@ def _ensure_imgdup_table(spark: SparkSession) -> str:
     import numpy as np
 
     from .sources.images import (
-        IMAGES_SCHEMA, decode_image, encode_png, generate_batch)
+        IMAGES_SCHEMA, JPEG_QUALITY, decode_image, encode_png,
+        generate_batch)
 
-    path = os.path.join(_CACHE_ROOT, f"gate_imgdup_n{IMGDUP_N}")
+    path = os.path.join(_CACHE_ROOT,
+                        f"gate_imgdup_n{IMGDUP_N}_q{JPEG_QUALITY}")
     marker = os.path.join(path, "_SUCCESS_GATE")
     if os.path.exists(marker):
         return path

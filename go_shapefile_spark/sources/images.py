@@ -8,10 +8,11 @@ checked without storing ground truth: pixels regenerate from ``phash``.
 PNG is a REAL codec here (pure python: zlib + chunk framing + filter-0
 scanlines, decoder with full filter-type unfiltering) — lossless, so the
 decoded-pixel invariant is exact equality (PSNR = ∞ ≥ 40 dB).  JPEG rows
-are STUBBED: this container has no image codecs, so ``fmt='jpeg'`` bytes
-are a deterministic opaque blob and ``decode_image`` raises
-``NotImplementedError`` for them; the Spark-side plumbing (schema,
-binary column, batch shapes, invariant job) is real and tested.
+carry REAL baseline JFIF bytes from the pure-numpy codec in
+``jpeg_codec.py`` (8×8 DCT + Annex-K quantization/Huffman, quality
+``JPEG_QUALITY``): genuinely lossy, so the invariant for them is
+PSNR ≥ 40 dB against the regenerated reference pixels — random pixel
+fields are JPEG's worst case, and quality 98 measures ~43 dB on them.
 
 Partitioning: the generator writes parquet partitioned by
 ``bucket = phash % n_buckets`` — the stand-in for an Iceberg
@@ -29,8 +30,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.geotag import lonlat_np, splitmix64
+from .jpeg_codec import decode_jpeg, encode_jpeg
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+JPEG_QUALITY = 98   # lowest Annex-K quality that keeps PSNR ≥ 40 dB on
+                    # random pixel fields (the generator's worst case)
 
 _WORDS = ("tile cell polygon raster vector join index spark image caption "
           "satellite aerial coastal urban rural forest river mountain city "
@@ -76,12 +81,10 @@ def _unfilter(ftype: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.nda
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
-    """bytes → RGB8 (h, w, 3).  PNG: real decoder.  JPEG: stubbed — no
-    codec in this container (clearly marked; see module docstring)."""
+    """bytes → RGB8 (h, w, 3).  PNG: real decoder (below).  JPEG: real
+    baseline JFIF decoder (jpeg_codec.py)."""
     if fmt == "jpeg":
-        raise NotImplementedError(
-            "jpeg decode is stubbed: no image codec available in this "
-            "environment; pixels regenerate deterministically from phash")
+        return decode_jpeg(data)
     if fmt != "png":
         raise ValueError(f"unsupported format {fmt!r}")
     if data[:8] != _PNG_SIG:
@@ -139,10 +142,9 @@ def generate_batch(start: int, end: int, jpeg_mod: int = 10) -> pd.DataFrame:
     for i, ph, s in zip(idx, phash, sizes):
         w = h = int(abs(s))
         fmt = "jpeg" if i % jpeg_mod == 9 else "png"
-        if fmt == "png":
-            data = encode_png(pixels_from_phash(int(ph), w, h))
-        else:
-            data = b"JPEGSTUB" + struct.pack("<qii", int(ph), w, h)
+        px = pixels_from_phash(int(ph), w, h)
+        data = encode_png(px) if fmt == "png" else \
+            encode_jpeg(px, JPEG_QUALITY)
         rows.append((f"img-{int(i):010d}", data, w, h, fmt,
                      caption_of(int(ph)), int(ph)))
     return pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h",
@@ -223,10 +225,11 @@ def geotag_images(df: DataFrame) -> DataFrame:
 def check_invariants(df: DataFrame) -> DataFrame:
     """E13: per-row decoded-pixel + caption invariant (input_hint).
 
-    PNG rows: decode with the real codec and compare against the
-    regenerated reference pixels — exact match required (lossless ⇒
-    PSNR ∞ ≥ 40 dB).  JPEG rows: decode stubbed → invariant recorded as
-    'stubbed'.  Returns (image_id, fmt, pixels_ok, psnr_db, caption_ok).
+    Every row decodes with its real codec and compares against the
+    regenerated reference pixels.  PNG is lossless ⇒ exact match
+    (PSNR ∞); JPEG is genuinely lossy ⇒ PSNR ≥ 40 dB is the bound the
+    generator's quality setting must clear.  Returns
+    (image_id, fmt, pixels_ok, psnr_db, caption_ok).
     """
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -234,15 +237,12 @@ def check_invariants(df: DataFrame) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 ref = pixels_from_phash(int(r.phash), int(r.w), int(r.h))
                 cap_ok = caption_of(int(r.phash)) == r.caption
-                if r.fmt == "png":
-                    got = decode_image(r.bytes, "png")
-                    mse = float(np.mean((got.astype(np.float64) - ref) ** 2))
-                    psnr = float("inf") if mse == 0 else \
-                        10.0 * np.log10(255.0 ** 2 / mse)
-                    out.append((r.image_id, r.fmt, bool(psnr >= 40.0),
-                                psnr, cap_ok))
-                else:
-                    out.append((r.image_id, r.fmt, None, None, cap_ok))
+                got = decode_image(r.bytes, r.fmt)
+                mse = float(np.mean((got.astype(np.float64) - ref) ** 2))
+                psnr = float("inf") if mse == 0 else \
+                    10.0 * np.log10(255.0 ** 2 / mse)
+                out.append((r.image_id, r.fmt, bool(psnr >= 40.0),
+                            psnr, cap_ok))
             yield pd.DataFrame(out, columns=["image_id", "fmt", "pixels_ok",
                                              "psnr_db", "caption_ok"])
 

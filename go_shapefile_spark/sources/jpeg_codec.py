@@ -1,0 +1,561 @@
+"""Pure-python/numpy baseline JFIF (JPEG) codec.
+
+No image libraries exist in this environment, so the multimodal path
+carries its own minimal-but-real implementation of ITU-T T.81 baseline
+sequential: 8×8 DCT, Annex-K quantization tables scaled by an IJG-style
+quality factor, Annex-K Huffman tables, byte-stuffed entropy stream,
+JFIF marker framing.  The encoder writes 4:4:4 (no chroma subsampling)
+three-component images; the decoder handles any baseline sampling
+factors h,v ∈ {1,2,4} (box-replication upsampling), grayscale,
+multi-table DQT/DHT segments, and restart markers.
+
+Design notes for the Spark pipeline (the reason this lives here rather
+than behind an import guard): decode is inherently per-image work, so it
+runs inside ``mapInPandas`` batches (operators/multimodal.py) — the
+codec itself vectorizes the per-block math (DCT/quant/level ops are
+whole-image numpy einsums; only the entropy coder walks symbols).
+
+Reference parity note: the Go reference (twpayne/go-shapefile) parses
+geometry, not images — this module serves BASELINE.json's ``input_hint``
+(image+caption rows with lossy formats), mirroring the reference's
+golden-exactness test discipline (shapefile_test.go) with analytic DC
+vectors and roundtrip PSNR bounds in tests/test_jpeg_codec.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- constants (ITU-T T.81 Annex K) ----------------------------------------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64).reshape(8, 8)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64).reshape(8, 8)
+
+# (BITS[1..16], HUFFVAL) per Annex K.3
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    n = np.arange(8)
+    k = n[:, None]
+    c = np.cos((2 * n[None, :] + 1) * k * np.pi / 16.0)
+    c *= np.where(k == 0, np.sqrt(1.0 / 8.0), np.sqrt(2.0 / 8.0))
+    return c
+
+
+_DCT = _dct_matrix()
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG-style quality scaling of the Annex-K tables (integer 1..255)."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((QUANT_LUMA * scale + 50) // 100, 1, 255)
+    qc = np.clip((QUANT_CHROMA * scale + 50) // 100, 1, 255)
+    return ql.astype(np.float64), qc.astype(np.float64)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255) \
+        .astype(np.uint8)
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) multiple-of-8 plane → (n_blocks, 8, 8) in raster order."""
+    h, w = plane.shape
+    return (plane.reshape(h // 8, 8, w // 8, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+
+def _from_blocks(blocks: np.ndarray, h8: int, w8: int) -> np.ndarray:
+    return (blocks.reshape(h8 // 8, w8 // 8, 8, 8)
+            .transpose(0, 2, 1, 3).reshape(h8, w8))
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """symbol → (code, length) by canonical assignment (T.81 C.2)."""
+    table, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(b)
+            if b == 0xFF:          # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)   # 1-fill to byte boundary
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_blocks(writer: _BitWriter, coeffs: np.ndarray,
+                   dc_tab: dict, ac_tab: dict, pred: int) -> int:
+    """Entropy-encode quantized zigzag coefficients (n, 64); returns the
+    updated DC predictor."""
+    for zz in coeffs:
+        dc = int(zz[0])
+        diff = dc - pred
+        pred = dc
+        s = _category(diff)
+        code, ln = dc_tab[s]
+        writer.write(code, ln)
+        if s:
+            writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        run = 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tab[0xF0]      # ZRL
+                writer.write(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = ac_tab[(run << 4) | s]
+            writer.write(code, ln)
+            writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            code, ln = ac_tab[0x00]          # EOB
+            writer.write(code, ln)
+    return pred
+
+
+def _dqt_segment(tid: int, table: np.ndarray) -> bytes:
+    zz = table.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+    return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz
+
+
+def _dht_segment(tclass: int, tid: int, bits: list[int],
+                 vals: list[int]) -> bytes:
+    payload = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
+    """RGB8 (h, w, 3) → baseline JFIF bytes, 4:4:4, Annex-K Huffman."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("encode_jpeg expects (h, w, 3) RGB8")
+    h, w = pixels.shape[:2]
+    if not (0 < h < 65536 and 0 < w < 65536):
+        raise ValueError("image dimensions out of JPEG range")
+    ql, qc = quality_tables(quality)
+    ycc = _rgb_to_ycbcr(pixels)
+    h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(ycc, ((0, h8 - h), (0, w8 - w), (0, 0)), mode="edge")
+
+    dc_l = _huff_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _huff_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _huff_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _huff_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    # whole-image DCT + quantization per component (numpy, no block loop)
+    quantized = []
+    for ci in range(3):
+        q = ql if ci == 0 else qc
+        blocks = _to_blocks(padded[..., ci] - 128.0)
+        coef = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+        zz = np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+        quantized.append(zz)
+
+    # interleave blocks MCU by MCU (4:4:4 → one block per component)
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    tabs = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+    for b in range(quantized[0].shape[0]):
+        for ci in range(3):
+            preds[ci] = _encode_blocks(writer, quantized[ci][b:b + 1],
+                                       tabs[ci][0], tabs[ci][1], preds[ci])
+    entropy = writer.flush()
+
+    out = bytearray(b"\xff\xd8")                      # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) +     # APP0 / JFIF
+            b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    out += _dqt_segment(0, ql)
+    out += _dqt_segment(1, qc)
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])                 # h=v=1 (4:4:4)
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+    out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    sos = bytes([3]) + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + \
+        bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += entropy
+    out += b"\xff\xd9"                                # EOI
+    return bytes(out)
+
+
+# --- decoder ---------------------------------------------------------------
+
+
+class _HuffLUT:
+    """16-bit prefix lookup: lut_sym[peek16] → symbol, lut_len → code
+    length (0 = invalid).  One list index per symbol instead of
+    bit-by-bit tree walking — the entropy decode is the JPEG hot loop
+    and a per-bit Python reader is ~50× slower."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        sym = np.zeros(65536, dtype=np.int32)
+        ln = np.zeros(65536, dtype=np.int32)
+        code, i = 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                hi = (code + 1) << (16 - length)
+                sym[lo:hi] = vals[i]
+                ln[lo:hi] = length
+                code += 1
+                i += 1
+            code <<= 1
+        self.sym = sym.tolist()
+        self.len = ln.tolist()
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
+    """De-stuffed entropy byte runs from ``pos``, split on RSTn markers;
+    stops at any other marker (EOI / next header)."""
+    segs: list[bytearray] = [bytearray()]
+    n = len(data)
+    i = pos
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            segs[-1].append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:                       # stuffed 0xFF data byte
+            segs[-1].append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:             # restart marker
+            segs.append(bytearray())
+            i += 2
+        else:                                 # EOI or next segment
+            break
+    return [bytes(s) for s in segs]
+
+
+def _u16_windows(seg: bytes) -> list[int]:
+    """u16_at[i] = the 16 bits starting at bit offset i (zero-padded
+    past the end) — precomputed so each Huffman symbol or value read is
+    one list index + add."""
+    bits = np.unpackbits(np.frombuffer(seg, dtype=np.uint8))
+    bits = np.concatenate([bits, np.zeros(16, dtype=np.uint8)])
+    kernel = (1 << np.arange(15, -1, -1)).astype(np.int64)
+    return np.convolve(bits.astype(np.int64), kernel[::-1],
+                       mode="valid").tolist()
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → RGB8 (h, w, 3).  Grayscale replicates to
+    RGB; subsampled chroma upsamples by box replication."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _HuffDecoder] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xFF:                    # fill byte
+            pos -= 1
+            continue
+        if marker == 0xD9:                    # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue                          # parameterless
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:                    # DQT (possibly several)
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 15
+                if pq:                        # 16-bit table
+                    tab = np.frombuffer(seg, dtype=">u2", count=64,
+                                        offset=o + 1).astype(np.float64)
+                    o += 129
+                else:
+                    tab = np.frombuffer(seg, dtype=np.uint8, count=64,
+                                        offset=o + 1).astype(np.float64)
+                    o += 65
+                qtables[tq] = tab[UNZIGZAG].reshape(8, 8)
+        elif marker == 0xC4:                  # DHT (possibly several)
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 15
+                bits = list(seg[o + 1:o + 17])
+                nv = sum(bits)
+                vals = list(seg[o + 17:o + 17 + nv])
+                htables[(tc, th)] = _HuffLUT(bits, vals)
+                o += 17 + nv
+        elif marker in (0xC0, 0xC1):          # SOF0/1 (baseline)
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF:
+            raise ValueError("only baseline sequential JPEG supported")
+        elif marker == 0xDD:                  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:                  # SOS → entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for si in range(ns):
+                cs, tdta = seg[1 + 2 * si:3 + 2 * si]
+                scan[cs] = (tdta >> 4, tdta & 15)
+            return _decode_scan(data, pos, frame, scan, qtables, htables,
+                                restart_interval)
+    raise ValueError("no scan data found")
+
+
+def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
+                 qtables: dict, htables: dict,
+                 restart_interval: int) -> np.ndarray:
+    comps = frame["comps"]
+    fh, fw = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+
+    segs = _entropy_segments(data, pos)
+    u = _u16_windows(segs[0])
+    seg_i, p = 0, 0
+
+    # phase 1 — entropy decode: per component, quantized coefficients in
+    # zigzag order plus each block's (row, col) position in its plane
+    n_comps = len(comps)
+    coeffs: list[list] = [[] for _ in range(n_comps)]
+    blkpos: list[list] = [[] for _ in range(n_comps)]
+    tabs = []
+    for c in comps:
+        td, ta = scan[c["id"]]
+        dc, ac = htables[(0, td)], htables[(1, ta)]
+        tabs.append((dc.sym, dc.len, ac.sym, ac.len))
+    preds = [0] * n_comps
+    n_mcu = 0
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and n_mcu and \
+                        n_mcu % restart_interval == 0:
+                    seg_i += 1                 # RSTn: next byte run
+                    if seg_i >= len(segs):
+                        raise ValueError("missing restart segment")
+                    u = _u16_windows(segs[seg_i])
+                    p = 0
+                    preds = [0] * n_comps
+                for ci in range(n_comps):
+                    c = comps[ci]
+                    dsym, dlen, asym, alen = tabs[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = [0] * 64
+                            w16 = u[p]
+                            s = dlen[w16]
+                            if s == 0:
+                                raise ValueError("invalid Huffman code")
+                            sym = dsym[w16]
+                            p += s
+                            if sym:
+                                preds[ci] += _extend(u[p] >> (16 - sym),
+                                                     sym)
+                                p += sym
+                            zz[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                w16 = u[p]
+                                s = alen[w16]
+                                if s == 0:
+                                    raise ValueError(
+                                        "invalid Huffman code")
+                                rs = asym[w16]
+                                p += s
+                                r, sz = rs >> 4, rs & 15
+                                if sz == 0:
+                                    if r == 15:
+                                        k += 16          # ZRL
+                                        continue
+                                    break                # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError(
+                                        "AC index out of range")
+                                zz[k] = _extend(u[p] >> (16 - sz), sz)
+                                p += sz
+                                k += 1
+                            coeffs[ci].append(zz)
+                            blkpos[ci].append(
+                                ((my * c["v"] + by) * 8,
+                                 (mx * c["h"] + bx) * 8))
+                n_mcu += 1
+    except IndexError:
+        raise ValueError("truncated entropy stream") from None
+
+    # phase 2 — dequantize + IDCT, batched per component (one einsum
+    # over all blocks instead of two 8×8 matmuls per block)
+    planes = []
+    for ci, c in enumerate(comps):
+        pw, ph = mcus_x * c["h"] * 8, mcus_y * c["v"] * 8
+        plane = np.zeros((ph, pw), dtype=np.float64)
+        zzs = np.asarray(coeffs[ci], dtype=np.float64)
+        q = qtables[c["tq"]]
+        blocks = zzs[:, UNZIGZAG].reshape(-1, 8, 8) * q
+        pix = np.einsum("ji,njk,kl->nil", _DCT, blocks, _DCT) + 128.0
+        for (y0, x0), blk in zip(blkpos[ci], pix):
+            plane[y0:y0 + 8, x0:x0 + 8] = blk
+        planes.append(plane)
+
+    full = []
+    for c, plane in zip(comps, planes):
+        up = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                       hmax // c["h"], axis=1)
+        full.append(up[:fh, :fw])
+    if len(full) == 1:
+        gray = np.clip(full[0].round(), 0, 255).astype(np.uint8)
+        return np.stack([gray] * 3, axis=-1)
+    ycc = np.stack(full[:3], axis=-1)
+    return _ycbcr_to_rgb(ycc)

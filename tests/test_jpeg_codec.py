@@ -1,0 +1,207 @@
+"""Baseline JFIF codec: analytic decode vectors (hand-built streams whose
+pixel output is derivable on paper — the reference-fixture discipline of
+shapefile_test.go applied to the image codec), roundtrip PSNR bounds, and
+marker-level robustness."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from go_shapefile_spark.sources.jpeg_codec import (
+    AC_LUMA_BITS, AC_LUMA_VALS, DC_LUMA_BITS, DC_LUMA_VALS, decode_jpeg,
+    encode_jpeg, quality_tables,
+)
+
+
+def psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+class _Bits:
+    """Independent minimal bit-writer for hand-built test streams (NOT
+    the codec's writer — the test must not trust the code under test)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def put(self, code, n):
+        self.bits += [(code >> (n - 1 - i)) & 1 for i in range(n)]
+
+    def bytes_(self):
+        while len(self.bits) % 8:
+            self.bits.append(1)          # 1-padding per T.81
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i:i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)         # byte stuffing
+        return bytes(out)
+
+
+def _huff_codes(bits, vals):
+    table, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _seg(marker, payload):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dqt_flat(tid, q):
+    return _seg(0xDB, bytes([tid]) + bytes([q] * 64))
+
+
+def _dht(tclass, tid, bits, vals):
+    return _seg(0xC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals))
+
+
+def _put_dc_only(w, dc_tab, diff):
+    """Emit one DC-only block: category code + value bits + EOB."""
+    s = abs(diff).bit_length()
+    code, ln = dc_tab[s]
+    w.put(code, ln)
+    if s:
+        w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    # EOB is AC symbol 0x00; with the Annex-K luma table that is
+    # the 4th code: lengths 2,2,3 then 4 → code 1010
+    w.put(0b1010, 4)
+
+
+def test_handbuilt_grayscale_dc_only():
+    """Single 8×8 grayscale block, quant table all-ones, DC diff = 8:
+    only F[0,0] = 8 is set, so every pixel is 128 + 8·(1/8) = 129 —
+    derived on paper, not from the encoder."""
+    dc_tab = _huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    w = _Bits()
+    _put_dc_only(w, dc_tab, 8)
+    data = (b"\xff\xd8" + _dqt_flat(0, 1) +
+            _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])) +
+            _dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS) +
+            _dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS) +
+            _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) +
+            w.bytes_() + b"\xff\xd9")
+    out = decode_jpeg(data)
+    assert out.shape == (8, 8, 3)
+    assert np.array_equal(out, np.full((8, 8, 3), 129, np.uint8))
+
+
+def test_handbuilt_dc_predictor_chain():
+    """Two horizontal blocks: DC diffs 16 then -8 ⇒ absolute DCs 16, 8 ⇒
+    flat values 130 then 129 (q=1)."""
+    dc_tab = _huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    w = _Bits()
+    _put_dc_only(w, dc_tab, 16)
+    _put_dc_only(w, dc_tab, -8)
+    data = (b"\xff\xd8" + _dqt_flat(0, 1) +
+            _seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])) +
+            _dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS) +
+            _dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS) +
+            _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) +
+            w.bytes_() + b"\xff\xd9")
+    out = decode_jpeg(data)
+    assert out.shape == (8, 16, 3)
+    assert np.array_equal(out[:, :8, 0], np.full((8, 8), 130, np.uint8))
+    assert np.array_equal(out[:, 8:, 0], np.full((8, 8), 129, np.uint8))
+
+
+def test_handbuilt_420_subsampled_color():
+    """4:2:0 16×16: Y sampled 2×2 (4 blocks/MCU), Cb/Cr 1×1 upsampled by
+    box replication.  All planes flat: Y=128+8·/8=129, Cb=128+16/8=130,
+    Cr=128 ⇒ one analytic RGB triple everywhere."""
+    dc_tab = _huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    w = _Bits()
+    for _ in range(4):                   # 4 luma blocks (first diff 8,
+        _put_dc_only(w, dc_tab, 8 if _ == 0 else 0)   # rest diff 0)
+    _put_dc_only(w, dc_tab, 16)          # Cb
+    _put_dc_only(w, dc_tab, 0)           # Cr (predictor independent)
+    sof = struct.pack(">BHHB", 8, 16, 16, 3) + \
+        bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    data = (b"\xff\xd8" + _dqt_flat(0, 1) +
+            _seg(0xC0, sof) +
+            _dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS) +
+            _dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS) +
+            _seg(0xDA, sos) + w.bytes_() + b"\xff\xd9")
+    out = decode_jpeg(data)
+    assert out.shape == (16, 16, 3)
+    y, cb, cr = 129.0, 130.0, 128.0
+    exp_r = round(y + 1.402 * (cr - 128))
+    exp_g = round(y - 0.344136286 * (cb - 128) - 0.714136286 * (cr - 128))
+    exp_b = round(y + 1.772 * (cb - 128))
+    assert np.array_equal(out[..., 0], np.full((16, 16), exp_r, np.uint8))
+    assert np.array_equal(out[..., 1], np.full((16, 16), exp_g, np.uint8))
+    assert np.array_equal(out[..., 2], np.full((16, 16), exp_b, np.uint8))
+
+
+def test_roundtrip_constants_exact():
+    for v in (0, 1, 37, 128, 254, 255):
+        img = np.full((16, 16, 3), v, np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(img, 95)), img)
+
+
+def test_roundtrip_psnr_bounds():
+    rng = np.random.default_rng(42)
+    y, x = np.mgrid[0:24, 0:17]
+    smooth = np.stack([(x * 9) % 256, (y * 5) % 256, ((x + y) * 3) % 256],
+                      axis=-1).astype(np.uint8)
+    assert psnr(smooth, decode_jpeg(encode_jpeg(smooth, 90))) >= 38
+    noise = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    assert psnr(noise, decode_jpeg(encode_jpeg(noise, 98))) >= 40
+    # quality ordering: lower quality → worse PSNR (quantization real)
+    p85 = psnr(noise, decode_jpeg(encode_jpeg(noise, 85)))
+    p98 = psnr(noise, decode_jpeg(encode_jpeg(noise, 98)))
+    assert p85 < p98 < float("inf")
+
+
+def test_non_multiple_of_8_dims():
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (8, 9), (17, 24), (23, 23)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 97))
+        assert out.shape == (h, w, 3)
+        assert psnr(img, out) >= 30      # tiny blocks, just sanity
+
+
+def test_quality_tables_monotone():
+    ql50, qc50 = quality_tables(50)
+    ql95, qc95 = quality_tables(95)
+    ql100, _ = quality_tables(100)
+    assert (ql95 <= ql50).all() and (ql95 >= 1).all()
+    assert (qc95 <= qc50).all()
+    # q=100 ⇒ scale 0 ⇒ every step clamps to the minimum of 1
+    assert (ql100 == 1).all()
+    # q=50 ⇒ scale 100 ⇒ the Annex-K base table verbatim
+    from go_shapefile_spark.sources.jpeg_codec import QUANT_LUMA
+    assert np.array_equal(ql50, QUANT_LUMA)
+
+
+def test_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")          # SOI+EOI, no scan
+    # truncated entropy stream
+    img = np.full((8, 8, 3), 90, np.uint8)
+    data = encode_jpeg(img, 95)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:len(data) - 12] + b"\xff\xd9")
+
+
+def test_progressive_rejected():
+    img = np.full((8, 8, 3), 90, np.uint8)
+    data = bytearray(encode_jpeg(img, 95))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2                            # SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(data))

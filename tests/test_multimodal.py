@@ -40,10 +40,18 @@ def test_decode_resize_featurize_spark(spark):
     assert (a["thumb"] == b["thumb"]).all()
 
 
-def test_decode_strict_raises_on_jpeg(spark):
+def test_decode_strict_mode(spark):
+    """Strict mode (stub_ok=False) decodes BOTH real codecs — png and
+    baseline jpeg — and still raises for a format with no sandbox codec."""
     images = generate_images_df(spark, 30, rows_per_task=30)
+    out = decode_resize_featurize(images, stub_ok=False).toPandas()
+    assert len(out) == 30 and (out["fmt"] == "jpeg").any()
+    bad = spark.createDataFrame(
+        [("x", b"\x00", 4, 4, "webp", "c", 1)],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long")
     with pytest.raises(Exception, match="no codec"):
-        decode_resize_featurize(images, stub_ok=False).collect()
+        decode_resize_featurize(bad, stub_ok=False).collect()
 
 
 def test_frame_sample_explodes_rows(spark):
