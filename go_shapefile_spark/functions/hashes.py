@@ -28,6 +28,13 @@ def h60(expr: str, dialect: str) -> str:
     return f"CAST(('0x' || SUBSTRING(MD5({expr}), 1, 15)) AS BIGINT)"
 
 
+def idiv(a: str, b: str, dialect: str) -> str:
+    """Integer (floor-toward-zero) division of non-negative operands."""
+    if dialect == SPARK:
+        return f"(({a}) DIV ({b}))"
+    return f"(({a}) // ({b}))"
+
+
 def xor(a: str, b: str, dialect: str) -> str:
     if dialect == SPARK:
         return f"({a} ^ {b})"

@@ -158,3 +158,68 @@ SELECT doc_id, COUNT(*) AS n_fps,
        CAST(SUM(fp) AS BIGINT) AS sum_fp
 FROM fps GROUP BY doc_id
 """
+
+
+def winnow_fingerprint_chunked_sql(dialect: str, rel: str = "documents",
+                                   k: int = 7, window: int = 4,
+                                   chunk: int = 4096) -> str:
+    """Winnowing fingerprints, de-skewed for long documents.
+
+    :func:`winnow_fingerprint_sql` windows ``PARTITION BY doc_id`` — one
+    sort partition per document, which is fine for web-page-sized rows
+    but serializes a book-length document onto a single task.  This
+    variant splits each document into overlapping chunks and windows
+    ``PARTITION BY (doc_id, chunk)``, bounding every sort partition at
+    ``chunk + window - 1`` k-grams regardless of document length.
+
+    Output is IDENTICAL to the unchunked form (property-tested): chunk
+    ``c`` owns frame starts in ``[1 + c·chunk, 1 + (c+1)·chunk)`` but
+    its k-gram run extends ``window - 1`` positions past the owned range
+    (the substring carries ``k - 1`` extra characters), so every owned
+    frame sees its full window; truncated frames occur only at the true
+    document tail, exactly as in the unchunked SQL.
+    """
+    from ..functions import hashes as H
+
+    s = chunk
+    ln = s + window - 1             # k-gram positions per chunk
+    kg = H.h32(f"SUBSTRING(ctext, i, {k})", dialect)
+    n_chunks = H.idiv(f"nk + {s - 1}", str(s), dialect)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text, GREATEST(1, LENGTH(text) - {k - 1}) AS nk
+  FROM {rel}
+),
+cidx AS (
+  SELECT doc_id, text, nk, {H.seq_1_to(n_chunks, dialect)} AS c
+  FROM docs
+),
+chunks AS (
+  SELECT doc_id, nk, c, 1 + (c - 1) * {s} AS pos0,
+         SUBSTRING(text, 1 + (c - 1) * {s}, {ln + k - 1}) AS ctext
+  FROM cidx
+),
+cpos AS (
+  SELECT doc_id, c, pos0, ctext,
+         {H.seq_1_to(f"LEAST({ln}, nk - pos0 + 1)", dialect)} AS i
+  FROM chunks
+),
+kgrams AS (
+  SELECT doc_id, c, pos0, pos0 + i - 1 AS pos, {kg} AS h
+  FROM cpos
+),
+winmins AS (
+  SELECT doc_id, pos0, pos,
+         MIN(h) OVER (PARTITION BY doc_id, c ORDER BY pos ASC
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+           AS fp
+  FROM kgrams
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM winmins WHERE pos < pos0 + {s}
+)
+SELECT doc_id, COUNT(*) AS n_fps,
+       MIN(fp) AS min_fp, MAX(fp) AS max_fp,
+       CAST(SUM(fp) AS BIGINT) AS sum_fp
+FROM fps GROUP BY doc_id
+"""

@@ -918,6 +918,8 @@ def build_registry():
         "langid": lambda d: TX.langid_sql(d),
         "fingerprint": lambda d: TX.fingerprint_sql(d),
         "fingerprint_winnow": lambda d: TX.winnow_fingerprint_sql(d),
+        "fingerprint_winnow_chunked":
+            lambda d: TX.winnow_fingerprint_chunked_sql(d, chunk=64),
         "cosine_topk": lambda d: SIM.cosine_topk_sql(d),
         "embedding_neardup": lambda d: SIM.embedding_neardup_sql(d, threshold=0.25),
         "embedding_neardup_bucketed":

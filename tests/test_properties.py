@@ -267,12 +267,15 @@ def test_record_bounds_quick_matches_decode_property(rects, as_points):
 def test_winnowing_matches_pure_python_reference(spark, texts):
     """Third-implementation check: the dual-dialect winnowing SQL must
     equal an independent pure-python winnow (hashlib k-gram hashes,
-    sliding-window minima, set semantics) on arbitrary text."""
+    sliding-window minima, set semantics) on arbitrary text — and the
+    chunked de-skew variant must equal it too at chunk sizes small
+    enough that every text crosses chunk boundaries."""
     import hashlib
 
     import pandas as pd
 
-    from go_shapefile_spark.operators.text import winnow_fingerprint_sql
+    from go_shapefile_spark.operators.text import (
+        winnow_fingerprint_chunked_sql, winnow_fingerprint_sql)
 
     k, w = 7, 4
 
@@ -285,10 +288,17 @@ def test_winnowing_matches_pure_python_reference(spark, texts):
 
     pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
     spark.createDataFrame(pdf).createOrReplaceTempView("pydocs")
-    got = spark.sql(winnow_fingerprint_sql("spark", rel="pydocs", k=k,
-                                           window=w)).toPandas()
-    for r in got.itertuples(index=False):
-        fps = py_winnow(texts[r.doc_id])
-        assert r.n_fps == len(fps)
-        assert r.min_fp == min(fps) and r.max_fp == max(fps)
-        assert r.sum_fp == sum(fps)
+    variants = [winnow_fingerprint_sql("spark", rel="pydocs", k=k, window=w)]
+    # chunk sizes chosen to hit boundary alignments: smaller than the
+    # window, window-sized, and straddling typical text lengths
+    variants += [winnow_fingerprint_chunked_sql("spark", rel="pydocs", k=k,
+                                                window=w, chunk=c)
+                 for c in (3, 4, 17)]
+    for sql in variants:
+        got = spark.sql(sql).toPandas()
+        assert len(got) == len(texts)
+        for r in got.itertuples(index=False):
+            fps = py_winnow(texts[r.doc_id])
+            assert r.n_fps == len(fps)
+            assert r.min_fp == min(fps) and r.max_fp == max(fps)
+            assert r.sum_fp == sum(fps)
