@@ -201,3 +201,48 @@ def test_format_directory_mode(ds_spark, ref_testdata, tmp_path):
     assert df.where("bbox.xmin > 999999999").count() == 0
     # attribute pushdown still applies per file
     assert df.where("AREA > 300000").count() == 15
+
+
+def test_dir_mode_record_level_decode_skip(ref_testdata, tmp_path,
+                                           monkeypatch):
+    """Directory mode must apply the record-level bbox mask PER FILE —
+    records outside the window are never geometry-decoded (the dir twin
+    of test_bbox_header_prune_and_decode_skip's counter assertion)."""
+    import shutil
+
+    import go_shapefile_spark.sources.shapefile_core as core
+    from pyspark.sql.datasource import LessThan as LT
+
+    from go_shapefile_spark.sources.datasource import ShapefileDirReader
+
+    d = tmp_path / "cnt"
+    d.mkdir()
+    for i in range(3):
+        for ext in ("shp", "shx", "dbf"):
+            shutil.copy(os.path.join(ref_testdata, f"poly.{ext}"),
+                        d / f"t{i}.{ext}")
+    rep = plan_shapefile(str(d / "t0"))
+    schema = features_schema(rep).add("source_basename", "string")
+    bases = [str(d / f"t{i}") for i in range(3)]
+    reader = ShapefileDirReader(bases, rep, schema,
+                                records_per_split=100, options=None)
+    assert list(reader.pushFilters([LT(("bbox", "ymax"), 4765000.0)])) == []
+
+    seen = []
+    orig = core.parse_polygons_vectorized
+
+    def counting(buf, offsets, *a, **k):
+        seen.append(len(offsets))
+        return orig(buf, offsets, *a, **k)
+
+    monkeypatch.setattr(core, "parse_polygons_vectorized", counting)
+    monkeypatch.setattr(
+        "go_shapefile_spark.sources.shapefile.core.parse_polygons_vectorized",
+        counting)
+    total = 0
+    for part in reader.partitions():
+        for rb in reader.read(part):
+            total += rb.num_rows
+    # 3 files × 3 surviving records; the kernel gathered ONLY survivors
+    assert total == 9
+    assert seen == [3, 3, 3]
