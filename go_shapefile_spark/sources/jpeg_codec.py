@@ -315,11 +315,17 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
 # --- decoder ---------------------------------------------------------------
 
 
+_LUT_CACHE: dict[tuple, "_HuffLUT"] = {}
+
+
 class _HuffLUT:
     """16-bit prefix lookup: lut_sym[peek16] → symbol, lut_len → code
     length (0 = invalid).  One list index per symbol instead of
     bit-by-bit tree walking — the entropy decode is the JPEG hot loop
-    and a per-bit Python reader is ~50× slower."""
+    and a per-bit Python reader is ~50× slower.  Construct via
+    :meth:`get`: the 65k-entry lists cost ~ms to build, which would
+    dominate small-image decode, and real corpora reuse the same
+    (usually Annex-K) tables for every image."""
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
         sym = np.zeros(65536, dtype=np.int32)
@@ -336,6 +342,14 @@ class _HuffLUT:
             code <<= 1
         self.sym = sym.tolist()
         self.len = ln.tolist()
+
+    @classmethod
+    def get(cls, bits: list[int], vals: list[int]) -> "_HuffLUT":
+        key = (tuple(bits), tuple(vals))
+        lut = _LUT_CACHE.get(key)
+        if lut is None:
+            lut = _LUT_CACHE[key] = cls(bits, vals)
+        return lut
 
 
 def _extend(v: int, s: int) -> int:
@@ -422,7 +436,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(seg[o + 1:o + 17])
                 nv = sum(bits)
                 vals = list(seg[o + 17:o + 17 + nv])
-                htables[(tc, th)] = _HuffLUT(bits, vals)
+                htables[(tc, th)] = _HuffLUT.get(bits, vals)
                 o += 17 + nv
         elif marker in (0xC0, 0xC1):          # SOF0/1 (baseline)
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
