@@ -307,10 +307,13 @@ def ivf_ann_topk(df: DataFrame, k: int = 10, n_centroids: int = 64,
     from pyspark.ml.feature import Normalizer
     from pyspark.ml.functions import array_to_vector
 
-    # L2-normalize BEFORE clustering (spherical k-means): the inverted
-    # lists must use the same metric the probes rank by — Euclidean on
-    # unit vectors is monotone in cosine, so assignment and probing
-    # agree even when raw vector norms vary across the corpus.  ML's
+    # L2-normalize BEFORE clustering AND fit with cosine distance
+    # (spherical k-means): the inverted lists must use the same metric
+    # the probes rank by.  Unit INPUTS alone are not enough — k-means
+    # centroids of unit vectors are not unit norm, and Euclidean argmin
+    # to raw centers (x·c − ‖c‖²/2) can disagree with the probes'
+    # cosine ranking (x·c/‖c‖) when center norms differ across
+    # clusters, silently costing recall at small n_probe.  ML's
     # Normalizer runs JVM-side (a HOF that re-evaluated the norm inside
     # the transform lambda would be O(d²) interpreted work per row).
     raw = df.select(F.col(id_col),
@@ -329,6 +332,7 @@ def ivf_ann_topk(df: DataFrame, k: int = 10, n_centroids: int = 64,
     train = fv if train_fraction >= 1.0 else \
         fv.sample(fraction=train_fraction, seed=seed)
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
+                   distanceMeasure="cosine",
                    featuresCol="fv", predictionCol="centroid").fit(train)
     assign = model.transform(fv).select(
         F.col(id_col).alias("neighbor_id"), "centroid")

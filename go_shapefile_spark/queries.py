@@ -28,7 +28,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 SPARK, DUCK = H.SPARK, H.DUCK
 
 
-_REGISTERED: dict[str, str] = {}  # applicationId -> sf_dir last registered
+_REGISTERED: dict[int, str] = {}  # id(session) -> sf_dir last registered
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
@@ -36,15 +36,22 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     sf_dir).  Re-registering is pure driver overhead — each
     ``spark.read.parquet`` re-reads the file footer for schema inference
     (~1.4 s across the 10 tables), and temp views persist for the
-    session — so repeated gate/bench queries skip it."""
-    app = spark.sparkContext.applicationId
-    if _REGISTERED.get(app) == sf_dir:
+    session — so repeated gate/bench queries skip it.
+
+    Keyed by the SESSION object (temp views are session-scoped — a
+    ``spark.newSession()`` shares the applicationId but starts with an
+    empty view catalog), and the memo only short-circuits while every
+    view still exists (a ``dropTempView`` in between re-registers)."""
+    key = id(spark)
+    if _REGISTERED.get(key) == sf_dir and \
+            all(spark.catalog.tableExists(t) for t in TABLES
+                if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))):
         return
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             spark.read.parquet(path).createOrReplaceTempView(t)
-    _REGISTERED[app] = sf_dir
+    _REGISTERED[key] = sf_dir
 
 
 def _epoch_s(e: str, dialect: str) -> str:

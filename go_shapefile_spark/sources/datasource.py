@@ -32,6 +32,7 @@ Usage::
 from __future__ import annotations
 
 import math
+import operator
 from typing import Iterator
 
 import numpy as np
@@ -119,6 +120,12 @@ class ShapefileDataSource(DataSource):
 
 # pushable comparison filters on scalar attribute columns
 _CMP = (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+
+# shared comparison semantics for every pushed-filter evaluation site —
+# one map instead of per-site isinstance ladders that could drift apart
+_CMP_OP = {EqualTo: operator.eq, GreaterThan: operator.gt,
+           GreaterThanOrEqual: operator.ge, LessThan: operator.lt,
+           LessThanOrEqual: operator.le}
 
 
 _BBOX_COL = {"xmin": 0, "ymin": 1, "xmax": 2, "ymax": 3}
@@ -244,17 +251,7 @@ def _attr_keep(adf, filters: list[Filter]) -> np.ndarray:
         elif isinstance(f, IsNotNull):
             m = ~col.isna()
         else:
-            v = f.value
-            if isinstance(f, EqualTo):
-                m = col == v
-            elif isinstance(f, GreaterThan):
-                m = col > v
-            elif isinstance(f, GreaterThanOrEqual):
-                m = col >= v
-            elif isinstance(f, LessThan):
-                m = col < v
-            else:
-                m = col <= v
+            m = _CMP_OP[type(f)](col, f.value)
             m = m.fillna(False) if hasattr(m, "fillna") else m
         keep &= np.asarray(m, dtype=bool)
     return keep
@@ -269,16 +266,7 @@ def _bbox_keep(buf: bytes, rel: np.ndarray,
     keep = np.ones(len(rel), dtype=bool)
     for f, v in filters:
         c = bb[:, _BBOX_COL[f.attribute[1]]]
-        if isinstance(f, EqualTo):
-            keep &= c == v
-        elif isinstance(f, GreaterThan):
-            keep &= c > v
-        elif isinstance(f, GreaterThanOrEqual):
-            keep &= c >= v
-        elif isinstance(f, LessThan):
-            keep &= c < v
-        else:
-            keep &= c <= v
+        keep &= _CMP_OP[type(f)](c, v)
     return keep
 
 
@@ -423,14 +411,5 @@ def _bbox_postfilter(rb, filters: list[tuple[Filter, float]]):
         # nulls → NaN, which fails every comparison (SQL semantics)
         c = bbox.field(f.attribute[1]).to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        if isinstance(f, EqualTo):
-            keep &= c == v
-        elif isinstance(f, GreaterThan):
-            keep &= c > v
-        elif isinstance(f, GreaterThanOrEqual):
-            keep &= c >= v
-        elif isinstance(f, LessThan):
-            keep &= c < v
-        else:
-            keep &= c <= v
+        keep &= _CMP_OP[type(f)](c, v)
     return rb.filter(pa.array(keep))

@@ -147,8 +147,13 @@ def list_files(directory: str) -> list[str]:
         # /dir) keep scheme://authority.
         scheme, rest = directory.split("://", 1)
         authority = rest.split("/", 1)[0]
-        first_seg = p.lstrip("/").split("/", 1)[0] if p else ""
-        if authority and first_seg != authority:
+        # Style is decided by the fs-local path SHAPE, not by comparing
+        # segments (hdfs://data/data/tiles would false-match a
+        # first-segment-equals-authority test): authority filesystems
+        # (hdfs) resolve to an absolute "/dir" path, bucket-in-path
+        # filesystems (s3/gs) resolve to "bucket/key" with no leading
+        # slash.
+        if authority and p.startswith("/"):
             prefix = f"{scheme}://{authority}"
         else:
             prefix = f"{scheme}://"

@@ -348,6 +348,11 @@ class _HuffLUT:
         key = (tuple(bits), tuple(vals))
         lut = _LUT_CACHE.get(key)
         if lut is None:
+            if len(_LUT_CACHE) >= 64:
+                # bound the cache: corpora with per-image optimized
+                # tables (libjpeg -optimize) would otherwise grow an
+                # executor by ~4 MB per distinct-table image forever
+                _LUT_CACHE.clear()
             lut = _LUT_CACHE[key] = cls(bits, vals)
         return lut
 
@@ -380,15 +385,49 @@ def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
     return [bytes(s) for s in segs]
 
 
-def _u16_windows(seg: bytes) -> list[int]:
-    """u16_at[i] = the 16 bits starting at bit offset i (zero-padded
-    past the end) — precomputed so each Huffman symbol or value read is
-    one list index + add."""
-    bits = np.unpackbits(np.frombuffer(seg, dtype=np.uint8))
-    bits = np.concatenate([bits, np.zeros(16, dtype=np.uint8)])
-    kernel = (1 << np.arange(15, -1, -1)).astype(np.int64)
-    return np.convolve(bits.astype(np.int64), kernel[::-1],
-                       mode="valid").tolist()
+_WIN_BLOCK = 1 << 20     # bits per materialized window block
+
+
+class _U16Stream:
+    """u16(i) = the 16 bits starting at bit offset i (zero-padded past
+    the end), served from bounded blocks.
+
+    The hot loop wants a plain Python list (one index + add per Huffman
+    symbol), but a whole-stream list of boxed ints costs ~280 bytes per
+    compressed BYTE — a 5 MB photo would transiently hold ~1.5 GB.  So
+    the bit array (8 bytes/compressed byte, numpy uint8) is kept whole
+    and only a ``_WIN_BLOCK``-bit window is expanded to a list at a
+    time; the decoder's bit position is monotonic, so each block is
+    built exactly once."""
+
+    def __init__(self, seg: bytes) -> None:
+        bits = np.unpackbits(np.frombuffer(seg, dtype=np.uint8))
+        self.bits = np.concatenate([bits, np.zeros(16, dtype=np.uint8)])
+        self.kernel = (1 << np.arange(16)).astype(np.int64)  # reversed
+        self.base = 0
+        self.win: list[int] = []
+        self.limit = 0
+        self._load(0)
+
+    def _load(self, base: int) -> None:
+        end = min(base + _WIN_BLOCK + 16, len(self.bits))
+        chunk = self.bits[base:end].astype(np.int64)
+        if len(chunk) >= 16:
+            self.win = np.convolve(chunk, self.kernel,
+                                   mode="valid").tolist()
+        else:
+            self.win = []
+        self.base = base
+        self.limit = base + len(self.win)
+
+    def window(self, p: int) -> tuple[list[int], int, int]:
+        """(block list, base, limit) covering bit offset ``p``; raises
+        IndexError past the padded end (truncated stream)."""
+        if p >= self.limit:
+            if p >= len(self.bits) - 15:
+                raise IndexError("bit offset past stream end")
+            self._load(p)
+        return self.win, self.base, self.limit
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -456,6 +495,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # legal baseline, but out of scope: one scan per
+                # component needs coefficient accumulation across scans
+                raise ValueError(
+                    "non-interleaved (multi-scan) baseline JPEG "
+                    "not supported")
             scan = {}
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si:3 + 2 * si]
@@ -476,7 +521,8 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
     mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
 
     segs = _entropy_segments(data, pos)
-    u = _u16_windows(segs[0])
+    stream = _U16Stream(segs[0])
+    win, wbase, wlimit = stream.window(0)
     seg_i, p = 0, 0
 
     # phase 1 — entropy decode: per component, quantized coefficients in
@@ -499,7 +545,8 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
                     seg_i += 1                 # RSTn: next byte run
                     if seg_i >= len(segs):
                         raise ValueError("missing restart segment")
-                    u = _u16_windows(segs[seg_i])
+                    stream = _U16Stream(segs[seg_i])
+                    win, wbase, wlimit = stream.window(0)
                     p = 0
                     preds = [0] * n_comps
                 for ci in range(n_comps):
@@ -508,20 +555,26 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
                             zz = [0] * 64
-                            w16 = u[p]
+                            if p >= wlimit:
+                                win, wbase, wlimit = stream.window(p)
+                            w16 = win[p - wbase]
                             s = dlen[w16]
                             if s == 0:
                                 raise ValueError("invalid Huffman code")
                             sym = dsym[w16]
                             p += s
                             if sym:
-                                preds[ci] += _extend(u[p] >> (16 - sym),
-                                                     sym)
+                                if p >= wlimit:
+                                    win, wbase, wlimit = stream.window(p)
+                                preds[ci] += _extend(
+                                    win[p - wbase] >> (16 - sym), sym)
                                 p += sym
                             zz[0] = preds[ci]
                             k = 1
                             while k < 64:
-                                w16 = u[p]
+                                if p >= wlimit:
+                                    win, wbase, wlimit = stream.window(p)
+                                w16 = win[p - wbase]
                                 s = alen[w16]
                                 if s == 0:
                                     raise ValueError(
@@ -538,7 +591,10 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
                                 if k > 63:
                                     raise ValueError(
                                         "AC index out of range")
-                                zz[k] = _extend(u[p] >> (16 - sz), sz)
+                                if p >= wlimit:
+                                    win, wbase, wlimit = stream.window(p)
+                                zz[k] = _extend(
+                                    win[p - wbase] >> (16 - sz), sz)
                                 p += sz
                                 k += 1
                             coeffs[ci].append(zz)

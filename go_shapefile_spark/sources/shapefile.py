@@ -414,6 +414,12 @@ def _parse_split(plan: ShapefilePlan, fid_start: int, fid_end: int,
                 if bbox_mask_fn is not None:
                     # record-header bounds test BEFORE any decode
                     bsel = np.asarray(bbox_mask_fn(buf, rel), dtype=bool)
+                    if sel is not None and len(sel) != len(bsel):
+                        # SHX and DBF disagree on the record count: fail
+                        # with the reference's error, not a numpy shape
+                        # error (shapefile.go:192-196)
+                        raise core.ShapefileError(
+                            "inconsistent number of records")
                     sel = bsel if sel is None else (sel & bsel)
                 fast_ords = _parse_points_vectorized(
                     buf, rel, plan.shape_type, fid_start, fid_end)
@@ -435,6 +441,8 @@ def _parse_split(plan: ShapefilePlan, fid_start: int, fid_end: int,
                                   plan.shp_options)
             shp_records = data.records[fid_start - 1:fid_end - 1]
     if adf is not None and sel is not None:
+        if len(sel) != len(adf):
+            raise core.ShapefileError("inconsistent number of records")
         adf = adf[sel].reset_index(drop=True)
 
     # count consistency (shapefile.go:192-196), on pre-mask counts
