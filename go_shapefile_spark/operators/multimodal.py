@@ -120,21 +120,34 @@ def decode_resize_featurize(images: DataFrame, out_w: int = 8, out_h: int = 8,
 
 def frame_sample(videos: DataFrame, every_n: int = 10,
                  stub_ok: bool = True) -> DataFrame:
-    """Video frame sampling — STUB: no video codec exists in this
-    container.  In ``stub_ok`` mode each ``video_id`` yields
-    deterministic fake frames (phash-derived pixels) at indices
-    0, n, 2n, … so the exploding-rows plumbing (one input row → many
-    frame rows, schema, ordering) is real and tested; strict mode raises.
+    """Video frame sampling.  REAL for MJPEG-in-AVI payloads (the
+    ``RIFF`` magic dispatches to sources/video_codec.py): the container
+    index is walked chunk by chunk and ONLY every ``every_n``-th frame
+    is JPEG-decoded — skipped frames are stepped over by their length
+    prefix, the economics that make frame sampling viable at 100 TB.
+    Other/absent payloads: deterministic fake frames (phash-derived
+    pixels) in ``stub_ok`` mode so the exploding-rows plumbing stays
+    testable without a codec; strict mode raises.
     Expected input: (video_id string, bytes binary, n_frames int,
     w int, h int, phash long).
     """
+    from ..sources.video_codec import sample_frames
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vids, idxs, frames = [], [], []
             for row in pdf.itertuples(index=False):
+                data = bytes(row.bytes) if row.bytes is not None else b""
+                if data[:4] == b"RIFF":
+                    for fi, px in sample_frames(data, every_n):
+                        vids.append(row.video_id)
+                        idxs.append(fi)
+                        frames.append(px.tobytes())
+                    continue
                 if not stub_ok:
                     raise NotImplementedError(
-                        "no video codec in this environment")
+                        "no codec for this video payload "
+                        "(only MJPEG-AVI is supported in-sandbox)")
                 for fi in range(0, int(row.n_frames), every_n):
                     px = pixels_from_phash(int(row.phash) + fi,
                                            int(row.w), int(row.h))

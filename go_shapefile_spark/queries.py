@@ -756,6 +756,82 @@ def q_image_neardup_oracle(dialect: str) -> str:
             f"CAST(0 AS BIGINT) AS n_unexpected")
 
 
+VIDEO_GATE_N, VIDEO_EVERY_N = 300, 5
+
+
+def _ensure_video_table(spark: SparkSession) -> str:
+    """Gate corpus: VIDEO_GATE_N deterministic MJPEG-AVI videos whose
+    frame ``fi`` regenerates from ``phash + fi`` (images.py discipline)."""
+    from .sources.images import JPEG_QUALITY, generate_videos_df
+
+    path = os.path.join(_CACHE_ROOT,
+                        f"gate_videos_n{VIDEO_GATE_N}_q{JPEG_QUALITY}")
+    marker = os.path.join(path, "_SUCCESS_GATE")
+    if not os.path.exists(marker):
+        generate_videos_df(spark, VIDEO_GATE_N, rows_per_task=25) \
+            .write.mode("overwrite").parquet(path)
+        with open(marker, "w") as f:
+            f.write(str(VIDEO_GATE_N))
+    return path
+
+
+def video_frame_sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video frame sampling, gated: MJPEG-AVI container walk +
+    baseline-JPEG decode of every VIDEO_EVERY_N-th frame (STRICT mode —
+    no stub fallback), then each sampled frame verifies PSNR ≥ 40 dB
+    against its regenerated reference pixels.  The oracle pins the
+    deterministic contract: every video sampled, the exact total frame
+    count implied by the generator's n_frames law, zero violations."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import frame_sample
+    from .sources.images import pixels_from_phash
+
+    path = _ensure_video_table(spark)
+    vids = spark.read.parquet(path)
+    frames = frame_sample(vids, every_n=VIDEO_EVERY_N, stub_ok=False)
+    joined = frames.join(vids.select("video_id", "phash", "w", "h"),
+                         "video_id")
+
+    def check(batches):
+        import pandas as pd
+        for pdf in batches:
+            out_ids, ok = [], []
+            for r in pdf.itertuples(index=False):
+                ref = pixels_from_phash(int(r.phash) + int(r.frame_idx),
+                                        int(r.w), int(r.h))
+                got = np.frombuffer(r.frame, np.uint8).reshape(ref.shape)
+                mse = float(np.mean((got.astype(np.float64) - ref) ** 2))
+                psnr = float("inf") if mse == 0 else \
+                    10.0 * np.log10(255.0 ** 2 / mse)
+                out_ids.append(r.video_id)
+                ok.append(bool(psnr >= 40.0))
+            yield pd.DataFrame({"video_id": out_ids, "ok": ok})
+
+    checked = joined.mapInPandas(check, "video_id string, ok boolean")
+    return checked.agg(
+        F.countDistinct("video_id").alias("n_videos"),
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_bad"))
+
+
+def q_video_frame_sample_oracle(dialect: str) -> str:
+    # the generator's n_frames law is deterministic (splitmix64 of the
+    # row index), so the expected sampled-frame total is computable here
+    import numpy as np
+
+    from .operators.geotag import splitmix64
+
+    idx = np.arange(VIDEO_GATE_N, dtype=np.int64)
+    ph = splitmix64(idx).view(np.int64)
+    nf = 6 + (np.abs(ph) % 10)
+    n_frames = int(np.ceil(nf / VIDEO_EVERY_N).sum())
+    return (f"SELECT CAST({VIDEO_GATE_N} AS BIGINT) AS n_videos, "
+            f"CAST({n_frames} AS BIGINT) AS n_frames_sampled, "
+            f"CAST(0 AS BIGINT) AS n_bad")
+
+
 def q_streaming_tiles_oracle(dialect: str) -> str:
     ep = _epoch_s("ts", dialect)
     return f"""
@@ -964,6 +1040,8 @@ def build_registry():
     oracles["snapshot_incremental_rollup"] = q_snapshot_incremental_oracle(DUCK)
     queries["image_neardup"] = image_neardup_spark
     oracles["image_neardup"] = q_image_neardup_oracle(DUCK)
+    queries["video_frame_sample"] = video_frame_sample_spark
+    oracles["video_frame_sample"] = q_video_frame_sample_oracle(DUCK)
     queries["tile_pyramid"] = tile_pyramid_spark
     oracles["tile_pyramid"] = q_tile_pyramid_oracle(DUCK)
 

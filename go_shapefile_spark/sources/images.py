@@ -249,3 +249,45 @@ def check_invariants(df: DataFrame) -> DataFrame:
     return df.mapInPandas(
         check, schema="image_id string, fmt string, pixels_ok boolean, "
                       "psnr_db double, caption_ok boolean")
+
+
+VIDEOS_SCHEMA = ("video_id string, bytes binary, n_frames int, w int, "
+                 "h int, fmt string, phash long")
+
+
+def generate_videos_batch(start: int, end: int) -> pd.DataFrame:
+    """Deterministic MJPEG-AVI video rows [start, end): frame ``fi`` of
+    video ``i`` is ``pixels_from_phash(phash + fi)`` — the same
+    regenerate-from-phash invariant discipline as the image table, so
+    sampled frames can be verified without stored ground truth."""
+    from .video_codec import encode_avi_mjpeg
+
+    idx = np.arange(start, end, dtype=np.int64)
+    phash = splitmix64(idx).view(np.int64)
+    n_frames = (6 + (np.abs(phash) % 10)).astype(np.int64)   # 6..15
+    rows = []
+    w = h = 16
+    for i, ph, nf in zip(idx, phash, n_frames):
+        frames = [pixels_from_phash(int(ph) + fi, w, h)
+                  for fi in range(int(nf))]
+        data = encode_avi_mjpeg(frames, quality=JPEG_QUALITY)
+        rows.append((f"vid-{int(i):010d}", data, int(nf), w, h,
+                     "avi-mjpeg", int(ph)))
+    return pd.DataFrame(rows, columns=["video_id", "bytes", "n_frames",
+                                       "w", "h", "fmt", "phash"])
+
+
+def generate_videos_df(spark: SparkSession, n: int,
+                       rows_per_task: int = 100) -> DataFrame:
+    """Distributed video-table generator (same pattern as images)."""
+    bounds = [(i, min(i + rows_per_task, n))
+              for i in range(0, n, rows_per_task)]
+    splits = spark.createDataFrame(bounds, "start long, end long") \
+        .repartition(len(bounds), "start")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for a, b in zip(pdf["start"], pdf["end"]):
+                yield generate_videos_batch(int(a), int(b))
+
+    return splits.mapInPandas(gen, schema=VIDEOS_SCHEMA)
