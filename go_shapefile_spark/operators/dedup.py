@@ -41,6 +41,18 @@ shingles AS (
 )"""
 
 
+def minhash_mh_sql(dialect: str, num_hashes: int = 8) -> str:
+    """The signature aggregation alone (over a ``shingles`` relation) —
+    exposed so the Spark runner can materialize it once: the full query
+    references ``mh`` once per band and Spark inlines CTEs, so without
+    a cache the 1M+-row aggregation re-runs per band."""
+    mins = ",\n  ".join(
+        f"{H.minhash_expr('x', j, num_hashes)} AS m{j}"
+        for j in range(num_hashes))
+    return f"SELECT doc_id, COUNT(*) AS n,\n  {mins}\n" \
+           f"FROM shingles GROUP BY doc_id"
+
+
 def minhash_lsh_sql(dialect: str, rel: str = "documents", k: int = 9,
                     num_hashes: int = 8, bands: int = 4,
                     threshold: float = 0.5) -> str:
@@ -50,10 +62,6 @@ def minhash_lsh_sql(dialect: str, rel: str = "documents", k: int = 9,
     jaccard) for LSH-candidate pairs whose exact Jaccard ≥ threshold.
     """
     rows_per_band = num_hashes // bands
-    # one aggregation produces both the signature and the set size —
-    # fewer shuffle stages than a separate sizes CTE
-    mins = ",\n  ".join(
-        f"{H.minhash_expr('x', j, num_hashes)} AS m{j}" for j in range(num_hashes))
     band_selects = []
     for b in range(bands):
         cols = ", ".join(f"m{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band))
@@ -63,9 +71,7 @@ def minhash_lsh_sql(dialect: str, rel: str = "documents", k: int = 9,
     return f"""
 WITH {shingle_cte(dialect, rel, k)},
 mh AS (
-  SELECT doc_id, COUNT(*) AS n,
-  {mins}
-  FROM shingles GROUP BY doc_id
+{minhash_mh_sql(dialect, num_hashes)}
 ),
 band_keys AS (
 {bands_sql}

@@ -1050,12 +1050,33 @@ def build_registry():
     # signature/shingle subtree would otherwise recompute per reference).
     def simhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_tables(spark, sf_dir)
-        sig = spark.sql(D.simhash_sql(SPARK))
-        sig.cache().createOrReplaceTempView("sig")
+        # localCheckpoint, not cache(): see minhash_cached — the banded
+        # self-join defeats CacheManager substitution (the planned tree
+        # carried 8 parquet scans / 8 Generates with the signature
+        # subtree inlined per band), so pin the signatures as a
+        # LogicalRDD leaf that cannot recompute.
+        sig = spark.sql(D.simhash_sql(SPARK)).localCheckpoint()
+        sig.createOrReplaceTempView("sig")
         body = D.simhash_pairs_sql(SPARK)
         body = body[body.index("band_keys AS ("):]  # drop "WITH sig AS (...),"
         return spark.sql("WITH " + body)
     queries["simhash_pairs"] = simhash_pairs_cached
+
+    def embedding_neardup_bucketed_cached(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        # checkpoint the bucket signatures before the self-join: the
+        # planes→q(64× explode)→sig→buckets subtree is the expensive
+        # part and CTE inlining recomputes it per join side (same
+        # CacheManager failure as minhash_cached — cache() silently
+        # does not substitute into the self-joined composition)
+        full = SIM.embedding_neardup_bucketed_sql(SPARK, threshold=0.25)
+        head = full[:full.index("cands AS (")].rstrip()
+        assert head.endswith(",")
+        spark.sql(head[:-1] + "\nSELECT * FROM buckets") \
+            .localCheckpoint().createOrReplaceTempView("buckets")
+        return spark.sql("WITH " + full[full.index("cands AS ("):])
+    queries["embedding_neardup_bucketed"] = embedding_neardup_bucketed_cached
 
     def minhash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_tables(spark, sf_dir)
@@ -1063,11 +1084,22 @@ def build_registry():
         # spread the shingle/md5 chain across tasks before exploding
         spark.table("documents").repartition(32) \
             .createOrReplaceTempView("documents_rep")
+        # localCheckpoint, NOT cache(): in this composed query (band
+        # union over mh over shingles, then a self-join, then two more
+        # shingle joins) CacheManager substitution silently fails — the
+        # planned tree carried 10 parquet scans and 12 copies of the
+        # md5 chain with ZERO InMemoryTableScans even though
+        # isCached() reported true for every view.  A checkpointed
+        # DataFrame is a LogicalRDD leaf: references physically cannot
+        # recompute the subtree.
         shingles = spark.sql(
-            f"WITH {D.shingle_cte(SPARK, 'documents_rep', 9)} SELECT * FROM shingles")
-        shingles.cache().createOrReplaceTempView("shingles")
-        body = D.minhash_lsh_sql(SPARK)
-        body = body[body.index("mh AS ("):]  # drop the shingle CTEs
+            f"WITH {D.shingle_cte(SPARK, 'documents_rep', 9)} "
+            f"SELECT * FROM shingles").localCheckpoint()
+        shingles.createOrReplaceTempView("shingles")
+        spark.sql(D.minhash_mh_sql(SPARK)) \
+            .localCheckpoint().createOrReplaceTempView("mh")
+        full = D.minhash_lsh_sql(SPARK)
+        body = full[full.index("band_keys AS ("):]  # shingle/mh CTEs → views
         return spark.sql("WITH " + body)
     queries["dedup_minhash_lsh"] = minhash_cached
 
