@@ -663,6 +663,51 @@ GROUP BY user_id
 """
 
 
+def snapshot_compaction_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table maintenance, oracle-gated: events commit in two appends,
+    the table COMPACTS (replace snapshot rewriting many small files into
+    one), a third append lands after, then old snapshots expire.  The
+    gate reads CURRENT and rolls up — the oracle computes the identical
+    rollup relationally over all events, so the replace semantics
+    (compaction must change no row) and post-expiry reads are on the
+    hash-checked path."""
+    from pyspark.sql import functions as F
+
+    from .sources import fsio
+    from .sources.table_format import SnapshotTable
+
+    register_tables(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_CACHE_ROOT, f"gate_snapcompact_{tag}")
+    marker = os.path.join(root, "_GATE_BASE")
+    if not os.path.exists(marker):
+        fsio.rmtree(root)
+        t = SnapshotTable(root)
+        ev = spark.table("events")
+        t.append(ev.where("event_id % 3 = 0").repartition(8))
+        t.append(ev.where("event_id % 3 = 1").repartition(8))
+        sc = t.compact(spark, target_file_bytes=1 << 30)
+        assert sc is not None
+        t.append(ev.where("event_id % 3 = 2").repartition(8))
+        t.expire_snapshots(keep_last=2)
+        with open(marker, "w") as f:
+            f.write(sc)
+    cur = SnapshotTable(root).read(spark)
+    return (cur.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("event_id").alias("min_id"),
+                 F.max("event_id").alias("max_id")))
+
+
+def q_snapshot_compaction_oracle(dialect: str) -> str:
+    return """
+SELECT user_id, COUNT(*) AS n_events,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM events
+GROUP BY user_id
+"""
+
+
 PYR_MAX_RES, PYR_MIN_RES = 6, 3
 
 
@@ -1038,6 +1083,8 @@ def build_registry():
     oracles["streaming_spatial_join"] = q_streaming_spatial_join_oracle(DUCK)
     queries["snapshot_incremental_rollup"] = snapshot_incremental_spark
     oracles["snapshot_incremental_rollup"] = q_snapshot_incremental_oracle(DUCK)
+    queries["snapshot_compaction_rollup"] = snapshot_compaction_spark
+    oracles["snapshot_compaction_rollup"] = q_snapshot_compaction_oracle(DUCK)
     queries["image_neardup"] = image_neardup_spark
     oracles["image_neardup"] = q_image_neardup_oracle(DUCK)
     queries["video_frame_sample"] = video_frame_sample_spark

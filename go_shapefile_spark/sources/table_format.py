@@ -128,11 +128,15 @@ class SnapshotTable:
         return json.loads(fsio.read_bytes(self._snap_path(snapshot_id)))
 
     def snapshots(self) -> list[dict[str, Any]]:
-        """Commit chain, oldest first."""
+        """Commit chain, oldest RETAINED first (the walk stops cleanly
+        at an expired ancestor's missing manifest)."""
         out: list[dict[str, Any]] = []
         sid = self.current_snapshot_id()
         while sid is not None:
-            snap = self.snapshot(sid)
+            try:
+                snap = self.snapshot(sid)
+            except (FileNotFoundError, OSError):
+                break          # ancestor expired by expire_snapshots
             out.append(snap)
             sid = snap["parent"]
         return out[::-1]
@@ -147,7 +151,8 @@ class SnapshotTable:
 
     def commit(self, added_files: list[str], operation: str = "append",
                row_count: int | None = None,
-               expected_parent: Any = _UNSET) -> str:
+               expected_parent: Any = _UNSET,
+               files_override: list[str] | None = None) -> str:
         """Append ``added_files`` as a new snapshot; returns its id.
         The manifest write is atomic, then the pointer flips — readers
         see either the old or the new snapshot, never a partial one.
@@ -167,11 +172,18 @@ class SnapshotTable:
         else:
             prev_files, seq = [], 1
         sid = f"{seq:06d}-{uuid.uuid4().hex[:12]}"
+        # a "replace" snapshot (compaction) rewrites the live file list
+        # without adding data: added_files stays empty so incremental
+        # (snapshot-diff) readers skip it, exactly as Iceberg's
+        # append-scan skips replace snapshots
         snap = {
             "snapshot_id": sid, "parent": parent, "sequence": seq,
             "timestamp_ms": int(time.time() * 1000), "operation": operation,
-            "added_files": list(added_files), "row_count": row_count,
-            "files": prev_files + list(added_files),
+            "added_files": [] if files_override is not None
+            else list(added_files),
+            "row_count": row_count,
+            "files": list(files_override) if files_override is not None
+            else prev_files + list(added_files),
         }
         fsio.atomic_write_bytes(self._snap_path(sid),
                                 json.dumps(snap).encode())
@@ -235,7 +247,12 @@ class SnapshotTable:
         sid = to_snapshot_id or self.current_snapshot_id()
         out: list[str] = []
         while sid is not None and sid != from_snapshot_id:
-            snap = self.snapshot(sid)
+            try:
+                snap = self.snapshot(sid)
+            except (FileNotFoundError, OSError) as e:
+                raise ValueError(
+                    f"snapshot chain broken at {sid!r} (expired?); "
+                    f"cannot diff from {from_snapshot_id!r}") from e
             out = snap["added_files"] + out
             sid = snap["parent"]
         if from_snapshot_id is not None and sid != from_snapshot_id:
@@ -246,8 +263,70 @@ class SnapshotTable:
     def incremental(self, spark: SparkSession, from_snapshot_id: str | None,
                     to_snapshot_id: str | None = None) -> DataFrame:
         """Scan only the rows appended after ``from_snapshot_id`` — the
-        snapshot-diff read an idempotent resume consumes."""
+        snapshot-diff read an idempotent resume consumes.  Replace
+        (compaction) snapshots add no files and are skipped naturally."""
         files = self.added_since(from_snapshot_id, to_snapshot_id)
         if not files:
             raise ValueError("no files added between the given snapshots")
         return spark.read.parquet(*files)
+
+    # --- maintenance -------------------------------------------------------
+
+    def compact(self, spark: SparkSession,
+                target_file_bytes: int = 128 << 20) -> str | None:
+        """Rewrite the live file list into ~``target_file_bytes`` files
+        and commit it as a REPLACE snapshot: same rows, fewer files.
+
+        Small-file compaction is the table-maintenance half of the
+        append-only design — a streaming/micro-batch writer leaves many
+        tiny files whose per-file open cost eventually dominates scans.
+        Old data files stay on disk (older snapshots still reference
+        them — time travel keeps working) until ``expire_snapshots``
+        garbage-collects them.  Returns the new snapshot id, or None
+        when there is nothing to gain.  Concurrent appends lose nothing:
+        the commit CASes on the snapshot the rewrite read, so a racing
+        append makes this raise :class:`CommitConflict` (staged rewrite
+        files are cleaned up) rather than dropping the appended rows.
+        """
+        parent = self.current_snapshot_id()
+        files = self.files(parent)
+        if len(files) <= 1:
+            return None
+        total = sum(fsio.getsize(f) for f in files)
+        n_out = max(1, -(-total // target_file_bytes))
+        if n_out >= len(files):
+            return None
+        data_dir = posixpath.join(self.root, "data",
+                                  f"compact-{uuid.uuid4().hex}")
+        spark.read.parquet(*files).repartition(int(n_out)) \
+            .write.parquet(data_dir)
+        new_files = [f for f in fsio.list_files(data_dir)
+                     if f.endswith(".parquet")]
+        try:
+            return self.commit(new_files, operation="replace",
+                               expected_parent=parent,
+                               files_override=new_files)
+        except CommitConflict:
+            fsio.rmtree(data_dir)
+            raise
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
+        """Drop all but the most recent ``keep_last`` snapshots and
+        delete data files no retained snapshot references — the GC that
+        reclaims pre-compaction files.  Time travel to an expired id
+        stops working (by design); ``added_since`` from an expired id
+        raises.  Returns {'snapshots': n_expired, 'files': n_deleted}.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        chain = self.snapshots()
+        expired, kept = chain[:-keep_last], chain[-keep_last:]
+        if not expired:
+            return {"snapshots": 0, "files": 0}
+        live = {f for s in kept for f in s["files"]}
+        dead = {f for s in expired for f in s["files"]} - live
+        for f in sorted(dead):
+            fsio.rmtree(f)
+        for s in expired:
+            fsio.rmtree(self._snap_path(s["snapshot_id"]))
+        return {"snapshots": len(expired), "files": len(dead)}

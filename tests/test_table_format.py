@@ -147,3 +147,88 @@ def test_catalog_imports_pre_catalog_table(tmp_path):
     s2 = t.commit(["b.parquet"])
     assert cat.current(root) == s2
     assert t.files() == ["a.parquet", "b.parquet"]
+
+
+def test_compaction_replace_semantics(spark, tmp_path):
+    """compact(): same rows, fewer files; time travel to pre-compaction
+    snapshots still works; incremental readers skip the replace snapshot
+    (it adds no data); appends after compaction diff normally."""
+    t = SnapshotTable(str(tmp_path / "ct"))
+    s1 = t.append(spark.range(0, 100).withColumn("v", F.col("id") * 2)
+                  .repartition(4))
+    s2 = t.append(spark.range(100, 200).withColumn("v", F.col("id") * 2)
+                  .repartition(4))
+    n_before = len(t.files())
+    assert n_before == 8
+    sc = t.compact(spark, target_file_bytes=1 << 30)   # → 1 file
+    assert sc is not None
+    assert len(t.files()) == 1
+    assert t.snapshot(sc)["operation"] == "replace"
+    # single live file → nothing to gain → no-op
+    assert t.compact(spark, target_file_bytes=1 << 30) is None
+    # rows identical, pre-compaction time travel intact
+    assert t.read(spark).count() == 200
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(200))
+    assert t.read(spark, snapshot_id=s1).count() == 100
+    # snapshot-diff: the replace snapshot contributes nothing
+    assert t.added_since(s2) == []
+    with pytest.raises(ValueError):
+        t.incremental(spark, s2)
+    # appends after compaction diff normally from the replace snapshot
+    s3 = t.append(spark.range(200, 250).withColumn("v", F.col("id") * 2))
+    assert t.incremental(spark, sc).count() == 50
+    assert t.read(spark).count() == 250
+
+
+def test_compaction_loses_cleanly_to_concurrent_append(spark, tmp_path):
+    """A racing append between the compaction's read and its commit must
+    surface as CommitConflict with the appended rows intact."""
+    from go_shapefile_spark.sources.table_format import (CommitConflict,
+                                                         InMemoryCatalog)
+
+    cat = InMemoryCatalog()
+    t = SnapshotTable(str(tmp_path / "cr"), catalog=cat)
+    t.append(spark.range(0, 50).repartition(4))
+
+    orig_commit = t.commit
+    raced = {}
+
+    def racing_commit(*a, **k):
+        if not raced and k.get("operation") == "replace":
+            raced["x"] = True
+            SnapshotTable(t.root, catalog=cat).append(spark.range(50, 60))
+        return orig_commit(*a, **k)
+
+    t.commit = racing_commit
+    with pytest.raises(CommitConflict):
+        t.compact(spark, target_file_bytes=1 << 30)
+    assert t.read(spark).count() == 60   # append survived, table intact
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    """expire_snapshots drops old manifests and deletes data files only
+    retained snapshots no longer reference (the pre-compaction GC)."""
+    t = SnapshotTable(str(tmp_path / "gc"))
+    s1 = t.append(spark.range(0, 100).repartition(4))
+    s2 = t.append(spark.range(100, 200).repartition(4))
+    old_files = set(t.files())
+    sc = t.compact(spark, target_file_bytes=1 << 30)
+    s3 = t.append(spark.range(200, 220))
+    stats = t.expire_snapshots(keep_last=2)       # keep (sc, s3)
+    assert stats["snapshots"] == 2
+    assert stats["files"] == len(old_files)       # pre-compaction files GC'd
+    for f in old_files:
+        assert not fsio.exists(f)
+    # current reads + diff reads over retained chain still exact
+    assert t.read(spark).count() == 220
+    assert t.incremental(spark, sc).count() == 20
+    assert [s["snapshot_id"] for s in t.snapshots()] == [sc, s3]
+    # expired ids are gone: time travel fails loudly
+    with pytest.raises(Exception):
+        t.read(spark, snapshot_id=s1)
+    # diffing FROM the newest expired id still works — the walk only
+    # reads manifests NEWER than the from-id, which are retained
+    assert t.added_since(s2) == t.snapshot(s3)["added_files"]
+    # diffing from a deeper expired id needs an expired manifest → raises
+    with pytest.raises(ValueError):
+        t.added_since(s1)
