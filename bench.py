@@ -180,7 +180,8 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              "dedup_minhash_lsh", "simhash_pairs", "cosine_topk",
              "knn_events", "grid_spatial_join", "token_stats",
              "embedding_neardup_bucketed", "tiles_roundtrip",
-             "tile_pyramid", "fingerprint_winnow"]
+             "tile_pyramid", "fingerprint_winnow",
+             "fingerprint_winnow_chunked"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

@@ -41,11 +41,12 @@ shingles AS (
 )"""
 
 
-def minhash_mh_sql(dialect: str, num_hashes: int = 8) -> str:
+def minhash_mh_sql(num_hashes: int = 8) -> str:
     """The signature aggregation alone (over a ``shingles`` relation) —
     exposed so the Spark runner can materialize it once: the full query
     references ``mh`` once per band and Spark inlines CTEs, so without
-    a cache the 1M+-row aggregation re-runs per band."""
+    a cache the 1M+-row aggregation re-runs per band.  (Dialect-free:
+    ``minhash_expr`` is plain integer arithmetic in both engines.)"""
     mins = ",\n  ".join(
         f"{H.minhash_expr('x', j, num_hashes)} AS m{j}"
         for j in range(num_hashes))
@@ -71,7 +72,7 @@ def minhash_lsh_sql(dialect: str, rel: str = "documents", k: int = 9,
     return f"""
 WITH {shingle_cte(dialect, rel, k)},
 mh AS (
-{minhash_mh_sql(dialect, num_hashes)}
+{minhash_mh_sql(num_hashes)}
 ),
 band_keys AS (
 {bands_sql}

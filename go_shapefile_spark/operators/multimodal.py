@@ -139,11 +139,20 @@ def frame_sample(videos: DataFrame, every_n: int = 10,
             for row in pdf.itertuples(index=False):
                 data = bytes(row.bytes) if row.bytes is not None else b""
                 if data[:4] == b"RIFF":
-                    for fi, px in sample_frames(data, every_n):
-                        vids.append(row.video_id)
-                        idxs.append(fi)
-                        frames.append(px.tobytes())
-                    continue
+                    got = []
+                    try:
+                        for fi, px in sample_frames(data, every_n):
+                            got.append((fi, px.tobytes()))
+                    except ValueError:
+                        if not stub_ok:     # corrupt / non-AVI RIFF
+                            raise
+                        got = None          # stub fallback below
+                    if got is not None:
+                        for fi, px in got:
+                            vids.append(row.video_id)
+                            idxs.append(fi)
+                            frames.append(px)
+                        continue
                 if not stub_ok:
                     raise NotImplementedError(
                         "no codec for this video payload "

@@ -30,6 +30,33 @@ SPARK, DUCK = H.SPARK, H.DUCK
 
 _REGISTERED: dict[int, str] = {}  # id(session) -> sf_dir last registered
 
+_CKPTS: dict[tuple[int, str], list] = {}  # (session, slot) -> JVM RDD handles
+
+
+def _fresh_checkpoints(spark: SparkSession, slot: str):
+    """Checkpoint recycler for the localCheckpoint-backed runners:
+    releases the PREVIOUS call's pinned blocks for this (session, slot)
+    and returns a ``pin(df)`` that checkpoints a DataFrame while
+    remembering its JVM RDD handle.  Without this, every gate/bench
+    invocation pins fresh blocks forever (measured: +2 persistent RDDs
+    per call; ContextCleaner never reclaims them while the session
+    lives).  The released DataFrames are one-shot per call by
+    construction — nothing re-reads a prior call's checkpoint."""
+    key = (id(spark), slot)
+    for jrdd in _CKPTS.pop(key, []):
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass   # session restarted / executor gone — nothing to free
+    handles = _CKPTS.setdefault(key, [])
+
+    def pin(df: DataFrame) -> DataFrame:
+        ck = df.localCheckpoint()
+        handles.append(ck._jdf.queryExecution().analyzed().rdd())
+        return ck
+
+    return pin
+
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register the testdata tables as temp views, once per (session,
@@ -1102,7 +1129,8 @@ def build_registry():
         # carried 8 parquet scans / 8 Generates with the signature
         # subtree inlined per band), so pin the signatures as a
         # LogicalRDD leaf that cannot recompute.
-        sig = spark.sql(D.simhash_sql(SPARK)).localCheckpoint()
+        pin = _fresh_checkpoints(spark, "simhash_pairs")
+        sig = pin(spark.sql(D.simhash_sql(SPARK)))
         sig.createOrReplaceTempView("sig")
         body = D.simhash_pairs_sql(SPARK)
         body = body[body.index("band_keys AS ("):]  # drop "WITH sig AS (...),"
@@ -1117,11 +1145,12 @@ def build_registry():
         # part and CTE inlining recomputes it per join side (same
         # CacheManager failure as minhash_cached — cache() silently
         # does not substitute into the self-joined composition)
+        pin = _fresh_checkpoints(spark, "embedding_neardup_bucketed")
         full = SIM.embedding_neardup_bucketed_sql(SPARK, threshold=0.25)
         head = full[:full.index("cands AS (")].rstrip()
         assert head.endswith(",")
-        spark.sql(head[:-1] + "\nSELECT * FROM buckets") \
-            .localCheckpoint().createOrReplaceTempView("buckets")
+        pin(spark.sql(head[:-1] + "\nSELECT * FROM buckets")) \
+            .createOrReplaceTempView("buckets")
         return spark.sql("WITH " + full[full.index("cands AS ("):])
     queries["embedding_neardup_bucketed"] = embedding_neardup_bucketed_cached
 
@@ -1139,12 +1168,11 @@ def build_registry():
         # isCached() reported true for every view.  A checkpointed
         # DataFrame is a LogicalRDD leaf: references physically cannot
         # recompute the subtree.
-        shingles = spark.sql(
+        pin = _fresh_checkpoints(spark, "dedup_minhash_lsh")
+        pin(spark.sql(
             f"WITH {D.shingle_cte(SPARK, 'documents_rep', 9)} "
-            f"SELECT * FROM shingles").localCheckpoint()
-        shingles.createOrReplaceTempView("shingles")
-        spark.sql(D.minhash_mh_sql(SPARK)) \
-            .localCheckpoint().createOrReplaceTempView("mh")
+            f"SELECT * FROM shingles")).createOrReplaceTempView("shingles")
+        pin(spark.sql(D.minhash_mh_sql())).createOrReplaceTempView("mh")
         full = D.minhash_lsh_sql(SPARK)
         body = full[full.index("band_keys AS ("):]  # shingle/mh CTEs → views
         return spark.sql("WITH " + body)

@@ -135,7 +135,7 @@ class SnapshotTable:
         while sid is not None:
             try:
                 snap = self.snapshot(sid)
-            except (FileNotFoundError, OSError):
+            except FileNotFoundError:
                 break          # ancestor expired by expire_snapshots
             out.append(snap)
             sid = snap["parent"]
@@ -187,6 +187,19 @@ class SnapshotTable:
         }
         fsio.atomic_write_bytes(self._snap_path(sid),
                                 json.dumps(snap).encode())
+        if self.catalog is None and expected_parent is not _UNSET:
+            # Best-effort conflict check for pinned-parent commits
+            # (compaction) without a catalog: re-read the pointer just
+            # before flipping it.  NOT atomic — only a catalog closes
+            # the window completely — but it catches the practical race
+            # (a rewrite that took seconds vs a pointer re-read) instead
+            # of silently dropping a concurrent append's rows.
+            if self._current_from_file() != parent:
+                fsio.rmtree(self._snap_path(sid))
+                raise CommitConflict(
+                    f"snapshot {parent!r} is no longer CURRENT of "
+                    f"{self.root} (no catalog: best-effort detection); "
+                    f"re-read and retry")
         if self.catalog is not None:
             if not self.catalog.cas_current(self.root, parent, sid):
                 # clean loser: remove the manifest we just staged so the
@@ -249,7 +262,7 @@ class SnapshotTable:
         while sid is not None and sid != from_snapshot_id:
             try:
                 snap = self.snapshot(sid)
-            except (FileNotFoundError, OSError) as e:
+            except FileNotFoundError as e:
                 raise ValueError(
                     f"snapshot chain broken at {sid!r} (expired?); "
                     f"cannot diff from {from_snapshot_id!r}") from e
@@ -283,10 +296,13 @@ class SnapshotTable:
         Old data files stay on disk (older snapshots still reference
         them — time travel keeps working) until ``expire_snapshots``
         garbage-collects them.  Returns the new snapshot id, or None
-        when there is nothing to gain.  Concurrent appends lose nothing:
-        the commit CASes on the snapshot the rewrite read, so a racing
-        append makes this raise :class:`CommitConflict` (staged rewrite
-        files are cleaned up) rather than dropping the appended rows.
+        when there is nothing to gain.  Concurrent appends: with a
+        catalog the commit CASes on the snapshot the rewrite read, so a
+        racing append makes this raise :class:`CommitConflict` (staged
+        rewrite files are cleaned up) rather than dropping the appended
+        rows; without one the pointer is re-read just before the flip —
+        best-effort detection of the same race (only a catalog closes
+        the window atomically).
         """
         parent = self.current_snapshot_id()
         files = self.files(parent)
@@ -327,6 +343,13 @@ class SnapshotTable:
         dead = {f for s in expired for f in s["files"]} - live
         for f in sorted(dead):
             fsio.rmtree(f)
+        # a commit dir whose parquet files are all dead also holds
+        # writer sidecars (_SUCCESS, .crc) no manifest lists — drop the
+        # whole dir once empty of data so expired commits leave nothing
+        live_dirs = {posixpath.dirname(f) for f in live}
+        for d in sorted({posixpath.dirname(f) for f in dead} - live_dirs):
+            if not any(f.endswith(".parquet") for f in fsio.list_files(d)):
+                fsio.rmtree(d)
         for s in expired:
             fsio.rmtree(self._snap_path(s["snapshot_id"]))
         return {"snapshots": len(expired), "files": len(dead)}

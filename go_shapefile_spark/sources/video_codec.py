@@ -95,6 +95,10 @@ def iter_mjpeg_frames(data: bytes) -> Iterator[tuple[int, bytes]]:
     if movi_start is None:
         raise ValueError("no movi list in AVI")
     movi_end = min(movi_end, len(data))
+    try:
+        expected = count_frames(data)
+    except ValueError:
+        expected = None                       # no avih → skip the check
     idx = 0
     pos = movi_start
     while pos + 8 <= movi_end:
@@ -103,10 +107,19 @@ def iter_mjpeg_frames(data: bytes) -> Iterator[tuple[int, bytes]]:
         payload_end = pos + 8 + size
         if payload_end > movi_end:
             raise ValueError("truncated frame chunk in AVI")
-        if fourcc[2:4] in (b"dc", b"db"):    # compressed/uncompressed video
+        if fourcc == b"00db":
+            raise ValueError(
+                "uncompressed DIB frames not supported (MJPEG only)")
+        if fourcc == b"00dc":                 # stream 0 video frames only:
             yield idx, data[pos + 8:payload_end]
-            idx += 1
-        pos = payload_end + (size % 2)
+            idx += 1                          # other streams ('01dc',
+        pos = payload_end + (size % 2)        # '01wb' audio) are skipped
+    if pos != movi_end and pos + 8 > movi_end and pos < movi_end:
+        raise ValueError("truncated chunk header in AVI")
+    if expected is not None and idx != expected:
+        raise ValueError(
+            f"truncated AVI: header declares {expected} frames, "
+            f"movi list holds {idx}")
 
 
 def count_frames(data: bytes) -> int:

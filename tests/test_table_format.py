@@ -232,3 +232,42 @@ def test_expire_snapshots_gc(spark, tmp_path):
     # diffing from a deeper expired id needs an expired manifest → raises
     with pytest.raises(ValueError):
         t.added_since(s1)
+
+
+def test_catalogless_compaction_race_best_effort(spark, tmp_path):
+    """Without a catalog, a pinned-parent commit re-reads the pointer
+    just before flipping it — the practical compaction-vs-append race is
+    detected (best-effort; only a catalog closes it atomically)."""
+    from go_shapefile_spark.sources.table_format import CommitConflict
+
+    t = SnapshotTable(str(tmp_path / "ncr"))
+    t.append(spark.range(0, 40).repartition(4))
+
+    orig_commit = t.commit
+    raced = {}
+
+    def racing_commit(*a, **k):
+        if not raced and k.get("operation") == "replace":
+            raced["x"] = True
+            SnapshotTable(t.root).append(spark.range(40, 50))
+        return orig_commit(*a, **k)
+
+    t.commit = racing_commit
+    with pytest.raises(CommitConflict):
+        t.compact(spark, target_file_bytes=1 << 30)
+    assert t.read(spark).count() == 50     # append survived
+
+
+def test_expire_removes_empty_commit_dirs(spark, tmp_path):
+    """GC also removes commit directories whose data files are all dead
+    (writer sidecars like _SUCCESS are never in a manifest)."""
+    import posixpath
+
+    t = SnapshotTable(str(tmp_path / "gcd"))
+    t.append(spark.range(0, 30).repartition(3))
+    old_dirs = {posixpath.dirname(f) for f in t.files()}
+    t.compact(spark, target_file_bytes=1 << 30)
+    t.append(spark.range(30, 40))
+    t.expire_snapshots(keep_last=2)
+    for d in old_dirs:
+        assert not fsio.exists(d)

@@ -95,3 +95,50 @@ def test_frame_sample_strict_rejects_unknown_payload(spark):
     from go_shapefile_spark.operators.multimodal import frame_sample
     with pytest.raises(Exception, match="no codec"):
         frame_sample(videos, stub_ok=False).collect()
+
+
+def test_header_count_catches_boundary_truncation():
+    """A container cut exactly at a chunk boundary must still be
+    rejected: the avih frame count cross-checks the movi walk."""
+    import struct
+
+    data = encode_avi_mjpeg(_noise_frames(6), quality=95)
+    # find the movi payload and drop the LAST whole frame chunk cleanly
+    got = list(iter_mjpeg_frames(data))
+    last_jpeg = got[-1][1]
+    cut = data.rindex(b"00dc" + struct.pack("<I", len(last_jpeg)))
+    with pytest.raises(ValueError, match="declares 6 frames"):
+        list(iter_mjpeg_frames(data[:cut]))
+
+
+def test_uncompressed_dib_rejected_multistream_skipped():
+    import struct
+
+    data = bytearray(encode_avi_mjpeg(_noise_frames(3), quality=95))
+    # flip the second frame's fourcc to '00db' (uncompressed DIB)
+    i = data.index(b"00dc", data.index(b"00dc") + 4)
+    data[i:i + 4] = b"00db"
+    with pytest.raises(ValueError, match="DIB"):
+        list(iter_mjpeg_frames(bytes(data)))
+    # a second STREAM's chunks ('01dc') are skipped, not mis-indexed —
+    # but then the header count no longer matches: clear rejection
+    data[i:i + 4] = b"01dc"
+    with pytest.raises(ValueError, match="declares 3 frames"):
+        list(iter_mjpeg_frames(bytes(data)))
+
+
+def test_frame_sample_stub_fallback_for_bad_riff(spark):
+    """stub_ok=True must fall back to deterministic fake frames for a
+    RIFF payload that is not a valid MJPEG AVI (e.g. WAVE audio), and
+    strict mode must reject it."""
+    from go_shapefile_spark.operators.multimodal import frame_sample
+
+    wave = b"RIFF\x10\x00\x00\x00WAVEdata\x00\x00\x00\x00"
+    videos = spark.createDataFrame(
+        [("w1", wave, 8, 4, 4, 77)],
+        "video_id string, bytes binary, n_frames int, w int, h int, "
+        "phash long")
+    out = frame_sample(videos, every_n=4, stub_ok=True).collect()
+    assert sorted(r.frame_idx for r in out) == [0, 4]   # fake frames
+    with pytest.raises(Exception, match="ValueError|not a RIFF|no movi"):
+        frame_sample(videos, every_n=4, stub_ok=False).collect()
