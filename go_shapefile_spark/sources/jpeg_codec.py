@@ -432,7 +432,23 @@ class _U16Stream:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes → RGB8 (h, w, 3).  Grayscale replicates to
-    RGB; subsampled chroma upsamples by box replication."""
+    RGB; subsampled chroma upsamples by box replication.
+
+    Error contract (the shapefile parser's discipline applied to the
+    codec): ANY malformed input raises :class:`ValueError` — fuzzed
+    byte corruption must never surface a KeyError/IndexError/
+    struct.error from the decoder internals."""
+    try:
+        return _decode_jpeg(data)
+    except ValueError:
+        raise
+    except (KeyError, IndexError, struct.error, OverflowError,
+            TypeError) as e:
+        raise ValueError(
+            f"malformed JPEG stream ({type(e).__name__})") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

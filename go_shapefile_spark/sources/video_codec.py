@@ -78,7 +78,19 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10,
 
 def iter_mjpeg_frames(data: bytes) -> Iterator[tuple[int, bytes]]:
     """Walk an MJPEG AVI's movi LIST, yielding (frame_idx, jpeg_bytes)
-    lazily — chunk framing only, no payload scanning or decoding."""
+    lazily — chunk framing only, no payload scanning or decoding.
+    Malformed containers raise :class:`ValueError` (never struct/index
+    errors from the walker internals)."""
+    try:
+        yield from _iter_mjpeg_frames(data)
+    except ValueError:
+        raise
+    except (struct.error, IndexError) as e:
+        raise ValueError(
+            f"malformed AVI container ({type(e).__name__})") from e
+
+
+def _iter_mjpeg_frames(data: bytes) -> Iterator[tuple[int, bytes]]:
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI container")
     pos, end = 12, 8 + struct.unpack_from("<I", data, 4)[0]
@@ -129,7 +141,10 @@ def count_frames(data: bytes) -> int:
     pos = data.find(b"avih", 12, 4096)
     if pos < 0:
         raise ValueError("no avih header")
-    return struct.unpack_from("<I", data, pos + 8 + 16)[0]
+    try:
+        return struct.unpack_from("<I", data, pos + 8 + 16)[0]
+    except struct.error as e:
+        raise ValueError("truncated avih header") from e
 
 
 def sample_frames(data: bytes, every_n: int = 10) -> Iterator[

@@ -205,3 +205,22 @@ def test_progressive_rejected():
     data[i + 1] = 0xC2                            # SOF2 (progressive)
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(bytes(data))
+
+
+def test_fuzzed_corruption_always_raises_valueerror():
+    """Error contract: arbitrary byte corruption / truncation of a valid
+    stream either decodes (harmless bit flips in entropy data) or raises
+    ValueError — never a KeyError/IndexError/struct.error escape."""
+    rng = np.random.default_rng(123)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    base = bytearray(encode_jpeg(img, 95))
+    for trial in range(800):
+        data = bytearray(base)
+        for _ in range(int(rng.integers(1, 6))):
+            data[int(rng.integers(0, len(data)))] = int(rng.integers(0, 256))
+        if trial % 5 == 0:
+            data = data[:int(rng.integers(0, len(data)))]
+        try:
+            decode_jpeg(bytes(data))
+        except ValueError:
+            pass

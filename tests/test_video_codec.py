@@ -142,3 +142,21 @@ def test_frame_sample_stub_fallback_for_bad_riff(spark):
     assert sorted(r.frame_idx for r in out) == [0, 4]   # fake frames
     with pytest.raises(Exception, match="ValueError|not a RIFF|no movi"):
         frame_sample(videos, every_n=4, stub_ok=False).collect()
+
+
+def test_fuzzed_container_always_raises_valueerror():
+    """Container error contract mirrors the JPEG one: corrupted/truncated
+    AVI bytes iterate, or raise ValueError — nothing else escapes."""
+    data = bytearray(encode_avi_mjpeg(_noise_frames(5), quality=95))
+    rng = np.random.default_rng(7)
+    for trial in range(500):
+        mut = bytearray(data)
+        for _ in range(int(rng.integers(1, 5))):
+            mut[int(rng.integers(0, len(mut)))] = int(rng.integers(0, 256))
+        if trial % 4 == 0:
+            mut = mut[:int(rng.integers(0, len(mut)))]
+        try:
+            for _i, jpeg in iter_mjpeg_frames(bytes(mut)):
+                pass
+        except ValueError:
+            pass
