@@ -600,6 +600,36 @@ def streaming_tiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cell", "n"))
 
 
+def streaming_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup, gated with PLANTED duplicates: the stream
+    source directory exposes the events file TWICE, so every event
+    arrives twice (at-least-once delivery simulated at the source);
+    dropDuplicatesWithinWatermark must collapse them and the per-type
+    rollup must equal the batch DISTINCT oracle over single events."""
+    import tempfile
+    import uuid
+
+    from .streaming.events import run_available_now, streaming_dedup_counts
+
+    src = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(src).schema
+    d = tempfile.mkdtemp(prefix="gate_stream_dedup_src_")
+    os.symlink(src, os.path.join(d, "events_a.parquet"))
+    os.symlink(src, os.path.join(d, "events_b.parquet"))
+    out = streaming_dedup_counts(spark, d, schema)
+    name = f"gate_stream_dedup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="gate_stream_dedup_")
+    run_available_now(out, ckpt, query_name=name)
+    return spark.table(name)
+
+
+def q_streaming_dedup_oracle(dialect: str) -> str:
+    return """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def streaming_spatial_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the headline spatial join (E6 over a stream):
     events stream → JVM geotag → broadcast cell-cover join vs nation
@@ -1106,6 +1136,8 @@ def build_registry():
     oracles["streaming_tile_rollup"] = q_streaming_tiles_oracle(DUCK)
     queries["streaming_sessions"] = streaming_sessions_spark
     oracles["streaming_sessions"] = q_event_sessions(DUCK)
+    queries["streaming_dedup"] = streaming_dedup_spark
+    oracles["streaming_dedup"] = q_streaming_dedup_oracle(DUCK)
     queries["streaming_spatial_join"] = streaming_spatial_join_spark
     oracles["streaming_spatial_join"] = q_streaming_spatial_join_oracle(DUCK)
     queries["snapshot_incremental_rollup"] = snapshot_incremental_spark

@@ -73,3 +73,29 @@ def run_available_now(df: DataFrame, checkpoint_dir: str,
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+
+def streaming_dedup_counts(spark: SparkSession, source_dir: str, schema,
+                           watermark: str = "10 minutes",
+                           ts_col: str = "ts",
+                           key_col: str = "event_id") -> DataFrame:
+    """Streaming exact dedup → per-type rollup: the streaming twin of
+    the batch exact-dedup operator.
+
+    ``dropDuplicatesWithinWatermark`` keeps ONE row per key among
+    duplicates arriving within the watermark window — the standard
+    guard against at-least-once upstream delivery (replayed micro-
+    batches, duplicated source files).  State per key is bounded by the
+    watermark, so this scales to unbounded streams where a plain
+    ``dropDuplicates`` would accumulate keys forever.  Downstream is a
+    watermarked per-event-type aggregation (count + value sum) so the
+    gate can compare a duplicated-source backfill against the batch
+    DISTINCT oracle.
+    """
+    stream = (spark.readStream.schema(schema).parquet(source_dir)
+              .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+              .withWatermark(ts_col, watermark)
+              .dropDuplicatesWithinWatermark([key_col]))
+    return (stream.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))

@@ -118,3 +118,40 @@ def test_watermark_drops_late_events(spark, tmp_path):
     write_batch("b2", [(2, 0), (59, 0)])
     # late row dropped: 10:00 stays 3, never re-emitted or updated
     assert run() == {0: 3, 30: 1}
+
+
+def test_streaming_dedup_collapses_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates of a key within the
+    watermark collapse to one row, across files and micro-batches; the
+    rollup equals the batch DISTINCT."""
+    import pandas as pd
+
+    from go_shapefile_spark.streaming.events import (
+        run_available_now, streaming_dedup_counts)
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [(i, base + pd.Timedelta(seconds=30 * i), i % 3,
+             "t" + str(i % 2), float(i), "p") for i in range(40)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    src = str(tmp_path / "dsrc")
+    os.makedirs(src)
+    df = spark.createDataFrame(pdf, schema=SCHEMA)
+    # the stream source wants FLAT files (a directory named *.parquet is
+    # skipped): write once, then place the part file twice — the SAME
+    # events in a second file simulates at-least-once delivery
+    staging = str(tmp_path / "staging")
+    df.coalesce(1).write.parquet(staging)
+    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(staging, part), os.path.join(src, "a.parquet"))
+    shutil.copy(os.path.join(staging, part), os.path.join(src, "b.parquet"))
+
+    out = streaming_dedup_counts(spark, src, SCHEMA, watermark="1 hour")
+    run_available_now(out, str(tmp_path / "dckpt"), "dedup_test")
+    got = {r.event_type: (r.n, r.sum_value)
+           for r in spark.table("dedup_test").collect()}
+    exp = {r.event_type: (r.n, r.sum_value) for r in
+           df.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("value"), 2).alias("sum_value")).collect()}
+    assert got == exp
