@@ -90,3 +90,43 @@ def test_q5_join_order_broadcasts_dims(spark, sf_dir):
     df = entry.queries()["q5_region_revenue"](spark, sf_dir)
     plan = executed_plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_runners_pin_signature_subtrees(spark, sf_dir):
+    """Regression guard for the silent CacheManager failure (round 4):
+    the minhash/simhash/embedding runners must plan over checkpointed
+    LogicalRDD leaves — a plan that re-reads parquet or re-runs a
+    Generate (shingle/signature explode) means the expensive subtree is
+    being recomputed per CTE reference again."""
+    from collections import Counter
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    def nodes(df):
+        c = Counter()
+
+        def walk(n):
+            c[n.nodeName()] += 1
+            if n.nodeName() == "AdaptiveSparkPlan":
+                walk(n.initialPlan())
+                return
+            ch = n.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+
+        walk(df._jdf.queryExecution().executedPlan())
+        return c
+
+    # (query, max parquet scans allowed, generates allowed)
+    expectations = [
+        ("dedup_minhash_lsh", 0, 0),     # everything pinned
+        ("simhash_pairs", 0, 0),
+        ("embedding_neardup_bucketed", 2, 0),  # verify joins re-read rel
+    ]
+    for name, max_scans, max_gen in expectations:
+        c = nodes(qs[name](spark, sf_dir))
+        assert c.get("Scan ExistingRDD", 0) >= 1, (name, dict(c))
+        assert c.get("Scan parquet ", 0) <= max_scans, (name, dict(c))
+        assert c.get("Generate", 0) <= max_gen, (name, dict(c))
