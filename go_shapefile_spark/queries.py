@@ -1169,6 +1169,20 @@ def build_registry():
         return spark.sql("WITH " + body)
     queries["simhash_pairs"] = simhash_pairs_cached
 
+    def ngram_jaccard_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        # same checkpoint treatment as minhash_cached: the subset
+        # shingle subtree is referenced by sizes + both sides of the
+        # intersection self-join (4 inlined copies otherwise)
+        pin = _fresh_checkpoints(spark, "ngram_jaccard_pairs")
+        full = D.ngram_jaccard_sql(SPARK)
+        head = full[:full.index("sizes AS (")].rstrip()
+        assert head.endswith(",")
+        pin(spark.sql(head[:-1] + "\nSELECT * FROM shingles")) \
+            .createOrReplaceTempView("shingles")
+        return spark.sql("WITH " + full[full.index("sizes AS ("):])
+    queries["ngram_jaccard_pairs"] = ngram_jaccard_cached
+
     def embedding_neardup_bucketed_cached(spark: SparkSession,
                                           sf_dir: str) -> DataFrame:
         register_tables(spark, sf_dir)

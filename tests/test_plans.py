@@ -124,6 +124,7 @@ def test_dedup_runners_pin_signature_subtrees(spark, sf_dir):
         ("dedup_minhash_lsh", 0, 0),     # everything pinned
         ("simhash_pairs", 0, 0),
         ("embedding_neardup_bucketed", 2, 0),  # verify joins re-read rel
+        ("ngram_jaccard_pairs", 0, 0),
     ]
     for name, max_scans, max_gen in expectations:
         c = nodes(qs[name](spark, sf_dir))
