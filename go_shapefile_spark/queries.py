@@ -1138,6 +1138,20 @@ def build_registry():
     oracles["streaming_sessions"] = q_event_sessions(DUCK)
     queries["streaming_dedup"] = streaming_dedup_spark
     oracles["streaming_dedup"] = q_streaming_dedup_oracle(DUCK)
+
+    def sketch_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sketch statistics (HLL distinct + approx quantiles), gated
+        contract-style: Spark computes estimate AND exact in one pass,
+        emits exact values + within-tolerance booleans; the oracle
+        reproduces the exact side with the booleans pinned TRUE."""
+        from .operators.sketches import sketch_stats_spark_sql
+
+        register_tables(spark, sf_dir)
+        return spark.sql(sketch_stats_spark_sql())
+
+    from .operators.sketches import sketch_stats_oracle_sql
+    queries["sketch_stats"] = sketch_stats_spark
+    oracles["sketch_stats"] = sketch_stats_oracle_sql()
     queries["streaming_spatial_join"] = streaming_spatial_join_spark
     oracles["streaming_spatial_join"] = q_streaming_spatial_join_oracle(DUCK)
     queries["snapshot_incremental_rollup"] = snapshot_incremental_spark

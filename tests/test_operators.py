@@ -313,3 +313,26 @@ def test_tile_pyramid_parent_arithmetic_and_single_scan(spark):
     # single input scan: the union's branches read materialized levels
     plan = pyr._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") >= 4 or "LogicalRDD" in plan
+
+
+def test_sketch_stats_contract(spark, sf_dir):
+    """HLL + approx-quantile sketches: the contract booleans hold and
+    the exact columns equal a pandas recomputation; the plan stays
+    JVM-only (builtin sketch aggregates, no Python nodes)."""
+    from go_shapefile_spark.operators.sketches import sketch_stats_spark_sql
+    from go_shapefile_spark.queries import register_tables
+
+    register_tables(spark, sf_dir)
+    df = spark.sql(sketch_stats_spark_sql())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+    got = df.toPandas().set_index("source").sort_index()
+    docs = spark.table("documents").toPandas()
+    grp = docs.assign(length=docs["text"].str.len()).groupby("source")
+    for src, g in grp:
+        row = got.loc[src]
+        assert row["n_docs"] == len(g)
+        assert row["exact_distinct"] == g["text"].nunique()
+        assert row["min_len"] == g["length"].min()
+        assert row["max_len"] == g["length"].max()
+        assert bool(row["hll_ok"]) and bool(row["p50_ok"])
