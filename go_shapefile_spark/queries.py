@@ -565,13 +565,18 @@ GROUP BY r.polygon_fid
 STREAM_RES, STREAM_WINDOW_S = 5, 300
 
 
-def _stream_source_dir(src_file: str) -> str:
+def _stream_source_dir(src_file: str, copies: int = 1) -> str:
     """Spark's file stream source wants a directory; the testdata tables
-    are single parquet files — expose one through a temp dir symlink."""
+    are single parquet files — expose one through temp dir symlinks.
+    ``copies > 1`` links the same file under several names (planted
+    at-least-once duplication for the streaming-dedup gate)."""
     import tempfile
 
     d = tempfile.mkdtemp(prefix="gate_stream_src_")
-    os.symlink(src_file, os.path.join(d, os.path.basename(src_file)))
+    stem, ext = os.path.splitext(os.path.basename(src_file))
+    for i in range(copies):
+        name = f"{stem}_{i}{ext}" if copies > 1 else f"{stem}{ext}"
+        os.symlink(src_file, os.path.join(d, name))
     return d
 
 
@@ -613,10 +618,8 @@ def streaming_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(src).schema
-    d = tempfile.mkdtemp(prefix="gate_stream_dedup_src_")
-    os.symlink(src, os.path.join(d, "events_a.parquet"))
-    os.symlink(src, os.path.join(d, "events_b.parquet"))
-    out = streaming_dedup_counts(spark, d, schema)
+    out = streaming_dedup_counts(spark, _stream_source_dir(src, copies=2),
+                                 schema)
     name = f"gate_stream_dedup_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="gate_stream_dedup_")
     run_available_now(out, ckpt, query_name=name)
