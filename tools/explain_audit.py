@@ -181,6 +181,53 @@ def main() -> None:
     sections.append(("Exact-kNN terminal round (salted complete top-k)",
                      checks, formatted(term)))
 
+    # banded-dedup runners: checkpointed signature leaves, no recompute
+    # (round-4 CacheManager finding; tree-walk guard lives in test_plans)
+    import __spark_entry__ as entry
+    mh = entry.queries()["dedup_minhash_lsh"](spark, sf_dir)
+    plan = audit.executed_plan(mh)
+    checks = [
+        ("signature subtrees are checkpointed LogicalRDD leaves",
+         "Scan ExistingRDD" in plan),
+        ("no parquet re-scan inside the banded joins",
+         "Scan parquet" not in plan),
+        ("no shingle explode recompute (no Generate)",
+         "Generate" not in plan),
+    ]
+    sections.append(("MinHash-LSH banded join over pinned signatures",
+                     checks, formatted(mh)))
+
+    # sketch statistics: builtin JVM aggregates, one pass
+    sk = entry.queries()["sketch_stats"](spark, sf_dir)
+    plan = audit.executed_plan(sk)
+    checks = [
+        ("no Python nodes (HLL++/quantile sketches are JVM builtins)",
+         "Python" not in plan and "ArrowEval" not in plan),
+        ("single scan of the documents table",
+         plan.count("Scan parquet") == 1),
+    ]
+    sections.append(("Sketch statistics (HLL distinct + approx quantiles)",
+                     checks, formatted(sk)))
+
+    # flat-point scan: Arrow-direct batches (one mapInArrow stage, no
+    # pandas conversion) — the billions-of-points read path
+    from go_shapefile_spark.sources.shapefile_writer import write_points
+    flat_base = os.path.join("/tmp", "audit_flatpts")
+    if not os.path.exists(flat_base + ".shp"):
+        rng = np.random.default_rng(4)
+        write_points(flat_base, rng.uniform(-180, 180, 10_000),
+                     rng.uniform(-90, 90, 10_000))
+    flat = read_shapefile_df(spark, flat_base, flat_points=True,
+                             target_records_per_split=2_500)
+    plan = audit.executed_plan(flat)
+    checks = [
+        ("Arrow-batched map stage (MapInArrow), not row-at-a-time",
+         "MapInArrow" in plan or "PythonMapInArrow" in plan),
+        ("no pandas eval nodes", "MapInPandas" not in plan),
+    ]
+    sections.append(("Flat-point shapefile scan (Arrow-direct batches)",
+                     checks, formatted(flat)))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the engine's hot paths\n\n")
         f.write("Generated by `python tools/explain_audit.py`.\n\n")
