@@ -1,0 +1,156 @@
+"""GeoJSON interchange for the flat-coordinate geometry model.
+
+Export renders the engine's geometry struct (layout, flat coords, ring
+``ends``, per-polygon ring counts ``rings``) as RFC 7946 geometry /
+Feature objects; import parses GeoJSON back into the same struct.
+Shapefile ring semantics carry over the way every converter does it:
+each polygon's first ring is the outer boundary and the rest are holes,
+so a shapefile MULTIPOLYGON maps 1:1 onto GeoJSON ``MultiPolygon``
+coordinate nesting (rings are closed point lists in both models — no
+re-closing needed).
+
+Float formatting uses Python's shortest round-trip repr, so an
+export→import round trip reproduces every coordinate bit-exactly
+(tested against the full ne_110m corpus).  JSON formatting is a
+serialization boundary like the image codecs, so the DataFrame
+operators run Arrow-batched ``mapInPandas``; this is not a hot
+analytic path.
+
+Reference parity: the reference exposes geometry as go-geom objects
+that callers marshal (shp.go:196-208); GeoJSON is the interchange
+format those callers most commonly marshal to.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..sources import shapefile_core as core
+
+
+def _pts(coords, start: int, end: int, stride: int) -> list:
+    return [[float(v) for v in coords[i:i + stride]]
+            for i in range(start, end, stride)]
+
+
+def geometry_to_geojson(shape_type: int, layout: str, coords,
+                        ends, rings) -> dict:
+    """One geometry struct → a GeoJSON geometry object (as a dict)."""
+    stride = core.STRIDES.get(layout or "XY", 2)
+    coords = np.asarray(coords, dtype=np.float64)
+    if shape_type == core.SHAPE_TYPE_NULL:
+        return {"type": "GeometryCollection", "geometries": []}
+    if shape_type in core.POINT_TYPES:
+        return {"type": "Point", "coordinates": [float(v) for v in coords]}
+    if shape_type in core.MULTIPOINT_TYPES:
+        return {"type": "MultiPoint",
+                "coordinates": _pts(coords, 0, len(coords), stride)}
+    if shape_type in core.POLYLINE_TYPES:
+        lines, prev = [], 0
+        for end in ends:
+            lines.append(_pts(coords, prev, int(end), stride))
+            prev = int(end)
+        return {"type": "MultiLineString", "coordinates": lines}
+    if shape_type in core.POLYGON_TYPES:
+        polys, prev, ei = [], 0, 0
+        for n_rings in rings:
+            poly = []
+            for _ in range(int(n_rings)):
+                end = int(ends[ei])
+                poly.append(_pts(coords, prev, end, stride))
+                prev, ei = end, ei + 1
+            polys.append(poly)
+        return {"type": "MultiPolygon", "coordinates": polys}
+    raise ValueError(f"unsupported shape type {shape_type}")
+
+
+def geojson_to_geometry(obj: dict) -> tuple[int, str, list, list, list]:
+    """GeoJSON geometry dict → (shape_type, layout, coords, ends, rings).
+    The layout is inferred from coordinate arity (2 → XY, 3 → XYZ is
+    mapped to XYZM-less XY+Z shapefile types are not emitted by our
+    exporter, so 2-arity is the supported import)."""
+    t = obj.get("type")
+    cs = obj.get("coordinates")
+    if t == "Point":
+        if len(cs) != 2:
+            raise ValueError("only 2-arity coordinates supported")
+        return core.SHAPE_TYPE_POINT, "XY", [float(v) for v in cs], [], []
+    if t == "MultiPoint":
+        flat = [float(v) for p in cs for v in p]
+        return core.SHAPE_TYPE_MULTIPOINT, "XY", flat, [], []
+    if t in ("LineString", "MultiLineString"):
+        lines = [cs] if t == "LineString" else cs
+        flat, ends, pos = [], [], 0
+        for line in lines:
+            for p in line:
+                flat.extend(float(v) for v in p)
+                pos += 2
+            ends.append(pos)
+        return core.SHAPE_TYPE_POLYLINE, "XY", flat, ends, []
+    if t in ("Polygon", "MultiPolygon"):
+        polys = [cs] if t == "Polygon" else cs
+        flat, ends, rings, pos = [], [], [], 0
+        for poly in polys:
+            rings.append(len(poly))
+            for ring in poly:
+                for p in ring:
+                    flat.extend(float(v) for v in p)
+                    pos += 2
+                ends.append(pos)
+        return core.SHAPE_TYPE_POLYGON, "XY", flat, ends, rings
+    raise ValueError(f"unsupported GeoJSON geometry type {t!r}")
+
+
+def features_to_geojson(df: DataFrame, id_col: str = "fid",
+                        props: list[str] | None = None) -> DataFrame:
+    """features DataFrame → (fid, geojson) with one RFC 7946 Feature
+    string per row.  ``props`` selects attribute columns to embed as
+    Feature properties."""
+    props = props or []
+    cols = [id_col, "shape_type", "geometry"] + props
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fids, docs = [], []
+            for r in pdf.itertuples(index=False):
+                g = r.geometry
+                geom = geometry_to_geojson(
+                    int(r.shape_type), g["layout"], g["coords"],
+                    g["ends"], g["rings"])
+                feat = {"type": "Feature",
+                        "id": getattr(r, id_col),
+                        "geometry": geom,
+                        "properties": {p: getattr(r, p) for p in props}}
+                fids.append(getattr(r, id_col))
+                docs.append(json.dumps(feat, separators=(",", ":")))
+            yield pd.DataFrame({id_col: fids, "geojson": docs})
+
+    return df.select(*cols).mapInPandas(
+        run, schema=f"{id_col} long, geojson string")
+
+
+def geojson_to_features(df: DataFrame, json_col: str = "geojson",
+                        id_col: str = "fid") -> DataFrame:
+    """(fid, geojson) → features-shaped rows (fid, shape_type, geometry)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                feat = json.loads(getattr(r, json_col))
+                st, layout, coords, ends, rings = \
+                    geojson_to_geometry(feat["geometry"])
+                out.append((getattr(r, id_col), st,
+                            {"layout": layout, "coords": coords,
+                             "ends": ends, "rings": rings}))
+            yield pd.DataFrame(out, columns=[id_col, "shape_type",
+                                             "geometry"])
+
+    return df.mapInPandas(
+        run, schema=f"{id_col} long, shape_type int, geometry "
+                    "struct<layout:string,coords:array<double>,"
+                    "ends:array<int>,rings:array<int>>")

@@ -988,6 +988,36 @@ def streaming_sessions_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 REF_TESTDATA = "/root/reference/testdata"
 
 
+def geojson_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON interchange, gated contract-style: the countries corpus
+    exports to RFC 7946 Features, parses back, and every coordinate /
+    ring end / polygon grouping must be bit-identical.  The oracle pins
+    (n_features, n_bad = 0)."""
+    from pyspark.sql import functions as F
+
+    from .functions.geojson import features_to_geojson, geojson_to_features
+    from .sources.shapefile import read_shapefile_df
+
+    feats = read_shapefile_df(
+        spark, os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip"))
+    gj = features_to_geojson(feats, props=["NAME"])
+    back = geojson_to_features(gj)
+    joined = (feats.select("fid", F.col("geometry").alias("g0"))
+              .join(back.select("fid", F.col("geometry").alias("g1")),
+                    "fid"))
+    same = ((F.col("g0.coords") == F.col("g1.coords")) &
+            (F.col("g0.ends").cast("array<int>") == F.col("g1.ends")) &
+            (F.col("g0.rings").cast("array<int>") == F.col("g1.rings")))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.sum(F.when(~same, 1).otherwise(0)).alias("n_bad"))
+
+
+def q_geojson_roundtrip_oracle(dialect: str) -> str:
+    return ("SELECT CAST(177 AS BIGINT) AS n_features, "
+            "CAST(0 AS BIGINT) AS n_bad")
+
+
 def shapefile_poly_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse the reference's poly fixture through the Spark source and
     emit attributes + a WKT digest per record (regression-locks the
@@ -1249,6 +1279,8 @@ def build_registry():
     if os.path.exists(os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip")):
         queries["shapefile_countries_summary"] = shapefile_countries_spark
         oracles["shapefile_countries_summary"] = shapefile_countries_oracle()
+        queries["geojson_roundtrip"] = geojson_roundtrip_spark
+        oracles["geojson_roundtrip"] = q_geojson_roundtrip_oracle(DUCK)
 
     # Approximate ANN, oracle-gated on its recall contract (VERDICT r2
     # #3, image_invariants pattern): Spark runs the approximate top-k AND
