@@ -1,0 +1,56 @@
+"""PySpark-native spatial-join + tiling engine (go-shapefile graft).
+
+Public API (lazily imported so ``import go_shapefile_spark`` stays cheap
+and works without a live SparkSession):
+
+Sources
+    read_shapefile_df / read_shapefile_dir — shapefile → DataFrame
+    ShapefileDataSource — ``spark.read.format("shapefile")`` (register
+    with ``spark.dataSource.register``)
+    SnapshotTable — Iceberg-style snapshot table (append / time travel /
+    incremental / compact / expire)
+Operators
+    spatial_join, PreparedCover — cell-cover broadcast join + PIP refine
+    knn_radius, knn_exact — cell-local / exact k nearest neighbors
+    tile_counts, tile_pyramid, rasterize_features, vectorize_raster
+Functions
+    to_wkt, features_to_geojson, geojson_to_features
+Session
+    get_spark — tuned local session factory
+"""
+
+from __future__ import annotations
+
+_LAZY = {
+    "read_shapefile_df": "go_shapefile_spark.sources.shapefile",
+    "read_shapefile_dir": "go_shapefile_spark.sources.shapefile",
+    "ShapefileDataSource": "go_shapefile_spark.sources.datasource",
+    "SnapshotTable": "go_shapefile_spark.sources.table_format",
+    "spatial_join": "go_shapefile_spark.operators.spatial_join",
+    "PreparedCover": "go_shapefile_spark.operators.spatial_join",
+    "knn_radius": "go_shapefile_spark.operators.knn",
+    "knn_exact": "go_shapefile_spark.operators.knn",
+    "tile_counts": "go_shapefile_spark.operators.tiles",
+    "tile_pyramid": "go_shapefile_spark.operators.tiles",
+    "rasterize_features": "go_shapefile_spark.operators.tiles",
+    "vectorize_raster": "go_shapefile_spark.operators.tiles",
+    "to_wkt": "go_shapefile_spark.functions.wkt",
+    "features_to_geojson": "go_shapefile_spark.functions.geojson",
+    "geojson_to_features": "go_shapefile_spark.functions.geojson",
+    "get_spark": "go_shapefile_spark.session",
+}
+
+__all__ = sorted(_LAZY)
+
+
+def __getattr__(name: str):
+    mod = _LAZY.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod), name)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY))

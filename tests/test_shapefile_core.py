@@ -267,3 +267,18 @@ def _decode_go_fuzz(content: str):
             except Exception:
                 return None
     return None
+
+
+def test_package_public_api_lazy_exports():
+    """The package root exposes the curated public surface lazily."""
+    import importlib
+
+    import go_shapefile_spark as pkg
+
+    importlib.reload(pkg)
+    for name in pkg.__all__:
+        obj = getattr(pkg, name)
+        assert callable(obj) or isinstance(obj, type), name
+    assert "read_shapefile_df" in dir(pkg)
+    with pytest.raises(AttributeError):
+        pkg.not_a_real_symbol
