@@ -57,6 +57,14 @@ def array_len(e: str, dialect: str) -> str:
     return f"size({e})" if dialect == SPARK else f"len({e})"
 
 
+def rx(pattern: str, dialect: str) -> str:
+    """Render a regex (written with SINGLE backslashes) for a dialect's
+    string literal: Spark's parser processes backslash escapes inside
+    quoted literals (so ``\\s`` must be written ``\\\\s``), DuckDB's
+    standard-SQL literals do not."""
+    return pattern.replace("\\", "\\\\") if dialect == SPARK else pattern
+
+
 def regexp_count(text_expr: str, pattern: str, dialect: str) -> str:
     """Occurrences of pattern — via regexp_extract_all length (portable).
     Spark requires an explicit group index when the pattern has none."""

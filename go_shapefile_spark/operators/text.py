@@ -223,3 +223,32 @@ SELECT doc_id, COUNT(*) AS n_fps,
        CAST(SUM(fp) AS BIGINT) AS sum_fp
 FROM fps GROUP BY doc_id
 """
+
+
+# GPT-2-style pre-tokenizer pattern, ASCII form, RE2-safe (no lookahead/
+# unicode classes, so Spark's Java regex and DuckDB's RE2 agree): common
+# English contractions, space-prefixed letter runs, space-prefixed digit
+# runs, space-prefixed punctuation runs, residual whitespace.  Written
+# with single backslashes; H.rx() handles each dialect's literal
+# escaping ('' is a literal apostrophe in both).
+BPE_PATTERN = (r"''s|''t|''re|''ve|''m|''ll|''d"
+               r"| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|[\s]+")
+
+
+def bpe_token_stats_sql(dialect: str, rel: str = "documents") -> str:
+    """BPE-ish token counting: the GPT-2 pre-tokenizer segmentation
+    (contractions / letter runs / digit runs / punctuation runs, each
+    optionally space-prefixed) — the standard first pass of byte-pair
+    tokenizers, which bounds the true BPE token count from below and
+    tracks it closely on natural text.  Pure regexp aggregation, one
+    scan, identical pattern in both engines (ASCII RE2-safe form)."""
+    n_bpe = H.regexp_count("text", H.rx(BPE_PATTERN, dialect), dialect)
+    n_ws = H.regexp_count("text", H.rx(r"[^\s]+", dialect), dialect)
+    return f"""
+SELECT doc_id,
+       CAST({n_bpe} AS BIGINT) AS n_bpe_tokens,
+       CAST({n_ws} AS BIGINT) AS n_ws_tokens,
+       ROUND(CAST({n_bpe} AS DOUBLE) /
+             GREATEST(CAST({n_ws} AS BIGINT), 1), 6) AS bpe_per_ws
+FROM {rel}
+"""

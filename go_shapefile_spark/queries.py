@@ -1132,6 +1132,7 @@ def build_registry():
         "simhash_pairs": lambda d: D.simhash_pairs_sql(d),
         "ngram_jaccard_pairs": lambda d: D.ngram_jaccard_sql(d),
         "token_stats": lambda d: TX.token_stats_sql(d),
+        "bpe_token_stats": lambda d: TX.bpe_token_stats_sql(d),
         "quality_score": lambda d: TX.quality_score_sql(d),
         "langid": lambda d: TX.langid_sql(d),
         "fingerprint": lambda d: TX.fingerprint_sql(d),

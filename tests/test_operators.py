@@ -336,3 +336,30 @@ def test_sketch_stats_contract(spark, sf_dir):
         assert row["min_len"] == g["length"].min()
         assert row["max_len"] == g["length"].max()
         assert bool(row["hll_ok"]) and bool(row["p50_ok"])
+
+
+def test_bpe_token_stats_dual_engine_edges(spark):
+    """The BPE-ish pre-tokenizer pattern must count identically in both
+    engines on escaping-hostile text (backslashes, tabs, contractions,
+    doubled quotes) — the backslash-literal seam (H.rx) under test."""
+    import duckdb
+    import pandas as pd
+
+    from go_shapefile_spark.operators.text import bpe_token_stats_sql
+
+    texts = ["Hello world, it's 42 spark-tokens!", "", "   ", "a'b''c",
+             "tab\tnewline\nmix 123abc",
+             "don't we'll they're I'm you've it'd",
+             "back\\slash and s p a c e s"]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    spark.createDataFrame(pdf).createOrReplaceTempView("bpe_docs")
+    got_s = (spark.sql(bpe_token_stats_sql("spark", rel="bpe_docs"))
+             .toPandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("bpe_docs", pdf)
+    got_d = (con.execute(bpe_token_stats_sql("duck", rel="bpe_docs")).df()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert got_s.astype(str).equals(got_d.astype(str))
+    # sanity: segmentation behaves like a pre-tokenizer
+    row0 = got_s.iloc[0]
+    assert row0["n_bpe_tokens"] == 10 and row0["n_ws_tokens"] == 5
