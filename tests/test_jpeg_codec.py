@@ -3,6 +3,7 @@ pixel output is derivable on paper — the reference-fixture discipline of
 shapefile_test.go applied to the image codec), roundtrip PSNR bounds, and
 marker-level robustness."""
 
+import os
 import struct
 
 import numpy as np
@@ -224,3 +225,43 @@ def test_fuzzed_corruption_always_raises_valueerror():
             decode_jpeg(bytes(data))
         except ValueError:
             pass
+
+
+SPARK_KITTENS = "/opt/spark/data/mllib/images/origin/kittens"
+
+
+@pytest.mark.skipif(not os.path.isdir(SPARK_KITTENS),
+                    reason="Spark sample images not present")
+def test_real_world_jpegs_cross_decoder(spark):
+    """Interop against an INDEPENDENT production decoder: real camera
+    JPEGs (libjpeg-encoded, 4:2:0, Spark's own sample data) decoded by
+    our codec must agree with javax.imageio's decode (via the Spark
+    `image` datasource) within 45 dB — residual differences are chroma
+    upsampling choice (box vs bilinear), a few pixel counts at most."""
+    import numpy as np
+
+    df = spark.read.format("image").load(SPARK_KITTENS)
+    rows = [r for r in df.select("image.origin", "image.height",
+                                 "image.width", "image.nChannels",
+                                 "image.data").collect()
+            if r.origin.endswith(".jpg")]
+    assert len(rows) >= 3
+    for r in rows:
+        path = r.origin.replace("file://", "")
+        jvm = np.frombuffer(bytes(r.data), np.uint8) \
+            .reshape(r.height, r.width, r.nChannels)[..., [2, 1, 0]]
+        ours = decode_jpeg(open(path, "rb").read())
+        assert ours.shape == jvm.shape
+        mse = np.mean((ours.astype(np.float64) - jvm) ** 2)
+        assert 10 * np.log10(255.0 ** 2 / mse) >= 45.0, path
+        assert np.abs(ours.astype(int) - jvm.astype(int)).max() <= 16, path
+
+
+def test_progressive_real_world_rejected_cleanly():
+    """Real progressive JPEGs (not our encoder's output) reject with the
+    documented baseline-only error, never garbage pixels."""
+    cand = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+    if not os.path.exists(cand):
+        pytest.skip("fixture not present")
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(open(cand, "rb").read())
