@@ -39,12 +39,22 @@ def _pts(coords, start: int, end: int, stride: int) -> list:
 
 
 def geometry_to_geojson(shape_type: int, layout: str, coords,
-                        ends, rings) -> dict:
-    """One geometry struct → a GeoJSON geometry object (as a dict)."""
-    stride = core.STRIDES.get(layout or "XY", 2)
-    coords = np.asarray(coords, dtype=np.float64)
+                        ends, rings) -> dict | None:
+    """One geometry struct → a GeoJSON geometry object (as a dict).
+
+    XY layouts only: RFC 7946 allows an optional third (elevation)
+    position but forbids M, and the importer targets the XY shapefile
+    struct — so Z/M layouts are rejected loudly rather than exported as
+    something the round trip cannot represent.  Null shapes map to a
+    ``null`` geometry (RFC 7946 §3.2)."""
     if shape_type == core.SHAPE_TYPE_NULL:
-        return {"type": "GeometryCollection", "geometries": []}
+        return None
+    if (layout or "XY") != "XY":
+        raise ValueError(
+            f"GeoJSON interchange is XY-only (got layout {layout!r}); "
+            f"RFC 7946 has no M position")
+    stride = 2
+    coords = np.asarray(coords, dtype=np.float64)
     if shape_type in core.POINT_TYPES:
         return {"type": "Point", "coordinates": [float(v) for v in coords]}
     if shape_type in core.MULTIPOINT_TYPES:
@@ -69,26 +79,35 @@ def geometry_to_geojson(shape_type: int, layout: str, coords,
     raise ValueError(f"unsupported shape type {shape_type}")
 
 
-def geojson_to_geometry(obj: dict) -> tuple[int, str, list, list, list]:
-    """GeoJSON geometry dict → (shape_type, layout, coords, ends, rings).
-    The layout is inferred from coordinate arity (2 → XY, 3 → XYZ is
-    mapped to XYZM-less XY+Z shapefile types are not emitted by our
-    exporter, so 2-arity is the supported import)."""
+def _xy(p) -> tuple[float, float]:
+    if len(p) != 2:
+        raise ValueError(
+            f"only 2-arity coordinates supported (got {len(p)} values); "
+            f"elevation-bearing GeoJSON has no shapefile XY mapping here")
+    return float(p[0]), float(p[1])
+
+
+def geojson_to_geometry(obj: dict | None) -> tuple[int, str, list, list,
+                                                   list]:
+    """GeoJSON geometry dict (or ``null``) → (shape_type, layout,
+    coords, ends, rings).  Strictly 2-arity positions — a 3-arity
+    (elevation) coordinate anywhere raises rather than silently
+    corrupting the flat-coordinate offsets."""
+    if obj is None:                         # RFC 7946 §3.2: null geometry
+        return core.SHAPE_TYPE_NULL, "XY", [], [], []
     t = obj.get("type")
     cs = obj.get("coordinates")
     if t == "Point":
-        if len(cs) != 2:
-            raise ValueError("only 2-arity coordinates supported")
-        return core.SHAPE_TYPE_POINT, "XY", [float(v) for v in cs], [], []
+        return core.SHAPE_TYPE_POINT, "XY", list(_xy(cs)), [], []
     if t == "MultiPoint":
-        flat = [float(v) for p in cs for v in p]
+        flat = [v for p in cs for v in _xy(p)]
         return core.SHAPE_TYPE_MULTIPOINT, "XY", flat, [], []
     if t in ("LineString", "MultiLineString"):
         lines = [cs] if t == "LineString" else cs
         flat, ends, pos = [], [], 0
         for line in lines:
             for p in line:
-                flat.extend(float(v) for v in p)
+                flat.extend(_xy(p))
                 pos += 2
             ends.append(pos)
         return core.SHAPE_TYPE_POLYLINE, "XY", flat, ends, []
@@ -99,7 +118,7 @@ def geojson_to_geometry(obj: dict) -> tuple[int, str, list, list, list]:
             rings.append(len(poly))
             for ring in poly:
                 for p in ring:
-                    flat.extend(float(v) for v in p)
+                    flat.extend(_xy(p))
                     pos += 2
                 ends.append(pos)
         return core.SHAPE_TYPE_POLYGON, "XY", flat, ends, rings
@@ -119,9 +138,12 @@ def features_to_geojson(df: DataFrame, id_col: str = "fid",
             fids, docs = [], []
             for r in pdf.itertuples(index=False):
                 g = r.geometry
-                geom = geometry_to_geojson(
-                    int(r.shape_type), g["layout"], g["coords"],
-                    g["ends"], g["rings"])
+                if g is None or pd.isna(r.shape_type):
+                    geom = None          # null shape → null geometry
+                else:
+                    geom = geometry_to_geojson(
+                        int(r.shape_type), g["layout"], g["coords"],
+                        g["ends"], g["rings"])
                 feat = {"type": "Feature",
                         "id": getattr(r, id_col),
                         "geometry": geom,
@@ -130,8 +152,9 @@ def features_to_geojson(df: DataFrame, id_col: str = "fid",
                 docs.append(json.dumps(feat, separators=(",", ":")))
             yield pd.DataFrame({id_col: fids, "geojson": docs})
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(*cols).mapInPandas(
-        run, schema=f"{id_col} long, geojson string")
+        run, schema=f"{id_col} {id_type}, geojson string")
 
 
 def geojson_to_features(df: DataFrame, json_col: str = "geojson",
@@ -150,7 +173,8 @@ def geojson_to_features(df: DataFrame, json_col: str = "geojson",
             yield pd.DataFrame(out, columns=[id_col, "shape_type",
                                              "geometry"])
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.mapInPandas(
-        run, schema=f"{id_col} long, shape_type int, geometry "
+        run, schema=f"{id_col} {id_type}, shape_type int, geometry "
                     "struct<layout:string,coords:array<double>,"
                     "ends:array<int>,rings:array<int>>")

@@ -226,13 +226,17 @@ FROM fps GROUP BY doc_id
 
 
 # GPT-2-style pre-tokenizer pattern, ASCII form, RE2-safe (no lookahead/
-# unicode classes, so Spark's Java regex and DuckDB's RE2 agree): common
-# English contractions, space-prefixed letter runs, space-prefixed digit
-# runs, space-prefixed punctuation runs, residual whitespace.  Written
-# with single backslashes; H.rx() handles each dialect's literal
-# escaping ('' is a literal apostrophe in both).
+# unicode classes): common English contractions, space-prefixed letter
+# runs, space-prefixed digit runs, space-prefixed punctuation runs,
+# residual whitespace.  The whitespace class is spelled out explicitly —
+# Java's \s includes vertical tab (\x0B) while RE2's does not, so a
+# shared \s would silently count differently per engine.  Written with
+# single backslashes; H.rx() handles each dialect's literal escaping
+# ('' is a literal apostrophe in both).
+_WS = r" \t\n\r\f\x0B"
 BPE_PATTERN = (r"''s|''t|''re|''ve|''m|''ll|''d"
-               r"| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|[\s]+")
+               r"| ?[a-zA-Z]+| ?[0-9]+"
+               rf"| ?[^a-zA-Z0-9{_WS}]+|[{_WS}]+")
 
 
 def bpe_token_stats_sql(dialect: str, rel: str = "documents") -> str:
@@ -243,7 +247,7 @@ def bpe_token_stats_sql(dialect: str, rel: str = "documents") -> str:
     tracks it closely on natural text.  Pure regexp aggregation, one
     scan, identical pattern in both engines (ASCII RE2-safe form)."""
     n_bpe = H.regexp_count("text", H.rx(BPE_PATTERN, dialect), dialect)
-    n_ws = H.regexp_count("text", H.rx(r"[^\s]+", dialect), dialect)
+    n_ws = H.regexp_count("text", H.rx(rf"[^{_WS}]+", dialect), dialect)
     return f"""
 SELECT doc_id,
        CAST({n_bpe} AS BIGINT) AS n_bpe_tokens,

@@ -70,3 +70,47 @@ def test_countries_roundtrip_bit_exact(spark, ref_testdata):
         assert list(o.geometry.coords) == list(b.geometry.coords)
         assert list(o.geometry.ends) == list(b.geometry.ends)
         assert list(o.geometry.rings) == list(b.geometry.rings)
+
+
+def test_geojson_null_geometry_and_arity_contracts():
+    """RFC 7946 corner cases: null geometry round-trips as the NULL
+    shape; 3-arity (elevation) coordinates are rejected everywhere, not
+    silently flattened; Z/M layouts refuse to export."""
+    st, layout, coords, ends, rings = geojson_to_geometry(None)
+    assert st == core.SHAPE_TYPE_NULL and coords == []
+    assert geometry_to_geojson(core.SHAPE_TYPE_NULL, "XY", [], [], []) is None
+    for bad in [
+        {"type": "LineString", "coordinates": [[0, 0, 5], [1, 1, 5]]},
+        {"type": "MultiPoint", "coordinates": [[0, 0, 5]]},
+        {"type": "Polygon",
+         "coordinates": [[[0, 0, 1], [1, 0, 1], [0, 1, 1], [0, 0, 1]]]},
+    ]:
+        with pytest.raises(ValueError, match="2-arity"):
+            geojson_to_geometry(bad)
+    with pytest.raises(ValueError, match="XY-only"):
+        geometry_to_geojson(core.SHAPE_TYPE_POINT_Z, "XYZM",
+                            [1.0, 2.0, 3.0, 4.0], [], [])
+
+
+def test_features_to_geojson_null_rows(spark):
+    """A corpus containing a null shape exports a null-geometry Feature
+    and survives the round trip."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "fid": [1, 2],
+        "shape_type": [core.SHAPE_TYPE_POINT, None],
+        "geometry": [{"layout": "XY", "coords": [3.0, 4.0],
+                      "ends": [], "rings": []}, None],
+    })
+    df = spark.createDataFrame(
+        pdf, schema="fid long, shape_type int, geometry struct<"
+                    "layout:string,coords:array<double>,ends:array<int>,"
+                    "rings:array<int>>")
+    gj = {r.fid: r.geojson for r in features_to_geojson(df).collect()}
+    assert json.loads(gj[2])["geometry"] is None
+    back = {r.fid: r for r in
+            geojson_to_features(
+                features_to_geojson(df)).collect()}
+    assert back[1].geometry.coords == [3.0, 4.0]
+    assert back[2].shape_type == core.SHAPE_TYPE_NULL

@@ -238,8 +238,6 @@ def test_real_world_jpegs_cross_decoder(spark):
     our codec must agree with javax.imageio's decode (via the Spark
     `image` datasource) within 45 dB — residual differences are chroma
     upsampling choice (box vs bilinear), a few pixel counts at most."""
-    import numpy as np
-
     df = spark.read.format("image").load(SPARK_KITTENS)
     rows = [r for r in df.select("image.origin", "image.height",
                                  "image.width", "image.nChannels",
