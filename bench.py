@@ -50,10 +50,10 @@ def ensure_images(spark, sf: float, cache_root: str) -> tuple[str, int]:
     """Full image table (real PNG + JFIF bytes) for the invariant job:
     3M/SF.  The cache path carries the JPEG quality so codec changes
     regenerate instead of replaying stale stub bytes."""
-    from go_shapefile_spark.sources.images import (JPEG_QUALITY,
+    from go_shapefile_spark.sources.images import (CORPUS_TAG,
                                                    write_images_table)
     n = max(50_000, int(3_000_000 * sf))
-    path = os.path.join(cache_root, f"images_n{n}_q{JPEG_QUALITY}")
+    path = os.path.join(cache_root, f"images_n{n}_{CORPUS_TAG}")
     marker = os.path.join(path, "_SUCCESS_BENCH")
     if not os.path.exists(marker):
         write_images_table(spark, path, n)

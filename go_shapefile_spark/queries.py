@@ -488,11 +488,11 @@ def image_invariants_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus instead of replaying stale bytes."""
     from pyspark.sql import functions as F
 
-    from .sources.images import (JPEG_QUALITY, check_invariants,
+    from .sources.images import (CORPUS_TAG, check_invariants,
                                  write_images_table)
 
     path = os.path.join(_CACHE_ROOT,
-                        f"gate_images_n{IMG_GATE_N}_q{JPEG_QUALITY}")
+                        f"gate_images_n{IMG_GATE_N}_{CORPUS_TAG}")
     marker = os.path.join(path, "_SUCCESS_GATE")
     if not os.path.exists(marker):
         write_images_table(spark, path, IMG_GATE_N)
@@ -808,11 +808,11 @@ def _ensure_imgdup_table(spark: SparkSession) -> str:
     import numpy as np
 
     from .sources.images import (
-        IMAGES_SCHEMA, JPEG_QUALITY, decode_image, encode_png,
+        CORPUS_TAG, IMAGES_SCHEMA, decode_image, encode_png,
         generate_batch)
 
     path = os.path.join(_CACHE_ROOT,
-                        f"gate_imgdup_n{IMGDUP_N}_q{JPEG_QUALITY}")
+                        f"gate_imgdup_n{IMGDUP_N}_{CORPUS_TAG}")
     marker = os.path.join(path, "_SUCCESS_GATE")
     if os.path.exists(marker):
         return path
@@ -867,10 +867,10 @@ VIDEO_GATE_N, VIDEO_EVERY_N = 300, 5
 def _ensure_video_table(spark: SparkSession) -> str:
     """Gate corpus: VIDEO_GATE_N deterministic MJPEG-AVI videos whose
     frame ``fi`` regenerates from ``phash + fi`` (images.py discipline)."""
-    from .sources.images import JPEG_QUALITY, generate_videos_df
+    from .sources.images import CORPUS_TAG, generate_videos_df
 
     path = os.path.join(_CACHE_ROOT,
-                        f"gate_videos_n{VIDEO_GATE_N}_q{JPEG_QUALITY}")
+                        f"gate_videos_n{VIDEO_GATE_N}_{CORPUS_TAG}")
     marker = os.path.join(path, "_SUCCESS_GATE")
     if not os.path.exists(marker):
         generate_videos_df(spark, VIDEO_GATE_N, rows_per_task=25) \

@@ -30,12 +30,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.geotag import lonlat_np, splitmix64
-from .jpeg_codec import decode_jpeg, encode_jpeg
+from .jpeg_codec import CODEC_VERSION, decode_jpeg, encode_jpeg
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 JPEG_QUALITY = 98   # lowest Annex-K quality that keeps PSNR ≥ 40 dB on
                     # random pixel fields (the generator's worst case)
+
+# Cache-path tag for every corpus built from this generator: any codec
+# behavior change (CODEC_VERSION bump) invalidates cached bytes
+# automatically instead of relying on a manual suffix bump (ADVICE r4 #3).
+CORPUS_TAG = f"q{JPEG_QUALITY}_v{CODEC_VERSION}"
 
 _WORDS = ("tile cell polygon raster vector join index spark image caption "
           "satellite aerial coastal urban rural forest river mountain city "

@@ -28,6 +28,11 @@ import struct
 
 import numpy as np
 
+# Bump on ANY behavior change to the codec (encode or decode): gate/bench
+# corpora caches embed this (images.CORPUS_TAG), so stale cached bytes can
+# never silently replay against a newer decoder (ADVICE r4 #3).
+CODEC_VERSION = 2
+
 # --- constants (ITU-T T.81 Annex K) ----------------------------------------
 
 ZIGZAG = np.array([
@@ -443,7 +448,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     except ValueError:
         raise
     except (KeyError, IndexError, struct.error, OverflowError,
-            TypeError) as e:
+            TypeError, ZeroDivisionError) as e:
         raise ValueError(
             f"malformed JPEG stream ({type(e).__name__})") from e
 
@@ -500,8 +505,15 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
-                              "tq": tq})
+                ch, cv = hv >> 4, hv & 15
+                # {1,2,4} is what box-replication upsampling supports;
+                # 0 would divide-by-zero MCU geometry and 3-vs-2/4 mixes
+                # would silently render at the wrong scale (ADVICE r4).
+                if ch not in (1, 2, 4) or cv not in (1, 2, 4):
+                    raise ValueError(
+                        f"unsupported sampling factors {ch}x{cv} for "
+                        f"component {cid} (supported: 1, 2, 4)")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
         elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF:
             raise ValueError("only baseline sequential JPEG supported")

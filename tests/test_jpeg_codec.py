@@ -199,6 +199,32 @@ def test_decode_rejects_garbage():
         decode_jpeg(data[:len(data) - 12] + b"\xff\xd9")
 
 
+def _patch_sof_hv(data: bytes, comp: int, hv: int) -> bytes:
+    """Overwrite component ``comp``'s sampling-factor byte in SOF0."""
+    out = bytearray(data)
+    i = out.index(b"\xff\xc0")
+    out[i + 10 + 3 * comp + 1] = hv
+    return bytes(out)
+
+
+def test_zero_sampling_factor_is_valueerror_not_zerodivision():
+    """ADVICE r4: all-zero h/v used to escape as ZeroDivisionError from
+    the MCU geometry math; must be a clean ValueError at SOF parse."""
+    data = encode_jpeg(np.full((8, 8, 3), 90, np.uint8), 95)
+    for hv in (0x00, 0x10, 0x01):
+        with pytest.raises(ValueError, match="sampling factors"):
+            decode_jpeg(_patch_sof_hv(data, 0, hv))
+
+
+def test_sampling_factor_3_rejected():
+    """ADVICE r4: factor 3 (legal JPEG, unsupported by box-replication
+    upsampling) must reject rather than silently render at wrong scale."""
+    data = encode_jpeg(np.full((16, 16, 3), 90, np.uint8), 95)
+    for comp, hv in ((0, 0x33), (0, 0x31), (1, 0x13)):
+        with pytest.raises(ValueError, match="sampling factors"):
+            decode_jpeg(_patch_sof_hv(data, comp, hv))
+
+
 def test_progressive_rejected():
     img = np.full((8, 8, 3), 90, np.uint8)
     data = bytearray(encode_jpeg(img, 95))
