@@ -477,37 +477,46 @@ GROUP BY r.polygon_fid
 
 
 IMG_GATE_N = 2000
+IMG_GATE_N_PROG = 64     # planted progressive (SOF2) rows, strict-decoded
 
 
 def image_invariants_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E13: per-row decoded-pixel + caption invariant over a deterministic
-    image table (real PNG + baseline-JFIF bytes; north-rule input_hint).
-    The Spark side decodes every image and compares pixels/captions; the
-    oracle pins the contract: n rows checked, zero violations.  The cache
-    path carries the JPEG quality so codec changes regenerate the gate
-    corpus instead of replaying stale bytes."""
+    image table (real PNG + baseline-JFIF bytes; north-rule input_hint),
+    PLUS planted progressive-JPEG rows (real multi-scan SOF2 streams
+    from the independent JVM codec) that must strict-decode through OUR
+    progressive path (VERDICT r4 gap #1).  The Spark side decodes every
+    image and compares pixels/captions; the oracle pins the contract:
+    n rows checked, zero violations.  The cache path carries the codec
+    version so codec changes regenerate the gate corpus instead of
+    replaying stale bytes."""
     from pyspark.sql import functions as F
 
     from .sources.images import (CORPUS_TAG, check_invariants,
-                                 write_images_table)
+                                 plant_progressive_rows, write_images_table)
 
-    path = os.path.join(_CACHE_ROOT,
-                        f"gate_images_n{IMG_GATE_N}_{CORPUS_TAG}")
+    path = os.path.join(
+        _CACHE_ROOT,
+        f"gate_images_n{IMG_GATE_N}_p{IMG_GATE_N_PROG}_{CORPUS_TAG}")
     marker = os.path.join(path, "_SUCCESS_GATE")
     if not os.path.exists(marker):
         write_images_table(spark, path, IMG_GATE_N)
+        plant_progressive_rows(spark, path, IMG_GATE_N, IMG_GATE_N_PROG)
         with open(marker, "w") as f:
-            f.write(str(IMG_GATE_N))
+            f.write(str(IMG_GATE_N + IMG_GATE_N_PROG))
     inv = check_invariants(spark.read.parquet(path))
     return inv.agg(
         F.count(F.lit(1)).alias("n_checked"),
         F.sum(F.when(~F.col("pixels_ok") | ~F.col("caption_ok"), 1)
-              .otherwise(0)).alias("n_bad"))
+              .otherwise(0)).alias("n_bad"),
+        F.sum(F.when(F.col("fmt") == "jpegp", 1)
+              .otherwise(0)).alias("n_progressive"))
 
 
 def q_image_invariants_oracle(dialect: str) -> str:
-    return (f"SELECT CAST({IMG_GATE_N} AS BIGINT) AS n_checked, "
-            f"CAST(0 AS BIGINT) AS n_bad")
+    return (f"SELECT CAST({IMG_GATE_N + IMG_GATE_N_PROG} AS BIGINT) "
+            f"AS n_checked, CAST(0 AS BIGINT) AS n_bad, "
+            f"CAST({IMG_GATE_N_PROG} AS BIGINT) AS n_progressive")
 
 
 TILE_GATE_RES, TILE_GATE_PX = 4, 16

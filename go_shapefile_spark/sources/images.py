@@ -86,9 +86,10 @@ def _unfilter(ftype: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.nda
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
-    """bytes → RGB8 (h, w, 3).  PNG: real decoder (below).  JPEG: real
-    baseline JFIF decoder (jpeg_codec.py)."""
-    if fmt == "jpeg":
+    """bytes → RGB8 (h, w, 3).  PNG: real decoder (below).  JPEG (both
+    ``jpeg`` = our baseline encoder's output and ``jpegp`` = progressive
+    fixture rows): real JFIF decoder (jpeg_codec.py)."""
+    if fmt in ("jpeg", "jpegp"):
         return decode_jpeg(data)
     if fmt != "png":
         raise ValueError(f"unsupported format {fmt!r}")
@@ -130,6 +131,95 @@ def pixels_from_phash(phash: int, w: int, h: int) -> np.ndarray:
     idx = np.arange((n + 7) // 8, dtype=np.uint64)
     stream = splitmix64((np.uint64(phash) + idx).view(np.int64))
     return stream.view(np.uint8)[:n].reshape(h, w, 3).copy()
+
+
+def pixels_lowfreq_from_phash(phash: int, w: int, h: int) -> np.ndarray:
+    """Deterministic luma-varying / chroma-stable pixel field.
+
+    Progressive gate fixtures are encoded by the JVM's libjpeg-backed
+    writer, which always chroma-subsamples 4:2:0 — on the splitmix64
+    noise field that caps PSNR at ~13 dB for ANY decoder, so those rows
+    get JPEG-friendly content instead: a low-frequency luma cosine with
+    per-image constant chroma (subsampling is then exact), regenerable
+    from ``phash`` like every other row."""
+    from .jpeg_codec import _ycbcr_to_rgb
+
+    s = splitmix64(np.arange(5, dtype=np.int64)
+                   + np.int64(np.uint64(phash) >> np.uint64(1)))
+    fx = 0.5 + (int(s[0]) % 5) * 0.25          # 0.5..1.5 cycles/image
+    fy = 0.5 + (int(s[1]) % 5) * 0.25
+    phase = (int(s[2]) % 628) / 100.0
+    cb = 112.0 + (int(s[3]) % 33)              # constant chroma 112..144
+    cr = 112.0 + (int(s[4]) % 33)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    luma = 128.0 + 80.0 * np.cos(
+        2 * np.pi * (fx * xx / w + fy * yy / h) + phase)
+    ycc = np.stack([luma, np.full_like(luma, cb),
+                    np.full_like(luma, cr)], axis=-1)
+    return _ycbcr_to_rgb(ycc)
+
+
+def encode_progressive_jpeg_jvm(spark: SparkSession, pixels: np.ndarray,
+                                quality: float = 0.95) -> bytes:
+    """Progressive (SOF2) JPEG bytes via javax.imageio — the JVM's
+    libjpeg-backed writer is the only progressive ENCODER in this
+    sandbox (our encoder stays baseline by design); the DECODER for
+    these bytes is ours (jpeg_codec.decode_jpeg).  Driver-side only (it
+    needs the py4j gateway), used to plant gate/test fixtures."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    h, w = pixels.shape[:2]
+    bi = jvm.java.awt.image.BufferedImage(w, h, 1)   # TYPE_INT_RGB
+    arr = gw.new_array(jvm.int, w * h)
+    flat = ((pixels[..., 0].astype(np.int64) << 16)
+            | (pixels[..., 1].astype(np.int64) << 8)
+            | pixels[..., 2])
+    for i, v in enumerate(flat.ravel()):
+        arr[i] = int(v)
+    bi.setRGB(0, 0, w, h, arr, 0, w)
+    writer = jvm.javax.imageio.ImageIO \
+        .getImageWritersByFormatName("jpeg").next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(float(quality))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.close()
+    data = bytes(baos.toByteArray())
+    if b"\xff\xc2" not in data:
+        raise ValueError("JVM writer did not produce a progressive JPEG")
+    return data
+
+
+def plant_progressive_rows(spark: SparkSession, path: str, start_idx: int,
+                           n: int, n_buckets: int = 16,
+                           quality: float = 0.95) -> None:
+    """Append ``n`` progressive-JPEG rows to an images table: real SOF2
+    multi-scan streams (encoded by the independent JVM codec) that the
+    strict-mode invariant gate must decode with OUR decoder.  Rows
+    follow the table's determinism contract — pixels regenerate from
+    ``phash`` (via :func:`pixels_lowfreq_from_phash`, see there for why
+    not the noise field)."""
+    from pyspark.sql import functions as F
+
+    idx = np.arange(start_idx, start_idx + n, dtype=np.int64)
+    phash = splitmix64(idx).view(np.int64)
+    sizes = 8 + (phash % 3).astype(np.int64) * 8
+    rows = []
+    for i, ph, s in zip(idx, phash, sizes):
+        w = h = int(abs(s))
+        px = pixels_lowfreq_from_phash(int(ph), w, h)
+        data = encode_progressive_jpeg_jvm(spark, px, quality)
+        rows.append((f"img-{int(i):010d}", data, w, h, "jpegp",
+                     caption_of(int(ph)), int(ph)))
+    pdf = pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h",
+                                      "fmt", "caption", "phash"])
+    (spark.createDataFrame(pdf, schema=IMAGES_SCHEMA)
+     .withColumn("bucket", F.pmod(F.col("phash"), F.lit(n_buckets)))
+     .write.mode("append").partitionBy("bucket").parquet(path))
 
 
 def caption_of(phash: int) -> str:
@@ -240,7 +330,9 @@ def check_invariants(df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                ref = pixels_from_phash(int(r.phash), int(r.w), int(r.h))
+                regen = (pixels_lowfreq_from_phash if r.fmt == "jpegp"
+                         else pixels_from_phash)
+                ref = regen(int(r.phash), int(r.w), int(r.h))
                 cap_ok = caption_of(int(r.phash)) == r.caption
                 got = decode_image(r.bytes, r.fmt)
                 mse = float(np.mean((got.astype(np.float64) - ref) ** 2))

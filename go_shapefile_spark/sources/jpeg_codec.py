@@ -1,13 +1,18 @@
-"""Pure-python/numpy baseline JFIF (JPEG) codec.
+"""Pure-python/numpy JFIF (JPEG) codec.
 
 No image libraries exist in this environment, so the multimodal path
-carries its own minimal-but-real implementation of ITU-T T.81 baseline
-sequential: 8×8 DCT, Annex-K quantization tables scaled by an IJG-style
-quality factor, Annex-K Huffman tables, byte-stuffed entropy stream,
-JFIF marker framing.  The encoder writes 4:4:4 (no chroma subsampling)
-three-component images; the decoder handles any baseline sampling
-factors h,v ∈ {1,2,4} (box-replication upsampling), grayscale,
-multi-table DQT/DHT segments, and restart markers.
+carries its own minimal-but-real implementation of ITU-T T.81: 8×8 DCT,
+Annex-K quantization tables scaled by an IJG-style quality factor,
+Annex-K Huffman tables, byte-stuffed entropy stream, JFIF marker
+framing.  The encoder writes baseline 4:4:4 (no chroma subsampling)
+three-component images; the decoder handles baseline sequential
+(SOF0/1) AND progressive (SOF2) streams: any sampling factors
+h,v ∈ {1,2,4} (box-replication upsampling), grayscale, multi-table
+DQT/DHT segments, restart markers, one-scan-per-component sequential
+files, and the full progressive scan grammar (spectral selection +
+successive approximation with EOBn run coding, T.81 G.1.2) — a
+web-scraped training corpus is typically 10–20% progressive JPEG, so
+strict-mode decode must not hard-fail on those rows (VERDICT r4).
 
 Design notes for the Spark pipeline (the reason this lives here rather
 than behind an import guard): decode is inherently per-image work, so it
@@ -31,7 +36,8 @@ import numpy as np
 # Bump on ANY behavior change to the codec (encode or decode): gate/bench
 # corpora caches embed this (images.CORPUS_TAG), so stale cached bytes can
 # never silently replay against a newer decoder (ADVICE r4 #3).
-CODEC_VERSION = 2
+# v2: SOF sampling-factor validation; v3: progressive (SOF2) decode.
+CODEC_VERSION = 3
 
 # --- constants (ITU-T T.81 Annex K) ----------------------------------------
 
@@ -366,9 +372,11 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
+def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
     """De-stuffed entropy byte runs from ``pos``, split on RSTn markers;
-    stops at any other marker (EOI / next header)."""
+    stops at any other marker (EOI / next header).  Returns the runs and
+    the byte offset of the terminating marker, so multi-scan decoders
+    (progressive / non-interleaved sequential) can continue parsing."""
     segs: list[bytearray] = [bytearray()]
     n = len(data)
     i = pos
@@ -387,7 +395,7 @@ def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
             i += 2
         else:                                 # EOI or next segment
             break
-    return [bytes(s) for s in segs]
+    return [bytes(s) for s in segs], i
 
 
 _WIN_BLOCK = 1 << 20     # bits per materialized window block
@@ -436,8 +444,9 @@ class _U16Stream:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → RGB8 (h, w, 3).  Grayscale replicates to
-    RGB; subsampled chroma upsamples by box replication.
+    """JFIF bytes (baseline sequential OR progressive) → RGB8 (h, w, 3).
+    Grayscale replicates to RGB; subsampled chroma upsamples by box
+    replication.
 
     Error contract (the shapefile parser's discipline applied to the
     codec): ANY malformed input raises :class:`ValueError` — fuzzed
@@ -458,9 +467,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], _HuffDecoder] = {}
+    htables: dict[tuple[int, int], _HuffLUT] = {}
     frame = None
     restart_interval = 0
+    stores = None            # per-component zigzag coefficient grids
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -498,7 +508,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[o + 17:o + 17 + nv])
                 htables[(tc, th)] = _HuffLUT.get(bits, vals)
                 o += 17 + nv
-        elif marker in (0xC0, 0xC1):          # SOF0/1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):    # SOF0/1 (sequential), SOF2
+            if frame is not None:
+                raise ValueError("duplicate SOF")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -514,27 +526,43 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                         f"unsupported sampling factors {ch}x{cv} for "
                         f"component {cid} (supported: 1, 2, 4)")
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF:
-            raise ValueError("only baseline sequential JPEG supported")
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker == 0xC3 or 0xC5 <= marker <= 0xCF:
+            raise ValueError(
+                "only baseline/extended sequential and progressive "
+                "(SOF0/1/2) JPEG supported")
         elif marker == 0xDD:                  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:                  # SOS → entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                # legal baseline, but out of scope: one scan per
-                # component needs coefficient accumulation across scans
-                raise ValueError(
-                    "non-interleaved (multi-scan) baseline JPEG "
-                    "not supported")
             scan = {}
+            order = []
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si:3 + 2 * si]
                 scan[cs] = (tdta >> 4, tdta & 15)
-            return _decode_scan(data, pos, frame, scan, qtables, htables,
-                                restart_interval)
+                order.append(cs)
+            ss, se, a = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            if (not frame["progressive"] and stores is None
+                    and ns == len(frame["comps"])):
+                # the common case — single interleaved sequential scan —
+                # keeps its tuned one-pass path (list accumulation +
+                # batched einsum, no coefficient store)
+                return _decode_scan(data, pos, frame, scan, qtables,
+                                    htables, restart_interval)
+            # general path: accumulate coefficients across scans
+            # (progressive spectral-selection / successive-approximation
+            # scans, or sequential one-scan-per-component files)
+            if stores is None:
+                stores = _alloc_stores(frame)
+            segs, pos = _entropy_segments(data, pos)
+            _apply_scan(_ScanReader(segs), frame, stores, htables,
+                        order, scan, ss, se, ah, al, restart_interval)
+    if stores is not None:
+        return _reconstruct(frame, stores, qtables)
     raise ValueError("no scan data found")
 
 
@@ -548,7 +576,7 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
     mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
 
-    segs = _entropy_segments(data, pos)
+    segs, _end = _entropy_segments(data, pos)
     stream = _U16Stream(segs[0])
     win, wbase, wlimit = stream.window(0)
     seg_i, p = 0, 0
@@ -647,6 +675,13 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
             plane[y0:y0 + 8, x0:x0 + 8] = blk
         planes.append(plane)
 
+    return _assemble(comps, planes, fh, fw, hmax, vmax)
+
+
+def _assemble(comps: list[dict], planes: list[np.ndarray], fh: int,
+              fw: int, hmax: int, vmax: int) -> np.ndarray:
+    """Component planes → RGB8: box-replication upsample to frame
+    resolution, crop, YCbCr→RGB (grayscale replicates)."""
     full = []
     for c, plane in zip(comps, planes):
         up = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
@@ -657,3 +692,345 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
         return np.stack([gray] * 3, axis=-1)
     ycc = np.stack(full[:3], axis=-1)
     return _ycbcr_to_rgb(ycc)
+
+
+# --- multi-scan decode: progressive (SOF2) + sequential per-component ------
+#
+# T.81 G.1.2 (spectral selection + successive approximation), mirroring
+# libjpeg's de-facto-reference scan semantics.  These paths accumulate
+# quantized coefficients in per-component zigzag grids across scans and
+# reconstruct once at EOI; the single-scan sequential fast path above
+# stays untouched (it is the hot path for camera/web baseline corpora).
+
+
+class _ScanReader:
+    """Sequential bit reader over one scan's de-stuffed entropy segments
+    (RSTn boundaries = segment boundaries), on the same bounded-window
+    u16 machinery as the baseline hot loop."""
+
+    def __init__(self, segs: list[bytes]) -> None:
+        self.segs = segs
+        self._use(0)
+
+    def _use(self, i: int) -> None:
+        if i >= len(self.segs):
+            raise ValueError("missing restart segment")
+        self.seg_i = i
+        self.stream = _U16Stream(self.segs[i])
+        self.win, self.base, self.limit = self.stream.window(0)
+        self.p = 0
+
+    def restart(self) -> None:
+        self._use(self.seg_i + 1)
+
+    def _peek16(self) -> int:
+        p = self.p
+        if p >= self.limit:
+            self.win, self.base, self.limit = self.stream.window(p)
+        return self.win[p - self.base]
+
+    def huff(self, lut: _HuffLUT) -> int:
+        w16 = self._peek16()
+        s = lut.len[w16]
+        if s == 0:
+            raise ValueError("invalid Huffman code")
+        self.p += s
+        return lut.sym[w16]
+
+    def bits(self, n: int) -> int:
+        v = self._peek16() >> (16 - n)
+        self.p += n
+        return v
+
+    def bit(self) -> int:
+        v = self._peek16() >> 15
+        self.p += 1
+        return v
+
+
+def _frame_geometry(frame: dict) -> dict:
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    grids = []       # padded (interleaved) store grid per component
+    scan_grids = []  # non-interleaved scan grid (T.81 A.2.2: ceil of the
+    for c in comps:  # component's own sample dims, NOT MCU-padded)
+        grids.append((mcus_y * c["v"], mcus_x * c["h"]))
+        sw = -(-(frame["w"] * c["h"]) // hmax)   # ceil samples per row
+        sh = -(-(frame["h"] * c["v"]) // vmax)
+        scan_grids.append((-(-sh // 8), -(-sw // 8)))
+    return {"hmax": hmax, "vmax": vmax, "mcus_x": mcus_x,
+            "mcus_y": mcus_y, "grids": grids, "scan_grids": scan_grids}
+
+
+def _alloc_stores(frame: dict) -> list[np.ndarray]:
+    geo = _frame_geometry(frame)
+    return [np.zeros((nbh, nbw, 64), dtype=np.int32)
+            for nbh, nbw in geo["grids"]]
+
+
+def _scan_units(frame: dict, comp_idxs: list[int]):
+    """Yield per-restart-unit block lists: for an interleaved scan each
+    unit is one MCU (its component blocks in order); for a single-
+    component scan each unit is one block of that component's grid."""
+    geo = _frame_geometry(frame)
+    comps = frame["comps"]
+    if len(comp_idxs) == 1:
+        ci = comp_idxs[0]
+        sh, sw = geo["scan_grids"][ci]
+        for by in range(sh):
+            for bx in range(sw):
+                yield [(ci, by, bx)]
+        return
+    for my in range(geo["mcus_y"]):
+        for mx in range(geo["mcus_x"]):
+            unit = []
+            for ci in comp_idxs:
+                c = comps[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        unit.append((ci, my * c["v"] + by,
+                                     mx * c["h"] + bx))
+            yield unit
+
+
+def _apply_scan(rd: _ScanReader, frame: dict, stores: list[np.ndarray],
+                htables: dict, order: list[int], scan: dict, ss: int,
+                se: int, ah: int, al: int, ri: int) -> None:
+    """Dispatch one SOS's entropy data into the coefficient stores."""
+    comps = frame["comps"]
+    id_to_idx = {c["id"]: i for i, c in enumerate(comps)}
+    try:
+        comp_idxs = [id_to_idx[cid] for cid in order]
+    except KeyError:
+        raise ValueError("scan references unknown component") from None
+    progressive = frame["progressive"]
+    if not progressive:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError("bad spectral parameters for sequential scan")
+        _scan_sequential(rd, frame, stores, htables, comp_idxs, scan, ri)
+        return
+    if not (al < 14 and ah < 14):
+        raise ValueError("bad successive-approximation parameters")
+    if ss == 0:                               # DC scan (Se must be 0)
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ah == 0:
+            _scan_dc_first(rd, frame, stores, htables, comp_idxs, scan,
+                           al, ri)
+        else:
+            _scan_dc_refine(rd, frame, stores, comp_idxs, al, ri)
+        return
+    if len(comp_idxs) != 1:                   # T.81 G.1.1.1.1
+        raise ValueError("progressive AC scan must be non-interleaved")
+    if not ss <= se <= 63:
+        raise ValueError("bad spectral band")
+    ci = comp_idxs[0]
+    ac = htables.get((1, scan[comps[ci]["id"]][1]))
+    if ac is None:
+        raise ValueError("missing AC Huffman table")
+    if ah == 0:
+        _scan_ac_first(rd, frame, stores[ci], ac, ci, ss, se, al, ri)
+    else:
+        _scan_ac_refine(rd, frame, stores[ci], ac, ci, ss, se, al, ri)
+
+
+def _scan_sequential(rd: _ScanReader, frame: dict,
+                     stores: list[np.ndarray], htables: dict,
+                     comp_idxs: list[int], scan: dict, ri: int) -> None:
+    """Full-band sequential scan over a component subset (one scan per
+    component is the common shape) into the coefficient stores."""
+    comps = frame["comps"]
+    tabs = {}
+    for ci in comp_idxs:
+        td, ta = scan[comps[ci]["id"]]
+        dc, ac = htables.get((0, td)), htables.get((1, ta))
+        if dc is None or ac is None:
+            raise ValueError("missing Huffman table")
+        tabs[ci] = (dc, ac)
+    preds = {ci: 0 for ci in comp_idxs}
+    n_unit = 0
+    for unit in _scan_units(frame, comp_idxs):
+        if ri and n_unit and n_unit % ri == 0:
+            rd.restart()
+            preds = {ci: 0 for ci in comp_idxs}
+        for ci, by, bx in unit:
+            dc, ac = tabs[ci]
+            blk = stores[ci][by, bx]
+            s = rd.huff(dc)
+            if s:
+                preds[ci] += _extend(rd.bits(s), s)
+            blk[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = rd.huff(ac)
+                r, sz = rs >> 4, rs & 15
+                if sz == 0:
+                    if r == 15:
+                        k += 16               # ZRL
+                        continue
+                    break                     # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC index out of range")
+                blk[k] = _extend(rd.bits(sz), sz)
+                k += 1
+        n_unit += 1
+
+
+def _scan_dc_first(rd: _ScanReader, frame: dict, stores: list[np.ndarray],
+                   htables: dict, comp_idxs: list[int], scan: dict,
+                   al: int, ri: int) -> None:
+    comps = frame["comps"]
+    tabs = {}
+    for ci in comp_idxs:
+        dc = htables.get((0, scan[comps[ci]["id"]][0]))
+        if dc is None:
+            raise ValueError("missing DC Huffman table")
+        tabs[ci] = dc
+    preds = {ci: 0 for ci in comp_idxs}
+    n_unit = 0
+    for unit in _scan_units(frame, comp_idxs):
+        if ri and n_unit and n_unit % ri == 0:
+            rd.restart()
+            preds = {ci: 0 for ci in comp_idxs}
+        for ci, by, bx in unit:
+            s = rd.huff(tabs[ci])
+            if s > 15:
+                raise ValueError("bad DC category")
+            if s:
+                preds[ci] += _extend(rd.bits(s), s)
+            stores[ci][by, bx, 0] = preds[ci] << al
+        n_unit += 1
+
+
+def _scan_dc_refine(rd: _ScanReader, frame: dict,
+                    stores: list[np.ndarray], comp_idxs: list[int],
+                    al: int, ri: int) -> None:
+    """One raw correction bit per block: coef |= bit<<Al (two's
+    complement OR is exact for the negative case too — G.1.2.1)."""
+    p1 = np.int32(1 << al)
+    n_unit = 0
+    for unit in _scan_units(frame, comp_idxs):
+        if ri and n_unit and n_unit % ri == 0:
+            rd.restart()
+        for ci, by, bx in unit:
+            if rd.bit():
+                stores[ci][by, bx, 0] |= p1
+        n_unit += 1
+
+
+def _scan_ac_first(rd: _ScanReader, frame: dict, store: np.ndarray,
+                   ac: _HuffLUT, ci: int, ss: int, se: int, al: int,
+                   ri: int) -> None:
+    """First AC scan of a spectral band: run/size coding plus EOBn run
+    lengths (G.1.2.2); values enter shifted by the approximation Al."""
+    eobrun = 0
+    n_unit = 0
+    for unit in _scan_units(frame, [ci]):
+        if ri and n_unit and n_unit % ri == 0:
+            rd.restart()
+            eobrun = 0
+        n_unit += 1
+        if eobrun:
+            eobrun -= 1
+            continue
+        (_, by, bx), = unit
+        blk = store[by, bx]
+        k = ss
+        while k <= se:
+            rs = rd.huff(ac)
+            r, sz = rs >> 4, rs & 15
+            if sz == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.bits(r)
+                    eobrun -= 1               # consumes this block
+                    break
+                k += 16                       # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC index out of band")
+            blk[k] = _extend(rd.bits(sz), sz) << al
+            k += 1
+
+
+def _scan_ac_refine(rd: _ScanReader, frame: dict, store: np.ndarray,
+                    ac: _HuffLUT, ci: int, ss: int, se: int, al: int,
+                    ri: int) -> None:
+    """Successive-approximation AC refinement (G.1.2.3): new ±1<<Al
+    coefficients interleave with one correction bit per already-nonzero
+    coefficient crossed — including inside EOB runs."""
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+    n_unit = 0
+    for unit in _scan_units(frame, [ci]):
+        if ri and n_unit and n_unit % ri == 0:
+            rd.restart()
+            eobrun = 0
+        n_unit += 1
+        (_, by, bx), = unit
+        blk = store[by, bx]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = rd.huff(ac)
+                r, sz = rs >> 4, rs & 15
+                val = 0
+                if sz:
+                    if sz != 1:
+                        raise ValueError("bad refinement size")
+                    val = p1 if rd.bit() else m1
+                elif r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.bits(r)
+                    break                     # trailing sweep below
+                # advance over r zero-history coefficients, emitting a
+                # correction bit for every nonzero coefficient crossed
+                while k <= se:
+                    c = int(blk[k])
+                    if c:
+                        if rd.bit() and not (c & p1):
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:                    # corrections to band end
+                c = int(blk[k])
+                if c:
+                    if rd.bit() and not (c & p1):
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+
+def _reconstruct(frame: dict, stores: list[np.ndarray],
+                 qtables: dict) -> np.ndarray:
+    """Coefficient stores → RGB8: batched dequantize + IDCT per
+    component (same einsum shape as the baseline path)."""
+    comps = frame["comps"]
+    geo = _frame_geometry(frame)
+    planes = []
+    for c, st in zip(comps, stores):
+        nbh, nbw = st.shape[:2]
+        if c["tq"] not in qtables:
+            raise ValueError("missing quantization table")
+        q = qtables[c["tq"]]
+        blocks = (st.reshape(-1, 64).astype(np.float64)[:, UNZIGZAG]
+                  .reshape(-1, 8, 8) * q)
+        pix = np.einsum("ji,njk,kl->nil", _DCT, blocks, _DCT) + 128.0
+        planes.append(pix.reshape(nbh, nbw, 8, 8).transpose(0, 2, 1, 3)
+                      .reshape(nbh * 8, nbw * 8))
+    return _assemble(comps, planes, frame["h"], frame["w"],
+                     geo["hmax"], geo["vmax"])

@@ -79,6 +79,24 @@ def test_invariants_spark(spark):
     assert (res.fmt == "jpeg").sum() == 20  # deterministic 10% stub share
 
 
+def test_progressive_planted_rows_strict_invariant(spark, tmp_path):
+    """Planted SOF2 rows (JVM-encoded multi-scan streams) must decode
+    through OUR progressive decoder in strict mode and clear the same
+    PSNR≥40 + caption invariant as every other row."""
+    from go_shapefile_spark.sources.images import (plant_progressive_rows,
+                                                   write_images_table)
+    path = str(tmp_path / "imgs")
+    write_images_table(spark, path, 40)
+    plant_progressive_rows(spark, path, 40, 6)
+    res = check_invariants(spark.read.parquet(path)).toPandas()
+    assert len(res) == 46
+    assert res["pixels_ok"].all() and res["caption_ok"].all()
+    prog = res[res.fmt == "jpegp"]
+    assert len(prog) == 6
+    assert (prog["psnr_db"] >= 40.0).all()
+    assert (prog["psnr_db"] < np.inf).all()    # genuinely lossy rows
+
+
 def test_points_table_is_projection_of_images(spark, tmp_path):
     """write_points_table must emit exactly the phash column the full
     generator assigns — it is the column-pruned scan of the same table."""
