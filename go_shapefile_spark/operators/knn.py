@@ -252,7 +252,8 @@ def _terminal_topk(points: DataFrame, remaining: DataFrame, k: int,
 
 def knn_exact(points: DataFrame, queries: DataFrame, k: int,
               id_col: str = "id", lon_col: str = "lon", lat_col: str = "lat",
-              start_res: int = 6, max_rounds: int | None = None) -> DataFrame:
+              start_res: int = 6, max_rounds: int | None = None,
+              pin: str | None = None) -> DataFrame:
     """Exact (unbounded) kNN via progressive neighbor-ring expansion.
 
     Round r runs radius-bounded kNN with radius = the ring-coverage
@@ -266,14 +267,18 @@ def knn_exact(points: DataFrame, queries: DataFrame, k: int,
     spreads over n_salts tasks — no CartesianProduct/BNLJ anywhere
     (plan-tested), no single-partition funnel.
 
-    The surviving-queries frontier is ``localCheckpoint``ed each round:
+    The surviving-queries frontier is pinned each round
+    (operators/pinning.py; ``pin`` selects the strategy — executor-local
+    checkpoint by default, ``"storage"`` for durable multi-hour runs):
     lineage stays one round deep (no stacked anti-join recompute), and
-    the checkpoint job doubles as the emptiness probe, so the driver
-    issues exactly one extra action per round regardless of data size.
-    Rounds are bounded by ``start_res + 1`` (res walks to 0), not by a
-    fixed constant.  Exactness is oracle-tested against a cross-join
-    top-k in pytest.
+    the pin job doubles as the emptiness probe, so the driver issues
+    exactly one extra action per round regardless of data size.  Rounds
+    are bounded by ``start_res + 1`` (res walks to 0), not by a fixed
+    constant.  Exactness is oracle-tested against a cross-join top-k in
+    pytest.
     """
+    from .pinning import fresh_pins
+    pinf = fresh_pins(points.sparkSession, "knn_exact_frontier", pin)
     rounds = start_res + 1 if max_rounds is None else min(max_rounds,
                                                           start_res + 1)
     remaining = queries
@@ -300,9 +305,9 @@ def knn_exact(points: DataFrame, queries: DataFrame, k: int,
         done_ids = counts.where(
             (F.col("found") >= k) & (F.col("max_d2") <= radius ** 2))
         results.append(got.join(done_ids.select("query_id"), "query_id"))
-        remaining = remaining.join(
+        remaining = pinf(remaining.join(
             done_ids.select("query_id").withColumnRenamed("query_id", id_col),
-            id_col, "left_anti").localCheckpoint()
+            id_col, "left_anti"))
         if remaining.count() == 0:
             break
         res -= 1

@@ -1,0 +1,117 @@
+"""Pinned-relation materialization (the LSH-signature durability seam).
+
+Several composed queries (MinHash/SimHash/ngram dedup self-joins, the
+exact-kNN frontier, the tile pyramid) must materialize a small
+intermediate relation once: Spark inlines CTEs per reference, and
+CacheManager substitution silently fails inside banded union-over-agg
+self-join compositions (round-4 finding — ``isCached()`` lies while the
+planned tree re-inlines the subtree per reference).  A pinned relation
+is a plan LEAF, so references physically cannot recompute it.
+
+Two strategies, selected per call or globally:
+
+``local`` (default)
+    ``DataFrame.localCheckpoint()`` — executor-local block storage.
+    Fastest, zero external dependencies; the right default for gate
+    queries and short jobs.  **Cluster caveat** (VERDICT r4): the blocks
+    live only on the executors that computed them, so losing an executor
+    after the checkpoint invalidates the RDD and fails the job — a wrong
+    default for a multi-hour 100-TB pipeline.
+
+``storage``
+    Materialize to reliable storage as parquet and scan it back.  The
+    returned DataFrame is a plain parquet scan: it survives executor
+    loss (and even a driver restart within the pin directory's
+    lifetime), and like the checkpoint it is immune to re-inlining.
+    The pin directory comes from ``spark.graft.pin.dir`` (point it at
+    shared storage — HDFS/S3 — on a real cluster; any URI pyarrow.fs
+    accepts works) or falls back to a per-application temp directory,
+    which is only correct on a single machine.  ``df.checkpoint()``
+    with ``sc.setCheckpointDir`` is the same durability class; parquet
+    is preferred here because the scan-back re-enters Catalyst as a
+    columnar source (pushdown/pruning still apply downstream).
+
+Strategy resolution order: explicit ``strategy=`` argument, then the
+``SPARK_GRAFT_PIN`` environment variable, then the
+``spark.graft.pin.strategy`` conf, then ``local``.
+
+Pins are recycled per (session, slot): a fresh :func:`fresh_pins` call
+releases the PREVIOUS call's blocks/files for that slot — without this,
+every gate/bench invocation pins fresh blocks forever (measured round
+4: +2 persistent RDDs per call; ContextCleaner never reclaims them
+while the session lives).
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import tempfile
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import fsio
+
+PIN_STRATEGY_CONF = "spark.graft.pin.strategy"
+PIN_DIR_CONF = "spark.graft.pin.dir"
+
+_PINS: dict[tuple[int, str], list[Callable[[], None]]] = {}
+
+
+def pin_strategy(spark: SparkSession, strategy: str | None = None) -> str:
+    s = (strategy or os.environ.get("SPARK_GRAFT_PIN")
+         or spark.conf.get(PIN_STRATEGY_CONF, "local"))
+    if s not in ("local", "storage"):
+        raise ValueError(f"unknown pin strategy {s!r} "
+                         "(expected 'local' or 'storage')")
+    return s
+
+
+def pin_dir(spark: SparkSession) -> str:
+    """Root directory for ``storage`` pins.  On a cluster this MUST be
+    shared storage (set ``spark.graft.pin.dir``); the temp-dir fallback
+    is only correct for local mode."""
+    base = (os.environ.get("SPARK_GRAFT_PIN_DIR")
+            or spark.conf.get(PIN_DIR_CONF, None))
+    if not base:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"spark-graft-pins-{spark.sparkContext.applicationId}")
+    return base
+
+
+def fresh_pins(spark: SparkSession, slot: str,
+               strategy: str | None = None) -> Callable[[DataFrame],
+                                                        DataFrame]:
+    """Release any previous pins for (session, ``slot``) and return a
+    ``pin(df) -> df`` that materializes a DataFrame under the resolved
+    strategy.
+
+    Release happens at FACTORY time, never between pins of the same
+    call: iterative operators (kNN frontier rounds, pyramid levels)
+    chain pins — each round reads the previous round's pin, and the
+    final union reads ALL of them — so intra-call pins must stay alive
+    until the NEXT invocation of the same slot.  A prior call's pins
+    are one-shot by construction — nothing re-reads them."""
+    s = pin_strategy(spark, strategy)
+    key = (id(spark), slot)
+    for release in _PINS.pop(key, []):
+        try:
+            release()
+        except Exception:
+            pass   # session restarted / executor gone — nothing to free
+    handles = _PINS.setdefault(key, [])
+
+    def pin(df: DataFrame) -> DataFrame:
+        if s == "local":
+            ck = df.localCheckpoint()
+            jrdd = ck._jdf.queryExecution().analyzed().rdd()
+            handles.append(lambda: jrdd.unpersist(False))
+            return ck
+        path = posixpath.join(pin_dir(spark), f"{slot}_{len(handles)}")
+        df.write.mode("overwrite").parquet(path)
+        handles.append(lambda: fsio.rmtree(path))
+        return spark.read.parquet(path)
+
+    return pin

@@ -49,7 +49,8 @@ def parent_cell_sql(cell: str) -> str:
 
 def tile_pyramid(points: DataFrame, max_res: int, min_res: int = 0,
                  lon_col: str = "lon", lat_col: str = "lat",
-                 extra_sums: list[str] | None = None) -> DataFrame:
+                 extra_sums: list[str] | None = None,
+                 pin: str | None = None) -> DataFrame:
     """Multi-resolution tile pyramid: per-cell counts at every resolution
     in [min_res, max_res], SCANNING THE POINTS ONCE.
 
@@ -61,32 +62,37 @@ def tile_pyramid(points: DataFrame, max_res: int, min_res: int = 0,
     exactly additive under the cell hierarchy because every point maps
     to one cell per level and parents partition their children.
 
-    Each level is materialized once (``localCheckpoint`` — index-build
-    semantics, computed at call time): without it the returned union
-    would re-run the base aggregation once per level branch (Spark does
-    not reuse the exchanges here — measured 4 scans for 4 levels).  At
-    production scale the levels would be committed to the snapshot
-    table instead; the shape of the computation is the same.
+    Each level is materialized once (operators/pinning.py — index-build
+    semantics, computed at call time; ``pin`` selects executor-local
+    checkpoint [default] or durable ``"storage"`` materialization):
+    without it the returned union would re-run the base aggregation
+    once per level branch (Spark does not reuse the exchanges here —
+    measured 4 scans for 4 levels).  At production scale, committing
+    the levels to the snapshot table is exactly ``pin="storage"`` with
+    the pin directory on shared storage.
 
     Returns (res int, cell long, n long [, sum_<col>...]).
     """
+    from .pinning import fresh_pins
     if not 0 <= min_res <= max_res <= C.MAX_RES:
         raise ValueError(
             f"need 0 <= min_res <= max_res <= {C.MAX_RES}, "
             f"got [{min_res}, {max_res}]")
+    pinf = fresh_pins(points.sparkSession, "tile_pyramid", pin)
     sums = list(extra_sums or [])
     base_aggs = [F.count(F.lit(1)).alias("n")] + \
         [F.sum(c).alias(f"sum_{c}") for c in sums]
     roll_aggs = [F.sum("n").alias("n")] + \
         [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sums]
-    cur = (points
-           .withColumn("cell", F.expr(C.cell_sql(lon_col, lat_col, max_res)))
-           .groupBy("cell").agg(*base_aggs)).localCheckpoint()
+    cur = pinf(points
+               .withColumn("cell",
+                           F.expr(C.cell_sql(lon_col, lat_col, max_res)))
+               .groupBy("cell").agg(*base_aggs))
     levels = [cur.select(F.lit(max_res).alias("res"), "*")]
     for r in range(max_res - 1, min_res - 1, -1):
-        cur = (cur.select(F.expr(parent_cell_sql("cell")).alias("cell"),
-                          "n", *[f"sum_{c}" for c in sums])
-               .groupBy("cell").agg(*roll_aggs)).localCheckpoint()
+        cur = pinf(cur.select(F.expr(parent_cell_sql("cell")).alias("cell"),
+                              "n", *[f"sum_{c}" for c in sums])
+                   .groupBy("cell").agg(*roll_aggs))
         levels.append(cur.select(F.lit(r).alias("res"), "*"))
     out = levels[0]
     for lv in levels[1:]:

@@ -30,32 +30,10 @@ SPARK, DUCK = H.SPARK, H.DUCK
 
 _REGISTERED: dict[int, str] = {}  # id(session) -> sf_dir last registered
 
-_CKPTS: dict[tuple[int, str], list] = {}  # (session, slot) -> JVM RDD handles
-
-
-def _fresh_checkpoints(spark: SparkSession, slot: str):
-    """Checkpoint recycler for the localCheckpoint-backed runners:
-    releases the PREVIOUS call's pinned blocks for this (session, slot)
-    and returns a ``pin(df)`` that checkpoints a DataFrame while
-    remembering its JVM RDD handle.  Without this, every gate/bench
-    invocation pins fresh blocks forever (measured: +2 persistent RDDs
-    per call; ContextCleaner never reclaims them while the session
-    lives).  The released DataFrames are one-shot per call by
-    construction — nothing re-reads a prior call's checkpoint."""
-    key = (id(spark), slot)
-    for jrdd in _CKPTS.pop(key, []):
-        try:
-            jrdd.unpersist(False)
-        except Exception:
-            pass   # session restarted / executor gone — nothing to free
-    handles = _CKPTS.setdefault(key, [])
-
-    def pin(df: DataFrame) -> DataFrame:
-        ck = df.localCheckpoint()
-        handles.append(ck._jdf.queryExecution().analyzed().rdd())
-        return ck
-
-    return pin
+# Pinned-relation seam (operators/pinning.py): gates default to the
+# executor-local strategy; a multi-hour cluster run sets
+# SPARK_GRAFT_PIN=storage / spark.graft.pin.strategy for durable pins.
+from .operators.pinning import fresh_pins as _fresh_checkpoints  # noqa: E402
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
