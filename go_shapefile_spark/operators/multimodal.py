@@ -1,16 +1,19 @@
 """Multimodal column operators: image decode / resize / feature-extract /
 frame-sample over opaque ``binary`` columns with typed metadata.
 
-Real parts: PNG decode (sources/images.py) and baseline-JFIF JPEG decode
-(sources/jpeg_codec.py, pure numpy), nearest-neighbor resize,
+Real parts: PNG decode (sources/images.py), JPEG decode — baseline AND
+progressive — (sources/jpeg_codec.py, pure numpy), MJPEG-AVI frame
+sampling (sources/video_codec.py), nearest-neighbor resize,
 color-moment + histogram feature extraction, perceptual hashing.  Decode
 is inherently per-image; everything downstream batches across images —
 same-shape images stack into one (n, h, w, 3) array per Arrow batch and
-resize/featurize/ahash run as single stacked numpy ops.  STUBBED (no
-video codec in the sandbox, clearly marked): video frame extraction
-raises ``NotImplementedError`` in strict mode or produces deterministic
-fakes in ``stub_ok`` mode — the exploding-rows plumbing is real and
-tested either way.
+resize/featurize/ahash run as single stacked numpy ops.
+
+STRICT is the uniform default (VERDICT r4 #5): payloads with no sandbox
+codec raise ``NotImplementedError``; corrupt streams raise
+``ValueError``.  ``stub_ok=True`` is a per-call opt-in that substitutes
+deterministic phash-derived fakes so plumbing tests can run without a
+codec — never the production posture.
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ FEATURE_DIM = 6 + 12  # mean/std per channel + 4-bin histogram per channel
 
 
 def _decode(row, stub_ok: bool) -> np.ndarray | None:
-    if row.fmt in ("png", "jpeg"):
+    if row.fmt in ("png", "jpeg", "jpegp"):
         return decode_image(row.bytes, row.fmt)
     if stub_ok:
         # deterministic fake decode for formats with no sandbox codec
@@ -88,7 +91,7 @@ def _featurize_stack(stack: np.ndarray) -> np.ndarray:
 
 
 def decode_resize_featurize(images: DataFrame, out_w: int = 8, out_h: int = 8,
-                            stub_ok: bool = True) -> DataFrame:
+                            stub_ok: bool = False) -> DataFrame:
     """images(image_id, bytes, w, h, fmt, phash, ...) →
     (image_id, fmt, thumb binary, feature array<float>).
 
@@ -119,7 +122,7 @@ def decode_resize_featurize(images: DataFrame, out_w: int = 8, out_h: int = 8,
 
 
 def frame_sample(videos: DataFrame, every_n: int = 10,
-                 stub_ok: bool = True) -> DataFrame:
+                 stub_ok: bool = False) -> DataFrame:
     """Video frame sampling.  REAL for MJPEG-in-AVI payloads (the
     ``RIFF`` magic dispatches to sources/video_codec.py): the container
     index is walked chunk by chunk and ONLY every ``every_n``-th frame
@@ -174,7 +177,7 @@ AHASH_GRID = 8          # 8x8 grid -> 64-bit hash
 AHASH_BANDS = 4         # 4 x 16-bit bands for the LSH candidate join
 
 
-def image_ahash(images: DataFrame, stub_ok: bool = True) -> DataFrame:
+def image_ahash(images: DataFrame, stub_ok: bool = False) -> DataFrame:
     """Perceptual average-hash over DECODED pixels: grayscale → 8×8 block
     means (pixel y maps to block ``y·8 // h``, so ANY image size works;
     blocks are exact equal partitions when the size is a multiple of 8)
@@ -214,7 +217,7 @@ def image_ahash(images: DataFrame, stub_ok: bool = True) -> DataFrame:
 
 
 def image_neardup_pairs(images: DataFrame, max_hamming: int = 3,
-                        stub_ok: bool = True) -> DataFrame:
+                        stub_ok: bool = False) -> DataFrame:
     """Near-duplicate image pairs by perceptual hash: the output is a
     SPANNING edge set for near-dup clustering — run connected components
     over it for groups — not the O(n²) all-pairs list:

@@ -54,11 +54,23 @@ class _Split(InputPartition):
 
 class ShapefileDataSource(DataSource):
     """``format("shapefile")``: options path (required), basename,
-    records_per_split, charset, skip_broken_fields."""
+    records_per_split, charset, skip_broken_fields, flat_points.
+
+    ``flat_points=true`` (Point-type corpora only) emits plain x/y(/z/m)
+    double columns instead of the nested geometry struct — the
+    Arrow-direct scan path ``read_shapefile_df(flat_points=True)`` uses
+    (per-row struct materialization dominates wall time at
+    billions-of-points scale; BENCH.md round 4).  In flat mode every
+    pushed filter is yielded back to Spark: x/y comparisons are
+    whole-stage-codegen'd over the flat columns, which beats selective
+    decode on this path by design."""
 
     @classmethod
     def name(cls) -> str:
         return "shapefile"
+
+    def _flat(self) -> bool:
+        return str(self.options.get("flat_points", "")).lower() == "true"
 
     def _opts(self) -> dict | None:
         opts = {}
@@ -101,7 +113,15 @@ class ShapefileDataSource(DataSource):
         return self._cached_plan
 
     def schema(self):
-        base = sf.features_schema(self._plan())
+        if self._flat():
+            import go_shapefile_spark.sources.shapefile_core as core
+            plan = self._plan()
+            if plan.shape_type not in core.POINT_TYPES:
+                raise ValueError(
+                    "flat_points requires a Point-type shapefile corpus")
+            base = sf.flat_points_schema(plan)
+        else:
+            base = sf.features_schema(self._plan())
         if self._bases() is not None:
             from pyspark.sql import types as T
             return T.StructType(list(base.fields) + [
@@ -114,8 +134,10 @@ class ShapefileDataSource(DataSource):
         if bases is not None:
             return ShapefileDirReader(bases, self._plan(), schema, rps,
                                       self._opts(),
-                                      self.options.get("basename"))
-        return ShapefileReader(self._plan(), schema, rps)
+                                      self.options.get("basename"),
+                                      flat=self._flat())
+        return ShapefileReader(self._plan(), schema, rps,
+                               flat=self._flat())
 
 
 # pushable comparison filters on scalar attribute columns
@@ -152,10 +174,12 @@ def _try_accept_row_filter(f: Filter, attr, col, attr_cols: set,
 
 
 class ShapefileReader(DataSourceReader):
-    def __init__(self, plan: sf.ShapefilePlan, schema, records_per_split: int):
+    def __init__(self, plan: sf.ShapefilePlan, schema,
+                 records_per_split: int, flat: bool = False):
         self.plan = plan
         self.schema = schema
         self.records_per_split = records_per_split
+        self.flat = flat
         # fid interval [lo, hi) narrowed by pushed fid predicates
         n = plan.n_records if plan.n_records >= 0 else (1 << 40)
         self.fid_lo, self.fid_hi = 1, n + 1
@@ -174,7 +198,14 @@ class ShapefileReader(DataSourceReader):
         ``bbox.xmin/ymin/xmax/ymax`` (tested against the record-header
         bounds BEFORE geometry decode; the file-header bbox prunes whole
         scans — reference shxheader.go:53-102, shp.go:176-190).
-        Everything else is yielded back for Spark to evaluate."""
+        Everything else is yielded back for Spark to evaluate.
+
+        Flat-point mode pushes nothing: there is no bbox struct, and
+        x/y predicates codegen over the flat columns faster than a
+        selective decode (see the DataSource docstring)."""
+        if self.flat:
+            yield from filters
+            return
         for f in filters:
             attr = getattr(f, "attribute", None)
             col = attr[0] if attr and len(attr) == 1 else None
@@ -226,6 +257,16 @@ class ShapefileReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         if partition.fid_end <= partition.fid_start:
+            return
+        if self.flat:
+            # Arrow-direct flat-point emit: numpy columns straight into
+            # a RecordBatch, no struct materialization (BENCH.md r4)
+            rb = sf._arrow_points_flat_batch(self.plan,
+                                             partition.fid_start,
+                                             partition.fid_end,
+                                             to_arrow_schema(self.schema))
+            if rb.num_rows:
+                yield rb
             return
         mask_fn = self._mask if self.attr_filters else None
         bbox_fn = self._bbox_mask if self.bbox_filters else None
@@ -323,12 +364,13 @@ class ShapefileDirReader(DataSourceReader):
 
     def __init__(self, bases: list[str], rep_plan: sf.ShapefilePlan,
                  schema, records_per_split: int, options: dict | None,
-                 member_basename: str | None = None):
+                 member_basename: str | None = None, flat: bool = False):
         self.bases = bases
         self.rep_plan = rep_plan
         self.schema = schema
         self.records_per_split = records_per_split
         self.sf_options = options
+        self.flat = flat
         # zip-member filter (option "basename"): must apply to per-file
         # task plans too, or multi-layer bundles parse the wrong member
         self.member_basename = member_basename
@@ -343,7 +385,9 @@ class ShapefileDirReader(DataSourceReader):
             col = attr[0] if attr and len(attr) == 1 else None
             if (col == "source_basename" and isinstance(f, EqualTo)
                     and isinstance(f.value, str)):
-                self.basename_eqs.append(f.value)
+                self.basename_eqs.append(f.value)   # file pruning works
+            elif self.flat:                         # in flat mode too
+                yield f     # x/y predicates codegen over flat columns
             elif not _try_accept_row_filter(
                     f, attr, col, self._attr_cols, self.rep_plan.has_dbf,
                     True, self.attr_filters, self.bbox_filters):
@@ -373,6 +417,9 @@ class ShapefileDirReader(DataSourceReader):
         full = to_arrow_schema(self.schema)
         base_schema = pa.schema(
             [f for f in full if f.name != "source_basename"])
+        if self.flat:
+            yield from self._read_flat(partition, plan, full, base_schema)
+            return
         can_pretest = (not plan.is_zip and plan.shx_offsets is not None
                        and plan.has_shp)
         mask_fn = (lambda adf: _attr_keep(adf, self.attr_filters)) \
@@ -393,6 +440,38 @@ class ShapefileDirReader(DataSourceReader):
                                        bbox_mask_fn=bbox_fn)
             if self.bbox_filters and bbox_fn is None and rb.num_rows:
                 rb = _bbox_postfilter(rb, self.bbox_filters)
+            if rb.num_rows:
+                yield pa.RecordBatch.from_arrays(
+                    list(rb.columns) +
+                    [pa.array([name] * rb.num_rows, pa.string())],
+                    schema=full)
+
+
+    def _read_flat(self, partition: _FileSplit, plan: sf.ShapefilePlan,
+                   full, base_schema):
+        """Flat-point emit per file: same Arrow-direct batches as the
+        single-file fast path, plus the source_basename column."""
+        import posixpath
+
+        import pyarrow as pa
+
+        import go_shapefile_spark.sources.shapefile_core as core
+
+        if plan.shape_type not in core.POINT_TYPES:
+            raise ValueError(
+                f"flat_points dir scan hit non-Point file "
+                f"{partition.path!r} (shape type {plan.shape_type})")
+        if plan.n_records >= 0 and not plan.is_zip \
+                and plan.shx_offsets is not None:
+            step = self.records_per_split
+            bounds = [(a, min(a + step, plan.n_records + 1))
+                      for a in range(1, plan.n_records + 1, step)]
+        else:
+            n = plan.n_records if plan.n_records >= 0 else (1 << 40)
+            bounds = [(1, n + 1)]
+        name = posixpath.basename(partition.path)
+        for a, b in bounds:
+            rb = sf._arrow_points_flat_batch(plan, a, b, base_schema)
             if rb.num_rows:
                 yield pa.RecordBatch.from_arrays(
                     list(rb.columns) +

@@ -980,9 +980,9 @@ def _arrow_points_flat_batch(plan: ShapefilePlan, fid_start: int,
     return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
 
-def _read_points_flat(spark: SparkSession, plan: ShapefilePlan,
-                      target_records_per_split: int) -> DataFrame:
-    """Point-type scan emitting flat x/y(/z/m) double columns + DBF cols."""
+def flat_points_schema(plan: ShapefilePlan) -> T.StructType:
+    """Schema of the flat-point emit path: fid, deleted, DBF columns,
+    then plain x/y(/z/m) doubles — no nested geometry struct."""
     ord_names = _ord_names(plan.shape_type)
     fields = [T.StructField("fid", T.LongType(), False),
               T.StructField("deleted", T.BooleanType(), False)]
@@ -990,7 +990,13 @@ def _read_points_flat(spark: SparkSession, plan: ShapefilePlan,
         fields.append(T.StructField(
             name, _dbf_spark_type(core.DBFField(name, ftype, length, 0, 0), decimals)))
     fields += [T.StructField(c, T.DoubleType()) for c in ord_names]
-    schema = T.StructType(fields)
+    return T.StructType(fields)
+
+
+def _read_points_flat(spark: SparkSession, plan: ShapefilePlan,
+                      target_records_per_split: int) -> DataFrame:
+    """Point-type scan emitting flat x/y(/z/m) double columns + DBF cols."""
+    schema = flat_points_schema(plan)
 
     n = plan.n_records
     if n >= 0 and plan.shx_offsets is not None and not plan.is_zip:

@@ -246,3 +246,94 @@ def test_dir_mode_record_level_decode_skip(ref_testdata, tmp_path,
     # 3 files × 3 surviving records; the kernel gathered ONLY survivors
     assert total == 9
     assert seen == [3, 3, 3]
+
+
+def test_flat_points_datasource_matches_function_reader(ds_spark, tmp_path):
+    """flat_points=true on format("shapefile") must take the same
+    Arrow-direct flat-point scan as read_shapefile_df(flat_points=True)
+    (VERDICT r4 #7): identical rows, flat x/y schema, no geometry
+    struct."""
+    import numpy as np
+
+    from go_shapefile_spark.sources.shapefile_writer import write_points
+
+    rng = np.random.default_rng(21)
+    base = str(tmp_path / "pts")
+    write_points(base, rng.uniform(-180, 180, 500), rng.uniform(-90, 90, 500))
+    df = (ds_spark.read.format("shapefile").option("path", base)
+          .option("flat_points", "true")
+          .option("records_per_split", "200").load())
+    assert {"x", "y"} <= set(df.columns) and "geometry" not in df.columns
+    via_fn = read_shapefile_df(ds_spark, base, flat_points=True,
+                               target_records_per_split=200)
+    got = sorted((r.fid, r.x, r.y) for r in df.collect())
+    exp = sorted((r.fid, r.x, r.y) for r in via_fn.collect())
+    assert got == exp and len(got) == 500
+    # x/y predicates evaluate correctly (codegen'd over flat columns)
+    lhs = df.where("x > 0 AND y < 10").count()
+    rhs = via_fn.where("x > 0 AND y < 10").count()
+    assert lhs == rhs > 0
+
+
+def test_flat_points_datasource_dir_mode(ds_spark, tmp_path):
+    """Directory mode + flat_points: per-file Arrow-direct batches with
+    the source_basename column; basename equality still prunes files."""
+    import numpy as np
+
+    from go_shapefile_spark.sources.shapefile_writer import write_points
+
+    rng = np.random.default_rng(22)
+    d = tmp_path / "ptsdir"
+    d.mkdir()
+    for i in range(3):
+        write_points(str(d / f"f{i}"), rng.uniform(-10, 10, 100),
+                     rng.uniform(-10, 10, 100))
+    df = (ds_spark.read.format("shapefile").option("path", str(d))
+          .option("flat_points", "true").load())
+    assert df.count() == 300
+    per_file = {r.source_basename: r["count"] for r in
+                df.groupBy("source_basename").count().collect()}
+    assert per_file == {"f0": 100, "f1": 100, "f2": 100}
+    assert df.where("source_basename = 'f1'").count() == 100
+
+
+def test_flat_points_rejects_non_point_corpus(ds_spark, ref_testdata):
+    with pytest.raises(Exception, match="Point-type"):
+        (ds_spark.read.format("shapefile")
+         .option("path", os.path.join(ref_testdata, "poly"))
+         .option("flat_points", "true").load().collect())
+
+
+def test_flat_points_reader_uses_vectorized_point_kernel(tmp_path,
+                                                         monkeypatch):
+    """Counter test (direct reader drive — worker monkeypatches don't
+    propagate): the flat reader must call the vectorized point kernel
+    once per split and emit flat Arrow columns."""
+    import numpy as np
+    import go_shapefile_spark.sources.shapefile as sf
+    from go_shapefile_spark.sources.datasource import _Split
+    from go_shapefile_spark.sources.shapefile import flat_points_schema
+    from go_shapefile_spark.sources.shapefile_writer import write_points
+
+    rng = np.random.default_rng(23)
+    base = str(tmp_path / "pts")
+    write_points(base, rng.uniform(-1, 1, 120), rng.uniform(-1, 1, 120))
+    plan = plan_shapefile(base)
+    calls = []
+    orig = sf._parse_points_vectorized
+
+    def counting(buf, rel, *a, **k):
+        calls.append(len(rel))
+        return orig(buf, rel, *a, **k)
+
+    monkeypatch.setattr(sf, "_parse_points_vectorized", counting)
+    reader = ShapefileReader(plan, flat_points_schema(plan),
+                             records_per_split=60, flat=True)
+    parts = reader.partitions()
+    assert len(parts) == 2
+    rows = 0
+    for p in parts:
+        for rb in reader.read(p):
+            assert "x" in rb.schema.names and "y" in rb.schema.names
+            rows += rb.num_rows
+    assert rows == 120 and calls == [60, 60]

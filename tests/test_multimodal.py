@@ -58,7 +58,7 @@ def test_frame_sample_explodes_rows(spark):
     videos = spark.createDataFrame(
         [("v1", b"", 25, 4, 4, 111), ("v2", b"", 7, 4, 4, 222)],
         "video_id string, bytes binary, n_frames int, w int, h int, phash long")
-    frames = frame_sample(videos, every_n=10).toPandas()
+    frames = frame_sample(videos, every_n=10, stub_ok=True).toPandas()
     got = frames.groupby("video_id")["frame_idx"].apply(list).to_dict()
     assert sorted(got["v1"]) == [0, 10, 20]
     assert sorted(got["v2"]) == [0]
