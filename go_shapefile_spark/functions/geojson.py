@@ -157,6 +157,74 @@ def features_to_geojson(df: DataFrame, id_col: str = "fid",
         run, schema=f"{id_col} {id_type}, geojson string")
 
 
+def features_to_geojson_jvm(df: DataFrame, id_col: str = "fid",
+                            props: list[str] | None = None) -> DataFrame:
+    """JVM fast path of :func:`features_to_geojson` for XY polygon
+    corpora (VERDICT r4 #6): the nested ``coordinates`` arrays are
+    rebuilt with higher-order functions over the flat geometry struct
+    and serialized by ``to_json`` — no Python worker, no per-row
+    ``json.dumps`` loop, so a millions-of-features export scales with
+    executors instead of a Python hot loop.
+
+    Output contract: byte-identical to the Python path for ASCII
+    property values and coordinates in Java/Python's shared
+    shortest-round-trip range (the full ne_110m corpus is byte-equal —
+    parity-tested); outside that, differences are pure serialization
+    variants the round trip absorbs — Jackson writes raw UTF-8 where
+    ``json.dumps`` writes ``\\uXXXX`` escapes, and the scientific-
+    notation thresholds differ (``1.0E-4`` vs ``0.0001``) — both parse
+    to identical values (RFC 7946 mandates neither choice).
+
+    Polygon/null shapes only (the shapefile corpus shape this engine
+    exports at scale); any other shape type or a non-XY layout raises
+    at execution, mirroring the Python path's ValueError."""
+    from pyspark.sql import functions as F
+
+    props = props or []
+    poly_types = ", ".join(str(t) for t in sorted(core.POLYGON_TYPES))
+    roffs = ("aggregate(geometry.rings, array(0), "
+             "(a, x) -> array_append(a, element_at(a, -1) + x))")
+    coords = f"""
+      transform(sequence(1, size(geometry.rings)), p ->
+        transform(sequence(element_at({roffs}, p) + 1,
+                           element_at({roffs}, p + 1)), ri ->
+          transform(sequence(IF(ri = 1, 0,
+                                element_at(geometry.ends, ri - 1)),
+                             element_at(geometry.ends, ri) - 2, 2), j ->
+            array(geometry.coords[j], geometry.coords[j + 1]))))"""
+    geom_json = f"""
+      CASE
+        WHEN geometry IS NULL OR shape_type = {core.SHAPE_TYPE_NULL}
+          THEN 'null'
+        WHEN shape_type NOT IN ({poly_types})
+          THEN raise_error(concat('features_to_geojson_jvm supports ',
+                                  'polygon/null shapes only (got type ',
+                                  CAST(shape_type AS STRING), ')'))
+        WHEN geometry.layout IS NOT NULL AND geometry.layout <> 'XY'
+          THEN raise_error(concat('GeoJSON interchange is XY-only ',
+                                  '(got layout ', geometry.layout, ')'))
+        ELSE to_json(named_struct('type', 'MultiPolygon',
+                                  'coordinates', {coords}))
+      END"""
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type == "string":
+        # JSON string escaping via to_json: ["v"] → trim the brackets
+        id_json = (f"substring(to_json(array({id_col})), 2, "
+                   f"length(to_json(array({id_col}))) - 2)")
+    else:
+        id_json = f"CAST({id_col} AS STRING)"
+    if props:
+        fields = ", ".join(f"'{p}', {p}" for p in props)
+        props_json = (f"to_json(named_struct({fields}), "
+                      f"map('ignoreNullFields', 'false'))")
+    else:
+        props_json = "'{}'"
+    feature = (f"concat('{{\"type\":\"Feature\",\"id\":', {id_json}, "
+               f"',\"geometry\":', {geom_json}, "
+               f"',\"properties\":', {props_json}, '}}')")
+    return df.select(F.col(id_col), F.expr(feature).alias("geojson"))
+
+
 def geojson_to_features(df: DataFrame, json_col: str = "geojson",
                         id_col: str = "fid") -> DataFrame:
     """(fid, geojson) → features-shaped rows (fid, shape_type, geometry)."""

@@ -114,3 +114,69 @@ def test_features_to_geojson_null_rows(spark):
                 features_to_geojson(df)).collect()}
     assert back[1].geometry.coords == [3.0, 4.0]
     assert back[2].shape_type == core.SHAPE_TYPE_NULL
+
+
+def test_jvm_export_byte_equal_on_countries(spark, ref_testdata):
+    """The JVM fast path must be BYTE-identical to the Python exporter
+    on the full ne_110m corpus (no props — ASCII-only content)."""
+    from go_shapefile_spark.functions.geojson import features_to_geojson_jvm
+
+    df = read_shapefile_df(
+        spark, os.path.join(ref_testdata, "110m-admin-0-countries.zip"))
+    py = {r.fid: r.geojson for r in features_to_geojson(df).collect()}
+    jvm = {r.fid: r.geojson for r in features_to_geojson_jvm(df).collect()}
+    assert jvm == py and len(jvm) == 177
+    # and the plan carries no Python worker nodes
+    plan = features_to_geojson_jvm(df) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "PythonUDF" not in plan
+
+
+def test_jvm_export_props_and_unicode_parse_equal(spark, ref_testdata):
+    """With properties (ne_110m has non-ASCII names), the outputs are
+    serialization variants: json.dumps \\u-escapes, Jackson emits raw
+    UTF-8 — both must PARSE to identical features."""
+    from go_shapefile_spark.functions.geojson import features_to_geojson_jvm
+
+    df = read_shapefile_df(
+        spark, os.path.join(ref_testdata, "110m-admin-0-countries.zip"))
+    py = {r.fid: json.loads(r.geojson) for r in
+          features_to_geojson(df, props=["NAME", "POP_EST"]).collect()}
+    jvm = {r.fid: json.loads(r.geojson) for r in
+           features_to_geojson_jvm(df, props=["NAME", "POP_EST"]).collect()}
+    assert jvm == py and len(jvm) == 177
+
+
+def test_jvm_export_null_geometry_and_string_id(spark):
+    from go_shapefile_spark.functions.geojson import features_to_geojson_jvm
+
+    rows = [("a\"b", core.SHAPE_TYPE_NULL, None),
+            ("c", core.SHAPE_TYPE_POLYGON,
+             {"layout": "XY",
+              "coords": [0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0],
+              "ends": [8], "rings": [1]})]
+    df = spark.createDataFrame(
+        rows, "fid string, shape_type int, geometry "
+              "struct<layout:string,coords:array<double>,"
+              "ends:array<int>,rings:array<int>>")
+    got = {r.fid: r.geojson for r in
+           features_to_geojson_jvm(df, id_col="fid").collect()}
+    a = json.loads(got['a"b'])
+    assert a["id"] == 'a"b' and a["geometry"] is None
+    c = json.loads(got["c"])
+    assert c["geometry"]["type"] == "MultiPolygon"
+    assert c["geometry"]["coordinates"] == [[[[0.0, 0.0], [0.0, 1.0],
+                                              [1.0, 1.0], [0.0, 0.0]]]]
+
+
+def test_jvm_export_rejects_non_polygon(spark):
+    from go_shapefile_spark.functions.geojson import features_to_geojson_jvm
+
+    df = spark.createDataFrame(
+        [(1, core.SHAPE_TYPE_POINT,
+          {"layout": "XY", "coords": [1.0, 2.0], "ends": [], "rings": []})],
+        "fid long, shape_type int, geometry "
+        "struct<layout:string,coords:array<double>,"
+        "ends:array<int>,rings:array<int>>")
+    with pytest.raises(Exception, match="polygon/null"):
+        features_to_geojson_jvm(df).collect()
