@@ -184,14 +184,25 @@ def features_to_geojson_jvm(df: DataFrame, id_col: str = "fid",
     poly_types = ", ".join(str(t) for t in sorted(core.POLYGON_TYPES))
     roffs = ("aggregate(geometry.rings, array(0), "
              "(a, x) -> array_append(a, element_at(a, -1) + x))")
+    ring_start = "IF(ri = 1, 0, element_at(geometry.ends, ri - 1))"
+    # zip_with over the offset array's (start, end) pairs keeps the
+    # prefix-sum aggregate to two evaluations per FEATURE (linear) —
+    # referencing it inside the per-polygon lambda would recompute it
+    # per polygon index (interpreted HOFs have no CSE; CLAUDE.md).
+    # The IF guards cover degenerate inputs the Python path accepts:
+    # rings=[...,0,...] (empty polygon) and zero-length rings —
+    # sequence(a, b) with a > b counts DOWN in Spark, and a negative
+    # span with step 2 throws, so both must short-circuit to array().
     coords = f"""
-      transform(sequence(1, size(geometry.rings)), p ->
-        transform(sequence(element_at({roffs}, p) + 1,
-                           element_at({roffs}, p + 1)), ri ->
-          transform(sequence(IF(ri = 1, 0,
-                                element_at(geometry.ends, ri - 1)),
-                             element_at(geometry.ends, ri) - 2, 2), j ->
-            array(geometry.coords[j], geometry.coords[j + 1]))))"""
+      zip_with(
+        slice({roffs}, 1, size(geometry.rings)),
+        slice({roffs}, 2, size(geometry.rings)),
+        (rs, re) -> IF(re < rs + 1, array(),
+          transform(sequence(rs + 1, re), ri ->
+            IF(element_at(geometry.ends, ri) - 2 < {ring_start}, array(),
+              transform(sequence({ring_start},
+                                 element_at(geometry.ends, ri) - 2, 2), j ->
+                array(geometry.coords[j], geometry.coords[j + 1]))))))"""
     geom_json = f"""
       CASE
         WHEN geometry IS NULL OR shape_type = {core.SHAPE_TYPE_NULL}

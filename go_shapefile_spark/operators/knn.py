@@ -278,7 +278,7 @@ def knn_exact(points: DataFrame, queries: DataFrame, k: int,
     pytest.
     """
     from .pinning import fresh_pins
-    pinf = fresh_pins(points.sparkSession, "knn_exact_frontier", pin)
+    pinf = fresh_pins(points.sparkSession, None, pin)  # per-call slot
     rounds = start_res + 1 if max_rounds is None else min(max_rounds,
                                                           start_res + 1)
     remaining = queries

@@ -57,6 +57,7 @@ PIN_STRATEGY_CONF = "spark.graft.pin.strategy"
 PIN_DIR_CONF = "spark.graft.pin.dir"
 
 _PINS: dict[tuple[int, str], list[Callable[[], None]]] = {}
+_ANON = [0]      # counter for anonymous (per-call, non-recycled) slots
 
 
 def pin_strategy(spark: SparkSession, strategy: str | None = None) -> str:
@@ -81,7 +82,7 @@ def pin_dir(spark: SparkSession) -> str:
     return base
 
 
-def fresh_pins(spark: SparkSession, slot: str,
+def fresh_pins(spark: SparkSession, slot: str | None,
                strategy: str | None = None) -> Callable[[DataFrame],
                                                         DataFrame]:
     """Release any previous pins for (session, ``slot``) and return a
@@ -92,9 +93,19 @@ def fresh_pins(spark: SparkSession, slot: str,
     call: iterative operators (kNN frontier rounds, pyramid levels)
     chain pins — each round reads the previous round's pin, and the
     final union reads ALL of them — so intra-call pins must stay alive
-    until the NEXT invocation of the same slot.  A prior call's pins
-    are one-shot by construction — nothing re-reads them."""
+    until the NEXT invocation of the same slot.
+
+    ``slot=None`` allocates an ANONYMOUS per-call slot that is never
+    recycled by later calls: public operators use this so a previous
+    call's returned DataFrame stays valid when the operator runs again
+    in the same session (two tile pyramids, two kNN batches).  Named
+    slots are for runners whose previous result is one-shot by
+    construction (the gate/bench harness): the recycle releases it.
+    Anonymous pins live until session stop or :func:`release_pins`."""
     s = pin_strategy(spark, strategy)
+    if slot is None:
+        _ANON[0] += 1
+        slot = f"anon_{_ANON[0]}"
     key = (id(spark), slot)
     for release in _PINS.pop(key, []):
         try:
@@ -115,3 +126,18 @@ def fresh_pins(spark: SparkSession, slot: str,
         return spark.read.parquet(path)
 
     return pin
+
+
+def release_pins(spark: SparkSession, slot: str | None = None) -> None:
+    """Explicitly release pinned relations: one named slot, or (default)
+    every pin this session holds — named and anonymous.  After release,
+    DataFrames returned by the affected calls are invalid."""
+    sid = id(spark)
+    keys = [k for k in _PINS
+            if k[0] == sid and (slot is None or k[1] == slot)]
+    for k in keys:
+        for release in _PINS.pop(k):
+            try:
+                release()
+            except Exception:
+                pass

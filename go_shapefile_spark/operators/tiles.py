@@ -78,7 +78,7 @@ def tile_pyramid(points: DataFrame, max_res: int, min_res: int = 0,
         raise ValueError(
             f"need 0 <= min_res <= max_res <= {C.MAX_RES}, "
             f"got [{min_res}, {max_res}]")
-    pinf = fresh_pins(points.sparkSession, "tile_pyramid", pin)
+    pinf = fresh_pins(points.sparkSession, None, pin)  # per-call slot
     sums = list(extra_sums or [])
     base_aggs = [F.count(F.lit(1)).alias("n")] + \
         [F.sum(c).alias(f"sum_{c}") for c in sums]

@@ -200,15 +200,18 @@ class ShapefileReader(DataSourceReader):
         scans — reference shxheader.go:53-102, shp.go:176-190).
         Everything else is yielded back for Spark to evaluate.
 
-        Flat-point mode pushes nothing: there is no bbox struct, and
-        x/y predicates codegen over the flat columns faster than a
-        selective decode (see the DataSource docstring)."""
-        if self.flat:
-            yield from filters
-            return
+        Flat-point mode still narrows on fid (range pruning skips whole
+        splits at zero decode cost — the emitted fids are exactly the
+        split's arange, so the accepted range is exact) but pushes no
+        row masks: there is no bbox struct, and x/y predicates codegen
+        over the flat columns faster than a selective decode (see the
+        DataSource docstring)."""
         for f in filters:
             attr = getattr(f, "attribute", None)
             col = attr[0] if attr and len(attr) == 1 else None
+            if self.flat and col != "fid":
+                yield f
+                continue
             if col == "fid" and isinstance(f, _CMP):
                 try:
                     v = int(f.value)
@@ -426,13 +429,7 @@ class ShapefileDirReader(DataSourceReader):
             if self.attr_filters else None
         bbox_fn = (lambda buf, rel: _bbox_keep(buf, rel, self.bbox_filters)) \
             if (self.bbox_filters and can_pretest) else None
-        if plan.n_records >= 0 and can_pretest:
-            step = self.records_per_split
-            bounds = [(a, min(a + step, plan.n_records + 1))
-                      for a in range(1, plan.n_records + 1, step)]
-        else:
-            n = plan.n_records if plan.n_records >= 0 else (1 << 40)
-            bounds = [(1, n + 1)]
+        bounds = sf.sequential_split_bounds(plan, self.records_per_split)
         name = posixpath.basename(partition.path)
         for a, b in bounds:
             rb = sf._arrow_split_batch(plan, a, b, base_schema,
@@ -461,14 +458,7 @@ class ShapefileDirReader(DataSourceReader):
             raise ValueError(
                 f"flat_points dir scan hit non-Point file "
                 f"{partition.path!r} (shape type {plan.shape_type})")
-        if plan.n_records >= 0 and not plan.is_zip \
-                and plan.shx_offsets is not None:
-            step = self.records_per_split
-            bounds = [(a, min(a + step, plan.n_records + 1))
-                      for a in range(1, plan.n_records + 1, step)]
-        else:
-            n = plan.n_records if plan.n_records >= 0 else (1 << 40)
-            bounds = [(1, n + 1)]
+        bounds = sf.sequential_split_bounds(plan, self.records_per_split)
         name = posixpath.basename(partition.path)
         for a, b in bounds:
             rb = sf._arrow_points_flat_batch(plan, a, b, base_schema)

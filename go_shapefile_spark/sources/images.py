@@ -129,7 +129,11 @@ def pixels_from_phash(phash: int, w: int, h: int) -> np.ndarray:
     """Deterministic pixel field: splitmix64 stream over phash."""
     n = w * h * 3
     idx = np.arange((n + 7) // 8, dtype=np.uint64)
-    stream = splitmix64((np.uint64(phash) + idx).view(np.int64))
+    # mask first: np.uint64(negative int) is deprecated out-of-bounds
+    # conversion (OverflowError under numpy 2); the & keeps the exact
+    # two's-complement wrap the corpora were generated with
+    stream = splitmix64(
+        (np.uint64(phash & 0xFFFFFFFFFFFFFFFF) + idx).view(np.int64))
     return stream.view(np.uint8)[:n].reshape(h, w, 3).copy()
 
 
@@ -144,8 +148,10 @@ def pixels_lowfreq_from_phash(phash: int, w: int, h: int) -> np.ndarray:
     from ``phash`` like every other row."""
     from .jpeg_codec import _ycbcr_to_rgb
 
+    # (phash & mask) >> 1 in Python ints: np.uint64(negative) is a
+    # deprecated out-of-bounds conversion (OverflowError under numpy 2)
     s = splitmix64(np.arange(5, dtype=np.int64)
-                   + np.int64(np.uint64(phash) >> np.uint64(1)))
+                   + np.int64((phash & 0xFFFFFFFFFFFFFFFF) >> 1))
     fx = 0.5 + (int(s[0]) % 5) * 0.25          # 0.5..1.5 cycles/image
     fy = 0.5 + (int(s[1]) % 5) * 0.25
     phase = (int(s[2]) % 628) / 100.0
@@ -159,28 +165,37 @@ def pixels_lowfreq_from_phash(phash: int, w: int, h: int) -> np.ndarray:
     return _ycbcr_to_rgb(ycc)
 
 
-def encode_progressive_jpeg_jvm(spark: SparkSession, pixels: np.ndarray,
-                                quality: float = 0.95) -> bytes:
-    """Progressive (SOF2) JPEG bytes via javax.imageio — the JVM's
-    libjpeg-backed writer is the only progressive ENCODER in this
-    sandbox (our encoder stays baseline by design); the DECODER for
-    these bytes is ours (jpeg_codec.decode_jpeg).  Driver-side only (it
-    needs the py4j gateway), used to plant gate/test fixtures."""
+def encode_jpeg_jvm(spark: SparkSession, pixels: np.ndarray,
+                    quality: float = 0.95, progressive: bool = True,
+                    gray: bool = False) -> bytes:
+    """JPEG bytes via javax.imageio — the JVM's libjpeg-backed writer is
+    the only progressive ENCODER in this sandbox (our encoder stays
+    baseline by design); the DECODER for these bytes is ours
+    (jpeg_codec.decode_jpeg).  Driver-side only (py4j gateway), used to
+    plant gate/test fixtures and by the cross-decoder interop tests.
+
+    The pixels ship as ONE PNG byte payload (our own lossless codec)
+    that the JVM decodes back — a per-pixel ``setRGB`` loop costs one
+    py4j round trip per pixel (r5 review).  ``gray=True`` converts to a
+    single-band image JVM-side so the writer emits a one-component
+    JPEG (the converted sample values are the JVM's, which is fine:
+    interop tests compare decoders on the same BYTES)."""
     jvm = spark._jvm
-    gw = spark.sparkContext._gateway
+    if pixels.ndim == 2:
+        pixels = np.stack([pixels] * 3, axis=-1)
     h, w = pixels.shape[:2]
-    bi = jvm.java.awt.image.BufferedImage(w, h, 1)   # TYPE_INT_RGB
-    arr = gw.new_array(jvm.int, w * h)
-    flat = ((pixels[..., 0].astype(np.int64) << 16)
-            | (pixels[..., 1].astype(np.int64) << 8)
-            | pixels[..., 2])
-    for i, v in enumerate(flat.ravel()):
-        arr[i] = int(v)
-    bi.setRGB(0, 0, w, h, arr, 0, w)
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(encode_png(pixels)))
+    bi = jvm.javax.imageio.ImageIO.read(bais)
+    if gray:
+        g = jvm.java.awt.image.BufferedImage(w, h, 10)  # TYPE_BYTE_GRAY
+        g.getGraphics().drawImage(bi, 0, 0, None)
+        bi = g
     writer = jvm.javax.imageio.ImageIO \
         .getImageWritersByFormatName("jpeg").next()
     param = writer.getDefaultWriteParam()
-    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    if progressive:
+        param.setProgressiveMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
     param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(float(quality))
     baos = jvm.java.io.ByteArrayOutputStream()
@@ -189,7 +204,7 @@ def encode_progressive_jpeg_jvm(spark: SparkSession, pixels: np.ndarray,
     writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
     ios.close()
     data = bytes(baos.toByteArray())
-    if b"\xff\xc2" not in data:
+    if progressive and b"\xff\xc2" not in data:
         raise ValueError("JVM writer did not produce a progressive JPEG")
     return data
 
@@ -212,7 +227,7 @@ def plant_progressive_rows(spark: SparkSession, path: str, start_idx: int,
     for i, ph, s in zip(idx, phash, sizes):
         w = h = int(abs(s))
         px = pixels_lowfreq_from_phash(int(ph), w, h)
-        data = encode_progressive_jpeg_jvm(spark, px, quality)
+        data = encode_jpeg_jvm(spark, px, quality)
         rows.append((f"img-{int(i):010d}", data, w, h, "jpegp",
                      caption_of(int(ph)), int(ph)))
     pdf = pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h",

@@ -980,6 +980,23 @@ def _arrow_points_flat_batch(plan: ShapefilePlan, fid_start: int,
     return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
 
+def sequential_split_bounds(plan: ShapefilePlan,
+                            records_per_split: int) -> list[tuple[int, int]]:
+    """Per-file fid split bounds for task-side sequential scans, shared
+    by the function readers and both DataSource readers (r5 review: the
+    rule lived in three places and could drift): chunk by
+    ``records_per_split`` when the record count is known and the source
+    can range-read (SHX present, not a zip member); otherwise one
+    sequential split, with the large sentinel when the count is unknown."""
+    n = plan.n_records
+    if n >= 0 and not plan.is_zip and plan.shx_offsets is not None \
+            and plan.has_shp:
+        step = records_per_split
+        return [(a, min(a + step, n + 1)) for a in range(1, n + 1, step)]
+    n = n if n >= 0 else (1 << 40)
+    return [(1, n + 1)]
+
+
 def flat_points_schema(plan: ShapefilePlan) -> T.StructType:
     """Schema of the flat-point emit path: fid, deleted, DBF columns,
     then plain x/y(/z/m) doubles — no nested geometry struct."""
@@ -999,15 +1016,15 @@ def _read_points_flat(spark: SparkSession, plan: ShapefilePlan,
     schema = flat_points_schema(plan)
 
     n = plan.n_records
-    if n >= 0 and plan.shx_offsets is not None and not plan.is_zip:
+    if n >= 0 and plan.shx_offsets is not None and not plan.is_zip \
+            and plan.has_shp:
         k = max(1, math.ceil(n / target_records_per_split))
         bounds = [(1 + i * n // k, 1 + (i + 1) * n // k) for i in range(k)]
     else:
         # zip (not splittable: every split would re-read the member) or
         # unknown count (no SHX/DBF) → single sequential split with the
         # same large-sentinel fallback as read_shapefile_df
-        n = n if n >= 0 else 1 << 40
-        bounds = [(1, n + 1)]
+        bounds = sequential_split_bounds(plan, target_records_per_split)
     splits_df = spark.createDataFrame(
         [(int(a), int(b)) for a, b in bounds], "fid_start long, fid_end long")
 

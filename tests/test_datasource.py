@@ -337,3 +337,28 @@ def test_flat_points_reader_uses_vectorized_point_kernel(tmp_path,
             assert "x" in rb.schema.names and "y" in rb.schema.names
             rows += rb.num_rows
     assert rows == 120 and calls == [60, 60]
+
+
+def test_flat_points_fid_pruning(tmp_path):
+    """r5 review: flat mode must keep exact fid-range partition pruning
+    (zero-I/O skip of whole splits) while yielding row masks back."""
+    import numpy as np
+
+    from go_shapefile_spark.sources.shapefile import flat_points_schema
+    from go_shapefile_spark.sources.shapefile_writer import write_points
+
+    rng = np.random.default_rng(24)
+    base = str(tmp_path / "pts")
+    write_points(base, rng.uniform(-1, 1, 120), rng.uniform(-1, 1, 120))
+    plan = plan_shapefile(base)
+    reader = ShapefileReader(plan, flat_points_schema(plan),
+                             records_per_split=40, flat=True)
+    from pyspark.sql.datasource import EqualTo as EQ
+    from pyspark.sql.datasource import GreaterThan as GT
+    leftover = list(reader.pushFilters([EQ(("fid",), 90), GT(("x",), 0.0)]))
+    assert len(leftover) == 1 and leftover[0].attribute == ("x",)
+    parts = reader.partitions()
+    assert len(parts) == 1                       # pruned to one split
+    rows = [rb for p in parts for rb in reader.read(p)]
+    fids = [f for rb in rows for f in rb.column(0).to_pylist()]
+    assert fids == [90]

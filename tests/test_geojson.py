@@ -180,3 +180,32 @@ def test_jvm_export_rejects_non_polygon(spark):
         "ends:array<int>,rings:array<int>>")
     with pytest.raises(Exception, match="polygon/null"):
         features_to_geojson_jvm(df).collect()
+
+
+def test_jvm_export_degenerate_polygons_match_python(spark):
+    """r5 review: rings=[] (empty MultiPolygon), rings=[0] (polygon with
+    zero rings), and zero-length rings must serialize like the Python
+    path instead of throwing from descending/negative sequence()."""
+    from go_shapefile_spark.functions.geojson import features_to_geojson_jvm
+
+    rows = [
+        (1, core.SHAPE_TYPE_POLYGON,
+         {"layout": "XY", "coords": [], "ends": [], "rings": []}),
+        (2, core.SHAPE_TYPE_POLYGON,
+         {"layout": "XY", "coords": [], "ends": [], "rings": [0]}),
+        (3, core.SHAPE_TYPE_POLYGON,
+         {"layout": "XY",
+          "coords": [0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0],
+          "ends": [8], "rings": [1]}),
+    ]
+    schema = ("fid long, shape_type int, geometry "
+              "struct<layout:string,coords:array<double>,"
+              "ends:array<int>,rings:array<int>>")
+    df = spark.createDataFrame(rows, schema)
+    py = {r.fid: json.loads(r.geojson)
+          for r in features_to_geojson(df).collect()}
+    jvm = {r.fid: json.loads(r.geojson)
+           for r in features_to_geojson_jvm(df).collect()}
+    assert jvm == py
+    assert jvm[1]["geometry"]["coordinates"] == []
+    assert jvm[2]["geometry"]["coordinates"] == [[]]

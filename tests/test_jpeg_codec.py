@@ -269,35 +269,8 @@ def _javax_encode(spark, px, quality, progressive, gray=False):
     """Encode via the JVM's independent production codec (javax.imageio
     wraps libjpeg) — the only progressive ENCODER in this sandbox, used
     to exercise our progressive DECODER against real scan scripts."""
-    jvm = spark._jvm
-    gw = spark.sparkContext._gateway
-    h, w = px.shape[:2]
-    bi = jvm.java.awt.image.BufferedImage(w, h, 10 if gray else 1)
-    arr = gw.new_array(jvm.int, w * h)
-    if gray:
-        flat = px.astype(np.int64)
-        flat = (flat << 16) | (flat << 8) | flat
-    else:
-        flat = ((px[..., 0].astype(np.int64) << 16)
-                | (px[..., 1].astype(np.int64) << 8)
-                | px[..., 2])
-    for i, v in enumerate(flat.ravel()):
-        arr[i] = int(v)
-    bi.setRGB(0, 0, w, h, arr, 0, w)
-    writer = jvm.javax.imageio.ImageIO \
-        .getImageWritersByFormatName("jpeg").next()
-    param = writer.getDefaultWriteParam()
-    if progressive:
-        param.setProgressiveMode(
-            jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
-    param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    param.setCompressionQuality(float(quality))
-    baos = jvm.java.io.ByteArrayOutputStream()
-    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
-    writer.setOutput(ios)
-    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
-    ios.close()
-    return bytes(baos.toByteArray())
+    from go_shapefile_spark.sources.images import encode_jpeg_jvm
+    return encode_jpeg_jvm(spark, px, quality, progressive, gray)
 
 
 def _javax_decode_raw(spark, data):

@@ -113,3 +113,33 @@ def test_minhash_gate_identical_under_storage_pins(spark, sf_dir):
         else:
             os.environ["SPARK_GRAFT_PIN"] = old
     assert storage_rows == local_rows and len(local_rows) > 0
+
+
+def test_operator_results_survive_repeat_calls(spark):
+    """Regression (r5 review): two tile_pyramid / knn-style calls in one
+    session must not invalidate the first call's returned DataFrame —
+    public operators pin under anonymous per-call slots."""
+    from pyspark.sql import functions as F
+
+    from go_shapefile_spark.operators.tiles import tile_pyramid
+
+    pts1 = spark.range(0, 200).select(
+        (F.col("id") % 36 * 10 - 180.0).alias("lon"),
+        (F.col("id") % 18 * 10 - 90.0).alias("lat"))
+    pts2 = spark.range(0, 50).select(
+        F.lit(0.5).alias("lon"), F.lit(0.5).alias("lat"))
+    p1 = tile_pyramid(pts1, max_res=2)
+    n1 = p1.count()
+    p2 = tile_pyramid(pts2, max_res=2)
+    assert p2.count() > 0
+    assert p1.count() == n1          # first result still computable
+
+
+def test_release_pins_frees_session(spark):
+    from go_shapefile_spark.operators.pinning import (_PINS, fresh_pins,
+                                                      release_pins)
+    pin = fresh_pins(spark, None, "local")
+    pin(spark.range(5))
+    assert any(k[0] == id(spark) for k in _PINS)
+    release_pins(spark)
+    assert not any(k[0] == id(spark) for k in _PINS)

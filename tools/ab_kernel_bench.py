@@ -18,8 +18,17 @@ Usage (one invocation = one tree, prints one JSON line):
 - poly_e2e_per_s (--spark) : read_shapefile_df(bigpolys).count() at
                   local[32], the exact number BENCH records
 
-Interleave with tools/ab_kernel_driver.sh which alternates HEAD and a
-worktree checkout and keeps per-tree minima.
+Interleave by alternating trees in one shell loop (per-tree minima are
+taken across rounds), e.g.:
+
+    git worktree add .worktrees/r3 <old-commit>
+    ln -s /root/repo/.cache .worktrees/r3/.cache
+    for round in 1 2 3; do
+      for tree in /root/repo /root/repo/.worktrees/r3; do
+        (cd $tree && python /root/repo/tools/ab_kernel_bench.py \
+            $tree /root/repo/.cache --spark)
+      done
+    done
 """
 
 from __future__ import annotations
