@@ -14,7 +14,11 @@ Operators
     knn_radius, knn_exact — cell-local / exact k nearest neighbors
     tile_counts, tile_pyramid, rasterize_features, vectorize_raster
 Functions
-    to_wkt, features_to_geojson, geojson_to_features
+    to_wkt, features_to_geojson, features_to_geojson_jvm,
+    geojson_to_features
+Pinning
+    fresh_pins, release_pins — pinned-relation materialization
+    (executor-local checkpoint or durable storage scan-back)
 Session
     get_spark — tuned local session factory
 """
@@ -36,7 +40,10 @@ _LAZY = {
     "vectorize_raster": "go_shapefile_spark.operators.tiles",
     "to_wkt": "go_shapefile_spark.functions.wkt",
     "features_to_geojson": "go_shapefile_spark.functions.geojson",
+    "features_to_geojson_jvm": "go_shapefile_spark.functions.geojson",
     "geojson_to_features": "go_shapefile_spark.functions.geojson",
+    "fresh_pins": "go_shapefile_spark.operators.pinning",
+    "release_pins": "go_shapefile_spark.operators.pinning",
     "get_spark": "go_shapefile_spark.session",
 }
 

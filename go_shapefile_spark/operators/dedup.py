@@ -56,11 +56,24 @@ def minhash_mh_sql(num_hashes: int = 8) -> str:
 
 def minhash_lsh_sql(dialect: str, rel: str = "documents", k: int = 9,
                     num_hashes: int = 8, bands: int = 4,
-                    threshold: float = 0.5) -> str:
+                    threshold: float = 0.5,
+                    max_doc_freq: float | None = None) -> str:
     """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
 
     shingle→minhash→band→bucket-join→verify: output is (doc_a, doc_b,
     jaccard) for LSH-candidate pairs whose exact Jaccard ≥ threshold.
+
+    ``max_doc_freq`` enables STOP-SHINGLE filtering: shingles appearing
+    in more than that fraction of documents are dropped before the
+    signature (and before the verify — the reported Jaccard is then
+    over the informative shingles only; a documented semantics change,
+    like a stop-word list in text retrieval).  This is the standard
+    mitigation for low-entropy corpora (r5 scale rehearsal, BENCH.md):
+    on boilerplate-heavy text, globally-common shingles dominate every
+    document's minima, the band buckets merge, and candidates grow
+    quadratically — measured 48M candidate pairs from 50k word-salad
+    docs, whose verify join spilled the disk away.  With the filter the
+    same corpus emits candidates proportional to true near-dups.
     """
     rows_per_band = num_hashes // bands
     band_selects = []
@@ -69,10 +82,29 @@ def minhash_lsh_sql(dialect: str, rel: str = "documents", k: int = 9,
         band_selects.append(
             f"SELECT doc_id, n, {b} AS band, CONCAT_WS('_', {cols}) AS bkey FROM mh")
     bands_sql = "\nUNION ALL\n".join(band_selects)
+    if max_doc_freq is not None:
+        # doc-frequency cutoff as an absolute count from the corpus
+        # cardinality (scalar subquery — identical in both dialects)
+        stop = f""",
+kept AS (
+  SELECT x FROM shingles GROUP BY x
+  HAVING COUNT(*) <= CAST({max_doc_freq!r} *
+                          (SELECT COUNT(*) FROM {rel}) AS BIGINT)
+),
+shingles_kept AS (
+  SELECT s.doc_id, s.x FROM shingles s JOIN kept ON kept.x = s.x
+)"""
+        mh_body = minhash_mh_sql(num_hashes).replace(
+            "FROM shingles", "FROM shingles_kept")
+        verify_rel = "shingles_kept"
+    else:
+        stop = ""
+        mh_body = minhash_mh_sql(num_hashes)
+        verify_rel = "shingles"
     return f"""
-WITH {shingle_cte(dialect, rel, k)},
+WITH {shingle_cte(dialect, rel, k)}{stop},
 mh AS (
-{minhash_mh_sql(num_hashes)}
+{mh_body}
 ),
 band_keys AS (
 {bands_sql}
@@ -87,8 +119,8 @@ cand AS (
 inter AS (
   SELECT c.doc_a, c.doc_b, MIN(c.na) AS na, MIN(c.nb) AS nb, COUNT(*) AS i
   FROM cand c
-  JOIN shingles sa ON sa.doc_id = c.doc_a
-  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.x = sa.x
+  JOIN {verify_rel} sa ON sa.doc_id = c.doc_a
+  JOIN {verify_rel} sb ON sb.doc_id = c.doc_b AND sb.x = sa.x
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b,

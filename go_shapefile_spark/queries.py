@@ -1115,6 +1115,12 @@ def build_registry():
         "geotag_tiles": q_geotag_tiles,
         "dedup_exact": lambda d: D.exact_dedup_sql(d),
         "dedup_minhash_lsh": lambda d: D.minhash_lsh_sql(d),
+        # stop-shingle variant: the low-entropy-corpus mitigation found
+        # by the r5 scale rehearsal (gate corpus is word salad over 31
+        # words — globally-common shingles merge the LSH buckets; the
+        # filter keeps candidates proportional to true near-dups)
+        "dedup_minhash_stopfiltered":
+            lambda d: D.minhash_lsh_sql(d, max_doc_freq=0.5),
         "simhash_signatures": lambda d: D.simhash_sql(d),
         "simhash_pairs": lambda d: D.simhash_pairs_sql(d),
         "ngram_jaccard_pairs": lambda d: D.ngram_jaccard_sql(d),

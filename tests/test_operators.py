@@ -363,3 +363,38 @@ def test_bpe_token_stats_dual_engine_edges(spark):
     # sanity: segmentation behaves like a pre-tokenizer
     row0 = got_s.iloc[0]
     assert row0["n_bpe_tokens"] == 10 and row0["n_ws_tokens"] == 5
+
+
+def test_minhash_stop_shingle_filter_tames_boilerplate(spark):
+    """r5 scale finding: on a corpus where every doc shares boilerplate,
+    the unfiltered LSH buckets merge (candidates ~ quadratic); the
+    max_doc_freq stop-shingle filter must collapse the false candidates
+    while still pairing the planted near-duplicates."""
+    import go_shapefile_spark.operators.dedup as D
+    from go_shapefile_spark.queries import SPARK
+
+    rng = np.random.default_rng(11)
+    boiler = " ".join(f"common{j}" for j in range(30))
+    rows = []
+    for i in range(60):
+        uniq = " ".join(np.base_repr(int(v), 36).lower()
+                        for v in rng.integers(36**5, 36**6, 12))
+        rows.append((i, f"{boiler} {uniq}"))
+    # planted near-dup: doc 60 = doc 0 with one unique word changed
+    rows.append((60, rows[0][1][:-6] + "edited"))
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("boilerdocs")
+
+    plain = spark.sql(D.minhash_lsh_sql(
+        SPARK, rel="boilerdocs", threshold=0.5)).collect()
+    filt = spark.sql(D.minhash_lsh_sql(
+        SPARK, rel="boilerdocs", threshold=0.5,
+        max_doc_freq=0.5)).collect()
+    filt_pairs = {(r.doc_a, r.doc_b) for r in filt}
+    # the planted pair survives the filter (high Jaccard on the unique
+    # tail), and the boilerplate-only false pairs are gone
+    assert (0, 60) in filt_pairs
+    plain_pairs = {(r.doc_a, r.doc_b) for r in plain}
+    # unfiltered: the shared boilerplate inflates Jaccard, so the pair
+    # set is strictly larger than the filtered one's true near-dups
+    assert len(plain_pairs) > len(filt_pairs)

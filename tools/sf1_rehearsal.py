@@ -43,15 +43,17 @@ def ensure_sf1_tables(spark) -> None:
     directory register_tables() can consume.
 
     Corpus-density note (round-5 finding, BENCH.md): the driver corpus
-    is word salad over a 31-word vocabulary, so scaling ITS generator
-    100× makes every document a near-duplicate candidate of every
-    other — the banded joins then legitimately emit a quadratic pair
-    set (~3.3M simhash pairs at 50k docs) and the exact-Jaccard verify
-    join explodes.  A realistic large-corpus dedup workload is mostly
-    unique: this generator widens the vocabulary (31 base words × 50
-    suffixes) so random docs share few shingles, and PLANTS a 1%
-    near-duplicate fraction (every 100th doc is the previous doc with
-    ~3% of word slots edited) so the verify paths still do real work."""
+    is word salad over a 31-word vocabulary.  Scaling THAT generator
+    100× makes every document genuinely similar to every other
+    (character-9-gram Jaccard between random docs ~5%), so the banded
+    joins legitimately emit a quadratic candidate set — measured 48M
+    minhash LSH candidates / 3.3M simhash pairs at 50k docs, whose
+    verify joins then spill the disk away.  A realistic large-corpus
+    dedup workload is mostly unique, so this generator draws words from
+    an effectively unbounded token space (base-36 of a per-position
+    splitmix64, cross-doc Jaccard ≈ 0) and PLANTS a 1% near-duplicate
+    fraction (every 100th doc is the previous doc with ~3% of word
+    slots edited) so the verify paths still do real work."""
     import numpy as np
     import pandas as pd
 
@@ -60,20 +62,17 @@ def ensure_sf1_tables(spark) -> None:
     os.makedirs(SF1_DIR, exist_ok=True)
     doc_path = os.path.join(SF1_DIR, "documents.parquet")
     if not os.path.exists(doc_path):
-        base = spark.read.parquet(
-            "/root/testdata/sf0.1/documents.parquet") \
-            .selectExpr("explode(split(text, ' ')) AS w") \
-            .distinct().toPandas()["w"].sort_values().tolist()
-        vocab = [f"{w}{k}" for w in base for k in range(50)]
         langs = ["en", "fr", "es", "de", "zh"]
-        vb = np.array(vocab)
 
         def words_of(i: int) -> np.ndarray:
-            s = splitmix64(np.arange(2, dtype=np.int64) + np.int64(i) * 7)
+            s = splitmix64(np.arange(1, dtype=np.int64) + np.int64(i) * 7)
             n_words = 44 + int(s[0]) % 534                    # 44..577
             stream = splitmix64(np.arange(n_words, dtype=np.int64)
                                 + np.int64(i) * 1013)
-            return vb[stream % len(vb)]
+            # 6-char base-36 tokens: ~2.2e9 distinct, so unrelated docs
+            # share essentially no shingles (the realistic dedup shape)
+            return np.array([np.base_repr(int(v) % 36**6, 36).lower()
+                             for v in stream])
 
         def gen(batches):
             for pdf in batches:
@@ -87,7 +86,7 @@ def ensure_sf1_tables(spark) -> None:
                             edits = splitmix64(
                                 np.arange(max(1, len(w) // 33),
                                           dtype=np.int64) + np.int64(i))
-                            w[edits % len(w)] = vb[edits % len(vb)]
+                            w[edits % len(w)] = "edit" + str(int(i) % 997)
                         else:
                             w = words_of(i)
                         text = " ".join(w)
