@@ -111,7 +111,11 @@ def ensure_sf1_tables(spark) -> None:
                     raw = splitmix64(
                         (idx[:, None] * 64
                          + np.arange(64, dtype=np.int64)[None, :]).ravel())
-                    v = (raw.astype(np.float64) / 2**63).reshape(-1, 64)
+                    # center on 0: all-positive components put every
+                    # vector in one orthant (pairwise cosine ≈ 0.75 —
+                    # everything becomes a "near-dup" of everything)
+                    v = (raw.astype(np.float64) / 2**63 - 1.0) \
+                        .reshape(-1, 64)
                     v /= np.linalg.norm(v, axis=1, keepdims=True)
                     yield pd.DataFrame({
                         "vec_id": idx,
