@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -227,6 +228,36 @@ def main() -> None:
     ]
     sections.append(("Flat-point shapefile scan (Arrow-direct batches)",
                      checks, formatted(flat)))
+
+    # GeoJSON JVM export: HOF coordinate rebuild + to_json — the plan
+    # must carry no Python worker (parity with the Python path is
+    # byte-tested in test_geojson)
+    from go_shapefile_spark.functions.geojson import features_to_geojson_jvm
+    gj = features_to_geojson_jvm(feats)
+    plan = audit.executed_plan(gj)
+    checks = [
+        ("no Python nodes (pure HOF + to_json)",
+         "MapInPandas" not in plan and "Python" not in plan),
+    ]
+    sections.append(("GeoJSON polygon export (JVM fast path)",
+                     checks, formatted(gj)))
+
+    # DataSource flat mode: fid equality must prune to one split at
+    # plan time and absorb the predicate (no residual fid Filter)
+    dsf = (spark.read.format("shapefile")
+           .option("path", flat_base).option("flat_points", "true")
+           .option("records_per_split", "2500").load()
+           .where("fid = 4242"))
+    plan = audit.executed_plan(dsf)
+    checks = [
+        # node match, not substring: the scan detail legitimately
+        # prints "PushedFilters: [...]"
+        ("fid predicate absorbed by the source (no residual Filter)",
+         re.search(r"\bFilter \(\d+\)", plan) is None),
+        ("flat double columns in scan output", "x#" in plan),
+    ]
+    sections.append(("shapefile DataSource flat mode (fid pruning)",
+                     checks, formatted(dsf)))
 
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the engine's hot paths\n\n")
