@@ -1210,6 +1210,41 @@ def build_registry():
         return spark.sql("WITH " + body)
     queries["simhash_pairs"] = simhash_pairs_cached
 
+    def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Near-dup GROUPS: connected components over the simhash pair
+        edges (the clustering step the spanning edge sets exist for).
+        Spark runs the iterative large-star/small-star operator; the
+        oracle computes the same components in DuckDB with a recursive
+        CTE — two genuinely different algorithms, identical labels."""
+        from pyspark.sql import functions as F
+
+        from .operators.graph import connected_components
+
+        pairs = simhash_pairs_cached(spark, sf_dir)
+        cc = connected_components(
+            pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst")))
+        return cc.select(F.col("node").alias("doc_id"),
+                         F.col("component"))
+    queries["neardup_components"] = neardup_components
+    oracles["neardup_components"] = f"""
+WITH RECURSIVE pairs AS (
+{D.simhash_pairs_sql(DUCK)}
+),
+cedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a AS src, a AS node FROM cedges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN cedges e ON e.a = r.node
+)
+SELECT src AS doc_id, MIN(node) AS component
+FROM reach GROUP BY src
+"""
+
     def ngram_jaccard_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_tables(spark, sf_dir)
         # same checkpoint treatment as minhash_cached: the subset

@@ -1,0 +1,90 @@
+"""Connected components (operators/graph.py): large-star/small-star vs
+an independent union-find oracle, worst-case diameter, determinism."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from go_shapefile_spark.operators.graph import (connected_components,
+                                                dedup_keep_representatives)
+
+
+def _union_find(n_edges):
+    """Test-local oracle: plain union-find over python ints."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in n_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component = min node id per root
+    comp: dict = {}
+    for x in list(parent):
+        comp.setdefault(find(x), []).append(x)
+    out = {}
+    for root, members in comp.items():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def test_cc_matches_union_find_random(spark):
+    rng = np.random.default_rng(9)
+    edges = [(int(a), int(b)) for a, b in
+             rng.integers(0, 400, size=(600, 2)) if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component
+           for r in connected_components(df).collect()}
+    assert got == _union_find(edges)
+
+
+def test_cc_path_graph_worst_case_converges(spark):
+    """A 200-node path has diameter 199 — label propagation would need
+    ~200 rounds; star-contraction must finish within the 25-iteration
+    bound and label everything with node 0."""
+    edges = [(i, i + 1) for i in range(199)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df).collect()
+    assert len(out) == 200
+    assert all(r.component == 0 for r in out)
+
+
+def test_cc_self_loops_and_duplicates_ignored(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (1, 2), (5, 6)], "src long, dst long")
+    got = sorted((r.node, r.component)
+                 for r in connected_components(df).collect())
+    assert got == [(1, 1), (2, 1), (5, 5), (6, 5)]
+
+
+def test_dedup_keep_representatives(spark):
+    df = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21)], "src long, dst long")
+    out = dedup_keep_representatives(df).collect()
+    reps = sorted(r.node for r in out if r.is_representative)
+    drops = sorted(r.node for r in out if not r.is_representative)
+    assert reps == [10, 20] and drops == [11, 12, 21]
+
+
+def test_cc_string_ids(spark):
+    df = spark.createDataFrame(
+        [("img-b", "img-a"), ("img-b", "img-c"), ("x", "y")],
+        "src string, dst string")
+    got = sorted((r.node, r.component)
+                 for r in connected_components(df).collect())
+    assert got == [("img-a", "img-a"), ("img-b", "img-a"),
+                   ("img-c", "img-a"), ("x", "x"), ("y", "x")]
+
+
+def test_cc_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(64)],
+                               "src long, dst long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, max_iter=1)
