@@ -130,11 +130,23 @@ def winnow_fingerprint_sql(dialect: str, rel: str = "documents",
     max / sum of fingerprints — sums stay far below int64 under ANSI
     because k-gram hashes are 32-bit).
     """
+    return f"""
+WITH {_winnow_fps_cte(dialect, rel, k, window)}
+SELECT doc_id, COUNT(*) AS n_fps,
+       MIN(fp) AS min_fp, MAX(fp) AS max_fp,
+       CAST(SUM(fp) AS BIGINT) AS sum_fp
+FROM fps GROUP BY doc_id
+"""
+
+
+def _winnow_fps_cte(dialect: str, rel: str, k: int, window: int) -> str:
+    """CTE chain ending in ``fps(doc_id, fp)`` — each document's
+    DISTINCT winnowed fingerprint set (shared by the per-doc gate
+    aggregate and the overlap-pair operator)."""
     from ..functions import hashes as H
 
     kg = H.h32(f"SUBSTRING(text, pos, {k})", dialect)
-    return f"""
-WITH positions AS (
+    return f"""positions AS (
   SELECT doc_id, text,
          {H.seq_1_to(f"GREATEST(1, LENGTH(text) - {k - 1})", dialect)} AS pos
   FROM {rel}
@@ -152,11 +164,51 @@ winmins AS (
 ),
 fps AS (
   SELECT DISTINCT doc_id, fp FROM winmins
-)
-SELECT doc_id, COUNT(*) AS n_fps,
-       MIN(fp) AS min_fp, MAX(fp) AS max_fp,
-       CAST(SUM(fp) AS BIGINT) AS sum_fp
-FROM fps GROUP BY doc_id
+)"""
+
+
+def fingerprint_overlap_pairs_sql(dialect: str, rel: str = "documents",
+                                  k: int = 7, window: int = 4,
+                                  min_shared: int = 2,
+                                  max_doc_freq: float | None = 0.1) -> str:
+    """MOSS-style near-dup detection: document pairs sharing at least
+    ``min_shared`` winnowed fingerprints (the winnowing guarantee makes
+    every shared substring of length ≥ k + window − 1 contribute a
+    common fingerprint, so plagiarized/boilerplate-copied passages are
+    caught structurally — a different detector family from the
+    set-similarity ones: it localizes CONTIGUOUS overlap).
+
+    The join is an equi-join on the fingerprint value — never the n²
+    pair space — and ``max_doc_freq`` drops fingerprints present in
+    more than that fraction of documents before the join: a fingerprint
+    shared by m documents contributes m² candidate rows, so ubiquitous
+    boilerplate fingerprints are exactly the quadratic hazard the
+    minhash stop-shingle filter addresses (same rationale, same
+    dialect-shared scalar-subquery cutoff).  ``max_doc_freq=None``
+    disables the guard.
+    """
+    if max_doc_freq is not None:
+        keep = f""",
+kept_fps AS (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING COUNT(*) <= CAST({max_doc_freq!r} *
+                          (SELECT COUNT(*) FROM {rel}) AS BIGINT)
+),
+fps_j AS (
+  SELECT f.doc_id, f.fp FROM fps f JOIN kept_fps USING (fp)
+)"""
+        join_rel = "fps_j"
+    else:
+        keep = ""
+        join_rel = "fps"
+    return f"""
+WITH {_winnow_fps_cte(dialect, rel, k, window)}{keep}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM {join_rel} a JOIN {join_rel} b
+  ON b.fp = a.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {min_shared}
 """
 
 

@@ -1132,6 +1132,11 @@ def build_registry():
         "fingerprint_winnow": lambda d: TX.winnow_fingerprint_sql(d),
         "fingerprint_winnow_chunked":
             lambda d: TX.winnow_fingerprint_chunked_sql(d, chunk=64),
+        # MOSS-style contiguous-overlap detector (winnowed-fingerprint
+        # equi-join; df guard per the r5 quadratic-candidates finding)
+        "fingerprint_overlap_pairs":
+            lambda d: TX.fingerprint_overlap_pairs_sql(
+                d, min_shared=4, max_doc_freq=0.02),
         "cosine_topk": lambda d: SIM.cosine_topk_sql(d),
         "embedding_neardup": lambda d: SIM.embedding_neardup_sql(d, threshold=0.25),
         "embedding_neardup_bucketed":
@@ -1299,6 +1304,54 @@ FROM reach GROUP BY src
         body = full[full.index("band_keys AS ("):]  # shingle/mh CTEs → views
         return spark.sql("WITH " + body)
     queries["dedup_minhash_lsh"] = minhash_cached
+
+    def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """End-to-end dedup composition: minhash LSH pairs → connected
+        components → keep-one-representative corpus accounting.  The
+        single output row (corpus size, duplicate groups, documents
+        kept) is what a training-data pipeline reports after its dedup
+        stage; the oracle recomputes it in DuckDB from the same pair
+        SQL with a recursive-CTE closure."""
+        from pyspark.sql import functions as F
+
+        from .operators.graph import connected_components
+
+        pairs = minhash_cached(spark, sf_dir)
+        cc = connected_components(
+            pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst")))
+        stats = cc.agg(
+            F.count(F.lit(1)).alias("nodes"),
+            F.countDistinct("component").alias("groups")).collect()[0]
+        n_docs = spark.table("documents").count()
+        row = [(int(n_docs), int(stats.groups),
+                int(n_docs - stats.nodes + stats.groups))]
+        return spark.createDataFrame(
+            row, "n_docs long, n_dup_groups long, n_docs_kept long")
+    queries["dedup_pipeline"] = dedup_pipeline
+    oracles["dedup_pipeline"] = f"""
+WITH RECURSIVE pairs AS (
+{D.minhash_lsh_sql(DUCK)}
+),
+cedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT a AS src, a AS node FROM cedges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN cedges e ON e.a = r.node
+),
+comp AS (
+  SELECT src AS doc_id, MIN(node) AS component FROM reach GROUP BY src
+)
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       CAST(COUNT(DISTINCT component) AS BIGINT) AS n_dup_groups,
+       (SELECT COUNT(*) FROM documents) - COUNT(*)
+         + COUNT(DISTINCT component) AS n_docs_kept
+FROM comp
+"""
 
     # Shapefile-source regression queries (skipped if the reference
     # fixture corpus is not present in the environment).

@@ -398,3 +398,31 @@ def test_minhash_stop_shingle_filter_tames_boilerplate(spark):
     # unfiltered: the shared boilerplate inflates Jaccard, so the pair
     # set is strictly larger than the filtered one's true near-dups
     assert len(plain_pairs) > len(filt_pairs)
+
+
+def test_fingerprint_overlap_pairs_detects_planted_copy(spark):
+    """A contiguous copied passage (>= k + window - 1 chars) must pair
+    the plagiarist with the source via shared winnowed fingerprints,
+    while unrelated high-entropy docs produce no pairs — and the
+    doc-frequency guard must not filter away the (rare) copied
+    passage's fingerprints."""
+    from go_shapefile_spark.operators.text import fingerprint_overlap_pairs_sql
+    from go_shapefile_spark.queries import SPARK
+
+    rng = np.random.default_rng(31)
+
+    def noise(n):
+        return "".join(np.base_repr(int(v), 36).lower()
+                       for v in rng.integers(36**5, 36**6, n))
+
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(0, noise(40) + " " + passage + " " + noise(40)),
+            (1, noise(40) + " " + passage + " " + noise(40))]
+    rows += [(i, noise(90)) for i in range(2, 30)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("plagdocs")
+    got = spark.sql(fingerprint_overlap_pairs_sql(
+        SPARK, rel="plagdocs", min_shared=3, max_doc_freq=0.1)).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in got}
+    assert (0, 1) in pairs
+    assert all(p == (0, 1) for p in pairs)   # no false pairs
