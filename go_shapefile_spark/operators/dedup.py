@@ -41,6 +41,28 @@ shingles AS (
 )"""
 
 
+def stop_shingle_filter_cte(rel: str, max_doc_freq: float,
+                            features: str, col: str, out: str) -> str:
+    """CTE pair dropping features (shingles / fingerprints) present in
+    more than ``max_doc_freq`` of ``rel``'s rows.
+
+    The cutoff is ``FLOOR(CAST(frac AS DOUBLE) * COUNT(*))``: FLOOR has
+    identical semantics in Spark and DuckDB, whereas a bare
+    ``CAST(0.5 * count AS BIGINT)`` TRUNCATES in Spark but ROUNDS in
+    DuckDB (r5 review — verified: 0.5·61 casts to 30 vs 31), so the
+    same template would silently filter different sets on corpora where
+    the product is fractional."""
+    return f"""kept_{out} AS (
+  SELECT {col} FROM {features} GROUP BY {col}
+  HAVING COUNT(*) <= CAST(FLOOR(CAST({max_doc_freq!r} AS DOUBLE) *
+                          (SELECT COUNT(*) FROM {rel})) AS BIGINT)
+),
+{out} AS (
+  SELECT f.doc_id, f.{col} FROM {features} f
+  JOIN kept_{out} ON kept_{out}.{col} = f.{col}
+)"""
+
+
 def minhash_mh_sql(num_hashes: int = 8) -> str:
     """The signature aggregation alone (over a ``shingles`` relation) —
     exposed so the Spark runner can materialize it once: the full query
@@ -83,17 +105,9 @@ def minhash_lsh_sql(dialect: str, rel: str = "documents", k: int = 9,
             f"SELECT doc_id, n, {b} AS band, CONCAT_WS('_', {cols}) AS bkey FROM mh")
     bands_sql = "\nUNION ALL\n".join(band_selects)
     if max_doc_freq is not None:
-        # doc-frequency cutoff as an absolute count from the corpus
-        # cardinality (scalar subquery — identical in both dialects)
         stop = f""",
-kept AS (
-  SELECT x FROM shingles GROUP BY x
-  HAVING COUNT(*) <= CAST({max_doc_freq!r} *
-                          (SELECT COUNT(*) FROM {rel}) AS BIGINT)
-),
-shingles_kept AS (
-  SELECT s.doc_id, s.x FROM shingles s JOIN kept ON kept.x = s.x
-)"""
+{stop_shingle_filter_cte(rel, max_doc_freq, "shingles", "x",
+                         "shingles_kept")}"""
         mh_body = minhash_mh_sql(num_hashes).replace(
             "FROM shingles", "FROM shingles_kept")
         verify_rel = "shingles_kept"

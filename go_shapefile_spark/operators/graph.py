@@ -80,10 +80,13 @@ def connected_components(edges: DataFrame, src: str = "src",
     O(log n); 25 covers any realistic graph) — non-convergence raises
     rather than returning partial labels.
     """
-    from .pinning import fresh_pins
+    from .pinning import rolling_pins
 
     spark = edges.sparkSession
-    pinf = fresh_pins(spark, None, pin)
+    # rolling: only the newest iterate is ever re-read, so superseded
+    # rounds release as soon as their successor materializes (bounded
+    # at 2 copies instead of max_iter+1)
+    pinf = rolling_pins(spark, pin)
     cur = pinf(edges
                .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
                .where(F.col("src") != F.col("dst"))

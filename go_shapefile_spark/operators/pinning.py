@@ -128,6 +128,46 @@ def fresh_pins(spark: SparkSession, slot: str | None,
     return pin
 
 
+def rolling_pins(spark: SparkSession,
+                 strategy: str | None = None) -> Callable[[DataFrame],
+                                                          DataFrame]:
+    """Pin factory for loops where ONLY the newest iterate is ever read
+    again (connected-components contraction): each pin materializes the
+    new DataFrame FIRST — its plan reads the previous pin — and then
+    releases the superseded one, so block/disk usage stays bounded at
+    two iterates instead of one per round (r5 review).  NOT safe for
+    loops whose final result unions every round (kNN frontier, pyramid
+    levels) — use :func:`fresh_pins` there."""
+    s = pin_strategy(spark, strategy)
+    _ANON[0] += 1
+    slot = f"anon_{_ANON[0]}"
+    key = (id(spark), slot)
+    counter = [0]
+
+    def pin(df: DataFrame) -> DataFrame:
+        n = counter[0]
+        counter[0] += 1
+        if s == "local":
+            out = df.localCheckpoint()
+            jrdd = out._jdf.queryExecution().analyzed().rdd()
+            release = (lambda: jrdd.unpersist(False))
+        else:
+            path = posixpath.join(pin_dir(spark), f"{slot}_r{n}")
+            df.write.mode("overwrite").parquet(path)
+            out = spark.read.parquet(path)
+            release = (lambda: fsio.rmtree(path))
+        prev = _PINS.pop(key, [])
+        _PINS[key] = [release]
+        for rel in prev:
+            try:
+                rel()
+            except Exception:
+                pass
+        return out
+
+    return pin
+
+
 def release_pins(spark: SparkSession, slot: str | None = None) -> None:
     """Explicitly release pinned relations: one named slot, or (default)
     every pin this session holds — named and anonymous.  After release,

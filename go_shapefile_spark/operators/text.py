@@ -170,7 +170,8 @@ fps AS (
 def fingerprint_overlap_pairs_sql(dialect: str, rel: str = "documents",
                                   k: int = 7, window: int = 4,
                                   min_shared: int = 2,
-                                  max_doc_freq: float | None = 0.1) -> str:
+                                  max_doc_freq: float | None = 0.1,
+                                  chunk: int | None = None) -> str:
     """MOSS-style near-dup detection: document pairs sharing at least
     ``min_shared`` winnowed fingerprints (the winnowing guarantee makes
     every shared substring of length ≥ k + window − 1 contribute a
@@ -183,26 +184,25 @@ def fingerprint_overlap_pairs_sql(dialect: str, rel: str = "documents",
     more than that fraction of documents before the join: a fingerprint
     shared by m documents contributes m² candidate rows, so ubiquitous
     boilerplate fingerprints are exactly the quadratic hazard the
-    minhash stop-shingle filter addresses (same rationale, same
-    dialect-shared scalar-subquery cutoff).  ``max_doc_freq=None``
-    disables the guard.
+    minhash stop-shingle filter addresses (same FLOOR-based
+    dialect-shared cutoff, dedup.stop_shingle_filter_cte).
+    ``max_doc_freq=None`` disables the guard.  ``chunk`` selects the
+    de-skewed chunked fingerprint build (identical fps set) — the
+    long-document scale path per CLAUDE.md's winnowing rule.
     """
+    from .dedup import stop_shingle_filter_cte
+
+    fps_cte = (_winnow_fps_cte_chunked(dialect, rel, k, window, chunk)
+               if chunk else _winnow_fps_cte(dialect, rel, k, window))
     if max_doc_freq is not None:
         keep = f""",
-kept_fps AS (
-  SELECT fp FROM fps GROUP BY fp
-  HAVING COUNT(*) <= CAST({max_doc_freq!r} *
-                          (SELECT COUNT(*) FROM {rel}) AS BIGINT)
-),
-fps_j AS (
-  SELECT f.doc_id, f.fp FROM fps f JOIN kept_fps USING (fp)
-)"""
+{stop_shingle_filter_cte(rel, max_doc_freq, "fps", "fp", "fps_j")}"""
         join_rel = "fps_j"
     else:
         keep = ""
         join_rel = "fps"
     return f"""
-WITH {_winnow_fps_cte(dialect, rel, k, window)}{keep}
+WITH {fps_cte}{keep}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(COUNT(*) AS BIGINT) AS shared_fps
 FROM {join_rel} a JOIN {join_rel} b
@@ -212,33 +212,18 @@ HAVING COUNT(*) >= {min_shared}
 """
 
 
-def winnow_fingerprint_chunked_sql(dialect: str, rel: str = "documents",
-                                   k: int = 7, window: int = 4,
-                                   chunk: int = 4096) -> str:
-    """Winnowing fingerprints, de-skewed for long documents.
-
-    :func:`winnow_fingerprint_sql` windows ``PARTITION BY doc_id`` — one
-    sort partition per document, which is fine for web-page-sized rows
-    but serializes a book-length document onto a single task.  This
-    variant splits each document into overlapping chunks and windows
-    ``PARTITION BY (doc_id, chunk)``, bounding every sort partition at
-    ``chunk + window - 1`` k-grams regardless of document length.
-
-    Output is IDENTICAL to the unchunked form (property-tested): chunk
-    ``c`` owns frame starts in ``[1 + c·chunk, 1 + (c+1)·chunk)`` but
-    its k-gram run extends ``window - 1`` positions past the owned range
-    (the substring carries ``k - 1`` extra characters), so every owned
-    frame sees its full window; truncated frames occur only at the true
-    document tail, exactly as in the unchunked SQL.
-    """
+def _winnow_fps_cte_chunked(dialect: str, rel: str, k: int, window: int,
+                            chunk: int) -> str:
+    """Chunked twin of :func:`_winnow_fps_cte` (identical ``fps`` output,
+    property-tested): bounds every sort partition at chunk+window-1
+    k-grams and never carries the full text through the explode."""
     from ..functions import hashes as H
 
     s = chunk
     ln = s + window - 1             # k-gram positions per chunk
     kg = H.h32(f"SUBSTRING(ctext, i, {k})", dialect)
     n_chunks = H.idiv(f"nk + {s - 1}", str(s), dialect)
-    return f"""
-WITH docs AS (
+    return f"""docs AS (
   SELECT doc_id, text, GREATEST(1, LENGTH(text) - {k - 1}) AS nk
   FROM {rel}
 ),
@@ -269,7 +254,30 @@ winmins AS (
 ),
 fps AS (
   SELECT DISTINCT doc_id, fp FROM winmins WHERE pos < pos0 + {s}
-)
+)"""
+
+
+def winnow_fingerprint_chunked_sql(dialect: str, rel: str = "documents",
+                                   k: int = 7, window: int = 4,
+                                   chunk: int = 4096) -> str:
+    """Winnowing fingerprints, de-skewed for long documents.
+
+    :func:`winnow_fingerprint_sql` windows ``PARTITION BY doc_id`` — one
+    sort partition per document, which is fine for web-page-sized rows
+    but serializes a book-length document onto a single task.  This
+    variant splits each document into overlapping chunks and windows
+    ``PARTITION BY (doc_id, chunk)``, bounding every sort partition at
+    ``chunk + window - 1`` k-grams regardless of document length.
+
+    Output is IDENTICAL to the unchunked form (property-tested): chunk
+    ``c`` owns frame starts in ``[1 + c·chunk, 1 + (c+1)·chunk)`` but
+    its k-gram run extends ``window - 1`` positions past the owned range
+    (the substring carries ``k - 1`` extra characters), so every owned
+    frame sees its full window; truncated frames occur only at the true
+    document tail, exactly as in the unchunked SQL.
+    """
+    return f"""
+WITH {_winnow_fps_cte_chunked(dialect, rel, k, window, chunk)}
 SELECT doc_id, COUNT(*) AS n_fps,
        MIN(fp) AS min_fp, MAX(fp) AS max_fp,
        CAST(SUM(fp) AS BIGINT) AS sum_fp

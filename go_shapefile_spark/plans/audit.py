@@ -28,7 +28,7 @@ def assert_broadcast_join(df: DataFrame) -> None:
 def assert_no_python_udf(df: DataFrame) -> None:
     plan = executed_plan(df)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
-                   "FlatMapGroupsInPandas"):
+                   "MapInArrow", "FlatMapGroupsInPandas"):
         assert marker not in plan, f"unexpected {marker} in:\n{plan[:2000]}"
 
 

@@ -1305,6 +1305,32 @@ FROM reach GROUP BY src
         return spark.sql("WITH " + body)
     queries["dedup_minhash_lsh"] = minhash_cached
 
+    def minhash_stopfiltered_cached(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+        """Same pinning treatment as minhash_cached for the stop-
+        filtered variant (r5 review: the raw template re-runs the
+        signature aggregation per band reference): pin the shingles,
+        the df-filtered shingles, and the signatures as plan leaves."""
+        register_tables(spark, sf_dir)
+        spark.table("documents").repartition(32) \
+            .createOrReplaceTempView("documents_rep")
+        pin = _fresh_checkpoints(spark, "dedup_minhash_stopfiltered")
+        pin(spark.sql(
+            f"WITH {D.shingle_cte(SPARK, 'documents_rep', 9)} "
+            f"SELECT * FROM shingles")).createOrReplaceTempView("shingles")
+        pin(spark.sql(
+            "WITH " + D.stop_shingle_filter_cte(
+                "documents", 0.5, "shingles", "x", "shingles_kept") +
+            " SELECT * FROM shingles_kept")) \
+            .createOrReplaceTempView("shingles_kept")
+        pin(spark.sql(D.minhash_mh_sql().replace(
+            "FROM shingles", "FROM shingles_kept"))) \
+            .createOrReplaceTempView("mh")
+        full = D.minhash_lsh_sql(SPARK, max_doc_freq=0.5)
+        body = full[full.index("band_keys AS ("):]
+        return spark.sql("WITH " + body)
+    queries["dedup_minhash_stopfiltered"] = minhash_stopfiltered_cached
+
     def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         """End-to-end dedup composition: minhash LSH pairs → connected
         components → keep-one-representative corpus accounting.  The

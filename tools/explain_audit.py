@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import io
 import os
-import re
 import sys
 from contextlib import redirect_stdout
 
@@ -198,6 +197,17 @@ def main() -> None:
     sections.append(("MinHash-LSH banded join over pinned signatures",
                      checks, formatted(mh)))
 
+    mhs = entry.queries()["dedup_minhash_stopfiltered"](spark, sf_dir)
+    plan = audit.executed_plan(mhs)
+    checks = [
+        ("filtered signature subtrees are pinned leaves",
+         "Scan ExistingRDD" in plan),
+        ("no parquet re-scan / shingle recompute",
+         "Scan parquet" not in plan and "Generate" not in plan),
+    ]
+    sections.append(("MinHash-LSH stop-shingle variant (pinned, "
+                     "df-filtered signatures)", checks, formatted(mhs)))
+
     # sketch statistics: builtin JVM aggregates, one pass
     sk = entry.queries()["sketch_stats"](spark, sf_dir)
     plan = audit.executed_plan(sk)
@@ -230,17 +240,23 @@ def main() -> None:
                      checks, formatted(flat)))
 
     # GeoJSON JVM export: HOF coordinate rebuild + to_json — the plan
-    # must carry no Python worker (parity with the Python path is
-    # byte-tested in test_geojson)
+    # must carry no Python worker.  Audited over a parquet-backed
+    # features table so the (mapInArrow) shapefile source doesn't mask
+    # a regression in the export itself; assert_no_python_udf is the
+    # same tree-walk guard the JVM-only tests use.
     from go_shapefile_spark.functions.geojson import features_to_geojson_jvm
-    gj = features_to_geojson_jvm(feats)
-    plan = audit.executed_plan(gj)
-    checks = [
-        ("no Python nodes (pure HOF + to_json)",
-         "MapInPandas" not in plan and "Python" not in plan),
-    ]
+    feats_pq = "/tmp/audit_feats_parquet"
+    feats.select("fid", "shape_type", "geometry") \
+        .write.mode("overwrite").parquet(feats_pq)
+    gj = features_to_geojson_jvm(spark.read.parquet(feats_pq))
+    try:
+        audit.assert_no_python_udf(gj)
+        ok = True
+    except AssertionError:
+        ok = False
     sections.append(("GeoJSON polygon export (JVM fast path)",
-                     checks, formatted(gj)))
+                     [("no Python nodes (pure HOF + to_json)", ok)],
+                     formatted(gj)))
 
     # DataSource flat mode: fid equality must prune to one split at
     # plan time and absorb the predicate (no residual fid Filter)
@@ -248,12 +264,15 @@ def main() -> None:
            .option("path", flat_base).option("flat_points", "true")
            .option("records_per_split", "2500").load()
            .where("fid = 4242"))
+    fmt_dsf = formatted(dsf)
     plan = audit.executed_plan(dsf)
     checks = [
-        # node match, not substring: the scan detail legitimately
-        # prints "PushedFilters: [...]"
+        # formatted-explain node match ("Filter (3)"), like the other
+        # DataSource section — the scan detail legitimately prints
+        # "PushedFilters: [...]", and executed_plan's treeString prints
+        # a residual FilterExec without an index (r5 review)
         ("fid predicate absorbed by the source (no residual Filter)",
-         re.search(r"\bFilter \(\d+\)", plan) is None),
+         "Filter (" not in fmt_dsf),
         ("flat double columns in scan output", "x#" in plan),
     ]
     sections.append(("shapefile DataSource flat mode (fid pruning)",

@@ -82,7 +82,11 @@ def ensure_sf1_tables(spark) -> None:
                         s = splitmix64(np.arange(3, dtype=np.int64)
                                        + np.int64(i) * 7)
                         if i % 100 == 99:                     # planted dup
-                            w = words_of(i - 1).copy()
+                            # widen the dtype first: the base tokens are
+                            # <U6 and numpy silently TRUNCATES longer
+                            # assignments (r5 review — 'edit123' became
+                            # 'edit12' for every doc)
+                            w = words_of(i - 1).astype("<U12")
                             edits = splitmix64(
                                 np.arange(max(1, len(w) // 33),
                                           dtype=np.int64) + np.int64(i))
