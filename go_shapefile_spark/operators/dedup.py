@@ -51,15 +51,23 @@ def stop_shingle_filter_cte(rel: str, max_doc_freq: float,
     ``CAST(0.5 * count AS BIGINT)`` TRUNCATES in Spark but ROUNDS in
     DuckDB (r5 review — verified: 0.5·61 casts to 30 vs 31), so the
     same template would silently filter different sets on corpora where
-    the product is fractional."""
-    return f"""kept_{out} AS (
+    the product is fractional.
+
+    The filter is phrased as NOT IN the DROPPED set, not a join against
+    the kept set: on a realistic corpus almost every feature survives
+    (the kept relation is ~the full distinct-feature table — Spark
+    mis-estimates the aggregate's size and tries to broadcast it, which
+    OOM'd the 50k-doc rehearsal), while the dropped boilerplate set is
+    tiny and broadcasts correctly.  ``{col}`` is a computed hash, never
+    NULL, so NOT IN has plain anti-join semantics in both engines."""
+    return f"""dropped_{out} AS (
   SELECT {col} FROM {features} GROUP BY {col}
-  HAVING COUNT(*) <= CAST(FLOOR(CAST({max_doc_freq!r} AS DOUBLE) *
-                          (SELECT COUNT(*) FROM {rel})) AS BIGINT)
+  HAVING COUNT(*) > CAST(FLOOR(CAST({max_doc_freq!r} AS DOUBLE) *
+                         (SELECT COUNT(*) FROM {rel})) AS BIGINT)
 ),
 {out} AS (
   SELECT f.doc_id, f.{col} FROM {features} f
-  JOIN kept_{out} ON kept_{out}.{col} = f.{col}
+  WHERE f.{col} NOT IN (SELECT {col} FROM dropped_{out})
 )"""
 
 

@@ -201,9 +201,17 @@ def fingerprint_overlap_pairs_sql(dialect: str, rel: str = "documents",
     else:
         keep = ""
         join_rel = "fps"
+    # /*+ MERGE */: the fingerprint relation is the FULL per-doc
+    # fingerprint set (22M rows at the 50k-doc rehearsal) and Spark's
+    # estimate of it is tiny — both inlined (filter-selectivity
+    # underestimate) and pinned (checkpointed LogicalRDDs preserve the
+    # origin plan's Statistics) — so the planner broadcasts it and OOMs
+    # an 8g heap.  The hint forces the scale-correct shuffle join on fp;
+    # DuckDB reads it as an ordinary block comment, so the oracle twin
+    # is byte-identical SQL.
     return f"""
 WITH {fps_cte}{keep}
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT /*+ MERGE(a, b) */ a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(COUNT(*) AS BIGINT) AS shared_fps
 FROM {join_rel} a JOIN {join_rel} b
   ON b.fp = a.fp AND a.doc_id < b.doc_id

@@ -1331,6 +1331,27 @@ FROM reach GROUP BY src
         return spark.sql("WITH " + body)
     queries["dedup_minhash_stopfiltered"] = minhash_stopfiltered_cached
 
+    def overlap_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Pin the winnowed-fingerprint relation before the self-join:
+        CTE inlining otherwise recomputes the whole windowed winnow
+        pipeline per join side (4 Window + 8 Generate nodes in the r5
+        probe's plan).  Pinning alone does NOT fix the join strategy —
+        checkpointed LogicalRDDs preserve the origin plan's Statistics
+        (23.1 MiB for the 22M-row rehearsal relation), so the planner
+        still broadcast the build side and OOM'd an 8g JVM; the MERGE
+        hint baked into the shared template forces the shuffle join."""
+        register_tables(spark, sf_dir)
+        full = TX.fingerprint_overlap_pairs_sql(
+            SPARK, min_shared=4, max_doc_freq=0.02, chunk=4096)
+        pin = _fresh_checkpoints(spark, "fingerprint_overlap_pairs")
+        tail_at = full.index("SELECT /*+ MERGE(a, b) */ a.doc_id")
+        head = full[:tail_at].rstrip()
+        assert head.startswith("\nWITH ")
+        pin(spark.sql(head + " SELECT * FROM fps_j")) \
+            .createOrReplaceTempView("fps_j")
+        return spark.sql(full[tail_at:])
+    queries["fingerprint_overlap_pairs"] = overlap_pairs_cached
+
     def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         """End-to-end dedup composition: minhash LSH pairs → connected
         components → keep-one-representative corpus accounting.  The

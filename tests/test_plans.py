@@ -125,6 +125,12 @@ def test_dedup_runners_pin_signature_subtrees(spark, sf_dir):
         ("simhash_pairs", 0, 0),
         ("embedding_neardup_bucketed", 2, 0),  # verify joins re-read rel
         ("ngram_jaccard_pairs", 0, 0),
+        # stop-filtered minhash: shingles/kept/mh all pinned upstream
+        ("dedup_minhash_stopfiltered", 0, 0),
+        # overlap pairs: the winnow+df-filter head is pinned, so the
+        # fp self-join must see only LogicalRDD leaves (r5: the inlined
+        # aggregate was mis-estimated as broadcastable and OOM'd at 50k)
+        ("fingerprint_overlap_pairs", 0, 0),
     ]
     for name, max_scans, max_gen in expectations:
         c = nodes(qs[name](spark, sf_dir))

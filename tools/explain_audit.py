@@ -208,6 +208,23 @@ def main() -> None:
     sections.append(("MinHash-LSH stop-shingle variant (pinned, "
                      "df-filtered signatures)", checks, formatted(mhs)))
 
+    # winnowed-fingerprint overlap pairs: pinned fps relation, and the
+    # fp self-join must SHUFFLE — checkpointed LogicalRDDs preserve the
+    # origin plan's (under-)Statistics, so without the template's
+    # /*+ MERGE */ hint Spark broadcast the 22M-row rehearsal side and
+    # OOM'd an 8 GB heap (BENCH.md round-5 finding #3)
+    op = entry.queries()["fingerprint_overlap_pairs"](spark, sf_dir)
+    plan = audit.executed_plan(op)
+    checks = [
+        ("fingerprint relation is a pinned leaf (no winnow recompute)",
+         "Scan ExistingRDD" in plan and "Generate" not in plan
+         and "Window" not in plan),
+        ("pair join is a shuffle join on fp, not a broadcast",
+         "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan),
+    ]
+    sections.append(("Winnowed-fingerprint overlap pairs (pinned, "
+                     "hinted shuffle self-join)", checks, formatted(op)))
+
     # sketch statistics: builtin JVM aggregates, one pass
     sk = entry.queries()["sketch_stats"](spark, sf_dir)
     plan = audit.executed_plan(sk)
