@@ -162,7 +162,10 @@ def main() -> None:
     qs = entry.queries()
     for name in ("dedup_minhash_lsh", "simhash_pairs",
                  "fingerprint_winnow_chunked", "embedding_neardup_bucketed",
-                 "dedup_exact", "bpe_token_stats"):
+                 "dedup_exact", "bpe_token_stats",
+                 # r5: completes only with the NOT-IN stop filter + the
+                 # template's MERGE hint (BENCH.md round-5 finding #3)
+                 "fingerprint_overlap_pairs"):
         df = qs[name](spark, SF1_DIR)                      # warm plans
         df.write.format("noop").mode("overwrite").save()
         best, rows = None, None
