@@ -1,13 +1,16 @@
-"""Multimodal column operators: image decode / resize / feature-extract /
-frame-sample over opaque ``binary`` columns with typed metadata.
+"""Multimodal column operators: image decode / resize / feature-extract,
+video frame-sample, and audio decode / featurize over opaque ``binary``
+columns with typed metadata.
 
 Real parts: PNG decode (sources/images.py), JPEG decode — baseline AND
 progressive — (sources/jpeg_codec.py, pure numpy), MJPEG-AVI frame
-sampling (sources/video_codec.py), nearest-neighbor resize,
-color-moment + histogram feature extraction, perceptual hashing.  Decode
-is inherently per-image; everything downstream batches across images —
-same-shape images stack into one (n, h, w, 3) array per Arrow batch and
-resize/featurize/ahash run as single stacked numpy ops.
+sampling (sources/video_codec.py), WAV PCM16 + G.711 mu-law decode
+(sources/audio_codec.py), nearest-neighbor resize, color-moment +
+histogram feature extraction, perceptual hashing, spectral audio
+features.  Decode is inherently per-item; everything downstream batches
+across items — same-shape images (and same-length audio clips) stack
+into one array per Arrow batch and resize/featurize/ahash/FFT run as
+single stacked numpy ops.
 
 STRICT is the uniform default (VERDICT r4 #5): payloads with no sandbox
 codec raise ``NotImplementedError``; corrupt streams raise
@@ -171,6 +174,74 @@ def frame_sample(videos: DataFrame, every_n: int = 10,
 
     return videos.mapInPandas(
         run, schema="video_id string, frame_idx int, frame binary")
+
+
+def _decode_audio(row, stub_ok: bool) -> np.ndarray:
+    """Audio row -> (n,) float64 mono waveform in [-1, 1)."""
+    from ..sources.audio import samples_from_ahash
+    from ..sources.audio_codec import decode_wav
+
+    if row.fmt in ("wav-pcm16", "wav-ulaw"):
+        samples, _ = decode_wav(bytes(row.bytes))
+        return samples.astype(np.float64).mean(axis=1) / 32768.0
+    if stub_ok:
+        return samples_from_ahash(
+            int(row.ahash), int(row.n_samples),
+            int(row.sample_rate)).astype(np.float64) / 32768.0
+    raise NotImplementedError(
+        f"no codec for {row.fmt!r} in this environment")
+
+
+def audio_features(audio: DataFrame, stub_ok: bool = False) -> DataFrame:
+    """audio(audio_id, bytes, n_samples, sample_rate, n_channels, fmt,
+    ahash, ...) -> (audio_id, fmt, duration_s, rms, zcr_hz,
+    spectral_centroid_hz, peak).
+
+    The audio leg of decode/featurize: decode is per-clip (codec);
+    every feature runs ONCE per same-(length, rate) stack — RMS/peak as
+    row reductions, zero-crossing rate from one sign-diff count, and
+    the spectral centroid from a single batched ``np.fft.rfft`` over
+    the stack (the magnitude-weighted mean frequency).  Strict by
+    default: unknown formats raise unless ``stub_ok=True`` regenerates
+    the deterministic waveform from ``ahash`` (plumbing tests only).
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            cols = {k: np.zeros(n) for k in
+                    ("duration_s", "rms", "zcr_hz", "centroid", "peak")}
+            groups: dict[tuple[int, int], tuple[list, list]] = {}
+            for i, row in enumerate(pdf.itertuples(index=False)):
+                x = _decode_audio(row, stub_ok)
+                idxs, xs = groups.setdefault(
+                    (len(x), int(row.sample_rate)), ([], []))
+                idxs.append(i)
+                xs.append(x)
+            for (ln, sr), (idxs, xs) in groups.items():
+                ii = np.asarray(idxs)
+                stack = np.stack(xs)                        # (g, ln)
+                cols["duration_s"][ii] = ln / sr
+                cols["rms"][ii] = np.sqrt((stack ** 2).mean(axis=1))
+                cols["peak"][ii] = np.abs(stack).max(axis=1)
+                signs = stack >= 0
+                cols["zcr_hz"][ii] = (signs[:, 1:] ^ signs[:, :-1]) \
+                    .sum(axis=1) * sr / (2.0 * (ln - 1))
+                mag = np.abs(np.fft.rfft(stack, axis=1))    # (g, ln//2+1)
+                freqs = np.fft.rfftfreq(ln, d=1.0 / sr)
+                denom = np.maximum(mag.sum(axis=1), 1e-30)
+                cols["centroid"][ii] = (mag @ freqs) / denom
+            yield pd.DataFrame({"audio_id": pdf["audio_id"],
+                                "fmt": pdf["fmt"],
+                                "duration_s": cols["duration_s"],
+                                "rms": cols["rms"],
+                                "zcr_hz": cols["zcr_hz"],
+                                "spectral_centroid_hz": cols["centroid"],
+                                "peak": cols["peak"]})
+
+    return audio.mapInPandas(
+        run, schema="audio_id string, fmt string, duration_s double, "
+                    "rms double, zcr_hz double, "
+                    "spectral_centroid_hz double, peak double")
 
 
 AHASH_GRID = 8          # 8x8 grid -> 64-bit hash

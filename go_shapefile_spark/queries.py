@@ -924,6 +924,61 @@ def q_video_frame_sample_oracle(dialect: str) -> str:
             f"CAST(0 AS BIGINT) AS n_bad")
 
 
+AUDIO_GATE_N = 2000
+
+
+def audio_invariants_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality invariant gate: a deterministic WAV table (real
+    PCM16 + G.711 mu-law bytes from sources/audio_codec.py, both
+    interop-tested against javax.sound.sampled) strict-decodes per row
+    and compares samples/transcripts against the regenerate-from-ahash
+    reference (images/video discipline).  The oracle pins the contract:
+    every row checked, zero violations, the exact lossy-row count from
+    the generator's fmt law, and the law-derived total sample count
+    (splitmix64 of the row index, computed independently in numpy —
+    the video gate's n_frames pattern)."""
+    from pyspark.sql import functions as F
+
+    from .sources.audio import (AUDIO_CORPUS_TAG, check_audio_invariants,
+                                generate_audio_df)
+
+    path = os.path.join(_CACHE_ROOT,
+                        f"gate_audio_n{AUDIO_GATE_N}_{AUDIO_CORPUS_TAG}")
+    marker = os.path.join(path, "_SUCCESS_GATE")
+    if not os.path.exists(marker):
+        generate_audio_df(spark, AUDIO_GATE_N) \
+            .write.mode("overwrite").parquet(path)
+        with open(marker, "w") as f:
+            f.write(str(AUDIO_GATE_N))
+    aud = spark.read.parquet(path)
+    inv = check_audio_invariants(aud).join(
+        aud.select("audio_id", "n_samples"), "audio_id")
+    return inv.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(~F.col("samples_ok") | ~F.col("transcript_ok"), 1)
+              .otherwise(0)).alias("n_bad"),
+        F.sum(F.when(F.col("fmt") == "wav-ulaw", 1)
+              .otherwise(0)).alias("n_ulaw"),
+        F.sum("n_samples").alias("total_samples"))
+
+
+def q_audio_invariants_oracle(dialect: str) -> str:
+    # the generator's n_samples law is deterministic (splitmix64 of the
+    # row index), so the expected totals are computable here
+    import numpy as np
+
+    from .operators.geotag import splitmix64
+    from .sources.audio import _LEN_CHOICES
+
+    idx = np.arange(AUDIO_GATE_N, dtype=np.int64)
+    ah = splitmix64(idx).view(np.int64)
+    total = int(_LEN_CHOICES[np.abs(ah) % 3].sum())
+    return (f"SELECT CAST({AUDIO_GATE_N} AS BIGINT) AS n_checked, "
+            f"CAST(0 AS BIGINT) AS n_bad, "
+            f"CAST({AUDIO_GATE_N // 2} AS BIGINT) AS n_ulaw, "
+            f"CAST({total} AS BIGINT) AS total_samples")
+
+
 def q_streaming_tiles_oracle(dialect: str) -> str:
     ep = _epoch_s("ts", dialect)
     return f"""
@@ -1194,6 +1249,8 @@ def build_registry():
     oracles["image_neardup"] = q_image_neardup_oracle(DUCK)
     queries["video_frame_sample"] = video_frame_sample_spark
     oracles["video_frame_sample"] = q_video_frame_sample_oracle(DUCK)
+    queries["audio_invariants"] = audio_invariants_spark
+    oracles["audio_invariants"] = q_audio_invariants_oracle(DUCK)
     queries["tile_pyramid"] = tile_pyramid_spark
     oracles["tile_pyramid"] = q_tile_pyramid_oracle(DUCK)
 
