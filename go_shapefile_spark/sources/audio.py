@@ -33,31 +33,58 @@ from .images import caption_of
 SAMPLE_RATE = 8000
 _LEN_CHOICES = np.array([2048, 4096, 8192], dtype=np.int64)
 
-# Cache-path tag for every corpus built from this generator (codec
-# changes invalidate cached bytes automatically — ADVICE r4 #3).
-AUDIO_CORPUS_TAG = f"sr{SAMPLE_RATE}_v{AUDIO_CODEC_VERSION}"
+# Generator-law version: any change to samples_from_ahash invalidates
+# cached corpora exactly like a codec change would.
+AUDIO_GEN_VERSION = 2
+
+# Cache-path tag for every corpus built from this generator (codec or
+# generator changes invalidate cached bytes automatically — ADVICE r4 #3).
+AUDIO_CORPUS_TAG = \
+    f"sr{SAMPLE_RATE}_g{AUDIO_GEN_VERSION}_v{AUDIO_CODEC_VERSION}"
 
 AUDIO_SCHEMA = ("audio_id string, bytes binary, n_samples int, "
                 "sample_rate int, n_channels int, fmt string, "
                 "transcript string, ahash long")
 
 
+_N_HARMONICS = 10
+_N_SEGMENTS = 8       # per-harmonic amplitude-envelope resolution
+
+
 def samples_from_ahash(ahash: int, n: int,
                        sr: int = SAMPLE_RATE) -> np.ndarray:
-    """Deterministic mono waveform: three sine harmonics whose
-    frequencies/amplitudes/phases derive from a splitmix64 stream over
-    ``ahash`` -> (n,) int16.  Total amplitude is bounded at ~0.84 FS so
-    the sum never clips; frequencies stay below Nyquist."""
-    s = splitmix64(np.arange(9, dtype=np.int64)
+    """Deterministic mono waveform: ten sine harmonics, each with its
+    own per-segment amplitude envelope (eight gain steps in [0.25, 1]),
+    all derived from a splitmix64 stream over ``ahash`` -> (n,) int16.
+
+    The time-varying envelopes are load-bearing, not decoration: a
+    corpus of STATIONARY tones is audio's low-entropy degenerate case
+    (the MinHash word-salad analog) — every spectrogram time slice is
+    identical, so any time-frequency fingerprint collapses to a band-
+    occupancy pattern and unrelated clips collide in droves (measured:
+    ~6.5k of 500k pairs within 3 bits before the envelopes; 0 within
+    6 bits after).  Total amplitude stays <= ~0.55 FS so the sum never
+    clips; frequencies stay below Nyquist.  All parameter draws reduce
+    the uint64 stream in INTEGER domain — a float64 cast first would
+    round 2^64-scale values to multiples of >= 2048 and silently
+    constant-fold every modulo (measured: it flattens all gains to
+    their minimum).
+    """
+    k, g = _N_HARMONICS, _N_SEGMENTS
+    s = splitmix64(np.arange(3 * k + g * k, dtype=np.int64)
                    + np.int64(ahash & 0x7FFFFFFFFFFFFFFF))
     t = np.arange(n, dtype=np.float64) / sr
+    seg_of = np.minimum(np.arange(n) * g // max(n, 1), g - 1)
     out = np.zeros(n, dtype=np.float64)
-    for k in range(3):
-        freq = 100.0 + float(np.uint64(s[k]) % np.uint64(3400))  # < 3.5 kHz
-        amp = (0.08 + 0.05 * float(np.uint64(s[3 + k]) % np.uint64(5))) \
-            * 32767.0                                             # <= .28 FS
-        phase = float(np.uint64(s[6 + k]) % np.uint64(628)) / 100.0
-        out += amp * np.sin(2.0 * np.pi * freq * t + phase)
+    for i in range(k):
+        freq = 100.0 + float(s[i] % np.uint64(3400))       # < 3.5 kHz
+        amp = (0.03 + 0.02 * float(s[k + i] % np.uint64(5))) \
+            * 32767.0                                      # <= .11 FS
+        phase = float(s[2 * k + i] % np.uint64(628)) / 100.0
+        gseed = s[3 * k + g * i:3 * k + g * (i + 1)]
+        gains = 0.25 + 0.75 * (gseed % np.uint64(256)) \
+            .astype(np.float64) / 255.0
+        out += amp * gains[seg_of] * np.sin(2.0 * np.pi * freq * t + phase)
     return np.round(out).astype(np.int16)
 
 

@@ -201,6 +201,78 @@ def test_check_audio_invariants_all_pass_and_detects_tamper(spark):
     assert res2["samples_ok"].sum() == 3
 
 
+# ------------------------------------------------------------- fingerprint
+
+def test_generator_envelopes_actually_vary():
+    """Guard against the integer-vs-float modulo bug: a float64 cast
+    before ``% 256`` rounds 2^64-scale seeds to multiples of >= 2048
+    and flattens every per-segment gain to its minimum, making clips
+    stationary (and spectral fingerprints collide corpus-wide).  The
+    segment RMS profile of a clip must genuinely vary."""
+    x = samples_from_ahash(12345, 4096).astype(np.float64)
+    seg_rms = np.sqrt((x.reshape(8, -1) ** 2).mean(axis=1))
+    assert seg_rms.std() / seg_rms.mean() > 0.05
+
+
+def test_audio_fingerprint_discrimination_and_robustness(spark):
+    """Unrelated clips stay far apart in Hamming space; a mu-law
+    re-encode of the same waveform stays within the banded-join
+    recall guarantee (<= HASH_BANDS - 1 = 3 bits)."""
+    import pandas as pd
+
+    from go_shapefile_spark.operators.multimodal import audio_fingerprint
+    from go_shapefile_spark.sources.audio import SAMPLE_RATE
+
+    pdf = generate_audio_batch(0, 40)
+    dup_rows = []
+    for r in pdf.iloc[:6].itertuples(index=False):
+        wave = samples_from_ahash(int(r.ahash), int(r.n_samples))
+        dup_rows.append((f"dup-{r.audio_id}",
+                         encode_wav(wave, SAMPLE_RATE, WAVE_FORMAT_MULAW),
+                         r.n_samples, r.sample_rate, r.n_channels,
+                         "wav-ulaw", r.transcript, r.ahash))
+    full = pd.concat([pdf, pd.DataFrame(dup_rows, columns=list(pdf.columns))],
+                     ignore_index=True)
+    sig = audio_fingerprint(spark.createDataFrame(full)).toPandas() \
+        .set_index("audio_id")["afp"]
+
+    def ham(a, b):
+        return bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    base = [sig[f"aud-{i:010d}"] for i in range(40)]
+    natural = min(ham(base[i], base[j])
+                  for i in range(40) for j in range(i + 1, 40))
+    assert natural >= 7          # measured >= 11 over 1000 clips
+    for i in range(6):
+        assert ham(base[i], sig[f"dup-aud-{i:010d}"]) <= 3
+
+
+def test_audio_neardup_pairs_exactly_planted(spark):
+    """Planted lossy re-encodes pair with their originals; nothing
+    else pairs (spanning-edge-set construction, banded candidates)."""
+    import pandas as pd
+
+    from go_shapefile_spark.operators.multimodal import audio_neardup_pairs
+    from go_shapefile_spark.sources.audio import SAMPLE_RATE
+
+    pdf = generate_audio_batch(100, 160)
+    dup_rows = []
+    for r in pdf.iloc[::12][:5].itertuples(index=False):
+        wave = samples_from_ahash(int(r.ahash), int(r.n_samples))
+        dup_rows.append((f"dup-{r.audio_id}",
+                         encode_wav(wave, SAMPLE_RATE, WAVE_FORMAT_MULAW),
+                         r.n_samples, r.sample_rate, r.n_channels,
+                         "wav-ulaw", r.transcript, r.ahash))
+    full = pd.concat([pdf, pd.DataFrame(dup_rows, columns=list(pdf.columns))],
+                     ignore_index=True)
+    pairs = audio_neardup_pairs(spark.createDataFrame(full)).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in
+           zip(pairs["audio_a"], pairs["audio_b"])}
+    want = {(r[0].replace("dup-", ""), r[0]) for r in dup_rows}
+    assert got == want
+    assert (pairs["hamming"] <= 3).all()
+
+
 # ---------------------------------------------------------------- features
 
 def test_audio_features_match_reference(spark):
