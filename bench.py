@@ -181,7 +181,11 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              "knn_events", "grid_spatial_join", "token_stats",
              "embedding_neardup_bucketed", "tiles_roundtrip",
              "tile_pyramid", "fingerprint_winnow",
-             "fingerprint_winnow_chunked"]
+             "fingerprint_winnow_chunked",
+             # audio modality (r5): strict WAV decode + spectral
+             # fingerprint near-dup; corpus builds once into .cache,
+             # the min-of-rounds protocol keeps the warm number
+             "audio_invariants", "audio_neardup"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

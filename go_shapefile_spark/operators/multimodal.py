@@ -382,6 +382,16 @@ def banded_hash_pairs(sig: DataFrame, id_col: str, hash_col: str,
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from .pinning import fresh_pins
+
+    # The signature relation is referenced FOUR times below (ranked,
+    # identical-hash join, both band sides); Spark inlines the subtree
+    # per reference, so without a pin the decode+hash Python stage runs
+    # 4x (measured: 4 MapInPandas nodes in the executed plan).  Pin it
+    # once under an anonymous per-call slot (round-4 CacheManager
+    # lesson: cache() silently fails to substitute inside banded
+    # self-join compositions).
+    sig = fresh_pins(sig.sparkSession, None)(sig)
     w_hash = Window.partitionBy(hash_col).orderBy(id_col)
     ranked = sig.withColumn("rnk", F.row_number().over(w_hash))
     reps = ranked.where(F.col("rnk") == 1).drop("rnk")

@@ -137,3 +137,45 @@ def test_dedup_runners_pin_signature_subtrees(spark, sf_dir):
         assert c.get("Scan ExistingRDD", 0) >= 1, (name, dict(c))
         assert c.get("Scan parquet ", 0) <= max_scans, (name, dict(c))
         assert c.get("Generate", 0) <= max_gen, (name, dict(c))
+
+
+def test_neardup_pair_engine_pins_hash_build(spark):
+    """The shared banded pair engine references its signature relation
+    four times (ranked, identical-hash join, both band sides); without
+    a pin Spark inlines the decode+hash Python stage per reference
+    (measured: 4 MapInPandas nodes).  The pair plan must contain ZERO
+    Python stages — the hash build lives behind a pinned leaf — and no
+    nested-loop/cartesian join anywhere."""
+    from collections import Counter
+
+    from go_shapefile_spark.operators.multimodal import (
+        audio_neardup_pairs, image_neardup_pairs)
+    from go_shapefile_spark.sources.audio import generate_audio_batch
+    from go_shapefile_spark.sources.images import (IMAGES_SCHEMA,
+                                                   generate_batch)
+
+    def nodes(df):
+        c = Counter()
+
+        def walk(n):
+            c[n.nodeName()] += 1
+            if n.nodeName() == "AdaptiveSparkPlan":
+                walk(n.initialPlan())
+                return
+            ch = n.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+
+        walk(df._jdf.queryExecution().executedPlan())
+        return c
+
+    aud = spark.createDataFrame(generate_audio_batch(0, 24))
+    img = spark.createDataFrame(generate_batch(0, 24),
+                                schema=IMAGES_SCHEMA)
+    for pairs in (audio_neardup_pairs(aud), image_neardup_pairs(img)):
+        c = nodes(pairs)
+        assert c.get("MapInPandas", 0) == 0, dict(c)
+        assert c.get("ArrowEvalPython", 0) == 0, dict(c)
+        assert c.get("Scan ExistingRDD", 0) >= 1, dict(c)
+        assert c.get("BroadcastNestedLoopJoin", 0) == 0, dict(c)
+        assert c.get("CartesianProduct", 0) == 0, dict(c)
