@@ -275,6 +275,25 @@ def main() -> None:
                      [("no Python nodes (pure HOF + to_json)", ok)],
                      formatted(gj)))
 
+    # audio near-dup pair engine: the decode+fingerprint Python stage
+    # must be a pinned leaf (it is referenced four times — ranked,
+    # identical-hash join, both band sides — and would otherwise run
+    # per reference), and the candidate join must be a banded equi-join
+    from go_shapefile_spark.operators.multimodal import audio_neardup_pairs
+    from go_shapefile_spark.sources.audio import generate_audio_batch
+    apairs = audio_neardup_pairs(
+        spark.createDataFrame(generate_audio_batch(0, 48)))
+    plan = audit.executed_plan(apairs)
+    checks = [
+        ("decode+fingerprint pinned (no Python stage in the pair plan)",
+         "MapInPandas" not in plan and "Scan ExistingRDD" in plan),
+        ("banded equi-join, no CartesianProduct/BNLJ",
+         "CartesianProduct" not in plan
+         and "BroadcastNestedLoopJoin" not in plan),
+    ]
+    sections.append(("Audio near-dup pairs (pinned spectral fingerprints, "
+                     "banded candidates)", checks, formatted(apairs)))
+
     # DataSource flat mode: fid equality must prune to one split at
     # plan time and absorb the predicate (no residual fid Filter)
     dsf = (spark.read.format("shapefile")
