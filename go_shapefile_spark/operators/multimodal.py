@@ -176,18 +176,22 @@ def frame_sample(videos: DataFrame, every_n: int = 10,
         run, schema="video_id string, frame_idx int, frame binary")
 
 
-def _decode_audio(row, stub_ok: bool) -> np.ndarray:
-    """Audio row -> (n,) float64 mono waveform in [-1, 1)."""
+def _decode_audio(row, stub_ok: bool) -> tuple[np.ndarray, int]:
+    """Audio row -> ((n,) float64 mono waveform in [-1, 1), sample
+    rate).  The rate is the one DECODED from the container — features
+    derived from it (duration, ZCR, centroid) must not silently trust a
+    metadata column that may disagree with the bytes (r5 review)."""
     from ..sources.audio import samples_from_ahash
     from ..sources.audio_codec import decode_wav
 
     if row.fmt in ("wav-pcm16", "wav-ulaw"):
-        samples, _ = decode_wav(bytes(row.bytes))
-        return samples.astype(np.float64).mean(axis=1) / 32768.0
+        samples, rate = decode_wav(bytes(row.bytes))
+        return samples.astype(np.float64).mean(axis=1) / 32768.0, rate
     if stub_ok:
-        return samples_from_ahash(
+        return (samples_from_ahash(
             int(row.ahash), int(row.n_samples),
-            int(row.sample_rate)).astype(np.float64) / 32768.0
+            int(row.sample_rate)).astype(np.float64) / 32768.0,
+            int(row.sample_rate))
     raise NotImplementedError(
         f"no codec for {row.fmt!r} in this environment")
 
@@ -212,9 +216,8 @@ def audio_features(audio: DataFrame, stub_ok: bool = False) -> DataFrame:
                     ("duration_s", "rms", "zcr_hz", "centroid", "peak")}
             groups: dict[tuple[int, int], tuple[list, list]] = {}
             for i, row in enumerate(pdf.itertuples(index=False)):
-                x = _decode_audio(row, stub_ok)
-                idxs, xs = groups.setdefault(
-                    (len(x), int(row.sample_rate)), ([], []))
+                x, rate = _decode_audio(row, stub_ok)
+                idxs, xs = groups.setdefault((len(x), rate), ([], []))
                 idxs.append(i)
                 xs.append(x)
             for (ln, sr), (idxs, xs) in groups.items():
@@ -224,8 +227,10 @@ def audio_features(audio: DataFrame, stub_ok: bool = False) -> DataFrame:
                 cols["rms"][ii] = np.sqrt((stack ** 2).mean(axis=1))
                 cols["peak"][ii] = np.abs(stack).max(axis=1)
                 signs = stack >= 0
+                # max(ln-1, 1): a legal one-sample clip has zero
+                # crossing intervals, not a 0/0 NaN (r5 review)
                 cols["zcr_hz"][ii] = (signs[:, 1:] ^ signs[:, :-1]) \
-                    .sum(axis=1) * sr / (2.0 * (ln - 1))
+                    .sum(axis=1) * sr / (2.0 * max(ln - 1, 1))
                 mag = np.abs(np.fft.rfft(stack, axis=1))    # (g, ln//2+1)
                 freqs = np.fft.rfftfreq(ln, d=1.0 / sr)
                 denom = np.maximum(mag.sum(axis=1), 1e-30)
@@ -270,15 +275,21 @@ def audio_fingerprint(audio: DataFrame,
             hashes = np.zeros(len(pdf), dtype=np.uint64)
             groups: dict[int, tuple[list, list]] = {}
             for i, row in enumerate(pdf.itertuples(index=False)):
-                x = _decode_audio(row, stub_ok)
+                x, _rate = _decode_audio(row, stub_ok)
                 idxs, xs = groups.setdefault(len(x), ([], []))
                 idxs.append(i)
                 xs.append(x)
             for ln, (idxs, xs) in groups.items():
-                if ln % g:
+                # segments must tile the clip evenly for the batched
+                # reshape; drop the <= g-1 trailing samples of awkward
+                # lengths (real-world rates rarely divide by 8) rather
+                # than rejecting legal WAVs (r5 review).  Clips shorter
+                # than one sample per segment can't form a grid at all.
+                if ln < g:
                     raise ValueError(
-                        f"clip length {ln} not divisible by {g} segments")
-                stack = np.stack(xs).reshape(len(xs), g, ln // g)
+                        f"clip too short to fingerprint ({ln} < {g})")
+                ln -= ln % g
+                stack = np.stack(xs)[:, :ln].reshape(len(xs), g, ln // g)
                 mag2 = np.abs(np.fft.rfft(stack, axis=2)) ** 2
                 nbins = mag2.shape[2]
                 band_of = np.minimum((np.arange(1, nbins) - 1) * nb

@@ -991,29 +991,20 @@ def _ensure_auddup_table(spark: SparkSession) -> str:
     import pandas as pd
 
     from .sources.audio import (AUDIO_CORPUS_TAG, AUDIO_SCHEMA,
-                                SAMPLE_RATE, generate_audio_batch,
-                                samples_from_ahash)
-    from .sources.audio_codec import WAVE_FORMAT_MULAW, encode_wav
+                                generate_audio_batch, make_mulaw_dups)
 
-    path = os.path.join(_CACHE_ROOT,
-                        f"gate_auddup_n{AUDDUP_N}_{AUDIO_CORPUS_TAG}")
+    # every gate parameter is in the path so tuning any of them
+    # regenerates the corpus instead of replaying a stale one (r5
+    # review), the same way AUDIO_CORPUS_TAG handles codec changes
+    path = os.path.join(
+        _CACHE_ROOT,
+        f"gate_auddup_n{AUDDUP_N}_p{AUDDUP_PLANTED}_{AUDIO_CORPUS_TAG}")
     marker = os.path.join(path, "_SUCCESS_GATE")
     if os.path.exists(marker):
         return path
     pdf = generate_audio_batch(0, AUDDUP_N)
-    pcm = pdf[pdf.fmt == "wav-pcm16"].reset_index(drop=True)
-    step = max(1, len(pcm) // AUDDUP_PLANTED)
-    origs = pcm.iloc[::step][:AUDDUP_PLANTED]
-    assert len(origs) == AUDDUP_PLANTED
-    rows = []
-    for r in origs.itertuples(index=False):
-        wave = samples_from_ahash(int(r.ahash), int(r.n_samples))
-        rows.append((f"dup-{r.audio_id}",
-                     encode_wav(wave, SAMPLE_RATE, WAVE_FORMAT_MULAW),
-                     r.n_samples, r.sample_rate, r.n_channels,
-                     "wav-ulaw", r.transcript, r.ahash))
-    dup_pdf = pd.DataFrame(rows, columns=list(pdf.columns))
-    full = pd.concat([pdf, dup_pdf], ignore_index=True)
+    full = pd.concat([pdf, make_mulaw_dups(pdf, AUDDUP_PLANTED)],
+                     ignore_index=True)
     spark.createDataFrame(full, schema=AUDIO_SCHEMA) \
         .repartition(8).write.mode("overwrite").parquet(path)
     with open(marker, "w") as f:

@@ -126,6 +126,33 @@ def generate_audio_df(spark: SparkSession, n: int,
     return splits.mapInPandas(gen, schema=AUDIO_SCHEMA)
 
 
+def make_mulaw_dups(pdf: pd.DataFrame, k: int,
+                    step: int | None = None) -> pd.DataFrame:
+    """Planted near-duplicate rows for ``k`` of ``pdf``'s PCM16 clips:
+    the SAME regenerated waveform re-companded through G.711 mu-law,
+    id 'dup-<original id>' — a known lossy-re-encode ground truth.
+    One maintained construction site instead of positional-tuple
+    copies in every gate/test (r5 review): column order follows
+    ``pdf.columns`` directly."""
+    pcm = pdf[pdf.fmt == "wav-pcm16"].reset_index(drop=True)
+    if step is None:
+        step = max(1, len(pcm) // k)
+    origs = pcm.iloc[::step][:k]
+    if len(origs) != k:
+        raise ValueError(f"only {len(origs)} PCM16 rows for {k} dups")
+    rows = []
+    for r in origs.itertuples(index=False):
+        wave = samples_from_ahash(int(r.ahash), int(r.n_samples),
+                                  int(r.sample_rate))
+        d = r._asdict()
+        d["audio_id"] = f"dup-{r.audio_id}"
+        d["bytes"] = encode_wav(wave, int(r.sample_rate),
+                                WAVE_FORMAT_MULAW)
+        d["fmt"] = "wav-ulaw"
+        rows.append([d[c] for c in pdf.columns])
+    return pd.DataFrame(rows, columns=list(pdf.columns))
+
+
 def check_audio_invariants(df: DataFrame) -> DataFrame:
     """Per-row decoded-sample + transcript invariant.
 

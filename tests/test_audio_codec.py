@@ -221,17 +221,10 @@ def test_audio_fingerprint_discrimination_and_robustness(spark):
     import pandas as pd
 
     from go_shapefile_spark.operators.multimodal import audio_fingerprint
-    from go_shapefile_spark.sources.audio import SAMPLE_RATE
+    from go_shapefile_spark.sources.audio import make_mulaw_dups
 
     pdf = generate_audio_batch(0, 40)
-    dup_rows = []
-    for r in pdf.iloc[:6].itertuples(index=False):
-        wave = samples_from_ahash(int(r.ahash), int(r.n_samples))
-        dup_rows.append((f"dup-{r.audio_id}",
-                         encode_wav(wave, SAMPLE_RATE, WAVE_FORMAT_MULAW),
-                         r.n_samples, r.sample_rate, r.n_channels,
-                         "wav-ulaw", r.transcript, r.ahash))
-    full = pd.concat([pdf, pd.DataFrame(dup_rows, columns=list(pdf.columns))],
+    full = pd.concat([pdf, make_mulaw_dups(pdf, 6, step=1)],
                      ignore_index=True)
     sig = audio_fingerprint(spark.createDataFrame(full)).toPandas() \
         .set_index("audio_id")["afp"]
@@ -243,8 +236,8 @@ def test_audio_fingerprint_discrimination_and_robustness(spark):
     natural = min(ham(base[i], base[j])
                   for i in range(40) for j in range(i + 1, 40))
     assert natural >= 7          # measured >= 11 over 1000 clips
-    for i in range(6):
-        assert ham(base[i], sig[f"dup-aud-{i:010d}"]) <= 3
+    for i in range(0, 12, 2):    # the first six PCM16 rows (even idx)
+        assert ham(sig[f"aud-{i:010d}"], sig[f"dup-aud-{i:010d}"]) <= 3
 
 
 def test_audio_neardup_pairs_exactly_planted(spark):
@@ -253,22 +246,15 @@ def test_audio_neardup_pairs_exactly_planted(spark):
     import pandas as pd
 
     from go_shapefile_spark.operators.multimodal import audio_neardup_pairs
-    from go_shapefile_spark.sources.audio import SAMPLE_RATE
+    from go_shapefile_spark.sources.audio import make_mulaw_dups
 
     pdf = generate_audio_batch(100, 160)
-    dup_rows = []
-    for r in pdf.iloc[::12][:5].itertuples(index=False):
-        wave = samples_from_ahash(int(r.ahash), int(r.n_samples))
-        dup_rows.append((f"dup-{r.audio_id}",
-                         encode_wav(wave, SAMPLE_RATE, WAVE_FORMAT_MULAW),
-                         r.n_samples, r.sample_rate, r.n_channels,
-                         "wav-ulaw", r.transcript, r.ahash))
-    full = pd.concat([pdf, pd.DataFrame(dup_rows, columns=list(pdf.columns))],
-                     ignore_index=True)
+    dups = make_mulaw_dups(pdf, 5)
+    full = pd.concat([pdf, dups], ignore_index=True)
     pairs = audio_neardup_pairs(spark.createDataFrame(full)).toPandas()
     got = {tuple(sorted((a, b))) for a, b in
            zip(pairs["audio_a"], pairs["audio_b"])}
-    want = {(r[0].replace("dup-", ""), r[0]) for r in dup_rows}
+    want = {(d.replace("dup-", ""), d) for d in dups["audio_id"]}
     assert got == want
     assert (pairs["hamming"] <= 3).all()
 
@@ -298,6 +284,34 @@ def test_audio_features_match_reference(spark):
         assert g["spectral_centroid_hz"] == pytest.approx(cent)
         # the dominant harmonic lives below Nyquist and above DC
         assert 0 < g["spectral_centroid_hz"] < sr / 2
+
+
+def test_audio_features_trust_decoded_rate_and_odd_lengths(spark):
+    """r5 review fixes: (1) features derive from the rate DECODED from
+    the container, not a metadata column that may disagree; (2) the
+    fingerprint truncates awkward clip lengths instead of rejecting
+    legal WAVs; (3) a one-sample clip yields zcr 0.0, not 0/0 NaN."""
+    import pandas as pd
+
+    from go_shapefile_spark.operators.multimodal import (audio_features,
+                                                         audio_fingerprint)
+
+    x = _sine(1999, sr=16000)       # length % 8 == 7, rate != default
+    rows = [("odd", encode_wav(x, 16000), 1999, 8000, 1,
+             "wav-pcm16", "t", 7),  # metadata rate LIES (8000)
+            ("one", encode_wav(x[:1], 16000), 1, 16000, 1,
+             "wav-pcm16", "t", 8)]
+    pdf = pd.DataFrame(rows, columns=["audio_id", "bytes", "n_samples",
+                                      "sample_rate", "n_channels", "fmt",
+                                      "transcript", "ahash"])
+    df = spark.createDataFrame(pdf)
+    got = audio_features(df).toPandas().set_index("audio_id")
+    assert got.loc["odd", "duration_s"] == pytest.approx(1999 / 16000)
+    assert got.loc["one", "zcr_hz"] == 0.0
+    sig = audio_fingerprint(df.where("audio_id = 'odd'")).toPandas()
+    assert len(sig) == 1 and sig["afp"].notna().all()
+    with pytest.raises(Exception, match="too short to fingerprint"):
+        audio_fingerprint(df.where("audio_id = 'one'")).collect()
 
 
 def test_audio_features_strict_vs_stub(spark):
