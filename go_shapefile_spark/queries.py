@@ -1039,6 +1039,38 @@ def q_audio_neardup_oracle(dialect: str) -> str:
             f"CAST(0 AS BIGINT) AS n_unexpected")
 
 
+def audio_dedup_groups_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio duplicate GROUPS: the full modality pipeline — strict WAV
+    decode → spectral fingerprint → banded pair edges → connected
+    components (large-star/small-star) → group rollup.  The oracle pins
+    the planted structure: every lossy re-encode forms exactly one
+    two-member group with its original, nothing merges beyond that
+    (unrelated clips sit ≥ 11 bits apart, so no bridge edges exist)."""
+    from pyspark.sql import functions as F
+
+    from .operators.graph import connected_components
+    from .operators.multimodal import audio_neardup_pairs
+
+    path = _ensure_auddup_table(spark)
+    pairs = audio_neardup_pairs(spark.read.parquet(path),
+                                max_hamming=AUDDUP_MAX_HAMMING)
+    cc = connected_components(
+        pairs.select(F.col("audio_a").alias("src"),
+                     F.col("audio_b").alias("dst")))
+    groups = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("size"))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("size").alias("n_members"),
+        F.max("size").alias("max_group_size"))
+
+
+def q_audio_dedup_groups_oracle(dialect: str) -> str:
+    return (f"SELECT CAST({AUDDUP_PLANTED} AS BIGINT) AS n_groups, "
+            f"CAST({AUDDUP_PLANTED * 2} AS BIGINT) AS n_members, "
+            f"CAST(2 AS BIGINT) AS max_group_size")
+
+
 def q_streaming_tiles_oracle(dialect: str) -> str:
     ep = _epoch_s("ts", dialect)
     return f"""
@@ -1313,6 +1345,8 @@ def build_registry():
     oracles["audio_invariants"] = q_audio_invariants_oracle(DUCK)
     queries["audio_neardup"] = audio_neardup_spark
     oracles["audio_neardup"] = q_audio_neardup_oracle(DUCK)
+    queries["audio_dedup_groups"] = audio_dedup_groups_spark
+    oracles["audio_dedup_groups"] = q_audio_dedup_groups_oracle(DUCK)
     queries["tile_pyramid"] = tile_pyramid_spark
     oracles["tile_pyramid"] = q_tile_pyramid_oracle(DUCK)
 
