@@ -13,7 +13,8 @@ Operators
     spatial_join, PreparedCover — cell-cover broadcast join + PIP refine
     knn_radius, knn_exact — cell-local / exact k nearest neighbors
     tile_counts, tile_pyramid, rasterize_features, vectorize_raster
-    decode_resize_featurize, frame_sample, audio_features — multimodal
+    decode_resize_featurize, frame_sample, audio_features,
+    audio_resample — multimodal
     (image / video / audio) binary-column operators
 Functions
     to_wkt, features_to_geojson, features_to_geojson_jvm,
@@ -43,6 +44,7 @@ _LAZY = {
     "decode_resize_featurize": "go_shapefile_spark.operators.multimodal",
     "frame_sample": "go_shapefile_spark.operators.multimodal",
     "audio_features": "go_shapefile_spark.operators.multimodal",
+    "audio_resample": "go_shapefile_spark.operators.multimodal",
     "to_wkt": "go_shapefile_spark.functions.wkt",
     "features_to_geojson": "go_shapefile_spark.functions.geojson",
     "features_to_geojson_jvm": "go_shapefile_spark.functions.geojson",

@@ -249,6 +249,54 @@ def audio_features(audio: DataFrame, stub_ok: bool = False) -> DataFrame:
                     "spectral_centroid_hz double, peak double")
 
 
+def audio_resample(audio: DataFrame, target_rate: int,
+                   stub_ok: bool = False) -> DataFrame:
+    """Resample clips to ``target_rate`` (the audio analog of image
+    resize): decode → linear interpolation onto the new sample grid →
+    re-encode as PCM16 WAV bytes.  Interpolation is one stacked
+    fancy-index + blend per same-(length, rate) group, not per-row
+    ``np.interp``.  Plain linear resampling (no anti-alias filter) is
+    documented behavior: exact for the upsample direction, adequate for
+    feature pipelines; a polyphase filter is a drop-in extension point.
+    Returns (audio_id, bytes, n_samples, sample_rate).
+    """
+    from ..sources.audio_codec import encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            outs: list[bytes | None] = [None] * n
+            lens = np.zeros(n, dtype=np.int64)
+            groups: dict[tuple[int, int], tuple[list, list]] = {}
+            for i, row in enumerate(pdf.itertuples(index=False)):
+                x, rate = _decode_audio(row, stub_ok)
+                idxs, xs = groups.setdefault((len(x), rate), ([], []))
+                idxs.append(i)
+                xs.append(x)
+            for (ln, sr), (idxs, xs) in groups.items():
+                stack = np.stack(xs)                       # (g, ln)
+                out_n = max(1, int(round(ln * target_rate / sr)))
+                pos = np.arange(out_n, dtype=np.float64) * sr / target_rate
+                lo = np.minimum(pos.astype(np.int64), ln - 1)
+                hi = np.minimum(lo + 1, ln - 1)
+                frac = pos - lo
+                res = stack[:, lo] * (1.0 - frac) + stack[:, hi] * frac
+                pcm = np.clip(np.round(res * 32768.0),
+                              -32768, 32767).astype(np.int16)
+                for j, i in enumerate(idxs):
+                    outs[i] = encode_wav(pcm[j], target_rate)
+                    lens[i] = out_n
+            yield pd.DataFrame({"audio_id": pdf["audio_id"],
+                                "bytes": outs,
+                                "n_samples": lens,
+                                "sample_rate": np.full(n, target_rate,
+                                                       dtype=np.int64)})
+
+    return audio.mapInPandas(
+        run, schema="audio_id string, bytes binary, n_samples long, "
+                    "sample_rate long")
+
+
 AFP_SEGMENTS = 8        # spectrogram grid: 8 time segments ...
 AFP_BANDS = 8           # ... x 8 frequency bands -> 64-bit hash
 

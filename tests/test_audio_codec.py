@@ -314,6 +314,42 @@ def test_audio_features_trust_decoded_rate_and_odd_lengths(spark):
         audio_fingerprint(df.where("audio_id = 'one'")).collect()
 
 
+def test_audio_resample_matches_np_interp(spark):
+    """Stacked linear resample == per-row np.interp reference; the
+    output is decodable PCM16 WAV at the target rate, and upsampling a
+    tone preserves its spectral peak."""
+    from go_shapefile_spark.operators.multimodal import audio_resample
+
+    df = spark.createDataFrame(generate_audio_batch(0, 12))
+    got = audio_resample(df, 16000).toPandas().set_index("audio_id")
+    src = generate_audio_batch(0, 12).set_index("audio_id")
+    for aid, row in src.iterrows():
+        x = decode_wav(row["bytes"])[0][:, 0].astype(np.float64) / 32768.0
+        sr, ln = row["sample_rate"], len(x)
+        out_n = int(round(ln * 16000 / sr))
+        pos = np.arange(out_n) * sr / 16000.0
+        ref = np.interp(pos, np.arange(ln), x)
+        g = got.loc[aid]
+        assert g["sample_rate"] == 16000 and g["n_samples"] == out_n
+        dec, rate = decode_wav(bytes(g["bytes"]))
+        assert rate == 16000
+        expect = np.clip(np.round(ref * 32768.0), -32768, 32767)
+        assert np.array_equal(dec[:, 0].astype(np.float64), expect)
+    # spectral peak of a pure tone survives 8k->16k upsampling
+    tone = _sine(4096, sr=8000, freq=440.0)
+    import pandas as pd
+    one = pd.DataFrame([("t", encode_wav(tone, 8000), 4096, 8000, 1,
+                         "wav-pcm16", "t", 1)],
+                       columns=["audio_id", "bytes", "n_samples",
+                                "sample_rate", "n_channels", "fmt",
+                                "transcript", "ahash"])
+    up = audio_resample(spark.createDataFrame(one), 16000).toPandas()
+    y = decode_wav(bytes(up.loc[0, "bytes"]))[0][:, 0].astype(np.float64)
+    freqs = np.fft.rfftfreq(len(y), 1 / 16000.0)
+    peak = freqs[np.abs(np.fft.rfft(y)).argmax()]
+    assert abs(peak - 440.0) < 3.0
+
+
 def test_audio_features_strict_vs_stub(spark):
     """Unknown payload formats: strict raises NotImplementedError;
     stub_ok regenerates the deterministic waveform instead."""
