@@ -315,43 +315,51 @@ def audio_fingerprint(audio: DataFrame,
     clips >= 11 bits apart while mu-law re-encodes stay within 3).
     Returns (audio_id, afp).
     """
-    g, nb = AFP_SEGMENTS, AFP_BANDS
-    weights = np.uint64(1) << np.arange(g * nb, dtype=np.uint64)
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes = np.zeros(len(pdf), dtype=np.uint64)
-            groups: dict[int, tuple[list, list]] = {}
-            for i, row in enumerate(pdf.itertuples(index=False)):
-                x, _rate = _decode_audio(row, stub_ok)
-                idxs, xs = groups.setdefault(len(x), ([], []))
-                idxs.append(i)
-                xs.append(x)
-            for ln, (idxs, xs) in groups.items():
-                # segments must tile the clip evenly for the batched
-                # reshape; drop the <= g-1 trailing samples of awkward
-                # lengths (real-world rates rarely divide by 8) rather
-                # than rejecting legal WAVs (r5 review).  Clips shorter
-                # than one sample per segment can't form a grid at all.
-                if ln < g:
-                    raise ValueError(
-                        f"clip too short to fingerprint ({ln} < {g})")
-                ln -= ln % g
-                stack = np.stack(xs)[:, :ln].reshape(len(xs), g, ln // g)
-                mag2 = np.abs(np.fft.rfft(stack, axis=2)) ** 2
-                nbins = mag2.shape[2]
-                band_of = np.minimum((np.arange(1, nbins) - 1) * nb
-                                     // (nbins - 1), nb - 1)
-                onehot = np.equal(band_of[:, None],
-                                  np.arange(nb)[None, :]).astype(np.float64)
-                e = mag2[:, :, 1:] @ onehot              # (n, g, nb), no DC
-                bits = (e > e.mean(axis=1, keepdims=True)) \
-                    .reshape(len(xs), g * nb).astype(np.uint64)
-                hashes[idxs] = (bits * weights).sum(axis=1, dtype=np.uint64)
             yield pd.DataFrame({"audio_id": pdf["audio_id"],
-                                "afp": hashes.view(np.int64)})
+                                "afp": fingerprint_batch(pdf, stub_ok)})
 
     return audio.mapInPandas(run, schema="audio_id string, afp long")
+
+
+def fingerprint_batch(pdf: pd.DataFrame,
+                      stub_ok: bool = False) -> np.ndarray:
+    """The :func:`audio_fingerprint` kernel over one pandas batch ->
+    int64 hashes aligned to the batch rows.  Shared by the batch
+    operator and the streaming dedup stage (the math must be identical
+    or a streaming backfill would disagree with the batch dedup)."""
+    g, nb = AFP_SEGMENTS, AFP_BANDS
+    weights = np.uint64(1) << np.arange(g * nb, dtype=np.uint64)
+    hashes = np.zeros(len(pdf), dtype=np.uint64)
+    groups: dict[int, tuple[list, list]] = {}
+    for i, row in enumerate(pdf.itertuples(index=False)):
+        x, _rate = _decode_audio(row, stub_ok)
+        idxs, xs = groups.setdefault(len(x), ([], []))
+        idxs.append(i)
+        xs.append(x)
+    for ln, (idxs, xs) in groups.items():
+        # segments must tile the clip evenly for the batched
+        # reshape; drop the <= g-1 trailing samples of awkward
+        # lengths (real-world rates rarely divide by 8) rather
+        # than rejecting legal WAVs (r5 review).  Clips shorter
+        # than one sample per segment can't form a grid at all.
+        if ln < g:
+            raise ValueError(
+                f"clip too short to fingerprint ({ln} < {g})")
+        ln -= ln % g
+        stack = np.stack(xs)[:, :ln].reshape(len(xs), g, ln // g)
+        mag2 = np.abs(np.fft.rfft(stack, axis=2)) ** 2
+        nbins = mag2.shape[2]
+        band_of = np.minimum((np.arange(1, nbins) - 1) * nb
+                             // (nbins - 1), nb - 1)
+        onehot = np.equal(band_of[:, None],
+                          np.arange(nb)[None, :]).astype(np.float64)
+        e = mag2[:, :, 1:] @ onehot              # (n, g, nb), no DC
+        bits = (e > e.mean(axis=1, keepdims=True)) \
+            .reshape(len(xs), g * nb).astype(np.uint64)
+        hashes[idxs] = (bits * weights).sum(axis=1, dtype=np.uint64)
+    return hashes.view(np.int64)
 
 
 def audio_neardup_pairs(audio: DataFrame, max_hamming: int = 3,

@@ -927,6 +927,23 @@ def q_video_frame_sample_oracle(dialect: str) -> str:
 AUDIO_GATE_N = 2000
 
 
+def _ensure_audio_table(spark: SparkSession) -> str:
+    """Gate corpus: AUDIO_GATE_N deterministic WAV clips (half PCM16,
+    half mu-law; waveform regenerates from ahash), built distributed
+    and cached under the codec+generator version tag."""
+    from .sources.audio import AUDIO_CORPUS_TAG, generate_audio_df
+
+    path = os.path.join(_CACHE_ROOT,
+                        f"gate_audio_n{AUDIO_GATE_N}_{AUDIO_CORPUS_TAG}")
+    marker = os.path.join(path, "_SUCCESS_GATE")
+    if not os.path.exists(marker):
+        generate_audio_df(spark, AUDIO_GATE_N) \
+            .write.mode("overwrite").parquet(path)
+        with open(marker, "w") as f:
+            f.write(str(AUDIO_GATE_N))
+    return path
+
+
 def audio_invariants_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality invariant gate: a deterministic WAV table (real
     PCM16 + G.711 mu-law bytes from sources/audio_codec.py, both
@@ -939,18 +956,9 @@ def audio_invariants_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     the video gate's n_frames pattern)."""
     from pyspark.sql import functions as F
 
-    from .sources.audio import (AUDIO_CORPUS_TAG, check_audio_invariants,
-                                generate_audio_df)
+    from .sources.audio import check_audio_invariants
 
-    path = os.path.join(_CACHE_ROOT,
-                        f"gate_audio_n{AUDIO_GATE_N}_{AUDIO_CORPUS_TAG}")
-    marker = os.path.join(path, "_SUCCESS_GATE")
-    if not os.path.exists(marker):
-        generate_audio_df(spark, AUDIO_GATE_N) \
-            .write.mode("overwrite").parquet(path)
-        with open(marker, "w") as f:
-            f.write(str(AUDIO_GATE_N))
-    aud = spark.read.parquet(path)
+    aud = spark.read.parquet(_ensure_audio_table(spark))
     inv = check_audio_invariants(aud).join(
         aud.select("audio_id", "n_samples"), "audio_id")
     return inv.agg(
@@ -1069,6 +1077,55 @@ def q_audio_dedup_groups_oracle(dialect: str) -> str:
     return (f"SELECT CAST({AUDDUP_PLANTED} AS BIGINT) AS n_groups, "
             f"CAST({AUDDUP_PLANTED * 2} AS BIGINT) AS n_members, "
             f"CAST(2 AS BIGINT) AS max_group_size")
+
+
+def _stream_table_dir(table_path: str, copies: int = 1) -> str:
+    """Streaming twin of :func:`_stream_source_dir` for a parquet TABLE
+    directory: symlink every part file (``copies`` times each) into a
+    temp source dir, so the file stream source replays the whole table
+    with planted at-least-once duplication."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="gate_stream_tbl_")
+    parts = sorted(f for f in os.listdir(table_path)
+                   if f.endswith(".parquet"))
+    for f in parts:
+        stem, ext = os.path.splitext(f)
+        for i in range(copies):
+            name = f"{stem}_{i}{ext}" if copies > 1 else f
+            os.symlink(os.path.join(table_path, f), os.path.join(d, name))
+    return d
+
+
+def streaming_audio_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multimodal dedup, gated with PLANTED duplication: the
+    source dir exposes every part file of the audio gate corpus TWICE,
+    the stream strict-decodes and fingerprints each clip (same kernel
+    as the batch operator) and dropDuplicatesWithinWatermark on the
+    fingerprint must collapse the replays — per-format counts equal
+    the single corpus (every one of the 2000 clips has a distinct
+    fingerprint; verified at corpus build)."""
+    import tempfile
+    import uuid
+
+    from .streaming.events import (run_available_now,
+                                   streaming_audio_dedup_counts)
+
+    path = _ensure_audio_table(spark)
+    schema = spark.read.parquet(path).schema
+    out = streaming_audio_dedup_counts(
+        spark, _stream_table_dir(path, copies=2), schema)
+    name = f"gate_stream_auddedup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="gate_stream_auddedup_")
+    run_available_now(out, ckpt, query_name=name)
+    return spark.table(name)
+
+
+def q_streaming_audio_dedup_oracle(dialect: str) -> str:
+    half = AUDIO_GATE_N // 2
+    return (f"SELECT 'wav-pcm16' AS fmt, CAST({half} AS BIGINT) AS n "
+            f"UNION ALL SELECT 'wav-ulaw' AS fmt, "
+            f"CAST({half} AS BIGINT) AS n")
 
 
 def q_streaming_tiles_oracle(dialect: str) -> str:
@@ -1347,6 +1404,8 @@ def build_registry():
     oracles["audio_neardup"] = q_audio_neardup_oracle(DUCK)
     queries["audio_dedup_groups"] = audio_dedup_groups_spark
     oracles["audio_dedup_groups"] = q_audio_dedup_groups_oracle(DUCK)
+    queries["streaming_audio_dedup"] = streaming_audio_dedup_spark
+    oracles["streaming_audio_dedup"] = q_streaming_audio_dedup_oracle(DUCK)
     queries["tile_pyramid"] = tile_pyramid_spark
     oracles["tile_pyramid"] = q_tile_pyramid_oracle(DUCK)
 

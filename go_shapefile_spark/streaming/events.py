@@ -99,3 +99,43 @@ def streaming_dedup_counts(spark: SparkSession, source_dir: str, schema,
     return (stream.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+def streaming_audio_dedup_counts(spark: SparkSession, source_dir: str,
+                                 schema,
+                                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming MULTIMODAL dedup: the audio twin of
+    :func:`streaming_dedup_counts`, with the dedup key computed from
+    the PAYLOAD inside the stream rather than read from a column —
+    readStream → strict WAV decode + spectral fingerprint (a stateless
+    Arrow-batched stage; the same :func:`fingerprint_batch` kernel as
+    the batch operator, so a streaming backfill agrees with a batch
+    dedup bit-for-bit) → ``dropDuplicatesWithinWatermark`` on the
+    fingerprint → per-format rollup.
+
+    Event time derives deterministically from ``ahash`` (the corpus
+    carries no timestamp); per-key state is bounded by the watermark,
+    which is what lets content-keyed dedup run on an unbounded ingest
+    where a plain ``dropDuplicates`` would hold every fingerprint
+    forever.
+    """
+    import pandas as pd
+
+    from ..operators.multimodal import fingerprint_batch
+
+    def fp(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"audio_id": pdf["audio_id"],
+                                "fmt": pdf["fmt"],
+                                "ahash": pdf["ahash"],
+                                "afp": fingerprint_batch(pdf)})
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    sig = stream.mapInPandas(
+        fp, "audio_id string, fmt string, ahash long, afp long")
+    sig = sig.withColumn(
+        "ts", F.timestamp_seconds(F.pmod(F.col("ahash"), F.lit(86400))))
+    return (sig.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["afp"])
+            .groupBy("fmt")
+            .agg(F.count(F.lit(1)).alias("n")))

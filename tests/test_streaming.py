@@ -155,3 +155,29 @@ def test_streaming_dedup_collapses_duplicates(spark, tmp_path):
              .agg(F.count(F.lit(1)).alias("n"),
                   F.round(F.sum("value"), 2).alias("sum_value")).collect()}
     assert got == exp
+
+
+def test_streaming_audio_dedup_collapses_replays(spark, tmp_path):
+    """Multimodal streaming dedup: the dedup key is COMPUTED in the
+    stream (strict WAV decode -> spectral fingerprint, same kernel as
+    the batch operator), and a source replayed three times still
+    collapses to one row per distinct clip."""
+    from go_shapefile_spark.sources.audio import generate_audio_batch
+    from go_shapefile_spark.streaming.events import (
+        run_available_now, streaming_audio_dedup_counts)
+
+    pdf = generate_audio_batch(0, 30)
+    df = spark.createDataFrame(pdf)
+    staging = str(tmp_path / "staging")
+    df.coalesce(1).write.parquet(staging)
+    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    src = str(tmp_path / "asrc")
+    os.makedirs(src)
+    for name in ("a.parquet", "b.parquet", "c.parquet"):
+        shutil.copy(os.path.join(staging, part), os.path.join(src, name))
+
+    out = streaming_audio_dedup_counts(spark, src, df.schema,
+                                       watermark="1 hour")
+    run_available_now(out, str(tmp_path / "ackpt"), "audio_dedup_test")
+    got = {r.fmt: r.n for r in spark.table("audio_dedup_test").collect()}
+    assert got == {"wav-pcm16": 15, "wav-ulaw": 15}
