@@ -258,9 +258,15 @@ def audio_resample(audio: DataFrame, target_rate: int,
     ``np.interp``.  Plain linear resampling (no anti-alias filter) is
     documented behavior: exact for the upsample direction, adequate for
     feature pipelines; a polyphase filter is a drop-in extension point.
-    Returns (audio_id, bytes, n_samples, sample_rate).
+    Returns (audio_id, bytes, n_samples, sample_rate, fmt) — ``fmt``
+    is always 'wav-pcm16' (the re-encode target), so the output
+    composes with every other audio operator in this module
+    (``audio_features(audio_resample(df, r))`` etc., r5 review).
     """
     from ..sources.audio_codec import encode_wav
+
+    if target_rate <= 0:
+        raise ValueError(f"target_rate must be positive, got {target_rate}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -290,11 +296,12 @@ def audio_resample(audio: DataFrame, target_rate: int,
                                 "bytes": outs,
                                 "n_samples": lens,
                                 "sample_rate": np.full(n, target_rate,
-                                                       dtype=np.int64)})
+                                                       dtype=np.int64),
+                                "fmt": ["wav-pcm16"] * n})
 
     return audio.mapInPandas(
         run, schema="audio_id string, bytes binary, n_samples long, "
-                    "sample_rate long")
+                    "sample_rate long, fmt string")
 
 
 AFP_SEGMENTS = 8        # spectrogram grid: 8 time segments ...

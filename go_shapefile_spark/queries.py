@@ -552,18 +552,22 @@ GROUP BY r.polygon_fid
 STREAM_RES, STREAM_WINDOW_S = 5, 300
 
 
-def _stream_source_dir(src_file: str, copies: int = 1) -> str:
-    """Spark's file stream source wants a directory; the testdata tables
-    are single parquet files — expose one through temp dir symlinks.
-    ``copies > 1`` links the same file under several names (planted
-    at-least-once duplication for the streaming-dedup gate)."""
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="gate_stream_src_")
+def _link_copies(src_file: str, dst_dir: str, copies: int) -> None:
+    """Symlink one file into a stream source dir ``copies`` times
+    (distinct names — planted at-least-once duplication)."""
     stem, ext = os.path.splitext(os.path.basename(src_file))
     for i in range(copies):
         name = f"{stem}_{i}{ext}" if copies > 1 else f"{stem}{ext}"
-        os.symlink(src_file, os.path.join(d, name))
+        os.symlink(src_file, os.path.join(dst_dir, name))
+
+
+def _stream_source_dir(src_file: str, copies: int = 1) -> str:
+    """Spark's file stream source wants a directory; the testdata tables
+    are single parquet files — expose one through temp dir symlinks."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="gate_stream_src_")
+    _link_copies(src_file, d, copies)
     return d
 
 
@@ -930,7 +934,13 @@ AUDIO_GATE_N = 2000
 def _ensure_audio_table(spark: SparkSession) -> str:
     """Gate corpus: AUDIO_GATE_N deterministic WAV clips (half PCM16,
     half mu-law; waveform regenerates from ahash), built distributed
-    and cached under the codec+generator version tag."""
+    and cached under the codec+generator version tag.  Before the
+    success marker is written the build ASSERTS that every clip's
+    spectral fingerprint is distinct — the streaming-dedup gate's
+    contract depends on it, and a codec/generator bump regenerates the
+    corpus, so the property must be re-proven per cache epoch rather
+    than assumed (r5 review)."""
+    from .operators.multimodal import audio_fingerprint
     from .sources.audio import AUDIO_CORPUS_TAG, generate_audio_df
 
     path = os.path.join(_CACHE_ROOT,
@@ -939,6 +949,12 @@ def _ensure_audio_table(spark: SparkSession) -> str:
     if not os.path.exists(marker):
         generate_audio_df(spark, AUDIO_GATE_N) \
             .write.mode("overwrite").parquet(path)
+        n_fp = audio_fingerprint(spark.read.parquet(path)) \
+            .select("afp").distinct().count()
+        if n_fp != AUDIO_GATE_N:
+            raise AssertionError(
+                f"audio gate corpus has {AUDIO_GATE_N - n_fp} fingerprint "
+                "collisions; the streaming dedup contract needs all-distinct")
         with open(marker, "w") as f:
             f.write(str(AUDIO_GATE_N))
     return path
@@ -1087,13 +1103,9 @@ def _stream_table_dir(table_path: str, copies: int = 1) -> str:
     import tempfile
 
     d = tempfile.mkdtemp(prefix="gate_stream_tbl_")
-    parts = sorted(f for f in os.listdir(table_path)
-                   if f.endswith(".parquet"))
-    for f in parts:
-        stem, ext = os.path.splitext(f)
-        for i in range(copies):
-            name = f"{stem}_{i}{ext}" if copies > 1 else f
-            os.symlink(os.path.join(table_path, f), os.path.join(d, name))
+    for f in sorted(f for f in os.listdir(table_path)
+                    if f.endswith(".parquet")):
+        _link_copies(os.path.join(table_path, f), d, copies)
     return d
 
 

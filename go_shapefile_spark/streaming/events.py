@@ -113,11 +113,18 @@ def streaming_audio_dedup_counts(spark: SparkSession, source_dir: str,
     dedup bit-for-bit) → ``dropDuplicatesWithinWatermark`` on the
     fingerprint → per-format rollup.
 
-    Event time derives deterministically from ``ahash`` (the corpus
-    carries no timestamp); per-key state is bounded by the watermark,
-    which is what lets content-keyed dedup run on an unbounded ingest
-    where a plain ``dropDuplicates`` would hold every fingerprint
-    forever.
+    The payload carries no event time, so the watermark runs on INGEST
+    time (``current_timestamp`` at the fingerprint stage) — the
+    standard choice for at-least-once dedup of timestamp-less content:
+    arrival time is (micro-batch) monotone, so multi-batch runs never
+    discard first occurrences as "late", and replays arriving within
+    the watermark window collapse.  A replay arriving AFTER the
+    watermark is by design not collapsed — that bound is exactly what
+    keeps per-key state finite on an unbounded ingest where a plain
+    ``dropDuplicates`` would hold every fingerprint forever.  (A
+    content-derived pseudo-timestamp would be wrong here: it is random
+    noise against the watermark, which after the first batch would
+    silently drop nearly every new row as late — r5 review.)
     """
     import pandas as pd
 
@@ -133,8 +140,7 @@ def streaming_audio_dedup_counts(spark: SparkSession, source_dir: str,
     stream = spark.readStream.schema(schema).parquet(source_dir)
     sig = stream.mapInPandas(
         fp, "audio_id string, fmt string, ahash long, afp long")
-    sig = sig.withColumn(
-        "ts", F.timestamp_seconds(F.pmod(F.col("ahash"), F.lit(86400))))
+    sig = sig.withColumn("ts", F.current_timestamp())
     return (sig.withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["afp"])
             .groupBy("fmt")

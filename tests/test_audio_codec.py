@@ -348,6 +348,17 @@ def test_audio_resample_matches_np_interp(spark):
     freqs = np.fft.rfftfreq(len(y), 1 / 16000.0)
     peak = freqs[np.abs(np.fft.rfft(y)).argmax()]
     assert abs(peak - 440.0) < 3.0
+    # output composes with the other audio operators (fmt column, r5
+    # review) and invalid rates fail fast at construction
+    from go_shapefile_spark.operators.multimodal import audio_features
+    feats = audio_features(audio_resample(df, 16000)).toPandas() \
+        .set_index("audio_id")
+    aid = src.index[0]
+    assert feats.loc[aid, "duration_s"] == pytest.approx(
+        int(round(src.loc[aid, "n_samples"]
+                  * 16000 / src.loc[aid, "sample_rate"])) / 16000)
+    with pytest.raises(ValueError, match="target_rate"):
+        audio_resample(df, 0)
 
 
 def test_audio_features_strict_vs_stub(spark):
