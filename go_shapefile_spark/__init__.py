@@ -16,6 +16,7 @@ Operators
     decode_resize_featurize, frame_sample, audio_features,
     audio_resample — multimodal
     (image / video / audio) binary-column operators
+    learn_bpe — distributed BPE tokenizer training
 Functions
     to_wkt, features_to_geojson, features_to_geojson_jvm,
     geojson_to_features
@@ -45,6 +46,7 @@ _LAZY = {
     "frame_sample": "go_shapefile_spark.operators.multimodal",
     "audio_features": "go_shapefile_spark.operators.multimodal",
     "audio_resample": "go_shapefile_spark.operators.multimodal",
+    "learn_bpe": "go_shapefile_spark.operators.bpe_train",
     "to_wkt": "go_shapefile_spark.functions.wkt",
     "features_to_geojson": "go_shapefile_spark.functions.geojson",
     "features_to_geojson_jvm": "go_shapefile_spark.functions.geojson",

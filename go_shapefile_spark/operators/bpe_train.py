@@ -1,0 +1,157 @@
+"""Distributed BPE tokenizer training (learn merge rules at corpus
+scale) — the TRAINING counterpart of ``text.bpe_token_stats_sql``'s
+tokenization counts.
+
+Algorithm (byte-pair encoding over words, Sennrich et al. 2016,
+re-implemented from the published pseudo-code):
+
+1. ONE corpus-sized pass: whitespace pre-tokenize + word-frequency
+   aggregation (shuffle on the word).  Everything after operates on the
+   aggregated word table — vocabulary-bounded, orders of magnitude
+   smaller than the corpus.  This is the honest 100-TB shape of BPE
+   training: the petabytes are touched once; the iterative phase runs
+   on megabytes.
+2. Per merge round, on the word table: adjacent symbol pairs via
+   ``arrays_zip(slice, slice)`` + explode, frequency-weighted pair
+   counts (groupBy), the arg-max pair (count desc, then lexicographic
+   pair — a TOTAL order, so the learned sequence is deterministic and
+   two implementations can be compared exactly), then a greedy
+   left-to-right merge fold applied to every word's symbol array via
+   the ``aggregate`` higher-order function (JVM, no Python worker).
+   Each round's word table is pinned with :func:`rolling_pins` — the
+   fold otherwise NESTS per round and round 30 would carry 30 stacked
+   HOFs in one plan.
+
+The per-round driver action (one-row collect of the best pair) is
+inherent to the algorithm's sequential dependency and bounded by
+``n_merges``; the collected relation is the aggregated pair table's
+top row, never corpus-sized.
+
+:func:`bpe_reference` is an independent pure-Python implementation of
+the same specification (same splitter, same end-of-word marker, same
+tie-break, same greedy application) used as the parity twin by the
+tests and the ``bpe_learn`` contract gate.  Symbol comparisons are
+byte-wise in Spark (UTF8String) and code-point-wise in Python — these
+agree on ASCII corpora; supplementary-plane text would need a
+normalized collation before trusting cross-implementation ties.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Java \s includes \x0B, RE2/Python's does not — shared splitters use
+# the explicit class (round-4 lesson; text.py uses the same seam).
+WS_CLASS = "[ \\t\\n\\r\\f\\x0B]+"
+WORD_END = "</w>"
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The single corpus-sized pass: (word, freq)."""
+    return (docs
+            .select(F.explode(F.split(F.col(text_col), WS_CLASS))
+                    .alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def _merge_fold(a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) -> a||b over the
+    ``syms`` array, as one ``aggregate`` fold (CASE short-circuits, so
+    ``element_at(acc, -1)`` never sees an empty accumulator)."""
+    merged = a + b
+
+    def step(acc, x):
+        return (F.when(F.size(acc) == 0, F.concat(acc, F.array(x)))
+                .when((F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                      F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                               F.array(F.lit(merged))))
+                .otherwise(F.concat(acc, F.array(x))))
+
+    return F.aggregate("syms", F.array().cast("array<string>"), step)
+
+
+def learn_bpe(docs: DataFrame, text_col: str = "text", n_merges: int = 30,
+              min_freq: int = 2) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` BPE merge rules from a document corpus.
+    Stops early when the best pair's weighted frequency drops below
+    ``min_freq``.  Returns the ordered merge list."""
+    from .pinning import rolling_pins
+
+    spark = docs.sparkSession
+    pin = rolling_pins(spark)
+    words = word_frequencies(docs, text_col).withColumn(
+        "syms",
+        F.concat(
+            F.transform(F.sequence(F.lit(1), F.length("word")),
+                        lambda i: F.col("word").substr(i, F.lit(1))),
+            F.array(F.lit(WORD_END))))
+    words = pin(words.select("word", "freq", "syms"))
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        n = F.size("syms")
+        pairs = (words
+                 .where(n >= 2)
+                 .select("freq", F.explode(F.arrays_zip(
+                     F.slice("syms", F.lit(1), n - 1).alias("a"),
+                     F.slice("syms", F.lit(2), n - 1).alias("b")))
+                     .alias("p"))
+                 .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                 .agg(F.sum("freq").alias("cnt")))
+        top = pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")) \
+            .limit(1).collect()
+        if not top or top[0]["cnt"] < min_freq:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        words = pin(words.withColumn("syms", _merge_fold(a, b)))
+    return merges
+
+
+def bpe_reference(texts: list[str] | list[tuple[str, int]],
+                  n_merges: int = 30, min_freq: int = 2,
+                  from_frequencies: bool = False) -> list[tuple[str, str]]:
+    """Independent pure-Python BPE trainer (the parity twin).  Accepts
+    raw texts, or — with ``from_frequencies=True`` — a pre-aggregated
+    ``(word, freq)`` list so the gate can compare ONLY the iterative
+    phase against a Spark-aggregated word table."""
+    wf: Counter = Counter()
+    if from_frequencies:
+        for w, f in texts:
+            wf[w] += int(f)
+    else:
+        splitter = re.compile("[ \t\n\r\f\x0B]+")
+        for t in texts:
+            for w in splitter.split(t):
+                if w:
+                    wf[w] += 1
+    syms = {w: list(w) + [WORD_END] for w in wf}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        pair, cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_freq:
+            break
+        a, b = pair
+        merges.append(pair)
+        merged = a + b
+        for w, s in syms.items():
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges

@@ -1140,6 +1140,39 @@ def q_streaming_audio_dedup_oracle(dialect: str) -> str:
             f"CAST({half} AS BIGINT) AS n")
 
 
+BPE_LEARN_MERGES = 20
+
+
+def bpe_learn_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING, gated contract-style: the
+    Spark side learns the merge sequence (one corpus pass → word-freq
+    table → vocabulary-bounded iterative rounds, operators/bpe_train.py)
+    AND replays the iterative phase through the independent pure-Python
+    reference implementation over the same Spark-aggregated word
+    frequencies; the deterministic tie-break (count desc, then
+    lexicographic pair) makes the two sequences exactly comparable.
+    The oracle pins the contract: the full merge budget was learned and
+    the sequences are identical."""
+    from .operators.bpe_train import (bpe_reference, learn_bpe,
+                                      word_frequencies)
+
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    merges = learn_bpe(docs, n_merges=BPE_LEARN_MERGES, min_freq=2)
+    wf = [(r["word"], r["freq"])
+          for r in word_frequencies(docs).collect()]   # vocab-bounded
+    ref = bpe_reference(wf, n_merges=BPE_LEARN_MERGES, min_freq=2,
+                        from_frequencies=True)
+    return spark.createDataFrame(
+        [(len(merges), bool(merges == ref))],
+        "n_merges long, matches_reference boolean")
+
+
+def q_bpe_learn_oracle(dialect: str) -> str:
+    return (f"SELECT CAST({BPE_LEARN_MERGES} AS BIGINT) AS n_merges, "
+            f"TRUE AS matches_reference")
+
+
 def q_streaming_tiles_oracle(dialect: str) -> str:
     ep = _epoch_s("ts", dialect)
     return f"""
@@ -1418,6 +1451,8 @@ def build_registry():
     oracles["audio_dedup_groups"] = q_audio_dedup_groups_oracle(DUCK)
     queries["streaming_audio_dedup"] = streaming_audio_dedup_spark
     oracles["streaming_audio_dedup"] = q_streaming_audio_dedup_oracle(DUCK)
+    queries["bpe_learn"] = bpe_learn_spark
+    oracles["bpe_learn"] = q_bpe_learn_oracle(DUCK)
     queries["tile_pyramid"] = tile_pyramid_spark
     oracles["tile_pyramid"] = q_tile_pyramid_oracle(DUCK)
 

@@ -1,0 +1,51 @@
+"""Distributed BPE tokenizer training vs the independent pure-Python
+reference (same spec: splitter, end-of-word marker, deterministic
+tie-break, greedy left-to-right merge application)."""
+
+import pandas as pd
+
+from go_shapefile_spark.operators.bpe_train import (
+    bpe_reference, learn_bpe, word_frequencies,
+)
+
+
+def test_reference_learns_the_classic_example():
+    """Sennrich et al.'s worked example: {low:5, lower:2, newest:6,
+    widest:3} — est dominates, then the low stem."""
+    wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    got = bpe_reference(wf, n_merges=5, from_frequencies=True)
+    assert got == [("e", "s"), ("es", "t"), ("est", "</w>"),
+                   ("l", "o"), ("lo", "w")]
+
+
+def test_spark_matches_reference_end_to_end(spark, sf_dir):
+    """Distributed training over the documents table reproduces the
+    reference's merge sequence exactly (both from raw texts)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = learn_bpe(docs, n_merges=10)
+    texts = [r.text for r in docs.select("text").collect()]
+    ref = bpe_reference(texts, n_merges=10)
+    assert len(got) == 10 and got == ref
+
+
+def test_greedy_overlap_and_early_stop(spark):
+    """'aaa' exercises the non-overlapping greedy fold (aaa -> [aa, a],
+    never [aa, aa]); a pair budget larger than the corpus supports
+    stops early at min_freq in BOTH implementations."""
+    texts = ["aaa aaa aa", "b b"]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    got = learn_bpe(df, n_merges=50, min_freq=2)
+    ref = bpe_reference(texts, n_merges=50, min_freq=2)
+    assert got == ref
+    assert 0 < len(got) < 50
+    assert got[0] == ("a", "a")      # (a,a) weighted 2+2+1=5 dominates
+
+
+def test_word_frequencies_splitter(spark):
+    """The splitter is the shared explicit whitespace class (including
+    \\x0B, which Python's \\s covers but RE2's does not)."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["a\tb\x0bc  a\n b", ""]}))
+    got = {r["word"]: r["freq"]
+           for r in word_frequencies(df).collect()}
+    assert got == {"a": 2, "b": 2, "c": 1}
