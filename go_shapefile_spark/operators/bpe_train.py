@@ -59,10 +59,11 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
 
 
-def _merge_fold(a: str, b: str):
+def _merge_fold(a: str, b: str, col: str = "syms"):
     """Greedy left-to-right merge of adjacent (a, b) -> a||b over the
-    ``syms`` array, as one ``aggregate`` fold (CASE short-circuits, so
-    ``element_at(acc, -1)`` never sees an empty accumulator)."""
+    ``col`` symbol array, as one ``aggregate`` fold (CASE
+    short-circuits, so ``element_at(acc, -1)`` never sees an empty
+    accumulator)."""
     merged = a + b
 
     def step(acc, x):
@@ -72,7 +73,7 @@ def _merge_fold(a: str, b: str):
                                F.array(F.lit(merged))))
                 .otherwise(F.concat(acc, F.array(x))))
 
-    return F.aggregate("syms", F.array().cast("array<string>"), step)
+    return F.aggregate(col, F.array().cast("array<string>"), step)
 
 
 def learn_bpe(docs: DataFrame, text_col: str = "text", n_merges: int = 30,
@@ -155,3 +156,63 @@ def bpe_reference(texts: list[str] | list[tuple[str, int]],
                     out.append(x)
             syms[w] = out
     return merges
+
+
+def tokenize_words(words: DataFrame, merges: list[tuple[str, str]],
+                   word_col: str = "word") -> DataFrame:
+    """Apply a learned merge sequence to a DISTINCT-word relation ->
+    adds ``tokens array<string>``.  The folds chain once per merge over
+    the vocabulary-bounded table — never over the corpus; corpus
+    tokenization is a broadcast join against this result (see
+    :func:`bpe_token_counts`), which is the 100-TB shape of BPE
+    inference: petabytes join a megabyte dictionary."""
+    out = words.withColumn(
+        "tokens",
+        F.concat(
+            F.transform(F.sequence(F.lit(1), F.length(word_col)),
+                        lambda i: F.col(word_col).substr(i, F.lit(1))),
+            F.array(F.lit(WORD_END))))
+    for a, b in merges:
+        out = out.withColumn("tokens", _merge_fold(a, b, col="tokens"))
+    return out
+
+
+def bpe_token_counts(docs: DataFrame, merges: list[tuple[str, str]],
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Corpus tokenization with a learned merge table ->
+    (id_col, n_words, n_tokens).  One corpus pass explodes words; the
+    per-word token arity comes from the broadcast-joined tokenized
+    vocabulary (every distinct word is folded exactly once)."""
+    vocab = tokenize_words(
+        docs.select(F.explode(F.split(F.col(text_col), WS_CLASS))
+                    .alias("word"))
+            .where(F.col("word") != "").distinct(),
+        merges)
+    arity = F.broadcast(vocab.select(
+        "word", F.size("tokens").alias("n_word_tokens")))
+    exploded = (docs
+                .select(id_col,
+                        F.explode(F.split(F.col(text_col), WS_CLASS))
+                        .alias("word"))
+                .where(F.col("word") != ""))
+    return (exploded.join(arity, "word")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_word_tokens").alias("n_tokens")))
+
+
+def tokenize_word_reference(word: str,
+                            merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python apply twin: fold each merge over one word, same
+    greedy left-to-right semantics as :func:`_merge_fold`."""
+    s = list(word) + [WORD_END]
+    for a, b in merges:
+        out: list[str] = []
+        for x in s:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        s = out
+    return s

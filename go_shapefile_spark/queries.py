@@ -1151,9 +1151,15 @@ def bpe_learn_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference implementation over the same Spark-aggregated word
     frequencies; the deterministic tie-break (count desc, then
     lexicographic pair) makes the two sequences exactly comparable.
-    The oracle pins the contract: the full merge budget was learned and
-    the sequences are identical."""
-    from .operators.bpe_train import (bpe_reference, learn_bpe,
+    The oracle pins the contract: the full merge budget was learned,
+    the sequences are identical, and the APPLY side (tokenize the
+    distinct-word vocabulary with the chained merge folds, broadcast-
+    join arities back onto the corpus) reproduces the reference
+    tokenizer's corpus token total."""
+    from pyspark.sql import functions as F
+
+    from .operators.bpe_train import (bpe_reference, bpe_token_counts,
+                                      learn_bpe, tokenize_word_reference,
                                       word_frequencies)
 
     register_tables(spark, sf_dir)
@@ -1163,14 +1169,19 @@ def bpe_learn_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
           for r in word_frequencies(docs).collect()]   # vocab-bounded
     ref = bpe_reference(wf, n_merges=BPE_LEARN_MERGES, min_freq=2,
                         from_frequencies=True)
+    total = bpe_token_counts(docs, merges) \
+        .agg(F.sum("n_tokens")).collect()[0][0]
+    ref_total = sum(f * len(tokenize_word_reference(w, ref))
+                    for w, f in wf)
     return spark.createDataFrame(
-        [(len(merges), bool(merges == ref))],
-        "n_merges long, matches_reference boolean")
+        [(len(merges), bool(merges == ref),
+          bool(int(total) == int(ref_total)))],
+        "n_merges long, matches_reference boolean, tokens_match boolean")
 
 
 def q_bpe_learn_oracle(dialect: str) -> str:
     return (f"SELECT CAST({BPE_LEARN_MERGES} AS BIGINT) AS n_merges, "
-            f"TRUE AS matches_reference")
+            f"TRUE AS matches_reference, TRUE AS tokens_match")
 
 
 def q_streaming_tiles_oracle(dialect: str) -> str:

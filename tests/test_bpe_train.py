@@ -49,3 +49,36 @@ def test_word_frequencies_splitter(spark):
     got = {r["word"]: r["freq"]
            for r in word_frequencies(df).collect()}
     assert got == {"a": 2, "b": 2, "c": 1}
+
+
+def test_tokenize_words_and_corpus_counts(spark):
+    """Apply side: the chained merge folds over the vocabulary equal
+    the pure-Python tokenizer per word, and corpus token counts come
+    from the broadcast-joined arities."""
+    from pyspark.sql import functions as F
+
+    from go_shapefile_spark.operators.bpe_train import (
+        bpe_token_counts, tokenize_word_reference, tokenize_words,
+    )
+
+    texts = ["lower lowest low", "newest newer low", "wide widest"]
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": texts}))
+    merges = learn_bpe(df, n_merges=6, min_freq=1)
+    vocab = spark.createDataFrame(pd.DataFrame(
+        {"word": sorted({w for t in texts for w in t.split()})}))
+    tok = {r["word"]: r["tokens"]
+           for r in tokenize_words(vocab, merges).collect()}
+    for w, ts in tok.items():
+        assert ts == tokenize_word_reference(w, merges), w
+    counts = bpe_token_counts(df, merges).toPandas() \
+        .set_index("doc_id").sort_index()
+    for i, t in enumerate(texts):
+        words = t.split()
+        assert counts.loc[i, "n_words"] == len(words)
+        assert counts.loc[i, "n_tokens"] == sum(
+            len(tokenize_word_reference(w, merges)) for w in words)
+    # the arity join must be a broadcast, never a shuffle of the corpus
+    plan = bpe_token_counts(df, merges) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
