@@ -44,9 +44,12 @@ from collections import Counter
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Java \s includes \x0B, RE2/Python's does not — shared splitters use
-# the explicit class (round-4 lesson; text.py uses the same seam).
-WS_CLASS = "[ \\t\\n\\r\\f\\x0B]+"
+# Java \s includes \x0B, RE2/Python's does not — build the splitter
+# from text.py's shared seam so BPE word splitting can never silently
+# diverge from token_stats/shingle splitting (r5 review).
+from .text import _WS  # noqa: E402  (the round-4 whitespace seam)
+
+WS_CLASS = f"[{_WS}]+"
 WORD_END = "</w>"
 
 
@@ -57,6 +60,20 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     .alias("word"))
             .where(F.col("word") != "")
             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def _symbols(word_col: str):
+    """word -> initial symbol array (chars + end-of-word marker), shared
+    by the train and apply sides.  The empty-word guard matters:
+    ``sequence(1, 0)`` DESCENDS in Spark (yielding [1, 0], not []), so
+    an unfiltered '' word would otherwise get two phantom '' symbols
+    and break parity with the Python twin (r5 review)."""
+    return F.concat(
+        F.when(F.length(word_col) == 0, F.array().cast("array<string>"))
+        .otherwise(F.transform(
+            F.sequence(F.lit(1), F.length(word_col)),
+            lambda i: F.col(word_col).substr(i, F.lit(1)))),
+        F.array(F.lit(WORD_END)))
 
 
 def _merge_fold(a: str, b: str, col: str = "syms"):
@@ -85,12 +102,8 @@ def learn_bpe(docs: DataFrame, text_col: str = "text", n_merges: int = 30,
 
     spark = docs.sparkSession
     pin = rolling_pins(spark)
-    words = word_frequencies(docs, text_col).withColumn(
-        "syms",
-        F.concat(
-            F.transform(F.sequence(F.lit(1), F.length("word")),
-                        lambda i: F.col("word").substr(i, F.lit(1))),
-            F.array(F.lit(WORD_END))))
+    words = word_frequencies(docs, text_col) \
+        .withColumn("syms", _symbols("word"))
     words = pin(words.select("word", "freq", "syms"))
 
     merges: list[tuple[str, str]] = []
@@ -111,6 +124,11 @@ def learn_bpe(docs: DataFrame, text_col: str = "text", n_merges: int = 30,
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
         words = pin(words.withColumn("syms", _merge_fold(a, b)))
+    # the return value is a plain list — nothing references the final
+    # pinned word table, so release it instead of leaking one pinned
+    # relation per training run (r5 review; contrast with
+    # connected_components, whose RESULT reads its final pin)
+    pin.release()
     return merges
 
 
@@ -166,12 +184,7 @@ def tokenize_words(words: DataFrame, merges: list[tuple[str, str]],
     tokenization is a broadcast join against this result (see
     :func:`bpe_token_counts`), which is the 100-TB shape of BPE
     inference: petabytes join a megabyte dictionary."""
-    out = words.withColumn(
-        "tokens",
-        F.concat(
-            F.transform(F.sequence(F.lit(1), F.length(word_col)),
-                        lambda i: F.col(word_col).substr(i, F.lit(1))),
-            F.array(F.lit(WORD_END))))
+    out = words.withColumn("tokens", _symbols(word_col))
     for a, b in merges:
         out = out.withColumn("tokens", _merge_fold(a, b, col="tokens"))
     return out
@@ -196,10 +209,18 @@ def bpe_token_counts(docs: DataFrame, merges: list[tuple[str, str]],
                         F.explode(F.split(F.col(text_col), WS_CLASS))
                         .alias("word"))
                 .where(F.col("word") != ""))
-    return (exploded.join(arity, "word")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_words"),
-                 F.sum("n_word_tokens").alias("n_tokens")))
+    counts = (exploded.join(arity, "word")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_words"),
+                   F.sum("n_word_tokens").alias("n_tokens")))
+    # blank/whitespace-only docs explode to zero word rows; a bare
+    # groupBy would silently DROP them — keep one (0, 0) row per doc
+    # so per-doc joins downstream never lose rows (r5 review)
+    return (docs.select(id_col).distinct()
+            .join(counts, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_words", F.lit(0)).alias("n_words"),
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens")))
 
 
 def tokenize_word_reference(word: str,

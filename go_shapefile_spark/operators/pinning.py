@@ -165,6 +165,20 @@ def rolling_pins(spark: SparkSession,
                 pass
         return out
 
+    def release_slot() -> None:
+        """Release the newest (last remaining) pin.  For loops whose
+        RETURN VALUE does not read the final pin (learn_bpe returns a
+        plain list): call after the loop, or the slot leaks one pinned
+        relation per invocation until session stop.  Loops whose result
+        DataFrame reads the final pin (connected_components) must NOT
+        call this."""
+        for rel in _PINS.pop(key, []):
+            try:
+                rel()
+            except Exception:
+                pass
+
+    pin.release = release_slot
     return pin
 
 

@@ -82,3 +82,34 @@ def test_tokenize_words_and_corpus_counts(spark):
     plan = bpe_token_counts(df, merges) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_empty_word_and_blank_doc_edges(spark):
+    """r5 review fixes: sequence(1,0) DESCENDS in Spark, so an
+    unfiltered '' word must still tokenize to ['</w>'] like the Python
+    twin; blank docs keep a (0, 0) counts row instead of vanishing;
+    learn_bpe releases its final pin (no leak per training run)."""
+    from go_shapefile_spark.operators.bpe_train import (
+        bpe_token_counts, tokenize_word_reference, tokenize_words,
+    )
+    from go_shapefile_spark.operators.pinning import _PINS
+
+    vocab = spark.createDataFrame(pd.DataFrame({"word": ["", "ab"]}))
+    merges = [("a", "b")]
+    tok = {r["word"]: r["tokens"]
+           for r in tokenize_words(vocab, merges).collect()}
+    assert tok[""] == tokenize_word_reference("", merges) == ["</w>"]
+    assert tok["ab"] == ["ab", "</w>"]
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["a b", "   ", ""]}))
+    counts = bpe_token_counts(df, merges).toPandas() \
+        .set_index("doc_id").sort_index()
+    assert len(counts) == 3
+    assert counts.loc[1].tolist() == [0, 0]
+    assert counts.loc[2].tolist() == [0, 0]
+
+    before = sum(1 for k in _PINS if k[0] == id(spark))
+    learn_bpe(df, n_merges=3, min_freq=1)
+    after = sum(1 for k in _PINS if k[0] == id(spark))
+    assert after == before          # final pin released, slot empty
