@@ -13,8 +13,8 @@ Operators
     spatial_join, PreparedCover — cell-cover broadcast join + PIP refine
     knn_radius, knn_exact — cell-local / exact k nearest neighbors
     tile_counts, tile_pyramid, rasterize_features, vectorize_raster
-    decode_resize_featurize, frame_sample, audio_features,
-    audio_resample — multimodal
+    decode_resize_featurize, augment_images, frame_sample,
+    audio_features, audio_resample — multimodal
     (image / video / audio) binary-column operators
     learn_bpe — distributed BPE tokenizer training
 Functions
@@ -46,6 +46,7 @@ _LAZY = {
     "frame_sample": "go_shapefile_spark.operators.multimodal",
     "audio_features": "go_shapefile_spark.operators.multimodal",
     "audio_resample": "go_shapefile_spark.operators.multimodal",
+    "augment_images": "go_shapefile_spark.operators.multimodal",
     "learn_bpe": "go_shapefile_spark.operators.bpe_train",
     "to_wkt": "go_shapefile_spark.functions.wkt",
     "features_to_geojson": "go_shapefile_spark.functions.geojson",

@@ -64,6 +64,32 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return img[ys[:, None], xs[None, :]]
 
 
+def resize_bilinear_stack(stack: np.ndarray, out_w: int,
+                          out_h: int) -> np.ndarray:
+    """(n, h, w, 3) uint8 -> (n, out_h, out_w, 3) uint8, bilinear with
+    half-pixel centers (the align_corners=False convention shared by
+    PIL/torch/OpenCV), one vectorized gather+blend for the whole stack."""
+    n, h, w, _ = stack.shape
+
+    def axis(out_n: int, in_n: int):
+        pos = (np.arange(out_n) + 0.5) * in_n / out_n - 0.5
+        lo = np.floor(pos).astype(np.int64)
+        frac = pos - lo
+        lo0 = np.clip(lo, 0, in_n - 1)
+        lo1 = np.clip(lo + 1, 0, in_n - 1)
+        return lo0, lo1, frac
+
+    y0, y1, fy = axis(out_h, h)
+    x0, x1, fx = axis(out_w, w)
+    f = stack.astype(np.float64)
+    top = f[:, y0][:, :, x0] * (1 - fx[None, None, :, None]) \
+        + f[:, y0][:, :, x1] * fx[None, None, :, None]
+    bot = f[:, y1][:, :, x0] * (1 - fx[None, None, :, None]) \
+        + f[:, y1][:, :, x1] * fx[None, None, :, None]
+    out = top * (1 - fy[None, :, None, None]) + bot * fy[None, :, None, None]
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def image_features(img: np.ndarray) -> np.ndarray:
     """Per-channel mean/std + 4-bin intensity histogram → float32 vector."""
     f = img.reshape(-1, 3).astype(np.float64)
@@ -122,6 +148,59 @@ def decode_resize_featurize(images: DataFrame, out_w: int = 8, out_h: int = 8,
     return images.mapInPandas(
         run, schema="image_id string, fmt string, thumb binary, "
                     "feature array<float>")
+
+
+def augment_images(images: DataFrame, out_w: int = 8, out_h: int = 8,
+                   hflip: bool = True, crop_frac: float = 0.875,
+                   stub_ok: bool = False) -> DataFrame:
+    """Deterministic training-time image augmentation: decode ->
+    seeded center-biased crop -> bilinear resize -> optional seeded
+    horizontal flip -> raw RGB bytes.
+
+    Every random choice derives from ``phash`` (splitmix64), so the
+    pipeline is reproducible row-for-row across retries and cluster
+    re-runs — the property a training-data job needs for deterministic
+    shuffles/epoch replays.  Crop offsets are per-image (a fancy-index
+    gather over the stack); resize and flip run once per same-shape
+    stack.  Returns (image_id, aug binary, aug_w, aug_h, flipped).
+    """
+    from ..operators.geotag import splitmix64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            outs: list[bytes | None] = [None] * n
+            flips = np.zeros(n, dtype=bool)
+            for idxs, stack in _decoded_stacks(pdf, stub_ok):
+                g, h, w, _ = stack.shape
+                ch = max(1, int(round(h * crop_frac)))
+                cw = max(1, int(round(w * crop_frac)))
+                seeds = splitmix64(
+                    pdf["phash"].to_numpy()[idxs].astype(np.int64))
+                oy = (seeds % np.uint64(h - ch + 1)).astype(np.int64)
+                ox = ((seeds >> np.uint64(16))
+                      % np.uint64(w - cw + 1)).astype(np.int64)
+                rows = oy[:, None] + np.arange(ch)[None, :]
+                cols = ox[:, None] + np.arange(cw)[None, :]
+                cropped = stack[np.arange(g)[:, None, None],
+                                rows[:, :, None], cols[:, None, :]]
+                resized = resize_bilinear_stack(cropped, out_w, out_h)
+                if hflip:
+                    do = ((seeds >> np.uint64(32))
+                          & np.uint64(1)).astype(bool)
+                    resized[do] = resized[do, :, ::-1]
+                    flips[idxs] = do
+                for j, i in enumerate(idxs):
+                    outs[i] = resized[j].tobytes()
+            yield pd.DataFrame({"image_id": pdf["image_id"],
+                                "aug": outs,
+                                "aug_w": np.full(n, out_w, dtype=np.int32),
+                                "aug_h": np.full(n, out_h, dtype=np.int32),
+                                "flipped": flips})
+
+    return images.mapInPandas(
+        run, schema="image_id string, aug binary, aug_w int, aug_h int, "
+                    "flipped boolean")
 
 
 def frame_sample(videos: DataFrame, every_n: int = 10,

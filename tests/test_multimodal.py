@@ -159,3 +159,71 @@ def test_image_neardup_flood_spanning_edges(spark):
     # the near-dup pairs with the flood's representative
     assert len(near) == 1 and (near.hamming <= 3).all()
     assert len(pairs) == 30
+
+
+def test_resize_bilinear_matches_per_pixel_reference():
+    """Stacked bilinear == straightforward per-pixel bilinear (same
+    half-pixel-center convention); constants are exactly preserved."""
+    import numpy as np
+
+    from go_shapefile_spark.operators.multimodal import resize_bilinear_stack
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    out = resize_bilinear_stack(img[None], 9, 4)[0]
+
+    def ref_px(y, x, c):
+        py = (y + 0.5) * 7 / 4 - 0.5
+        px = (x + 0.5) * 5 / 9 - 0.5
+        y0, x0 = int(np.floor(py)), int(np.floor(px))
+        fy, fx = py - y0, px - x0
+        y0c, y1c = np.clip(y0, 0, 6), np.clip(y0 + 1, 0, 6)
+        x0c, x1c = np.clip(x0, 0, 4), np.clip(x0 + 1, 0, 4)
+        f = img.astype(np.float64)
+        v = (f[y0c, x0c, c] * (1 - fy) * (1 - fx)
+             + f[y0c, x1c, c] * (1 - fy) * fx
+             + f[y1c, x0c, c] * fy * (1 - fx)
+             + f[y1c, x1c, c] * fy * fx)
+        return int(np.clip(np.round(v), 0, 255))
+
+    for y in range(4):
+        for x in range(9):
+            for c in range(3):
+                assert out[y, x, c] == ref_px(y, x, c), (y, x, c)
+
+    const = np.full((1, 6, 6, 3), 77, dtype=np.uint8)
+    assert (resize_bilinear_stack(const, 11, 3) == 77).all()
+
+
+def test_augment_images_deterministic_and_seeded(spark):
+    """Augmentation is reproducible row-for-row (same phash -> same
+    crop/flip), flips match the seed law, and output shape is fixed."""
+    import numpy as np
+
+    from go_shapefile_spark.operators.geotag import splitmix64
+    from go_shapefile_spark.operators.multimodal import augment_images
+    from go_shapefile_spark.sources.images import IMAGES_SCHEMA, generate_batch
+
+    pdf = generate_batch(0, 30)
+    df = spark.createDataFrame(pdf, schema=IMAGES_SCHEMA)
+    a = augment_images(df, out_w=8, out_h=8).toPandas() \
+        .set_index("image_id").sort_index()
+    b = augment_images(df, out_w=8, out_h=8).toPandas() \
+        .set_index("image_id").sort_index()
+    assert len(a) == 30
+    assert all(len(x) == 8 * 8 * 3 for x in a["aug"])
+    assert (a["aug"] == b["aug"]).all() and (a["flipped"] == b["flipped"]).all()
+    seeds = splitmix64(pdf["phash"].to_numpy().astype(np.int64))
+    want_flip = ((seeds >> np.uint64(32)) & np.uint64(1)).astype(bool)
+    got_flip = a.loc[pdf["image_id"], "flipped"].to_numpy()
+    assert (got_flip == want_flip).all()
+    # a flipped row un-flips to the unflipped pipeline's output
+    no_flip = augment_images(df, out_w=8, out_h=8, hflip=False) \
+        .toPandas().set_index("image_id")
+    flipped_ids = a.index[a["flipped"]]
+    assert len(flipped_ids) > 0
+    for i in flipped_ids:
+        got = np.frombuffer(a.loc[i, "aug"], np.uint8).reshape(8, 8, 3)
+        base = np.frombuffer(no_flip.loc[i, "aug"],
+                             np.uint8).reshape(8, 8, 3)
+        assert np.array_equal(got[:, ::-1], base)
