@@ -324,3 +324,31 @@ SELECT doc_id,
              GREATEST(CAST({n_ws} AS BIGINT), 1), 6) AS bpe_per_ws
 FROM {rel}
 """
+
+
+def corpus_curation_sql(dialect: str, rel: str = "documents",
+                        min_quality: float = 0.7,
+                        lang: str = "en") -> str:
+    """End-to-end corpus CURATION: the filter composition a training-
+    data pipeline runs before tokenization — quality floor + language
+    gate + exact-dedup keep-one (first doc_id per content hash) — as
+    ONE dual-dialect relational query (every stage reuses its existing
+    template, so the composition inherits their oracle parity).
+    Returns the curated per-document rows (doc_id, source, quality,
+    pred_lang)."""
+    q = quality_score_sql(dialect, rel)
+    lid = langid_sql(dialect, rel)
+    return f"""
+SELECT doc_id, source, quality, pred_lang
+FROM (
+  SELECT d.doc_id, d.source, q.quality, l.pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY MD5(d.text)
+                            ORDER BY d.doc_id) AS rn
+  FROM {rel} d
+  JOIN ({q}) q ON q.doc_id = d.doc_id
+  JOIN ({lid}) l ON l.doc_id = d.doc_id
+  WHERE q.quality >= CAST({min_quality} AS DOUBLE)
+    AND l.pred_lang = '{lang}'
+) t
+WHERE rn = 1
+"""

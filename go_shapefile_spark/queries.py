@@ -1397,6 +1397,9 @@ def build_registry():
         "fingerprint_overlap_pairs":
             lambda d: TX.fingerprint_overlap_pairs_sql(
                 d, min_shared=4, max_doc_freq=0.02),
+        # the pre-tokenization filter composition (quality floor +
+        # language gate + exact-dedup keep-one) as one relational query
+        "corpus_curation": lambda d: TX.corpus_curation_sql(d),
         "cosine_topk": lambda d: SIM.cosine_topk_sql(d),
         "embedding_neardup": lambda d: SIM.embedding_neardup_sql(d, threshold=0.25),
         "embedding_neardup_bucketed":
