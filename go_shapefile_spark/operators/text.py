@@ -39,6 +39,45 @@ FROM {rel}
 """
 
 
+
+def _lang_vote_sums(indent: str = "  ") -> str:
+    """One SUM per language's stopword hits (s_en doubles as the
+    quality score's n_stop — shared by langid_sql and the fused
+    curation template)."""
+    return (",\n" + indent).join(
+        f"SUM({_in_list('tok', words)}) AS s_{lang}"
+        for lang, words in LANG_STOPWORDS.items())
+
+
+def _lang_vote_case() -> str:
+    """Deterministic arg-max over the vote sums (earlier language wins
+    ties with later ones)."""
+    langs = list(LANG_STOPWORDS)
+    cond = []
+    for i, lang in enumerate(langs):
+        others = [f"s_{lang} >= s_{o}" for o in langs[i + 1:]]
+        prior = [f"s_{lang} > s_{o}" for o in langs[:i]]
+        clauses = prior + others
+        cond.append(
+            f"WHEN {' AND '.join(clauses) if clauses else 'TRUE'} "
+            f"THEN '{lang}'")
+    return "CASE " + " ".join(cond) + " ELSE 'und' END"
+
+
+def _quality_expr(n_chars: str, n_stop: str, n_tokens: str,
+                  n_symbols: str) -> str:
+    """The quality blend (length band + stopword density + symbol
+    noise) over caller-supplied sub-expressions."""
+    return f"""ROUND(
+         (CASE WHEN {n_chars} BETWEEN 100 AND 20000
+               THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+       + (CASE WHEN CAST({n_stop} AS DOUBLE) / {n_tokens} >= 0.01
+               THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+       + (CASE WHEN CAST({n_symbols} AS DOUBLE) / {n_chars} <= 0.1
+               THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+       , 6)"""
+
+
 def quality_score_sql(dialect: str, rel: str = "documents") -> str:
     """Heuristic quality score: length band + stopword ratio + punct ratio.
 
@@ -67,31 +106,15 @@ base AS (
 SELECT doc_id,
        ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
        ROUND(CAST(n_symbols AS DOUBLE) / n_chars, 6) AS symbol_ratio,
-       ROUND(
-         (CASE WHEN n_chars BETWEEN 100 AND 20000
-               THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
-       + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.01
-               THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
-       + (CASE WHEN CAST(n_symbols AS DOUBLE) / n_chars <= 0.1
-               THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
-       , 6) AS quality
+       {_quality_expr('n_chars', 'n_stop', 'n_tokens', 'n_symbols')} AS quality
 FROM base
 """
 
 
 def langid_sql(dialect: str, rel: str = "documents") -> str:
     """Stopword-vote language ID with deterministic tie-break order."""
-    sums = ",\n  ".join(
-        f"SUM({_in_list('tok', words)}) AS s_{lang}"
-        for lang, words in LANG_STOPWORDS.items())
-    langs = list(LANG_STOPWORDS)
-    cond = []
-    for i, lang in enumerate(langs):
-        others = [f"s_{lang} >= s_{o}" for o in langs[i + 1:]]
-        prior = [f"s_{lang} > s_{o}" for o in langs[:i]]
-        clauses = prior + others
-        cond.append(f"WHEN {' AND '.join(clauses) if clauses else 'TRUE'} THEN '{lang}'")
-    case = "CASE " + " ".join(cond) + " ELSE 'und' END"
+    sums = _lang_vote_sums()
+    case = _lang_vote_case()
     return f"""
 WITH tokens AS (
   SELECT doc_id, {H.split_tokens("text", dialect)} AS tok FROM {rel}
@@ -349,6 +372,48 @@ FROM (
   JOIN ({lid}) l ON l.doc_id = d.doc_id
   WHERE q.quality >= CAST({min_quality} AS DOUBLE)
     AND l.pred_lang = '{lang}'
+) t
+WHERE rn = 1
+"""
+
+
+def corpus_curation_fused_sql(dialect: str, rel: str = "documents",
+                              min_quality: float = 0.7,
+                              lang: str = "en") -> str:
+    """Single-pass fusion of :func:`corpus_curation_sql` — identical
+    output rows (parity-tested), built for the 100-TB shape: the staged
+    composition inlines each stage's CTEs and scans ``{rel}`` four
+    times (measured), while this form tokenizes ONCE (the language
+    votes already contain the quality score's stopword count — s_en),
+    joins back once, and windows the filtered survivors: two scans,
+    one aggregation shuffle, one window."""
+    n_sym = H.regexp_count("d.text", "[^a-z0-9 ]", dialect)
+    return f"""
+WITH tokens AS (
+  SELECT doc_id, {H.split_tokens("text", dialect)} AS tok FROM {rel}
+),
+tok_agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         {_lang_vote_sums(indent="         ")}
+  FROM tokens WHERE tok <> '' GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.source,
+         MD5(d.text) AS text_hash,
+         {_quality_expr("LENGTH(d.text)", "t.s_en",
+                        "t.n_tokens", n_sym)} AS quality,
+         {_lang_vote_case()} AS pred_lang
+  FROM {rel} d JOIN tok_agg t ON t.doc_id = d.doc_id
+)
+SELECT doc_id, source, quality, pred_lang
+FROM (
+  SELECT doc_id, source, quality, pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY text_hash
+                            ORDER BY doc_id) AS rn
+  FROM scored
+  WHERE quality >= CAST({min_quality} AS DOUBLE)
+    AND pred_lang = '{lang}'
 ) t
 WHERE rn = 1
 """

@@ -1400,6 +1400,8 @@ def build_registry():
         # the pre-tokenization filter composition (quality floor +
         # language gate + exact-dedup keep-one) as one relational query
         "corpus_curation": lambda d: TX.corpus_curation_sql(d),
+        # the single-token-pass fusion (2 scans instead of 4)
+        "corpus_curation_fused": lambda d: TX.corpus_curation_fused_sql(d),
         "cosine_topk": lambda d: SIM.cosine_topk_sql(d),
         "embedding_neardup": lambda d: SIM.embedding_neardup_sql(d, threshold=0.25),
         "embedding_neardup_bucketed":

@@ -28,3 +28,25 @@ def test_corpus_curation_stages_all_fire(spark):
     assert got["doc_id"].tolist() == [1, 2, 10]    # 11 deduped away
     assert (got["pred_lang"] == "en").all()
     assert (got["quality"] >= 0.7).all()
+
+
+def test_corpus_curation_fused_parity_and_plan(spark, sf_dir):
+    """The single-pass fusion returns exactly the staged composition's
+    rows while scanning the documents table half as many times."""
+    from go_shapefile_spark.operators.text import (
+        corpus_curation_fused_sql, corpus_curation_sql,
+    )
+    from go_shapefile_spark.queries import register_tables
+
+    register_tables(spark, sf_dir)
+    staged = spark.sql(corpus_curation_sql("spark"))
+    fused = spark.sql(corpus_curation_fused_sql("spark"))
+    # count scans BEFORE executing: the post-run AQE tree string appends
+    # an "== Initial Plan ==" section that double-counts every node
+    n_staged = staged._jdf.queryExecution().executedPlan() \
+        .toString().count("Scan parquet")
+    n_fused = fused._jdf.queryExecution().executedPlan() \
+        .toString().count("Scan parquet")
+    assert n_fused == 2 and n_staged >= 2 * n_fused
+    assert sorted(map(tuple, staged.collect())) \
+        == sorted(map(tuple, fused.collect()))
