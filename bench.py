@@ -185,7 +185,9 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              # audio modality (r5): strict WAV decode + spectral
              # fingerprint near-dup; corpus builds once into .cache,
              # the min-of-rounds protocol keeps the warm number
-             "audio_invariants", "audio_neardup"]
+             "audio_invariants", "audio_neardup",
+             # r5: staged vs single-pass curation (4 scans vs 2)
+             "corpus_curation", "corpus_curation_fused"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

@@ -102,6 +102,19 @@ def learn_bpe(docs: DataFrame, text_col: str = "text", n_merges: int = 30,
 
     spark = docs.sparkSession
     pin = rolling_pins(spark)
+    try:
+        return _learn_bpe_rounds(docs, text_col, n_merges, min_freq, pin)
+    finally:
+        # the return value is a plain list — nothing references the
+        # final pinned word table, so release it on EVERY exit path
+        # (a mid-training failure must not leak the pin either —
+        # r5 review; contrast with connected_components, whose RESULT
+        # reads its final pin)
+        pin.release()
+
+
+def _learn_bpe_rounds(docs: DataFrame, text_col: str, n_merges: int,
+                      min_freq: int, pin) -> list[tuple[str, str]]:
     words = word_frequencies(docs, text_col) \
         .withColumn("syms", _symbols("word"))
     words = pin(words.select("word", "freq", "syms"))
@@ -124,11 +137,6 @@ def learn_bpe(docs: DataFrame, text_col: str = "text", n_merges: int = 30,
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
         words = pin(words.withColumn("syms", _merge_fold(a, b)))
-    # the return value is a plain list — nothing references the final
-    # pinned word table, so release it instead of leaking one pinned
-    # relation per training run (r5 review; contrast with
-    # connected_components, whose RESULT reads its final pin)
-    pin.release()
     return merges
 
 
@@ -204,23 +212,19 @@ def bpe_token_counts(docs: DataFrame, merges: list[tuple[str, str]],
         merges)
     arity = F.broadcast(vocab.select(
         "word", F.size("tokens").alias("n_word_tokens")))
-    exploded = (docs
-                .select(id_col,
-                        F.explode(F.split(F.col(text_col), WS_CLASS))
-                        .alias("word"))
-                .where(F.col("word") != ""))
-    counts = (exploded.join(arity, "word")
-              .groupBy(id_col)
-              .agg(F.count(F.lit(1)).alias("n_words"),
-                   F.sum("n_word_tokens").alias("n_tokens")))
-    # blank/whitespace-only docs explode to zero word rows; a bare
-    # groupBy would silently DROP them — keep one (0, 0) row per doc
-    # so per-doc joins downstream never lose rows (r5 review)
-    return (docs.select(id_col).distinct()
-            .join(counts, id_col, "left")
-            .select(id_col,
-                    F.coalesce("n_words", F.lit(0)).alias("n_words"),
-                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens")))
+    # explode_outer keeps ONE null-word row for blank/whitespace-only
+    # docs, so they survive as (0, 0) without a second corpus scan +
+    # distinct shuffle (r5 review: the petabytes are scanned once;
+    # count("word") skips the null, coalesce turns the null sum into 0)
+    words_arr = F.filter(F.split(F.col(text_col), WS_CLASS),
+                         lambda x: x != "")
+    exploded = docs.select(id_col,
+                           F.explode_outer(words_arr).alias("word"))
+    return (exploded.join(arity, "word", "left")
+            .groupBy(id_col)
+            .agg(F.count("word").alias("n_words"),
+                 F.coalesce(F.sum("n_word_tokens"),
+                            F.lit(0)).alias("n_tokens")))
 
 
 def tokenize_word_reference(word: str,

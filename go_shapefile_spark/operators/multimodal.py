@@ -81,11 +81,14 @@ def resize_bilinear_stack(stack: np.ndarray, out_w: int,
 
     y0, y1, fy = axis(out_h, h)
     x0, x1, fx = axis(out_w, w)
-    f = stack.astype(np.float64)
-    top = f[:, y0][:, :, x0] * (1 - fx[None, None, :, None]) \
-        + f[:, y0][:, :, x1] * fx[None, None, :, None]
-    bot = f[:, y1][:, :, x0] * (1 - fx[None, None, :, None]) \
-        + f[:, y1][:, :, x1] * fx[None, None, :, None]
+    # gather rows from uint8 FIRST (small out_h), cast after: the
+    # float64 conversion then touches out_h rows, not all h, and each
+    # row gather happens once (r5 review)
+    fy0 = stack[:, y0].astype(np.float64)
+    fy1 = stack[:, y1].astype(np.float64)
+    fxw = fx[None, None, :, None]
+    top = fy0[:, :, x0] * (1 - fxw) + fy0[:, :, x1] * fxw
+    bot = fy1[:, :, x0] * (1 - fxw) + fy1[:, :, x1] * fxw
     out = top * (1 - fy[None, :, None, None]) + bot * fy[None, :, None, None]
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
@@ -165,6 +168,9 @@ def augment_images(images: DataFrame, out_w: int = 8, out_h: int = 8,
     stack.  Returns (image_id, aug binary, aug_w, aug_h, flipped).
     """
     from ..operators.geotag import splitmix64
+
+    if not 0.0 < crop_frac <= 1.0:
+        raise ValueError(f"crop_frac must be in (0, 1], got {crop_frac}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

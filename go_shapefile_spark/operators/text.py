@@ -85,7 +85,6 @@ def quality_score_sql(dialect: str, rel: str = "documents") -> str:
     agree bitwise; the blend mirrors common training-data quality filters
     (length, stopword density, symbol noise).
     """
-    stop_hits = " + ".join(_in_list("tok", STOPWORDS_EN) for _ in range(1)) or "0"
     return f"""
 WITH tokens AS (
   SELECT doc_id, {H.split_tokens("text", dialect)} AS tok FROM {rel}

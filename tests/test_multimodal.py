@@ -227,3 +227,14 @@ def test_augment_images_deterministic_and_seeded(spark):
         base = np.frombuffer(no_flip.loc[i, "aug"],
                              np.uint8).reshape(8, 8, 3)
         assert np.array_equal(got[:, ::-1], base)
+
+
+def test_augment_images_rejects_bad_crop_frac(spark):
+    from go_shapefile_spark.operators.multimodal import augment_images
+    from go_shapefile_spark.sources.images import IMAGES_SCHEMA, generate_batch
+
+    df = spark.createDataFrame(generate_batch(0, 2), schema=IMAGES_SCHEMA)
+    with pytest.raises(ValueError, match="crop_frac"):
+        augment_images(df, crop_frac=1.2)
+    with pytest.raises(ValueError, match="crop_frac"):
+        augment_images(df, crop_frac=0.0)

@@ -19,6 +19,11 @@ def test_corpus_curation_stages_all_fire(spark):
              "haus der garten und die sonne das wasser " * 4,
          "de", "web", 0),                          # German -> dropped
         (30, "@@@@ #### $$$$ %%%% ^^^^ &&&& " * 20, "xx", "web", 0),
+        # reaches SCORING (has tokens, zero-vote tie predicts 'en')
+        # but fails the quality floor: too short, no stopwords -> 0.3.
+        # Without this row the quality threshold has no regression
+        # guard — every other drop happens before scoring (r5 review)
+        (40, "zebra quartz mango", "en", "web", 0),
     ]
     pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang",
                                       "source", "n_chars"])
