@@ -416,3 +416,71 @@ FROM (
 ) t
 WHERE rn = 1
 """
+
+
+def bm25_topk_sql(dialect: str, terms: list[str] | None = None,
+                  rel: str = "documents", k: int = 20,
+                  k1: float = 1.2, b: float = 0.75) -> str:
+    """Corpus retrieval scoring: BM25 top-k for a literal query term
+    set, as one relational query (tokens -> per-doc term frequencies ->
+    document lengths -> corpus stats -> per-term scores -> sum ->
+    deterministic top-k).
+
+    The idf factor is the RATIONAL core of BM25 —
+    ``(N - df + 0.5) / (df + 0.5)`` — without the final ``LN``:
+    IEEE +,*,/ are bit-deterministic across engines while the two
+    engines' libm ``ln`` may differ in the last ulp, which a
+    hash-compared oracle cannot tolerate.  Per term the transform is
+    monotone (documented variant; a production caller who wants the
+    classic log damping applies LN Spark-side).  The summed score is
+    rounded to 4 dp before ranking in BOTH engines so partition-order
+    float-addition jitter cannot flip the ordering; ties break on
+    doc_id.
+    """
+    terms = terms or ["table", "row", "scan"]
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    k1p1 = f"CAST({k1 + 1.0} AS DOUBLE)"
+    k1c = f"CAST({k1} AS DOUBLE)"
+    one_b = f"CAST({1.0 - b} AS DOUBLE)"
+    bc = f"CAST({b} AS DOUBLE)"
+    return f"""
+WITH tokens AS (
+  SELECT doc_id, {H.split_tokens("text", dialect)} AS tok FROM {rel}
+),
+tok_counts AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM tokens WHERE tok <> '' GROUP BY doc_id, tok
+),
+doclen AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tok_counts GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         AVG(CAST(dl AS DOUBLE)) AS avgdl
+  FROM doclen
+),
+term_df AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df
+  FROM tok_counts WHERE tok IN ({tlist}) GROUP BY tok
+),
+scores AS (
+  SELECT tc.doc_id,
+         SUM(
+           ((s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+              / (d.df + CAST(0.5 AS DOUBLE)))
+           * (CAST(tc.tf AS DOUBLE) * {k1p1})
+           / (CAST(tc.tf AS DOUBLE)
+              + {k1c} * ({one_b} + {bc} * CAST(dl.dl AS DOUBLE) / s.avgdl))
+         ) AS score
+  FROM tok_counts tc
+  JOIN term_df d ON d.tok = tc.tok
+  JOIN doclen dl ON dl.doc_id = tc.doc_id
+  CROSS JOIN stats s
+  WHERE tc.tok IN ({tlist})
+  GROUP BY tc.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS bm25
+FROM scores
+ORDER BY ROUND(score, 4) DESC, doc_id
+LIMIT {k}
+"""

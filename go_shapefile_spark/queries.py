@@ -1402,6 +1402,9 @@ def build_registry():
         "corpus_curation": lambda d: TX.corpus_curation_sql(d),
         # the single-token-pass fusion (2 scans instead of 4)
         "corpus_curation_fused": lambda d: TX.corpus_curation_fused_sql(d),
+        # retrieval scoring: rational-idf BM25 top-k (see docstring for
+        # why the final LN is omitted in the dual-engine template)
+        "bm25_topk": lambda d: TX.bm25_topk_sql(d),
         "cosine_topk": lambda d: SIM.cosine_topk_sql(d),
         "embedding_neardup": lambda d: SIM.embedding_neardup_sql(d, threshold=0.25),
         "embedding_neardup_bucketed":

@@ -55,3 +55,47 @@ def test_corpus_curation_fused_parity_and_plan(spark, sf_dir):
     assert n_fused == 2 and n_staged >= 2 * n_fused
     assert sorted(map(tuple, staged.collect())) \
         == sorted(map(tuple, fused.collect()))
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """The relational BM25 (rational-idf variant) equals a
+    straightforward per-doc Python implementation, including the
+    round-before-rank and doc_id tie-break laws."""
+    import re
+
+    import pandas as pd
+
+    from go_shapefile_spark.operators.text import bm25_topk_sql
+
+    docs = [
+        (0, "table scan and table join over the table"),
+        (1, "row scan row scan row"),
+        (2, "the quick brown fox jumps over nothing relevant"),
+        (3, "scan"),
+        (4, "table row scan table row scan"),
+        (5, "completely unrelated words only here"),
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("bm_docs")
+    got = spark.sql(bm25_topk_sql(
+        "spark", terms=["table", "scan"], rel="bm_docs", k=10)).toPandas()
+
+    tok = {i: re.split(r"[ \t\n\r\f\x0b]+", t) for i, t in docs}
+    tok = {i: [w for w in ws if w] for i, ws in tok.items()}
+    dl = {i: len(ws) for i, ws in tok.items()}
+    avgdl = sum(dl.values()) / len(dl)
+    n = float(len(docs))
+    k1, b = 1.2, 0.75
+    want = {}
+    for term in ("table", "scan"):
+        df_t = sum(1 for ws in tok.values() if term in ws)
+        idf = (n - df_t + 0.5) / (df_t + 0.5)
+        for i, ws in tok.items():
+            tf = ws.count(term)
+            if tf:
+                want[i] = want.get(i, 0.0) + idf * (tf * (k1 + 1)) / (
+                    tf + k1 * (1 - b + b * dl[i] / avgdl))
+    expect = sorted(((round(s, 4), i) for i, s in want.items()),
+                    key=lambda x: (-x[0], x[1]))
+    assert [(r.doc_id, r.bm25) for r in got.itertuples(index=False)] \
+        == [(i, s) for s, i in expect]
