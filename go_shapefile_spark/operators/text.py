@@ -436,6 +436,14 @@ def bm25_topk_sql(dialect: str, terms: list[str] | None = None,
     rounded to 4 dp before ranking in BOTH engines so partition-order
     float-addition jitter cannot flip the ordering; ties break on
     doc_id.
+
+    Scale shape: the only corpus-wide shuffle is GROUP BY
+    (doc_id, tok) over TERM-FILTERED tokens — the query-term filter
+    sits under the explode, so non-matching tokens never shuffle.
+    Document lengths come from a scan-side ``regexp_count`` (non-
+    whitespace runs == split-token count), not from aggregating every
+    token; ``WHERE dl > 0`` keeps the doc set identical to the
+    explode-based definition (docs with at least one token).
     """
     terms = terms or ["table", "row", "scan"]
     tlist = ", ".join(f"'{t}'" for t in terms)
@@ -443,16 +451,19 @@ def bm25_topk_sql(dialect: str, terms: list[str] | None = None,
     k1c = f"CAST({k1} AS DOUBLE)"
     one_b = f"CAST({1.0 - b} AS DOUBLE)"
     bc = f"CAST({b} AS DOUBLE)"
+    n_tok = H.regexp_count("text", f"[^{_WS}]+", dialect)
     return f"""
 WITH tokens AS (
   SELECT doc_id, {H.split_tokens("text", dialect)} AS tok FROM {rel}
 ),
 tok_counts AS (
   SELECT doc_id, tok, COUNT(*) AS tf
-  FROM tokens WHERE tok <> '' GROUP BY doc_id, tok
+  FROM tokens WHERE tok IN ({tlist}) GROUP BY doc_id, tok
 ),
 doclen AS (
-  SELECT doc_id, SUM(tf) AS dl FROM tok_counts GROUP BY doc_id
+  SELECT doc_id, dl FROM (
+    SELECT doc_id, CAST({n_tok} AS BIGINT) AS dl FROM {rel}
+  ) t WHERE dl > 0
 ),
 stats AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
@@ -461,7 +472,7 @@ stats AS (
 ),
 term_df AS (
   SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df
-  FROM tok_counts WHERE tok IN ({tlist}) GROUP BY tok
+  FROM tok_counts GROUP BY tok
 ),
 scores AS (
   SELECT tc.doc_id,
@@ -476,7 +487,6 @@ scores AS (
   JOIN term_df d ON d.tok = tc.tok
   JOIN doclen dl ON dl.doc_id = tc.doc_id
   CROSS JOIN stats s
-  WHERE tc.tok IN ({tlist})
   GROUP BY tc.doc_id
 )
 SELECT doc_id, ROUND(score, 4) AS bm25
