@@ -109,6 +109,17 @@ def ints_0_to(n: int, dialect: str) -> str:
     return f"unnest(range(0, {n}))"
 
 
+def last_ignore_nulls(expr: str, dialect: str) -> str:
+    """``last_value`` skipping NULLs, for use before an OVER clause.
+
+    Both engines implement the standard semantics; only the spelling of
+    the IGNORE NULLS modifier differs (Spark puts it after the call,
+    DuckDB inside the parens)."""
+    if dialect == SPARK:
+        return f"last_value({expr}) IGNORE NULLS"
+    return f"last_value({expr} IGNORE NULLS)"
+
+
 # Fixed (a, b) coefficients for the universal-hash family
 # h_j(x) = (a_j·x + b_j) mod p over the 32-bit shingle hash x.
 # Constants are arbitrary odd numbers < 2^30, embedded as literals so both

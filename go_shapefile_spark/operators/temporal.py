@@ -1,0 +1,153 @@
+"""Temporal join operators: as-of join and binned interval range join.
+
+Neither exists as a Spark built-in; both are classic event-pipeline
+operators (point-in-time feature lookup, interval containment).  Naive
+phrasings are scale killers — Spark plans an inequality-only join
+condition as BroadcastNestedLoopJoin (all pairs per partition pair) —
+so both operators here re-express the semantics as a single shuffle on
+an equi-key:
+
+* :func:`asof_join` needs NO join at all: union the probe and dimension
+  rows, one window pass per key carries the latest non-null dimension
+  value forward (``last_value IGNORE NULLS`` over rows-unbounded-
+  preceding), then keep the probe rows.  One shuffle on the key, state
+  per row is O(1), and skewed keys degrade no worse than any window.
+* :func:`range_join_binned` quantizes time into fixed-width bins:
+  intervals explode to the bins they cover (a Generate node — bounded
+  by ceil(duration / bin) + 1 rows per interval), points map to exactly
+  one bin, and the containment predicate runs AFTER a plain hash
+  equi-join on ``bin``.  Every true pair meets in the point's bin
+  exactly once, so no dedup pass is needed.
+
+Scale notes (100 TB): the as-of union never materializes pairs — it is
+safe at any dim/probe ratio.  For the range join, pick ``bin_width`` of
+the order of the typical interval length: explosion factor stays ~2×
+while each bin's candidate set stays local.  Long-tail intervals fan
+out linearly (an interval covering B bins costs B rows — still far
+cheaper than the O(|points|) a nested-loop pairing costs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(probe: DataFrame, dim: DataFrame, on: list[str],
+              ts_col: str, value_col: str, out_col: str | None = None,
+              tiebreak_col: str | None = None) -> DataFrame:
+    """Point-in-time lookup: for each probe row, the ``value_col`` of the
+    latest dim row with the same key and ``dim.ts <= probe.ts`` (NULL
+    when no dim row precedes the probe).
+
+    At equal timestamps the dim row counts as already effective (the
+    standard as-of convention); among multiple dim rows at one (key, ts)
+    the one with the greatest ``tiebreak_col`` wins, which makes the
+    result deterministic — pass a unique id column present in BOTH
+    inputs (or leave None when (key, ts) is unique on the dim side).
+
+    Returns all probe columns plus ``out_col`` (default
+    ``asof_<value_col>``).
+    """
+    out_col = out_col or f"asof_{value_col}"
+    if out_col in probe.columns:
+        raise ValueError(f"output column {out_col!r} already in probe")
+    vtype = dict(dim.dtypes)[value_col]
+
+    carry = [c for c in probe.columns if c not in on and c != ts_col]
+    d = dim.select(
+        *on, F.col(ts_col),
+        F.col(value_col).cast(vtype).alias("__asof_v"),
+        F.lit(1).alias("__is_dim"),
+        *[F.lit(None).cast(t).alias(c)
+          for c, t in probe.dtypes if c in carry],
+        (F.col(tiebreak_col) if tiebreak_col else F.lit(0)).alias("__tb"))
+    p = probe.select(
+        *on, F.col(ts_col),
+        F.lit(None).cast(vtype).alias("__asof_v"),
+        F.lit(0).alias("__is_dim"),
+        *carry,
+        (F.col(tiebreak_col) if tiebreak_col else F.lit(0)).alias("__tb"))
+
+    w = (Window.partitionBy(*on)
+         .orderBy(F.col(ts_col).asc(), F.col("__is_dim").desc(),
+                  F.col("__tb").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (d.unionByName(p)
+            .withColumn(out_col, F.last("__asof_v", ignorenulls=True).over(w))
+            .where(F.col("__is_dim") == 0)
+            .select(*probe.columns, out_col))
+
+
+def covered_bins(start: Column, end: Column, bin_width: int,
+                 half_open: bool = True) -> Column:
+    """Array of bin ids an integer interval covers (empty when the
+    interval is empty).  Guarded so Spark's descending ``sequence``
+    semantics can never fire on degenerate input."""
+    last = (end - 1) if half_open else end
+    seq = F.sequence(F.floor(start / bin_width).cast("bigint"),
+                     F.floor(last / bin_width).cast("bigint"))
+    empty = start > end if not half_open else start >= end
+    return F.when(empty, F.array().cast("array<bigint>")).otherwise(seq)
+
+
+def range_join_binned(points: DataFrame, intervals: DataFrame,
+                      point_ts: str, start_col: str, end_col: str,
+                      bin_width: int, half_open: bool = True) -> DataFrame:
+    """All (point, interval) pairs with the point inside the interval
+    (``start <= ts < end``; closed end with ``half_open=False``), as a
+    hash equi-join on time bins — never a nested-loop join.
+
+    Timestamps and bounds must be integers (epoch seconds/millis); the
+    containment predicate itself is exact, bins only route candidates.
+    Columns from both inputs are returned (names must not collide).
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be a positive integer")
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"column name collision: {sorted(overlap)}")
+    iv = intervals.withColumn(
+        "__bin", F.explode(covered_bins(
+            F.col(start_col), F.col(end_col), bin_width, half_open)))
+    pt = points.withColumn(
+        "__bin", F.floor(F.col(point_ts) / bin_width).cast("bigint"))
+    upper = (F.col(point_ts) < F.col(end_col)) if half_open \
+        else (F.col(point_ts) <= F.col(end_col))
+    return (pt.join(iv, "__bin")
+            .where((F.col(point_ts) >= F.col(start_col)) & upper)
+            .drop("__bin"))
+
+
+# --- dual-dialect SQL templates (gate queries) ------------------------------
+
+
+def asof_union_window_sql(dialect: str, probe_cte: str, dim_cte: str,
+                          on: list[str], ts_col: str, id_col: str,
+                          value_col: str, out_col: str) -> str:
+    """The same union+window algebra as :func:`asof_join`, as a SQL
+    template both engines run verbatim (the IGNORE NULLS spelling is the
+    only dialect seam).  ``probe_cte``/``dim_cte`` are relation names
+    with columns (on..., ts_col, id_col, and value_col on the dim side);
+    ``id_col`` doubles as the deterministic tiebreak."""
+    from ..functions import hashes as H
+    keys = ", ".join(on)
+    lv = H.last_ignore_nulls("v", dialect)
+    return f"""
+u AS (
+  SELECT {keys}, {ts_col}, CAST(NULL AS BIGINT) AS pid, {value_col} AS v,
+         1 AS is_dim, {id_col} AS tb
+  FROM {dim_cte}
+  UNION ALL
+  SELECT {keys}, {ts_col}, {id_col} AS pid, NULL AS v, 0 AS is_dim,
+         {id_col} AS tb
+  FROM {probe_cte}
+),
+w AS (
+  SELECT pid, {keys}, {ts_col}, is_dim,
+         {lv} OVER (PARTITION BY {keys}
+                    ORDER BY {ts_col} ASC, is_dim DESC, tb ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS {out_col}
+  FROM u
+)"""

@@ -350,6 +350,100 @@ FROM ranked WHERE rank <= {KNN_HAV_K}
 """
 
 
+# --- temporal joins (as-of / interval range) -------------------------------
+
+RANGE_IV_MOD, RANGE_IV_SLOTS, RANGE_EPOCH = 3, 4000, 1704067200
+
+
+def _asof_events_ctes(dialect: str) -> str:
+    """Probe (non-purchase events) and dim (purchase → rate) relations in
+    epoch seconds; shared by the operator gate and the oracle."""
+    return f"""
+ev AS (
+  SELECT event_id, user_id, {_epoch_s('ts', dialect)} AS ts_s,
+         event_type, value
+  FROM events
+),
+probe AS (SELECT event_id, user_id, ts_s FROM ev
+          WHERE event_type <> 'purchase'),
+dim AS (SELECT user_id, ts_s, value AS rate, event_id FROM ev
+        WHERE event_type = 'purchase')"""
+
+
+def asof_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join gate: for every non-purchase event, the rate of the
+    user's latest purchase at-or-before it — via the zero-join
+    union+window operator (operators/temporal.py)."""
+    from pyspark.sql import functions as F
+
+    from .operators.temporal import asof_join
+
+    register_tables(spark, sf_dir)
+    spark.sql(f"WITH {_asof_events_ctes(SPARK)} SELECT * FROM probe") \
+        .createOrReplaceTempView("asof_probe")
+    spark.sql(f"WITH {_asof_events_ctes(SPARK)} SELECT * FROM dim") \
+        .createOrReplaceTempView("asof_dim")
+    out = asof_join(spark.table("asof_probe"), spark.table("asof_dim"),
+                    on=["user_id"], ts_col="ts_s", value_col="rate",
+                    out_col="asof_rate", tiebreak_col="event_id")
+    return out.select("event_id", "user_id", "ts_s",
+                      F.coalesce("asof_rate", F.lit(-1.0)).alias("asof_rate"))
+
+
+def q_asof_join_oracle(dialect: str) -> str:
+    from .operators.temporal import asof_union_window_sql
+    return f"""
+WITH {_asof_events_ctes(dialect)},
+{asof_union_window_sql(dialect, probe_cte='probe', dim_cte='dim',
+                       on=['user_id'], ts_col='ts_s', id_col='event_id',
+                       value_col='rate', out_col='asof_rate')}
+SELECT pid AS event_id, user_id, ts_s,
+       COALESCE(asof_rate, -1.0) AS asof_rate
+FROM w WHERE is_dim = 0
+"""
+
+
+def _range_intervals_cte(dialect: str) -> str:
+    """Deterministic time intervals from orders keys, mapped into the
+    events month: every {RANGE_IV_MOD}rd order opens a 3–21 minute
+    window on a 10-minute grid."""
+    return f"""
+iv AS (
+  SELECT o_orderkey AS iv_id,
+         {RANGE_EPOCH} + (o_orderkey % {RANGE_IV_SLOTS}) * 600 AS start_s,
+         {RANGE_EPOCH} + (o_orderkey % {RANGE_IV_SLOTS}) * 600
+           + ((o_orderkey % 7) + 1) * 180 AS end_s
+  FROM orders WHERE o_orderkey % {RANGE_IV_MOD} = 0
+)"""
+
+
+def range_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join gate: events inside [start, end) order
+    windows via the binned equi-join operator (never a nested-loop
+    join; plan-guarded in tests/test_temporal.py)."""
+    from .operators.temporal import range_join_binned
+
+    register_tables(spark, sf_dir)
+    pts = spark.sql(f"""WITH ev AS (
+  SELECT event_id, {_epoch_s('ts', SPARK)} AS ts_s FROM events)
+SELECT * FROM ev""")
+    iv = spark.sql(f"WITH {_range_intervals_cte(SPARK)} SELECT * FROM iv")
+    out = range_join_binned(pts, iv, point_ts="ts_s", start_col="start_s",
+                            end_col="end_s", bin_width=900)
+    return out.select("event_id", "iv_id")
+
+
+def q_range_join_oracle(dialect: str) -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_id, {_epoch_s('ts', dialect)} AS ts_s FROM events),
+{_range_intervals_cte(dialect)}
+SELECT e.event_id, i.iv_id
+FROM ev e JOIN iv i
+  ON e.ts_s >= i.start_s AND e.ts_s < i.end_s
+"""
+
+
 def salted_tiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E9: salted two-phase tile counts — same result as a plain groupBy
     (the oracle), robust to hot-cell skew."""
@@ -1424,6 +1518,10 @@ def build_registry():
     oracles["knn_events_exact"] = q_knn_exact_oracle(DUCK)
     queries["salted_tile_counts"] = salted_tiles_spark
     oracles["salted_tile_counts"] = q_salted_tiles_oracle(DUCK)
+    queries["asof_join_rates"] = asof_join_spark
+    oracles["asof_join_rates"] = q_asof_join_oracle(DUCK)
+    queries["range_join_intervals"] = range_join_spark
+    oracles["range_join_intervals"] = q_range_join_oracle(DUCK)
     queries["bucketed_join_rollup"] = bucketed_join_spark
     oracles["bucketed_join_rollup"] = q_bucketed_join_oracle(DUCK)
     queries["lineage_resume_rollup"] = lineage_resume_spark

@@ -1,0 +1,147 @@
+"""As-of join + binned interval range join (operators/temporal.py):
+brute-force parity, degenerate inputs, error contracts, plan guards."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_shapefile_spark.operators.temporal import (
+    asof_join, covered_bins, range_join_binned)
+
+
+def _brute_asof(probe, dim):
+    """Reference: latest dim (ts, tb) at-or-before each probe ts."""
+    out = {}
+    for pid, key, ts in probe:
+        best = None
+        for dkey, dts, dval, dtb in dim:
+            if dkey == key and dts <= ts:
+                if best is None or (dts, dtb) > (best[0], best[1]):
+                    best = (dts, dtb, dval)
+        out[pid] = None if best is None else best[2]
+    return out
+
+
+def _random_case(seed):
+    rng = random.Random(seed)
+    keys = [1, 2, 3]
+    dim = [(rng.choice(keys), rng.randrange(0, 50), float(i * 10), 1000 + i)
+           for i in range(rng.randrange(0, 25))]
+    probe = [(i, rng.choice(keys), rng.randrange(0, 50))
+             for i in range(rng.randrange(1, 40))]
+    return probe, dim
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_asof_matches_bruteforce(spark, seed):
+    probe, dim = _random_case(seed)
+    p = spark.createDataFrame(probe, "pid bigint, k bigint, ts bigint")
+    d = spark.createDataFrame(dim, "k bigint, ts bigint, v double, tb bigint")
+    # tiebreak must exist on both sides; probe pid reused as its tiebreak
+    got = {r.pid: r.asof_v for r in asof_join(
+        p.withColumn("tb", F.col("pid")), d, on=["k"], ts_col="ts",
+        value_col="v", out_col="asof_v", tiebreak_col="tb").collect()}
+    want = _brute_asof(probe, dim)
+    assert got == want
+
+
+def test_asof_equal_ts_dim_counts_and_tiebreak(spark):
+    # two dim rows at the same (key, ts): the greater tiebreak wins;
+    # a probe AT that ts already sees the rate
+    d = spark.createDataFrame([(1, 10, 5.0, 7), (1, 10, 9.0, 8)],
+                              "k bigint, ts bigint, v double, tb bigint")
+    p = spark.createDataFrame([(100, 1, 10), (101, 1, 9)],
+                              "pid bigint, k bigint, ts bigint")
+    rows = {r.pid: r.asof_v for r in asof_join(
+        p.withColumn("tb", F.col("pid")), d, on=["k"], ts_col="ts",
+        value_col="v", tiebreak_col="tb", out_col="asof_v").collect()}
+    assert rows == {100: 9.0, 101: None}
+
+
+def test_asof_no_dim_for_key_and_empty_dim(spark):
+    p = spark.createDataFrame([(1, 5, 3)], "pid bigint, k bigint, ts bigint")
+    d_empty = spark.createDataFrame([], "k bigint, ts bigint, v double")
+    out = asof_join(p, d_empty, on=["k"], ts_col="ts", value_col="v")
+    assert [r.asof_v for r in out.collect()] == [None]
+
+
+def test_asof_out_col_collision_raises(spark):
+    p = spark.createDataFrame([(1, 1, 1)], "pid bigint, k bigint, ts bigint")
+    with pytest.raises(ValueError, match="already in probe"):
+        asof_join(p, p, on=["k"], ts_col="ts", value_col="pid",
+                  out_col="pid")
+
+
+def test_asof_plan_has_no_join(spark):
+    p = spark.createDataFrame([(1, 1, 1)], "pid bigint, k bigint, ts bigint")
+    d = spark.createDataFrame([(1, 0, 2.0)], "k bigint, ts bigint, v double")
+    plan = asof_join(p, d, on=["k"], ts_col="ts", value_col="v") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Cartesian" not in plan
+
+
+def test_covered_bins_empty_and_width(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (0, 1), (0, 10), (9, 10), (10, 10), (10, 30)],
+        "s bigint, e bigint")
+    rows = df.select("s", "e", covered_bins(
+        F.col("s"), F.col("e"), 10).alias("b")).collect()
+    got = {(r.s, r.e): r.b for r in rows}
+    assert got[(0, 0)] == []          # empty half-open interval
+    assert got[(0, 1)] == [0]
+    assert got[(0, 10)] == [0]        # end exclusive: bin 1 not covered
+    assert got[(9, 10)] == [0]
+    assert got[(10, 10)] == []
+    assert got[(10, 30)] == [1, 2]
+    closed = df.select("s", "e", covered_bins(
+        F.col("s"), F.col("e"), 10, half_open=False).alias("b")).collect()
+    gotc = {(r.s, r.e): r.b for r in closed}
+    assert gotc[(0, 10)] == [0, 1] and gotc[(10, 10)] == [1]
+    assert gotc[(0, 0)] == [0]
+
+
+def _brute_range(points, ivs, half_open):
+    out = set()
+    for pid, ts in points:
+        for iid, s, e in ivs:
+            if ts >= s and (ts < e if half_open else ts <= e):
+                out.add((pid, iid))
+    return out
+
+
+@pytest.mark.parametrize("seed,half_open", [(0, True), (1, True), (2, False)])
+def test_range_join_matches_bruteforce(spark, seed, half_open):
+    rng = random.Random(seed)
+    points = [(i, rng.randrange(0, 200)) for i in range(60)]
+    ivs = []
+    for i in range(30):
+        s = rng.randrange(0, 200)
+        ivs.append((i, s, s + rng.choice([0, 1, 5, 40, 130])))
+    p = spark.createDataFrame(points, "pid bigint, ts bigint")
+    iv = spark.createDataFrame(ivs, "iid bigint, s bigint, e bigint")
+    out = range_join_binned(p, iv, "ts", "s", "e", bin_width=16,
+                            half_open=half_open)
+    got = {(r.pid, r.iid) for r in out.select("pid", "iid").collect()}
+    assert got == _brute_range(points, ivs, half_open)
+    # exactly-once: no dedup pass hides double matches
+    assert out.count() == len(got)
+
+
+def test_range_join_validation(spark):
+    p = spark.createDataFrame([(1, 1)], "pid bigint, ts bigint")
+    iv = spark.createDataFrame([(1, 0, 2)], "iid bigint, s bigint, e bigint")
+    with pytest.raises(ValueError, match="bin_width"):
+        range_join_binned(p, iv, "ts", "s", "e", bin_width=0)
+    clash = iv.withColumnRenamed("iid", "pid")
+    with pytest.raises(ValueError, match="collision"):
+        range_join_binned(p, clash, "ts", "s", "e", bin_width=10)
+
+
+def test_range_join_plan_is_equijoin(spark):
+    p = spark.createDataFrame([(1, 1)], "pid bigint, ts bigint")
+    iv = spark.createDataFrame([(1, 0, 2)], "iid bigint, s bigint, e bigint")
+    plan = range_join_binned(p, iv, "ts", "s", "e", bin_width=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
