@@ -109,6 +109,25 @@ def ints_0_to(n: int, dialect: str) -> str:
     return f"unnest(range(0, {n}))"
 
 
+def tokens_arr(text_expr: str, dialect: str,
+               pattern: str = "[a-z0-9]+") -> str:
+    """Array of lowercased tokens via regexp_extract_all — identical
+    edge semantics in both engines (no phantom empty strings, unlike
+    the split-on-separator spellings)."""
+    if dialect == SPARK:
+        return f"regexp_extract_all(lower({text_expr}), '{pattern}', 0)"
+    return f"regexp_extract_all(lower({text_expr}), '{pattern}')"
+
+
+def arr_gram(arr_expr: str, pos_expr: str, n: int, dialect: str) -> str:
+    """Space-joined n-gram from a token array at 1-based ``pos``
+    (caller guarantees pos + n - 1 ≤ len)."""
+    if dialect == SPARK:
+        return f"array_join(slice({arr_expr}, {pos_expr}, {n}), ' ')"
+    return (f"array_to_string(list_slice({arr_expr}, {pos_expr}, "
+            f"{pos_expr} + {n - 1}), ' ')")
+
+
 def last_ignore_nulls(expr: str, dialect: str) -> str:
     """``last_value`` skipping NULLs, for use before an OVER clause.
 

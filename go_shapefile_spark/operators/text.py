@@ -494,3 +494,170 @@ FROM scores
 ORDER BY ROUND(score, 4) DESC, doc_id
 LIMIT {k}
 """
+
+
+def decontam_overlap_sql(dialect: str, rel: str = "documents",
+                         n: int = 5, bench_mod: int = 11) -> str:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with a held-out benchmark split (doc_id %
+    ``bench_mod`` == 0 plays the benchmark here; a real pipeline joins
+    an external eval table of the same (doc_id, text) shape).
+
+    The join key is the 32-bit hash of the n-gram, not the string —
+    integer keys shuffle; the benchmark side is tiny by construction
+    and the hint broadcasts it (DuckDB reads the hint as a block
+    comment, keeping the template shared).  Per-doc DISTINCT collapses
+    the gram stream map-side before the join, so the shuffled volume is
+    ~unique grams, not positions.  Emits every training doc with its
+    overlap count — the caller's removal policy is one WHERE.
+    """
+    toks = H.tokens_arr("text", dialect)
+    gram = H.arr_gram("toks", "pos", n, dialect)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS toks FROM {rel}
+),
+positions AS (
+  SELECT doc_id, toks, {H.seq_1_to(f"{H.array_len('toks', dialect)} - {n - 1}", dialect)} AS pos
+  FROM toks WHERE {H.array_len('toks', dialect)} >= {n}
+),
+grams AS (
+  SELECT DISTINCT doc_id, {H.h32(gram, dialect)} AS g
+  FROM positions
+),
+bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {bench_mod} = 0
+),
+hits AS (
+  SELECT /*+ BROADCAST(b) */ t.doc_id, COUNT(*) AS n_overlap
+  FROM grams t JOIN bench b ON t.g = b.g
+  WHERE t.doc_id % {bench_mod} <> 0
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CASE WHEN h.n_overlap IS NOT NULL THEN 1 ELSE 0 END AS contaminated
+FROM {rel} d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {bench_mod} <> 0
+"""
+
+
+def repetition_stats_sql(dialect: str, rel: str = "documents",
+                         dup_n: int = 3, top2_max: float = 0.08,
+                         dup_max: float = 0.10) -> str:
+    """Gopher-style repetition quality signals per document: the token
+    fraction claimed by the most frequent word 2-gram and the fraction
+    of ``dup_n``-gram positions whose gram repeats within the doc, plus the
+    keep/drop verdict at the given thresholds.
+
+    One scan, one explode: both gram sizes ride a single position
+    stream (the dup_n-gram is NULL on the trailing positions), so the
+    heavy tokenize/explode work is not duplicated per gram size.
+    Fractions are exact rationals of integer counts — no float
+    accumulation — so the dual-engine compare is bit-stable.
+    """
+    toks = H.tokens_arr("text", dialect)
+    alen = H.array_len("toks", dialect)
+    g2 = H.arr_gram("toks", "pos", 2, dialect)
+    gd = H.arr_gram("toks", "pos", dup_n, dialect)
+    dcol = f"dup{dup_n}_frac"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {toks} AS toks FROM {rel}
+),
+positions AS (
+  SELECT doc_id, toks, {alen} AS nt,
+         {H.seq_1_to(f"{alen} - 1", dialect)} AS pos
+  FROM toks WHERE {alen} >= 2
+),
+grams AS (
+  SELECT doc_id, nt, {H.h32(g2, dialect)} AS g2,
+         CASE WHEN pos + {dup_n - 1} <= nt THEN {H.h32(gd, dialect)} END AS gd
+  FROM positions
+),
+c2 AS (
+  SELECT doc_id, nt, g2 AS g, COUNT(*) AS cnt
+  FROM grams GROUP BY doc_id, nt, g2
+),
+a2 AS (
+  SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS n_pos
+  FROM c2 GROUP BY doc_id
+),
+cd AS (
+  SELECT doc_id, gd AS g, COUNT(*) AS cnt
+  FROM grams WHERE gd IS NOT NULL GROUP BY doc_id, gd
+),
+ad AS (
+  SELECT doc_id,
+         SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_pos,
+         SUM(cnt) AS n_pos
+  FROM cd GROUP BY doc_id
+)
+SELECT d.doc_id,
+       ROUND(CAST(COALESCE(a2.top_cnt, 0) AS DOUBLE)
+             / GREATEST(COALESCE(a2.n_pos, 0), 1), 6) AS top2_frac,
+       ROUND(CAST(COALESCE(ad.dup_pos, 0) AS DOUBLE)
+             / GREATEST(COALESCE(ad.n_pos, 0), 1), 6) AS {dcol},
+       CASE WHEN CAST(COALESCE(a2.top_cnt, 0) AS DOUBLE)
+                 <= {top2_max!r} * GREATEST(COALESCE(a2.n_pos, 0), 1)
+             AND CAST(COALESCE(ad.dup_pos, 0) AS DOUBLE)
+                 <= {dup_max!r} * GREATEST(COALESCE(ad.n_pos, 0), 1)
+            THEN 1 ELSE 0 END AS keep
+FROM {rel} d
+LEFT JOIN a2 ON d.doc_id = a2.doc_id
+LEFT JOIN ad ON d.doc_id = ad.doc_id
+"""
+
+
+def split_sample_sql(dialect: str, rel: str = "documents",
+                     sample_total: int = 200) -> str:
+    """Deterministic corpus splitting + temperature-weighted source
+    sampling, the two bookkeeping ops every training pipeline runs
+    before tokenization.
+
+    Split: md5-bucket of the doc id — stable under corpus growth
+    (adding docs never moves an existing doc between splits), 80/10/10.
+    Sampling: per-source quotas ∝ sqrt(source size) (temperature
+    alpha = 0.5 damps head sources; SQRT is IEEE-correctly-rounded so
+    both engines compute the identical per-source weight, unlike a
+    libm ``pow``), then the quota-many docs with the smallest sampling
+    hash win — a deterministic uniform sample per source.  Weights are
+    fixed-point BIGINTs (floor(sqrt·1e6)) so the cross-source SUM is
+    integer — order-independent, unlike double addition, whose
+    partition-order jitter could flip a FLOOR at a quota boundary.
+    Emits (source, split, n_docs) of the sampled corpus.
+    """
+    st = "STRING" if dialect == H.SPARK else "VARCHAR"
+    split_hash = H.h32(f"CONCAT('split:', CAST(doc_id AS {st}))", dialect)
+    samp_hash = H.h32(f"CONCAT('sample:', CAST(doc_id AS {st}))", dialect)
+    quota_div = H.idiv(f"{sample_total} * w", "(SELECT SUM(w) FROM src_stats)",
+                       dialect)
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, source,
+         CASE WHEN {split_hash} % 100 < 80 THEN 'train'
+              WHEN {split_hash} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         {samp_hash} AS sh
+  FROM {rel}
+),
+src_stats AS (
+  SELECT source,
+         CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS w
+  FROM assigned GROUP BY source
+),
+quotas AS (
+  SELECT source, {quota_div} AS quota
+  FROM src_stats
+),
+ranked AS (
+  SELECT a.doc_id, a.source, a.split, q.quota,
+         ROW_NUMBER() OVER (PARTITION BY a.source
+                            ORDER BY a.sh ASC, a.doc_id ASC) AS rk
+  FROM assigned a JOIN quotas q ON a.source = q.source
+)
+SELECT source, split, COUNT(*) AS n_docs
+FROM ranked WHERE rk <= quota
+GROUP BY source, split
+"""

@@ -1499,6 +1499,15 @@ def build_registry():
         # retrieval scoring: rational-idf BM25 top-k (see docstring for
         # why the final LN is omitted in the dual-engine template)
         "bm25_topk": lambda d: TX.bm25_topk_sql(d),
+        # eval-set decontamination: word-5-gram overlap vs a held-out
+        # benchmark split, hashed-int join keys, broadcast bench side
+        "decontam_overlap": lambda d: TX.decontam_overlap_sql(d),
+        # Gopher-style repetition signals (top-2-gram fraction +
+        # duplicate-5-gram position fraction) in one scan/one explode
+        "repetition_quality": lambda d: TX.repetition_stats_sql(d),
+        # deterministic 80/10/10 split + sqrt-temperature source
+        # sampling (integer-domain quotas; see docstring)
+        "corpus_split_sample": lambda d: TX.split_sample_sql(d),
         "cosine_topk": lambda d: SIM.cosine_topk_sql(d),
         "embedding_neardup": lambda d: SIM.embedding_neardup_sql(d, threshold=0.25),
         "embedding_neardup_bucketed":

@@ -99,3 +99,102 @@ def test_bm25_matches_pure_python_reference(spark):
                     key=lambda x: (-x[0], x[1]))
     assert [(r.doc_id, r.bm25) for r in got.itertuples(index=False)] \
         == [(i, s) for s, i in expect]
+
+
+def _dual_run(spark, sql_fn, pdf, view):
+    """Run a dual-dialect template over a planted corpus in BOTH engines;
+    assert identical row sets and return the Spark rows."""
+    import duckdb
+
+    spark.createDataFrame(pdf).createOrReplaceTempView(view)
+    got = sorted(map(tuple, spark.sql(sql_fn("spark")).collect()))
+    con = duckdb.connect()
+    con.register(view, pdf)
+    want = sorted(map(tuple, con.sql(sql_fn("duck")).fetchall()))
+    assert got == want
+    return got
+
+
+def test_decontam_planted_overlap(spark):
+    """Benchmark doc 0 (0 % 11 == 0) plants a 5-gram; the train doc
+    copying it is flagged, the clean and too-short docs are not, and
+    both engines agree on the planted corpus."""
+    import functools
+
+    import pandas as pd
+
+    from go_shapefile_spark.operators.text import decontam_overlap_sql
+
+    leak = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, f"intro words then {leak} and some tail text here", ),
+        (1, f"training doc quoting {leak} verbatim in the middle", ),
+        (2, "totally different content with no shared phrases at all", ),
+        (3, "four tokens only here", ),          # < 5 tokens -> no grams
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = _dual_run(
+        spark, functools.partial(decontam_overlap_sql, rel="dc_docs"),
+        pdf, "dc_docs")
+    by_id = {r[0]: r for r in got}
+    assert set(by_id) == {1, 2, 3}               # bench doc 0 excluded
+    assert by_id[1][2] == 1 and by_id[1][1] >= 1  # flagged, >=1 gram
+    assert by_id[2] == (2, 0, 0)
+    assert by_id[3] == (3, 0, 0)
+
+
+def test_repetition_planted_signals(spark):
+    """The top-bigram and duplicate-gram fractions hit their extremes on
+    a degenerate spam doc, stay low on varied text, and degenerate
+    short docs fall through the LEFT JOIN as zero/keep."""
+    import functools
+
+    import pandas as pd
+
+    from go_shapefile_spark.operators.text import repetition_stats_sql
+
+    rows = [
+        (1, "spam " * 40),                        # one bigram everywhere
+        (2, "the quick brown fox jumps over a lazy dog near the river "
+            "bank while birds sing softly above tall green trees"),
+        (3, "lone"),                              # 1 token: no bigrams
+        (4, ""),                                  # empty
+        (5, "only two"),                          # exactly one bigram
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = _dual_run(
+        spark, functools.partial(repetition_stats_sql, rel="rep_docs"),
+        pdf, "rep_docs")
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][1] == 1.0 and by_id[1][2] == 1.0 and by_id[1][3] == 0
+    assert by_id[2][1] < 0.2 and by_id[2][2] == 0.0 and by_id[2][3] == 1
+    assert by_id[3] == (3, 0.0, 0.0, 1)
+    assert by_id[4] == (4, 0.0, 0.0, 1)
+    # single bigram: top2 is 100% of one position; no 3-grams exist
+    assert by_id[5] == (5, 1.0, 0.0, 0)
+
+
+def test_split_sample_quotas_and_stability(spark):
+    """sqrt-temperature quotas: a 64/16/4 source skew samples ~8:4:2
+    (damped, not proportional), the sample is deterministic across
+    runs, and both engines agree."""
+    import functools
+
+    import pandas as pd
+
+    from go_shapefile_spark.operators.text import split_sample_sql
+
+    rows = [(i, f"doc {i} text", f"s{src}")
+            for i, src in enumerate(
+                [0] * 64 + [1] * 16 + [2] * 4)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    fn = functools.partial(split_sample_sql, rel="ss_docs",
+                           sample_total=14)
+    got = _dual_run(spark, fn, pdf, "ss_docs")
+    per_src = {}
+    for src, _split, n in got:
+        per_src[src] = per_src.get(src, 0) + n
+    # weights 8:4:2 over total 14 -> quotas floor(14*8/14)=8, 4, 2
+    assert per_src == {"s0": 8, "s1": 4, "s2": 2}
+    again = sorted(map(tuple, spark.sql(fn("spark")).collect()))
+    assert again == got
