@@ -468,6 +468,79 @@ def audio_neardup_pairs(audio: DataFrame, max_hamming: int = 3,
                              max_hamming=max_hamming)
 
 
+def extract_patches(images: DataFrame, patch: int = 8,
+                    stub_ok: bool = False) -> DataFrame:
+    """ViT-style patch grid: decode → center-crop to the largest
+    patch-aligned region → one row per patch with its raw RGB bytes and
+    exact integer pixel sum: (image_id, py, px, patch binary, psum).
+
+    The grid is ONE reshape+transpose per same-shape stack —
+    (n, gh·p, gw·p, 3) → (n, gh, gw, p, p, 3) — and the per-patch sums
+    one int64 reduction; no per-patch slicing loop (the only Python
+    loop serializes patch bytes for Arrow, over an already-gathered
+    contiguous array).  Images smaller than one patch on either axis
+    yield no rows.  Per-image decode is inherent and embarrassingly
+    parallel; downstream consumers (patch dedup, masked-token
+    pretraining stats) group by (image_id) or (py, px) — both plain
+    shuffle keys.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_py, out_px, out_bytes, out_sums = [], [], [], [], []
+            ids_all = pdf["image_id"].to_numpy()
+            for idxs, stack in _decoded_stacks(pdf, stub_ok):
+                n, h, w, _ = stack.shape
+                gh, gw = h // patch, w // patch
+                if gh == 0 or gw == 0:
+                    continue
+                y0 = (h - gh * patch) // 2
+                x0 = (w - gw * patch) // 2
+                crop = stack[:, y0:y0 + gh * patch, x0:x0 + gw * patch]
+                grid = (crop
+                        .reshape(n, gh, patch, gw, patch, 3)
+                        .transpose(0, 1, 3, 2, 4, 5))
+                sums = grid.sum(axis=(3, 4, 5), dtype=np.int64)
+                flat = np.ascontiguousarray(
+                    grid.reshape(n * gh * gw, patch, patch, 3))
+                ys, xs = np.meshgrid(np.arange(gh), np.arange(gw),
+                                     indexing="ij")
+                out_ids.append(np.repeat(ids_all[idxs], gh * gw))
+                out_py.append(np.tile(ys.ravel(), n))
+                out_px.append(np.tile(xs.ravel(), n))
+                out_bytes.extend(p.tobytes() for p in flat)
+                out_sums.append(sums.ravel())
+            if out_ids:
+                yield pd.DataFrame({
+                    "image_id": np.concatenate(out_ids),
+                    "py": np.concatenate(out_py).astype(np.int32),
+                    "px": np.concatenate(out_px).astype(np.int32),
+                    "patch": out_bytes,
+                    "psum": np.concatenate(out_sums)})
+
+    return images.mapInPandas(
+        run, schema="image_id string, py int, px int, patch binary, "
+                    "psum long")
+
+
+def image_pixel_sums(images: DataFrame, stub_ok: bool = False) -> DataFrame:
+    """Exact per-image integer checksum: (image_id, pix_sum, n_px).
+    An independent whole-array reduction used to cross-check patch
+    partitioning (and as a cheap content fingerprint for exact dedup
+    of decoded pixels)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums = np.zeros(len(pdf), dtype=np.int64)
+            npx = np.zeros(len(pdf), dtype=np.int64)
+            for idxs, stack in _decoded_stacks(pdf, stub_ok):
+                sums[idxs] = stack.sum(axis=(1, 2, 3), dtype=np.int64)
+                npx[idxs] = stack.shape[1] * stack.shape[2] * stack.shape[3]
+            yield pd.DataFrame({"image_id": pdf["image_id"],
+                                "pix_sum": sums, "n_px": npx})
+
+    return images.mapInPandas(
+        run, schema="image_id string, pix_sum long, n_px long")
+
+
 AHASH_GRID = 8          # 8x8 grid -> 64-bit hash
 
 

@@ -591,6 +591,63 @@ def q_image_invariants_oracle(dialect: str) -> str:
             f"CAST({IMG_GATE_N_PROG} AS BIGINT) AS n_progressive")
 
 
+IMG_PATCH_N, IMG_PATCH_P = 400, 8
+
+
+def image_patches_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch extraction gate: every image in a deterministic
+    corpus (real PNG + JFIF bytes, dims 8/16/24) decodes and shatters
+    into 8×8 patches; the patch sums must exactly partition the
+    independent whole-image checksum (integer conservation — a wrong
+    reshape/transpose cannot fake it together with the unit tests'
+    positional ramp check), every patch must be 192 bytes, and the
+    total patch count is pinned by the oracle from the corpus's
+    deterministic dimension stream."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import extract_patches, image_pixel_sums
+    from .sources.images import CORPUS_TAG, write_images_table
+
+    path = os.path.join(_CACHE_ROOT,
+                        f"gate_patches_n{IMG_PATCH_N}_{CORPUS_TAG}")
+    marker = os.path.join(path, "_SUCCESS_GATE")
+    if not os.path.exists(marker):
+        write_images_table(spark, path, IMG_PATCH_N)
+        with open(marker, "w") as f:
+            f.write(str(IMG_PATCH_N))
+    imgs = spark.read.parquet(path)
+    plen = IMG_PATCH_P * IMG_PATCH_P * 3
+    per_img = extract_patches(imgs, patch=IMG_PATCH_P).groupBy("image_id") \
+        .agg(F.count(F.lit(1)).alias("n_patches"),
+             F.sum("psum").alias("sum_psum"),
+             F.sum(F.when(F.length("patch") != plen, 1)
+                   .otherwise(0)).alias("bad_len"))
+    joined = per_img.join(image_pixel_sums(imgs), "image_id")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("n_patches").alias("n_patches"),
+        F.sum(F.when(F.col("sum_psum") != F.col("pix_sum"), 1)
+              .otherwise(0)).alias("n_sum_mismatch"),
+        F.sum("bad_len").alias("n_bad_len"))
+
+
+def q_image_patches_oracle(dialect: str) -> str:
+    """Pins the contract: the patch count derives from the corpus's
+    deterministic dims (splitmix64 stream — replicated here in pure
+    numpy, independent of the Spark path), mismatches pinned to zero."""
+    import numpy as np
+
+    from .operators.geotag import splitmix64
+
+    idx = np.arange(IMG_PATCH_N, dtype=np.int64)
+    sizes = 8 + (splitmix64(idx).view(np.int64) % 3) * 8
+    n_patches = int(((sizes // IMG_PATCH_P) ** 2).sum())
+    return (f"SELECT CAST({IMG_PATCH_N} AS BIGINT) AS n_images, "
+            f"CAST({n_patches} AS BIGINT) AS n_patches, "
+            f"CAST(0 AS BIGINT) AS n_sum_mismatch, "
+            f"CAST(0 AS BIGINT) AS n_bad_len")
+
+
 TILE_GATE_RES, TILE_GATE_PX = 4, 16
 
 
@@ -1567,6 +1624,8 @@ def build_registry():
     oracles["snapshot_compaction_rollup"] = q_snapshot_compaction_oracle(DUCK)
     queries["image_neardup"] = image_neardup_spark
     oracles["image_neardup"] = q_image_neardup_oracle(DUCK)
+    queries["image_patches"] = image_patches_spark
+    oracles["image_patches"] = q_image_patches_oracle(DUCK)
     queries["video_frame_sample"] = video_frame_sample_spark
     oracles["video_frame_sample"] = q_video_frame_sample_oracle(DUCK)
     queries["audio_invariants"] = audio_invariants_spark

@@ -238,3 +238,69 @@ def test_augment_images_rejects_bad_crop_frac(spark):
         augment_images(df, crop_frac=1.2)
     with pytest.raises(ValueError, match="crop_frac"):
         augment_images(df, crop_frac=0.0)
+
+
+def _png_df(spark, arrays):
+    """Images DataFrame from (image_id, (h, w, 3) uint8 array) pairs."""
+    import pandas as pd
+
+    from go_shapefile_spark.sources.images import IMAGES_SCHEMA, encode_png
+
+    rows = [(iid, encode_png(a), a.shape[1], a.shape[0], "png", "", 0)
+            for iid, a in arrays]
+    pdf = pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h",
+                                      "fmt", "caption", "phash"])
+    return spark.createDataFrame(pdf, schema=IMAGES_SCHEMA)
+
+
+def test_extract_patches_positional_ramp(spark):
+    """Every patch's bytes must equal the corresponding sub-array of a
+    ramp image whose pixels encode their own coordinates — a wrong
+    reshape/transpose axis order cannot pass (conservation sums would)."""
+    import numpy as np
+
+    from go_shapefile_spark.operators.multimodal import extract_patches
+
+    h, w, p = 16, 24, 8
+    ramp = ((np.arange(h)[:, None, None] * 31
+             + np.arange(w)[None, :, None] * 7
+             + np.arange(3)[None, None, :]) % 256).astype(np.uint8)
+    out = extract_patches(_png_df(spark, [("r", ramp)]), patch=p).collect()
+    assert len(out) == (h // p) * (w // p)
+    for r in out:
+        want = ramp[r.py * p:(r.py + 1) * p, r.px * p:(r.px + 1) * p]
+        assert bytes(r.patch) == want.tobytes()
+        assert r.psum == int(want.sum(dtype=np.int64))
+
+
+def test_extract_patches_unaligned_and_small(spark):
+    """Non-multiple dims center-crop (12x20, p=8 -> 1x2 grid at offset
+    (2, 2)); images smaller than one patch emit nothing."""
+    import numpy as np
+
+    from go_shapefile_spark.operators.multimodal import extract_patches
+
+    rng = np.random.default_rng(7)
+    odd = rng.integers(0, 256, (12, 20, 3), dtype=np.uint8)
+    tiny = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    out = extract_patches(_png_df(spark, [("odd", odd), ("tiny", tiny)]),
+                          patch=8).collect()
+    assert {r.image_id for r in out} == {"odd"}
+    assert len(out) == 2
+    for r in sorted(out, key=lambda r: r.px):
+        want = odd[2:10, 2 + r.px * 8:2 + (r.px + 1) * 8]
+        assert bytes(r.patch) == want.tobytes()
+
+
+def test_image_pixel_sums_exact(spark):
+    import numpy as np
+
+    from go_shapefile_spark.operators.multimodal import image_pixel_sums
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, (8, 24, 3), dtype=np.uint8)
+    got = {r.image_id: (r.pix_sum, r.n_px) for r in image_pixel_sums(
+        _png_df(spark, [("a", a), ("b", b)])).collect()}
+    assert got == {"a": (int(a.sum(dtype=np.int64)), a.size),
+                   "b": (int(b.sum(dtype=np.int64)), b.size)}
