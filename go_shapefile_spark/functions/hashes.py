@@ -128,6 +128,16 @@ def arr_gram(arr_expr: str, pos_expr: str, n: int, dialect: str) -> str:
             f"{pos_expr} + {n - 1}), ' ')")
 
 
+def regexp_replace_all(text_expr: str, pattern: str, replacement: str,
+                       dialect: str) -> str:
+    """Replace EVERY match: Spark's regexp_replace is global by default,
+    DuckDB replaces only the first match without the 'g' flag — a
+    silent divergence a redaction template cannot tolerate."""
+    if dialect == SPARK:
+        return f"regexp_replace({text_expr}, '{pattern}', '{replacement}')"
+    return f"regexp_replace({text_expr}, '{pattern}', '{replacement}', 'g')"
+
+
 def last_ignore_nulls(expr: str, dialect: str) -> str:
     """``last_value`` skipping NULLs, for use before an OVER clause.
 

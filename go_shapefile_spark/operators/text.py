@@ -661,3 +661,58 @@ SELECT source, split, COUNT(*) AS n_docs
 FROM ranked WHERE rk <= quota
 GROUP BY source, split
 """
+
+
+# PII patterns, written ONCE with single backslashes; H.rx renders each
+# dialect's string-literal escaping.  Classes only — no \b / \s, whose
+# semantics differ between Java regex and RE2-style engines.
+PII_EMAIL_RX = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+PII_PHONE_RX = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IP_RX = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_redact_sql(dialect: str, rel: str = "documents",
+                   plant_mod: int = 11) -> str:
+    """PII detection + redaction as one relational pass: count emails /
+    phone numbers / IPv4 literals per document and emit the md5 of the
+    text with every occurrence replaced by a typed placeholder.
+
+    The corpus is synthetic word salad with no real PII, so the
+    template PLANTS deterministic PII spans on doc_id % {plant_mod}
+    residues (identical strings in both engines — the planting is part
+    of the shared algebra) before detecting: the gate thereby proves
+    the patterns, the global-replace semantics (DuckDB replaces only
+    the FIRST match without the 'g' flag — see
+    ``hashes.regexp_replace_all``), and the redaction hash on rows
+    both with and without PII.  Order of redaction passes matters
+    (IP redaction must not eat the host part of a planted email), so
+    passes run email → phone → ip.
+    """
+    st = "STRING" if dialect == H.SPARK else "VARCHAR"
+    did = f"CAST(doc_id AS {st})"
+    planted = f"""CASE
+      WHEN doc_id % {plant_mod} = 3 THEN text || ' contact user' || {did}
+           || '@mail' || {did} || '.example.com ok'
+      WHEN doc_id % {plant_mod} = 7 THEN text || ' call 415-555-'
+           || SUBSTRING(CAST(1000 + doc_id % 9000 AS {st}), 1, 4)
+           || ' or 415-555-0199 today'
+      WHEN doc_id % {plant_mod} = 9 THEN text || ' host 10.'
+           || CAST(doc_id % 256 AS {st}) || '.0.7 up'
+      ELSE text END"""
+    email = H.rx(PII_EMAIL_RX, dialect)
+    phone = H.rx(PII_PHONE_RX, dialect)
+    ip = H.rx(PII_IP_RX, dialect)
+    red = H.regexp_replace_all("ptext", email, "<EMAIL>", dialect)
+    red = H.regexp_replace_all(red, phone, "<PHONE>", dialect)
+    red = H.regexp_replace_all(red, ip, "<IP>", dialect)
+    return f"""
+WITH planted AS (
+  SELECT doc_id, {planted} AS ptext FROM {rel}
+)
+SELECT doc_id,
+       CAST({H.regexp_count('ptext', email, dialect)} AS BIGINT) AS n_email,
+       CAST({H.regexp_count('ptext', phone, dialect)} AS BIGINT) AS n_phone,
+       CAST({H.regexp_count('ptext', ip, dialect)} AS BIGINT) AS n_ip,
+       MD5({red}) AS redacted_hash
+FROM planted
+"""

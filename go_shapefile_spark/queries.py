@@ -1565,6 +1565,8 @@ def build_registry():
         # deterministic 80/10/10 split + sqrt-temperature source
         # sampling (integer-domain quotas; see docstring)
         "corpus_split_sample": lambda d: TX.split_sample_sql(d),
+        # PII detect + redact (planted spans; global-replace seam)
+        "pii_redact": lambda d: TX.pii_redact_sql(d),
         "cosine_topk": lambda d: SIM.cosine_topk_sql(d),
         "embedding_neardup": lambda d: SIM.embedding_neardup_sql(d, threshold=0.25),
         "embedding_neardup_bucketed":

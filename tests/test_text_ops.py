@@ -198,3 +198,62 @@ def test_split_sample_quotas_and_stability(spark):
     assert per_src == {"s0": 8, "s1": 4, "s2": 2}
     again = sorted(map(tuple, spark.sql(fn("spark")).collect()))
     assert again == got
+
+
+def test_pii_redact_counts_and_global_replace(spark):
+    """PII counts and redaction hashes equal a pure-Python re.sub
+    reference replicating the planting — proving the patterns, the
+    GLOBAL replace (doc 14 carries two pre-existing emails; a
+    first-match-only engine would leave the second one and diverge),
+    the email->phone->ip pass order, and both engines' agreement."""
+    import functools
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    from go_shapefile_spark.operators.text import (
+        PII_EMAIL_RX, PII_IP_RX, PII_PHONE_RX, pii_redact_sql,
+    )
+
+    rows = [
+        (3, "reach me at dev@host.example.org please"),   # %11==3: +planted
+        (7, "plain text with no contact info at all"),    # %11==7: +phones
+        (9, "server logs said 192.168.7.13 was flaky"),   # %11==9: +ip
+        (12, "nothing sensitive in this row"),            # untouched
+        (15, "a@b.io then later c.d@e.f.co too"),         # two emails, no plant
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    fn = functools.partial(pii_redact_sql, rel="pii_docs")
+    got = _dual_run(spark, fn, pdf, "pii_docs")
+
+    def plant(doc_id, text):
+        r = doc_id % 11
+        if r == 3:
+            return (f"{text} contact user{doc_id}@mail{doc_id}"
+                    ".example.com ok")
+        if r == 7:
+            four = str(1000 + doc_id % 9000)[:4]
+            return f"{text} call 415-555-{four} or 415-555-0199 today"
+        if r == 9:
+            return f"{text} host 10.{doc_id % 256}.0.7 up"
+        return text
+
+    want = []
+    for doc_id, text in rows:
+        p = plant(doc_id, text)
+        n_email = len(re.findall(PII_EMAIL_RX, p))
+        n_phone = len(re.findall(PII_PHONE_RX, p))
+        n_ip = len(re.findall(PII_IP_RX, p))
+        red = re.sub(PII_EMAIL_RX, "<EMAIL>", p)
+        red = re.sub(PII_PHONE_RX, "<PHONE>", red)
+        red = re.sub(PII_IP_RX, "<IP>", red)
+        want.append((doc_id, n_email, n_phone, n_ip,
+                     hashlib.md5(red.encode()).hexdigest()))
+    assert got == sorted(want)
+    by_id = {r[0]: r for r in got}
+    assert by_id[3][1] == 2            # pre-existing + planted email
+    assert by_id[7][2] == 2            # two planted phone numbers
+    assert by_id[9][3] == 2            # pre-existing + planted IPv4
+    assert by_id[12][1:4] == (0, 0, 0)
+    assert by_id[15][1] == 2           # global replace, not first-only
