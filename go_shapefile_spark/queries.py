@@ -552,6 +552,26 @@ IMG_GATE_N = 2000
 IMG_GATE_N_PROG = 64     # planted progressive (SOF2) rows, strict-decoded
 
 
+def _ensure_images_gate(spark: SparkSession) -> str:
+    """Build (once) and return the invariants-gate image corpus: the
+    deterministic PNG/JFIF table plus the planted progressive rows.
+    The cache path carries the codec version so codec changes regenerate
+    the corpus instead of replaying stale bytes."""
+    from .sources.images import (CORPUS_TAG, plant_progressive_rows,
+                                 write_images_table)
+
+    path = os.path.join(
+        _CACHE_ROOT,
+        f"gate_images_n{IMG_GATE_N}_p{IMG_GATE_N_PROG}_{CORPUS_TAG}")
+    marker = os.path.join(path, "_SUCCESS_GATE")
+    if not os.path.exists(marker):
+        write_images_table(spark, path, IMG_GATE_N)
+        plant_progressive_rows(spark, path, IMG_GATE_N, IMG_GATE_N_PROG)
+        with open(marker, "w") as f:
+            f.write(str(IMG_GATE_N + IMG_GATE_N_PROG))
+    return path
+
+
 def image_invariants_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E13: per-row decoded-pixel + caption invariant over a deterministic
     image table (real PNG + baseline-JFIF bytes; north-rule input_hint),
@@ -564,18 +584,9 @@ def image_invariants_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaying stale bytes."""
     from pyspark.sql import functions as F
 
-    from .sources.images import (CORPUS_TAG, check_invariants,
-                                 plant_progressive_rows, write_images_table)
+    from .sources.images import check_invariants
 
-    path = os.path.join(
-        _CACHE_ROOT,
-        f"gate_images_n{IMG_GATE_N}_p{IMG_GATE_N_PROG}_{CORPUS_TAG}")
-    marker = os.path.join(path, "_SUCCESS_GATE")
-    if not os.path.exists(marker):
-        write_images_table(spark, path, IMG_GATE_N)
-        plant_progressive_rows(spark, path, IMG_GATE_N, IMG_GATE_N_PROG)
-        with open(marker, "w") as f:
-            f.write(str(IMG_GATE_N + IMG_GATE_N_PROG))
+    path = _ensure_images_gate(spark)
     inv = check_invariants(spark.read.parquet(path))
     return inv.agg(
         F.count(F.lit(1)).alias("n_checked"),
@@ -589,6 +600,97 @@ def q_image_invariants_oracle(dialect: str) -> str:
     return (f"SELECT CAST({IMG_GATE_N + IMG_GATE_N_PROG} AS BIGINT) "
             f"AS n_checked, CAST(0 AS BIGINT) AS n_bad, "
             f"CAST({IMG_GATE_N_PROG} AS BIGINT) AS n_progressive")
+
+
+def zonal_image_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster zonal statistics — the geospatial × image fusion gate.
+
+    Every image in the deterministic gate corpus geotags from its phash
+    (``lonlat_np``, E2's numpy twin), spatial-joins through the REAL
+    engine path (E4 cell cover + E5 JVM PIP refine, same machinery as
+    q:grid_spatial_join) against the 25 nation rectangles, and decodes
+    with its real codec; per-zone aggregates carry an exact integer
+    pixel checksum over the lossless (PNG) rows.  The oracle replicates
+    geotags + PNG pixel sums with independent generator algebra (no
+    decode — the checksum only matches if OUR decode is pixel-exact)
+    and runs its own containment join in DuckDB, so both the spatial
+    join and the decode are checked against independent twins.
+
+    Scale posture: geotag + decode are embarrassingly parallel per row
+    (one Arrow-batched pass, no shuffle); the zone cover broadcasts; the
+    only shuffle is the final tiny per-zone aggregate — the same plan
+    shape at 10^12 images."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import image_pixel_sums
+    from .operators.spatial_join import spatial_join
+    from .sources.images import geotag_images
+
+    register_tables(spark, sf_dir)
+    imgs = spark.read.parquet(_ensure_images_gate(spark))
+    pts = geotag_images(imgs.select("image_id", "phash", "fmt")) \
+        .join(image_pixel_sums(imgs), "image_id")
+    rect_rows = spark.sql(
+        f"WITH {nation_rects_cte(SPARK)} SELECT * FROM rects").collect()
+    polygons = []
+    for r in rect_rows:
+        ring = [r.x0, r.y0, r.x0, r.y1, r.x1, r.y1, r.x1, r.y0, r.x0, r.y0]
+        polygons.append({"fid": int(r.polygon_fid),
+                         "coords": np.array(ring), "ends": [10]})
+    joined = spatial_join(spark, pts, polygons, res=5,
+                          keep_cols=["image_id", "polygon_fid", "fmt",
+                                     "pix_sum", "n_px"])
+    is_png = F.col("fmt") == "png"
+    return joined.groupBy("polygon_fid").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.when(is_png, 1).otherwise(0)).alias("n_png"),
+        F.sum(F.when(is_png, F.col("pix_sum")).otherwise(F.lit(0)))
+         .alias("png_pix_sum"),
+        F.sum(F.when(is_png, F.col("n_px")).otherwise(F.lit(0)))
+         .alias("png_n_px"))
+
+
+def q_zonal_image_stats_oracle(dialect: str) -> str:
+    """Independent twin: re-derive (lon, lat, png pixel checksum) per
+    image from the corpus generators in numpy — never touching the
+    encoded bytes or the decoder — and let DuckDB run its own
+    containment join against the dual-dialect nation rectangles.
+    Float literals print with ``repr`` (shortest round-trip), so both
+    engines compare the bit-identical double against the rect bounds."""
+    import numpy as np
+
+    from .operators.geotag import lonlat_np, splitmix64
+    from .sources.images import pixels_from_phash
+
+    idx = np.arange(IMG_GATE_N + IMG_GATE_N_PROG, dtype=np.int64)
+    phash = splitmix64(idx).view(np.int64)
+    sizes = 8 + (phash % 3).astype(np.int64) * 8
+    is_png = (idx % 10 != 9) & (idx < IMG_GATE_N)
+    lon, lat = lonlat_np(phash)
+    rows = []
+    for i in range(len(idx)):
+        if is_png[i]:
+            s = int(sizes[i])
+            psum = int(pixels_from_phash(int(phash[i]), s, s)
+                       .sum(dtype=np.int64))
+            npx = s * s * 3
+        else:
+            psum = npx = 0
+        rows.append(f"({lon[i]!r},{lat[i]!r},{int(is_png[i])},{psum},{npx})")
+    vals = ",".join(rows)
+    return f"""
+WITH {nation_rects_cte(dialect)},
+imgs(lon, lat, is_png, psum, npx) AS (VALUES {vals})
+SELECT r.polygon_fid,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(i.is_png) AS BIGINT) AS n_png,
+       CAST(SUM(i.psum) AS BIGINT) AS png_pix_sum,
+       CAST(SUM(i.npx) AS BIGINT) AS png_n_px
+FROM imgs i JOIN rects r
+  ON i.lon > r.x0 AND i.lon < r.x1 AND i.lat > r.y0 AND i.lat < r.y1
+GROUP BY r.polygon_fid
+"""
 
 
 IMG_PATCH_N, IMG_PATCH_P = 400, 8
@@ -1628,6 +1730,8 @@ def build_registry():
     oracles["image_neardup"] = q_image_neardup_oracle(DUCK)
     queries["image_patches"] = image_patches_spark
     oracles["image_patches"] = q_image_patches_oracle(DUCK)
+    queries["zonal_image_stats"] = zonal_image_stats_spark
+    oracles["zonal_image_stats"] = q_zonal_image_stats_oracle(DUCK)
     queries["video_frame_sample"] = video_frame_sample_spark
     oracles["video_frame_sample"] = q_video_frame_sample_oracle(DUCK)
     queries["audio_invariants"] = audio_invariants_spark

@@ -304,3 +304,52 @@ def test_image_pixel_sums_exact(spark):
         _png_df(spark, [("a", a), ("b", b)])).collect()}
     assert got == {"a": (int(a.sum(dtype=np.int64)), a.size),
                    "b": (int(b.sum(dtype=np.int64)), b.size)}
+
+
+def test_zonal_image_stats_matches_bruteforce(spark):
+    """The zonal-stats composition (geotag -> decode checksum -> engine
+    spatial join -> per-zone rollup) on a tiny generated corpus equals
+    a decode-free numpy brute force: regenerate lon/lat and PNG pixel
+    sums from the generator algebra and do containment by hand."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from go_shapefile_spark.operators.geotag import lonlat_np, splitmix64
+    from go_shapefile_spark.operators.multimodal import image_pixel_sums
+    from go_shapefile_spark.operators.spatial_join import spatial_join
+    from go_shapefile_spark.sources.images import (
+        generate_batch, geotag_images, pixels_from_phash)
+
+    n = 40
+    imgs = spark.createDataFrame(generate_batch(0, n))
+    pts = geotag_images(imgs.select("image_id", "phash", "fmt")) \
+        .join(image_pixel_sums(imgs), "image_id")
+    # two hemispheric rects: together they cover every point except the
+    # measure-zero lon==0 seam, so membership is non-trivial per zone
+    rects = [(1, -180.0, -90.0, 0.0, 90.0), (2, 0.0, -90.0, 180.0, 90.0)]
+    polygons = []
+    for fid, x0, y0, x1, y1 in rects:
+        ring = [x0, y0, x0, y1, x1, y1, x1, y0, x0, y0]
+        polygons.append({"fid": fid, "coords": np.array(ring), "ends": [10]})
+    is_png = F.col("fmt") == "png"
+    got = {r.polygon_fid: (r.n_images, r.png_pix_sum)
+           for r in spatial_join(
+               spark, pts, polygons, res=3,
+               keep_cols=["image_id", "polygon_fid", "fmt", "pix_sum"])
+           .groupBy("polygon_fid")
+           .agg(F.count(F.lit(1)).alias("n_images"),
+                F.sum(F.when(is_png, F.col("pix_sum")).otherwise(F.lit(0)))
+                 .alias("png_pix_sum")).collect()}
+
+    idx = np.arange(n, dtype=np.int64)
+    phash = splitmix64(idx).view(np.int64)
+    sizes = 8 + (phash % 3).astype(np.int64) * 8
+    lon, _lat = lonlat_np(phash)
+    want = {}
+    for fid, sel in ((1, lon < 0.0), (2, lon > 0.0)):
+        psum = sum(int(pixels_from_phash(int(p), int(s), int(s))
+                       .sum(dtype=np.int64))
+                   for i, p, s in zip(idx[sel], phash[sel], sizes[sel])
+                   if i % 10 != 9)
+        want[fid] = (int(sel.sum()), psum)
+    assert got == want
