@@ -187,7 +187,10 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              # the min-of-rounds protocol keeps the warm number
              "audio_invariants", "audio_neardup",
              # r5: staged vs single-pass curation (4 scans vs 2)
-             "corpus_curation", "corpus_curation_fused"]
+             "corpus_curation", "corpus_curation_fused",
+             # r5: PII redaction (sf-scaled documents, pure regex SQL)
+             # and the geo×image fusion (fixed gate corpus, like audio)
+             "pii_redact", "zonal_image_stats"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

@@ -677,7 +677,11 @@ def q_zonal_image_stats_oracle(dialect: str) -> str:
             npx = s * s * 3
         else:
             psum = npx = 0
-        rows.append(f"({lon[i]!r},{lat[i]!r},{int(is_png[i])},{psum},{npx})")
+        # coordinates QUOTED (bare 17-digit literals DECIMAL-parse in
+        # DuckDB and double-round one ulp off; see q_geom_measures_oracle)
+        rows.append(f"(CAST('{lon[i]!r}' AS DOUBLE),"
+                    f"CAST('{lat[i]!r}' AS DOUBLE),"
+                    f"{int(is_png[i])},{psum},{npx})")
     vals = ",".join(rows)
     return f"""
 WITH {nation_rects_cte(dialect)},
@@ -1568,6 +1572,43 @@ def shapefile_poly_oracle() -> str:
     return "\nUNION ALL\n".join(rows)
 
 
+def geom_measures_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry measures (planar area / perimeter / area-weighted
+    centroid) for every ne_110m country, computed distributed over the
+    Spark shapefile source — the ST_Area/ST_Length/ST_Centroid analog.
+    The oracle pins literals from the SAME kernel over the golden core
+    parser (bit-exact — the gate proves the distributed plumbing and
+    Spark-source parse parity); the kernel itself is proven in
+    tests/test_geometry.py against analytic shapes and an independent
+    sequential pure-Python reference."""
+    from .operators.geometry import geom_measures
+    from .sources.shapefile import read_shapefile_df
+
+    df = read_shapefile_df(
+        spark, os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip"))
+    return geom_measures(df)
+
+
+def q_geom_measures_oracle() -> str:
+    from .operators.geometry import feature_measures
+    from .sources.shapefile_core import read_zip
+
+    sf = read_zip(os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip"))
+    rows = []
+    for i, rec in enumerate(sf.shp.records):
+        a, ln, cx, cy = feature_measures(rec.shape_type, rec.layout,
+                                         rec.coords, rec.ends)
+        # literals QUOTED: a bare 17-digit literal parses as DECIMAL
+        # first in DuckDB and double-rounds one ulp off; the string →
+        # DOUBLE parse is correctly rounded (shortest-repr roundtrip)
+        rows.append(f"SELECT CAST({i + 1} AS BIGINT) AS fid, "
+                    f"CAST('{a!r}' AS DOUBLE) AS area, "
+                    f"CAST('{ln!r}' AS DOUBLE) AS perimeter, "
+                    f"CAST('{cx!r}' AS DOUBLE) AS cx, "
+                    f"CAST('{cy!r}' AS DOUBLE) AS cy")
+    return "\nUNION ALL\n".join(rows)
+
+
 def shapefile_countries_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate summary of the ne_110m zip parsed via the Spark source."""
     from pyspark.sql import functions as F
@@ -1958,6 +1999,8 @@ FROM comp
     if os.path.exists(os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip")):
         queries["shapefile_countries_summary"] = shapefile_countries_spark
         oracles["shapefile_countries_summary"] = shapefile_countries_oracle()
+        queries["geom_measures_countries"] = geom_measures_spark
+        oracles["geom_measures_countries"] = q_geom_measures_oracle()
         queries["geojson_roundtrip"] = geojson_roundtrip_spark
         oracles["geojson_roundtrip"] = q_geojson_roundtrip_oracle(DUCK)
 
