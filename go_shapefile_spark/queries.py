@@ -1589,6 +1589,62 @@ def geom_measures_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geom_measures(df)
 
 
+def simplify_countries_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas–Peucker simplification (ST_Simplify analog) of every
+    ne_110m country at eps=0.1°, summarized per feature: vertex/ring
+    counts before and after plus measures of the SIMPLIFIED geometry —
+    exercising the simplify_features → geom_measures composition over
+    the shared geometry struct.  The oracle pins literals from the SAME
+    kernels over the golden core parser; the DP kernel itself is proven
+    in tests/test_geometry.py against an independent recursive
+    reference and the within-eps guarantee."""
+    from pyspark.sql import functions as F
+
+    from .operators.geometry import geom_measures, simplify_features
+    from .sources.shapefile import read_shapefile_df
+
+    df = read_shapefile_df(
+        spark, os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip"))
+    simp = simplify_features(df, eps=0.1)
+    before = df.select(
+        "fid",
+        (F.size("geometry.coords") / 2).cast("bigint").alias("pts_in"),
+        F.size("geometry.ends").cast("bigint").alias("rings_in"))
+    after = simp.select(
+        "fid",
+        (F.size("geometry.coords") / 2).cast("bigint").alias("pts_out"),
+        F.size("geometry.ends").cast("bigint").alias("rings_out"))
+    meas = geom_measures(simp).select("fid", "area", "perimeter")
+    return before.join(after, "fid").join(meas, "fid") \
+        .select("fid", "pts_in", "rings_in", "pts_out", "rings_out",
+                "area", "perimeter")
+
+
+def q_simplify_countries_oracle() -> str:
+    from .operators.geometry import feature_measures, simplify_feature
+    from .sources.shapefile_core import read_zip
+
+    sf = read_zip(os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip"))
+    rows = []
+    for i, rec in enumerate(sf.shp.records):
+        rings = [len(e) for e in rec.endss] if rec.endss \
+            else [1] * len(rec.ends)
+        simp = simplify_feature(rec.shape_type, rec.layout, rec.coords,
+                                rec.ends, rings, eps=0.1)
+        if simp is None:
+            continue
+        c, e, _rg = simp
+        a, ln, _cx, _cy = feature_measures(rec.shape_type, rec.layout, c, e)
+        rows.append(f"SELECT CAST({i + 1} AS BIGINT) AS fid, "
+                    f"CAST({len(rec.coords) // 2} AS BIGINT) AS pts_in, "
+                    f"CAST({len(rec.ends)} AS BIGINT) AS rings_in, "
+                    f"CAST({len(c) // 2} AS BIGINT) AS pts_out, "
+                    f"CAST({len(e)} AS BIGINT) AS rings_out, "
+                    f"CAST('{a!r}' AS DOUBLE) AS area, "
+                    f"CAST('{ln!r}' AS DOUBLE) AS perimeter")
+    return "\nUNION ALL\n".join(rows)
+
+
 def q_geom_measures_oracle() -> str:
     from .operators.geometry import feature_measures
     from .sources.shapefile_core import read_zip
@@ -2001,6 +2057,8 @@ FROM comp
         oracles["shapefile_countries_summary"] = shapefile_countries_oracle()
         queries["geom_measures_countries"] = geom_measures_spark
         oracles["geom_measures_countries"] = q_geom_measures_oracle()
+        queries["simplify_countries"] = simplify_countries_spark
+        oracles["simplify_countries"] = q_simplify_countries_oracle()
         queries["geojson_roundtrip"] = geojson_roundtrip_spark
         oracles["geojson_roundtrip"] = q_geojson_roundtrip_oracle(DUCK)
 
