@@ -355,6 +355,37 @@ def main() -> None:
     dt = min(_timed(raster.count) for _ in range(2))
     query_secs["rasterize_200k_polygons_s"] = round(dt, 3)
     query_secs["rasterize_200k_pixels"] = int(n_pix)
+    # geometry kernels at scale: DP-simplify + measures over 50k noisy
+    # 64-gon polygons (~3.2M vertices) — per-feature Arrow pass, no
+    # shuffle; throughput should track vertex count, not feature count
+    wavy_base = os.path.join(cache_root, "wavypolys")
+    n_wavy = 50_000
+    if not os.path.exists(wavy_base + ".shp"):
+        import numpy as np
+
+        from go_shapefile_spark.sources.shapefile_writer import write_polygons
+        rng = np.random.default_rng(13)
+        th = np.linspace(0, 2 * np.pi, 65)[:-1]
+        feats = []
+        for i in range(n_wavy):
+            cx0 = rng.uniform(-170, 170)
+            cy0 = rng.uniform(-80, 80)
+            r = 0.2 * (1 + 0.15 * rng.standard_normal(64))
+            x = cx0 + r * np.cos(th)      # CW under shapefile winding
+            y = cy0 - r * np.sin(th)
+            ring = np.empty(130)
+            ring[0:128:2], ring[1:128:2] = x, y
+            ring[128:130] = ring[0:2]
+            feats.append({"coords": ring.tolist(), "ends": [130]})
+        write_polygons(wavy_base, feats)
+    from go_shapefile_spark.operators.geometry import (geom_measures,
+                                                       simplify_features)
+    wavy = read_shapefile_df(spark, wavy_base,
+                             target_records_per_split=1_600)
+    simp_meas = geom_measures(simplify_features(wavy, eps=0.02))
+    assert simp_meas.count() == n_wavy, "stale .cache/wavypolys corpus"
+    dt = min(_timed(simp_meas.count) for _ in range(2))
+    query_secs["geom_simplify_measures_50k_s"] = round(dt, 3)
     # many-file corpus read: header planning runs inside tasks, so driver
     # wall time is O(1) in file count (VERDICT r2 #6)
     dir_500 = os.path.join(cache_root, "corpus500")

@@ -1621,20 +1621,26 @@ def simplify_countries_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simplify_countries_oracle() -> str:
-    from .operators.geometry import feature_measures, simplify_feature
+    from types import SimpleNamespace
+
+    from .operators.geometry import (measures_for_records,
+                                     simplify_for_records)
     from .sources.shapefile_core import read_zip
 
     sf = read_zip(os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip"))
+    recs = sf.shp.records
+    simped = simplify_for_records(recs, eps=0.1)
+    # measures of the simplified geometry via the same batched kernel
+    # the Spark composition runs (literals quoted — see
+    # q_geom_measures_oracle)
+    live = [(i, s) for i, s in enumerate(simped) if s is not None]
+    meas = measures_for_records([
+        SimpleNamespace(shape_type=recs[i].shape_type,
+                        layout=recs[i].layout, coords=s[0], ends=s[1])
+        for i, s in live])
     rows = []
-    for i, rec in enumerate(sf.shp.records):
-        rings = [len(e) for e in rec.endss] if rec.endss \
-            else [1] * len(rec.ends)
-        simp = simplify_feature(rec.shape_type, rec.layout, rec.coords,
-                                rec.ends, rings, eps=0.1)
-        if simp is None:
-            continue
-        c, e, _rg = simp
-        a, ln, _cx, _cy = feature_measures(rec.shape_type, rec.layout, c, e)
+    for ((i, (c, e, _rg)), (a, ln, _cx, _cy)) in zip(live, meas):
+        rec = recs[i]
         rows.append(f"SELECT CAST({i + 1} AS BIGINT) AS fid, "
                     f"CAST({len(rec.coords) // 2} AS BIGINT) AS pts_in, "
                     f"CAST({len(rec.ends)} AS BIGINT) AS rings_in, "
@@ -1646,17 +1652,18 @@ def q_simplify_countries_oracle() -> str:
 
 
 def q_geom_measures_oracle() -> str:
-    from .operators.geometry import feature_measures
+    from .operators.geometry import measures_for_records
     from .sources.shapefile_core import read_zip
 
     sf = read_zip(os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip"))
     rows = []
-    for i, rec in enumerate(sf.shp.records):
-        a, ln, cx, cy = feature_measures(rec.shape_type, rec.layout,
-                                         rec.coords, rec.ends)
-        # literals QUOTED: a bare 17-digit literal parses as DECIMAL
-        # first in DuckDB and double-rounds one ulp off; the string →
-        # DOUBLE parse is correctly rounded (shortest-repr roundtrip)
+    # literals pinned from the BATCHED kernel (the same one Spark runs;
+    # segmented sums are batch-partitioning-independent) and QUOTED: a
+    # bare 17-digit literal parses as DECIMAL first in DuckDB and
+    # double-rounds one ulp off; the string → DOUBLE parse is correctly
+    # rounded (shortest-repr roundtrip)
+    for i, (a, ln, cx, cy) in enumerate(
+            measures_for_records(sf.shp.records)):
         rows.append(f"SELECT CAST({i + 1} AS BIGINT) AS fid, "
                     f"CAST('{a!r}' AS DOUBLE) AS area, "
                     f"CAST('{ln!r}' AS DOUBLE) AS perimeter, "

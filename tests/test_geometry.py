@@ -169,10 +169,9 @@ def test_simplify_ring_drop_policies():
 def test_simplify_spark_composes_with_measures(spark):
     """simplify_features output feeds geom_measures; rows match the
     driver kernels on every surviving ne_110m feature."""
-    from go_shapefile_spark.operators.geometry import (feature_measures,
-                                                       geom_measures,
-                                                       simplify_feature,
-                                                       simplify_features)
+    from go_shapefile_spark.operators.geometry import (
+        geom_measures, measures_for_records, simplify_features,
+        simplify_for_records)
     from go_shapefile_spark.sources.shapefile import read_shapefile_df
     from go_shapefile_spark.sources.shapefile_core import read_zip
 
@@ -181,32 +180,114 @@ def test_simplify_spark_composes_with_measures(spark):
     got = {r.fid: (r.area, r.perimeter)
            for r in geom_measures(simp).collect()}
     sf = read_zip(z)
-    want = {}
-    for i, rec in enumerate(sf.shp.records):
-        rings = [len(e) for e in rec.endss] if rec.endss \
-            else [1] * len(rec.ends)
-        s = simplify_feature(rec.shape_type, rec.layout, rec.coords,
-                             rec.ends, rings, eps=0.1)
-        if s is not None:
-            a, ln, _, _ = feature_measures(rec.shape_type, rec.layout,
-                                           s[0], s[1])
-            want[i + 1] = (a, ln)
+    from types import SimpleNamespace
+    recs = sf.shp.records
+    live = [(i, s) for i, s in
+            enumerate(simplify_for_records(recs, 0.1)) if s is not None]
+    meas = measures_for_records([
+        SimpleNamespace(shape_type=recs[i].shape_type,
+                        layout=recs[i].layout, coords=s[0], ends=s[1])
+        for i, s in live])
+    want = {i + 1: (a, ln) for (i, _), (a, ln, _, _) in zip(live, meas)}
     assert got == want and len(got) > 150
-    # simplification actually simplified: strictly fewer vertices overall
-    n_in = sum(len(r.coords) for r in sf.shp.records)
-    n_out = sum(len(s[0]) for s in
-                (simplify_feature(rec.shape_type, rec.layout, rec.coords,
-                                  rec.ends,
-                                  [len(e) for e in rec.endss] if rec.endss
-                                  else [1] * len(rec.ends), 0.1)
-                 for rec in sf.shp.records) if s is not None)
-    # ne_110m is already generalized; eps=0.1 deg still trims ~20%
+    # simplification actually simplified: strictly fewer vertices
+    # overall (ne_110m is already generalized; eps=0.1 still trims ~20%)
+    n_in = sum(len(r.coords) for r in recs)
+    n_out = sum(len(s[0]) for _, s in live)
     assert n_out < 0.9 * n_in
 
 
-def test_geom_measures_spark_matches_driver_kernel(spark):
+def test_batched_mask_bitwise_equals_per_ring_on_fixtures():
+    """dp_keep_mask_batch over ALL rings at once == dp_keep_mask per
+    ring, bitwise, on every ne_110m ring at two tolerances."""
+    from go_shapefile_spark.operators.geometry import (_geom_from_records,
+                                                       dp_keep_mask,
+                                                       dp_keep_mask_batch)
+    from go_shapefile_spark.sources.shapefile_core import read_zip
+
+    sf = read_zip("/root/reference/testdata/110m-admin-0-countries.zip")
+    g, closed = _geom_from_records(sf.shp.records)
+    assert closed
+    for eps in (0.05, 0.3):
+        got = dp_keep_mask_batch(g.x, g.y, g.part_starts, g.part_ends, eps)
+        want = np.concatenate([
+            dp_keep_mask(g.x[s:e], g.y[s:e], eps)
+            for s, e in zip(g.part_starts, g.part_ends)])
+        assert np.array_equal(got, want)
+
+
+def test_batched_measures_match_per_feature_kernel():
+    """measures_batch (canonical, sequential segment sums) equals the
+    per-feature reference within float reassociation tolerance, and the
+    batched simplify structure equals the per-feature one EXACTLY."""
     from go_shapefile_spark.operators.geometry import (feature_measures,
-                                                       geom_measures)
+                                                       measures_for_records,
+                                                       simplify_feature,
+                                                       simplify_for_records)
+    from go_shapefile_spark.sources.shapefile_core import read_zip
+
+    sf = read_zip("/root/reference/testdata/110m-admin-0-countries.zip")
+    recs = sf.shp.records
+    for rec, got in zip(recs, measures_for_records(recs)):
+        want = feature_measures(rec.shape_type, rec.layout, rec.coords,
+                                rec.ends)
+        for gv, wv in zip(got, want):
+            assert gv == pytest.approx(wv, rel=1e-12, abs=1e-12)
+    for rec, got in zip(recs, simplify_for_records(recs, 0.1)):
+        rings = [len(e) for e in rec.endss] if rec.endss \
+            else [1] * len(rec.ends)
+        want = simplify_feature(rec.shape_type, rec.layout, rec.coords,
+                                rec.ends, rings, 0.1)
+        assert (got is None) == (want is None)
+        if got is not None:
+            assert np.array_equal(got[0], want[0])
+            assert got[1] == want[1] and got[2] == want[2]
+
+
+def test_batched_simplify_drop_cases_match_per_feature():
+    """The vectorized drop policy (degenerate rings, outer-drops-holes,
+    polylines) agrees with the per-feature kernel on crafted inputs."""
+    from go_shapefile_spark.operators.geometry import (_BatchGeom,
+                                                       simplify_batch,
+                                                       simplify_feature)
+
+    sq = [0, 0, 0, 10, 10, 10, 10, 0, 0, 0]
+    tiny = [1, 1, 1.02, 1, 1.02, 1.02, 1, 1.02, 1, 1]
+    tiny_h = [1.005, 1.005, 1.005, 1.015, 1.015, 1.015, 1.015, 1.005,
+              1.005, 1.005]
+    rows = [  # (coords, ends, rings) per feature, all polygons
+        (sq + tiny, [10, 20], [2]),          # hole drops, outer lives
+        (tiny, [10], [1]),                   # whole feature drops
+        (tiny + tiny_h + sq, [10, 20, 30], [2, 1]),  # outer drop kills hole
+        (sq, [10], [1]),                     # untouched
+    ]
+    coords = np.concatenate([np.array(c, float) for c, _, _ in rows])
+    pt_per_row = np.array([len(c) // 2 for c, _, _ in rows])
+    off = np.concatenate(([0], np.cumsum(pt_per_row)[:-1]))
+    part_ends = np.concatenate(
+        [np.array(e) // 2 + o for (_, e, _), o in zip(rows, off)])
+    g = _BatchGeom(coords, pt_per_row, part_ends,
+                   np.array([len(e) for _, e, _ in rows]), 2)
+    rv = np.concatenate([r for _, _, r in rows])
+    mask, kept, drop = simplify_batch(g, rv, 0.1, closed=True)
+    # reconstruct per row and compare to the per-feature kernel
+    p = 0
+    for i, (c, e, r) in enumerate(rows):
+        want = simplify_feature(5, "XY", np.array(c, float), e, r, 0.1)
+        lo, hi = off[i], off[i] + pt_per_row[i]
+        got_coords = g.pts[lo:hi][mask[lo:hi]].ravel()
+        if want is None:
+            assert got_coords.size == 0
+        else:
+            assert np.array_equal(got_coords, want[0])
+            nd = ~drop[p:p + len(e)]
+            assert list(np.cumsum((kept[p:p + len(e)] * 2)[nd])) == want[1]
+        p += len(e)
+
+
+def test_geom_measures_spark_matches_driver_kernel(spark):
+    from go_shapefile_spark.operators.geometry import (
+        geom_measures, measures_for_records)
     from go_shapefile_spark.sources.shapefile import read_shapefile_df
     from go_shapefile_spark.sources.shapefile_core import read_zip
 
@@ -215,6 +296,5 @@ def test_geom_measures_spark_matches_driver_kernel(spark):
            for r in geom_measures(read_shapefile_df(spark, z)).collect()}
     sf = read_zip(z)
     assert len(got) == 177
-    for i, rec in enumerate(sf.shp.records):
-        assert got[i + 1] == feature_measures(
-            rec.shape_type, rec.layout, rec.coords, rec.ends)
+    for i, want in enumerate(measures_for_records(sf.shp.records)):
+        assert got[i + 1] == want          # bit-exact: same batched kernel
