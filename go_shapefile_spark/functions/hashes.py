@@ -80,6 +80,13 @@ def seq_1_to(n_expr: str, dialect: str) -> str:
     return f"unnest(generate_series(1, {n_expr}))"
 
 
+def seq_range(a_expr: str, b_expr: str, dialect: str) -> str:
+    """Explodeable a..b sequence (inclusive both ends, both engines)."""
+    if dialect == SPARK:
+        return f"explode(sequence({a_expr}, {b_expr}))"
+    return f"unnest(generate_series({a_expr}, {b_expr}))"
+
+
 def doubles(arr_expr: str, dialect: str) -> str:
     """Cast array<float> → array<double> before arithmetic."""
     if dialect == SPARK:

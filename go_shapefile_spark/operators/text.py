@@ -609,6 +609,65 @@ LEFT JOIN ad ON d.doc_id = ad.doc_id
 """
 
 
+def pack_sequences_sql(dialect: str, rel: str = "documents",
+                       seq_len: int = 256, n_shards: int = 8) -> str:
+    """GPT-style sequence-packing accounting: concatenate each shard's
+    documents in deterministic order, chunk the token stream into
+    fixed ``seq_len`` sequences, and emit per-sequence composition
+    stats — the bookkeeping a pretraining pipeline runs to build its
+    packed batches.
+
+    Shard = md5-bucket of the doc id (stable under corpus growth, like
+    the split operator); within a shard the pack order is doc_id.  The
+    cumulative token sum windows PER SHARD, so the sort is shard-local
+    and parallelism = shard count — pick shards ≈ cluster cores at
+    100 TB; there is NO global sort.  A document spanning k sequences
+    explodes to k rows (fan-out ≤ tok/seq_len + 1).  Zero-token docs
+    are excluded (they occupy no sequence positions).  Every output is
+    an integer — the dual-engine compare is bit-stable.
+
+    Columns: shard, seq_id (per-shard), n_docs (docs contributing
+    tokens), n_carried (docs continuing from the previous sequence),
+    n_tokens (= seq_len except each shard's final partial sequence).
+    """
+    st = "STRING" if dialect == H.SPARK else "VARCHAR"
+    tok = H.array_len(H.tokens_arr("text", dialect), dialect)
+    shard_h = H.h32(f"CONCAT('pack:', CAST(doc_id AS {st}))", dialect)
+    first_seq = H.idiv("s", str(seq_len), dialect)
+    last_seq = H.idiv("e - 1", str(seq_len), dialect)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {shard_h} % {n_shards} AS shard,
+         CAST({tok} AS BIGINT) AS tok
+  FROM {rel}
+),
+spans AS (
+  -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which generate_series rejects
+  SELECT shard, doc_id, tok,
+         CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - tok AS BIGINT) AS s,
+         CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS e
+  FROM toks WHERE tok > 0
+),
+touched AS (
+  SELECT shard, doc_id, s, e,
+         {H.seq_range(first_seq, last_seq, dialect)} AS seq_id
+  FROM spans
+)
+SELECT shard, seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s < seq_id * {seq_len} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_carried,
+       CAST(SUM(LEAST(e, (seq_id + 1) * {seq_len})
+                - GREATEST(s, seq_id * {seq_len})) AS BIGINT) AS n_tokens
+FROM touched
+GROUP BY shard, seq_id
+"""
+
+
 def split_sample_sql(dialect: str, rel: str = "documents",
                      sample_total: int = 200) -> str:
     """Deterministic corpus splitting + temperature-weighted source

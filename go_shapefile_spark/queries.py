@@ -1771,6 +1771,9 @@ def build_registry():
         # deterministic 80/10/10 split + sqrt-temperature source
         # sampling (integer-domain quotas; see docstring)
         "corpus_split_sample": lambda d: TX.split_sample_sql(d),
+        # GPT-style sequence packing: shard-local concat-then-chunk
+        # accounting, all-integer outputs, no global sort
+        "pack_sequences": lambda d: TX.pack_sequences_sql(d),
         # PII detect + redact (planted spans; global-replace seam)
         "pii_redact": lambda d: TX.pii_redact_sql(d),
         "cosine_topk": lambda d: SIM.cosine_topk_sql(d),

@@ -200,6 +200,57 @@ def test_split_sample_quotas_and_stability(spark):
     assert again == got
 
 
+def test_pack_sequences_matches_pure_python_packer(spark):
+    """Shard-local concat-then-chunk accounting equals an independent
+    pure-Python packer (explicit token-stream simulation), including
+    documents spanning several sequences, carried docs, and the final
+    partial sequence; both engines agree."""
+    import functools
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    from go_shapefile_spark.operators.text import pack_sequences_sql
+
+    rows = [(i, ("tok " * ((i * 13) % 41 + (30 if i % 7 == 0 else 1)))
+             .strip()) for i in range(60)]
+    rows.append((60, ""))                   # zero-token doc: excluded
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    L, S = 16, 4
+    fn = functools.partial(pack_sequences_sql, rel="pk_docs",
+                           seq_len=L, n_shards=S)
+    got = _dual_run(spark, fn, pdf, "pk_docs")
+
+    def h32(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+
+    shards = {}
+    for doc_id, text in rows:
+        tok = len(re.findall(r"[a-z0-9]+", text.lower()))
+        if tok:
+            shards.setdefault(h32(f"pack:{doc_id}") % S, []).append(
+                (doc_id, tok))
+    want = {}
+    for shard, docs in shards.items():
+        pos = 0
+        for _doc, tok in sorted(docs):
+            for seq in range(pos // L, (pos + tok - 1) // L + 1):
+                n, c, t = want.get((shard, seq), (0, 0, 0))
+                want[(shard, seq)] = (
+                    n + 1, c + (1 if pos < seq * L else 0),
+                    t + min(pos + tok, (seq + 1) * L) - max(pos, seq * L))
+            pos += tok
+    assert {(s, q): (n, c, t) for s, q, n, c, t in got} == want
+    # a doc longer than seq_len really spans >1 sequence somewhere
+    assert any(c > 0 for (_, _), (_, c, _) in
+               zip(want.keys(), want.values()))
+    # every non-final sequence is exactly full
+    last = {s: max(q for (s2, q) in want if s2 == s) for s in shards}
+    for (s, q), (_, _, t) in want.items():
+        assert t == 16 or q == last[s]
+
+
 def test_pii_redact_counts_and_global_replace(spark):
     """PII counts and redaction hashes equal a pure-Python re.sub
     reference replicating the planting — proving the patterns, the
