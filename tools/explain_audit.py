@@ -314,6 +314,48 @@ def main() -> None:
     sections.append(("shapefile DataSource flat mode (fid pruning)",
                      checks, formatted(dsf)))
 
+    # geometry kernels: simplify -> measures composes as scan + two
+    # chained MapInArrow stages (the batched per-feature kernels — a
+    # DELIBERATE Arrow-Python stage, like decode) with NO shuffle
+    from go_shapefile_spark.operators.geometry import (geom_measures,
+                                                       simplify_features)
+    gm = geom_measures(simplify_features(feats, eps=0.1))
+    plan = audit.executed_plan(gm)
+    base = audit.executed_plan(feats.select("fid"))
+    checks = [
+        # the source itself contributes one Exchange (it distributes
+        # tiny split DESCRIPTORS to tasks, not geometry) and one
+        # MapInArrow (the parse); the kernels must add zero shuffles
+        # and exactly two Arrow stages on top
+        ("kernels add no Exchange over the bare scan",
+         plan.count("Exchange") == base.count("Exchange")),
+        ("both kernel stages are Arrow-batched (+2 MapInArrow)",
+         plan.count("MapInArrow") == base.count("MapInArrow") + 2),
+    ]
+    sections.append(("Geometry simplify + measures (batched Arrow "
+                     "kernels)", checks, formatted(gm)))
+
+    # sequence packing: the shard-local window means the only sort is
+    # within hash-partitioned shards — no global ordering anywhere
+    from go_shapefile_spark.operators.text import pack_sequences_sql
+    from go_shapefile_spark.queries import register_tables
+    register_tables(spark, sf_dir)
+    pk = spark.sql(pack_sequences_sql("spark"))
+    plan = audit.executed_plan(pk)
+    checks = [
+        ("shard-local sort only (no global Sort/Exchange rangepartitioning)",
+         "rangepartitioning" not in plan.lower()),
+        ("window partitioned by shard (hashpartitioning)",
+         "hashpartitioning" in plan.lower()),
+    ]
+    try:
+        audit.assert_no_python_udf(pk)
+        checks.append(("no Python nodes", True))
+    except AssertionError:
+        checks.append(("no Python nodes", False))
+    sections.append(("Sequence packing (shard-local window + rollup)",
+                     checks, formatted(pk)))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the engine's hot paths\n\n")
         f.write("Generated by `python tools/explain_audit.py`.\n\n")
