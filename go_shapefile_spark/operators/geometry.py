@@ -213,6 +213,38 @@ def simplify_feature(shape_type: int, layout: str | None, coords, ends,
     return (np.concatenate(kept_parts).ravel(), new_ends, new_rings)
 
 
+def geodesic_measures(features: DataFrame) -> DataFrame:
+    """(fid, geo_area_m2, geo_length_m) per feature — the spherical
+    twin of :func:`geom_measures` for lon/lat corpora.  Same plan
+    shape: one Arrow pass, no shuffle."""
+    import pyarrow as pa
+
+    cols = features.select("fid", "shape_type", "geometry.layout",
+                           "geometry.coords", "geometry.ends")
+
+    def run(batches):
+        for batch in batches:
+            fid = batch.column(0).to_numpy(zero_copy_only=False)
+            outs = []
+            for sel, g, _rv, _rpr, closed, _l in _arrow_groups(
+                    batch, with_rings=False):
+                area, ln = geodesic_measures_batch(g, polyline=not closed)
+                outs.append((sel, area, ln))
+            if not outs:
+                continue
+            sel = np.concatenate([o[0] for o in outs])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(fid[sel], pa.int64()),
+                 pa.array(np.concatenate([o[1] for o in outs]),
+                          pa.float64()),
+                 pa.array(np.concatenate([o[2] for o in outs]),
+                          pa.float64())],
+                names=["fid", "geo_area_m2", "geo_length_m"])
+
+    return cols.mapInArrow(
+        run, schema="fid long, geo_area_m2 double, geo_length_m double")
+
+
 def simplify_features(features: DataFrame, eps: float) -> DataFrame:
     """Douglas–Peucker simplification of a shapefile DataFrame — the
     ST_Simplify analog (``fid, shape_type, geometry`` out, same
@@ -418,6 +450,54 @@ def measures_batch(g: _BatchGeom, polyline: bool):
     cx = np.where(degen, mean_x, cx6 / (3.0 * safe))
     cy = np.where(degen, mean_y, cy6 / (3.0 * safe))
     return area, length, cx, cy
+
+
+_EARTH_R = 6371008.8          # IUGG mean Earth radius, meters
+
+
+def geodesic_measures_batch(g: _BatchGeom, polyline: bool):
+    """Per-row (area_m2, length_m) on the sphere — haversine edge
+    lengths and the Chamberlain–Duquette spherical-excess area (the
+    formula turf.js / geojson-area ship for production geography; exact
+    for equator-aligned rings, approximation error O(edge²) otherwise).
+
+    Longitude deltas are wrapped to (−π, π] so rings split at the
+    antimeridian (Natural Earth's convention) measure correctly.  Same
+    winding convention as the planar kernel: shapefile CW outers yield
+    a POSITIVE C–D sum (∮ sinφ dλ = +area/R² for CW in lon/lat), so
+    ``area = Σ · R²/2``; CCW holes subtract.  One segmented-reduction
+    pass, boundary-zeroed like :func:`measures_batch`.
+    """
+    lam = np.radians(g.x)
+    phi = np.radians(g.y)
+    n = lam.size
+    seg = np.zeros(n)
+    tri = np.zeros(n)
+    if n > 1:
+        dphi = phi[1:] - phi[:-1]
+        dlam = lam[1:] - lam[:-1]
+        h = (np.sin(dphi / 2) ** 2
+             + np.cos(phi[:-1]) * np.cos(phi[1:]) * np.sin(dlam / 2) ** 2)
+        seg[:n - 1] = 2.0 * _EARTH_R * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
+        wrapped = np.mod(dlam + np.pi, 2 * np.pi) - np.pi
+        tri[:n - 1] = wrapped * (2.0 + np.sin(phi[:-1]) + np.sin(phi[1:]))
+    b = g.part_ends - 1
+    seg[b] = 0.0
+    tri[b] = 0.0
+    rs = g.row_starts
+    length = np.add.reduceat(seg, rs)
+    if polyline:
+        return np.zeros_like(length), length
+    area = np.add.reduceat(tri, rs) * (_EARTH_R * _EARTH_R / 2.0)
+    return area, length
+
+
+def geodesic_for_records(recs) -> list[tuple[float, float]]:
+    """Per-record (area_m2, length_m) via the batched kernel — the
+    oracle-pinning twin of :func:`geodesic_measures`."""
+    g, closed = _geom_from_records(recs)
+    return list(zip(*(a.tolist() for a in
+                      geodesic_measures_batch(g, polyline=not closed))))
 
 
 def dp_keep_mask_batch(x: np.ndarray, y: np.ndarray,

@@ -1651,6 +1651,38 @@ def q_simplify_countries_oracle() -> str:
     return "\nUNION ALL\n".join(rows)
 
 
+def geodesic_measures_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical measures (haversine perimeter + Chamberlain–Duquette
+    spherical-excess area, meters) for every ne_110m country — the
+    geography-type ST_Area/ST_Length analog for lon/lat corpora.  Same
+    one-Arrow-pass plan as geom_measures; the oracle pins literals from
+    the SAME kernel over the golden core parser, and the kernel itself
+    is proven in tests/test_geometry.py against analytic closed forms
+    (exact lat-lon rectangle, meridian arcs, antimeridian wrap) and
+    Earth's land-area total."""
+    from .operators.geometry import geodesic_measures
+    from .sources.shapefile import read_shapefile_df
+
+    df = read_shapefile_df(
+        spark, os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip"))
+    return geodesic_measures(df)
+
+
+def q_geodesic_measures_oracle() -> str:
+    from .operators.geometry import geodesic_for_records
+    from .sources.shapefile_core import read_zip
+
+    sf = read_zip(os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip"))
+    rows = []
+    # literals quoted for correctly-rounded string → DOUBLE parse (see
+    # q_geom_measures_oracle)
+    for i, (a, ln) in enumerate(geodesic_for_records(sf.shp.records)):
+        rows.append(f"SELECT CAST({i + 1} AS BIGINT) AS fid, "
+                    f"CAST('{a!r}' AS DOUBLE) AS geo_area_m2, "
+                    f"CAST('{ln!r}' AS DOUBLE) AS geo_length_m")
+    return "\nUNION ALL\n".join(rows)
+
+
 def q_geom_measures_oracle() -> str:
     from .operators.geometry import measures_for_records
     from .sources.shapefile_core import read_zip
@@ -2067,6 +2099,8 @@ FROM comp
         oracles["shapefile_countries_summary"] = shapefile_countries_oracle()
         queries["geom_measures_countries"] = geom_measures_spark
         oracles["geom_measures_countries"] = q_geom_measures_oracle()
+        queries["geodesic_measures_countries"] = geodesic_measures_spark
+        oracles["geodesic_measures_countries"] = q_geodesic_measures_oracle()
         queries["simplify_countries"] = simplify_countries_spark
         oracles["simplify_countries"] = q_simplify_countries_oracle()
         queries["geojson_roundtrip"] = geojson_roundtrip_spark

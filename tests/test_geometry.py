@@ -298,3 +298,107 @@ def test_geom_measures_spark_matches_driver_kernel(spark):
     assert len(got) == 177
     for i, want in enumerate(measures_for_records(sf.shp.records)):
         assert got[i + 1] == want          # bit-exact: same batched kernel
+
+
+def _geo_batch(rows):
+    """(coords, ends) feature list → _BatchGeom (XY)."""
+    from go_shapefile_spark.operators.geometry import _BatchGeom
+
+    coords = np.concatenate([np.array(c, float) for c, _ in rows])
+    ppr = np.array([len(c) // 2 for c, _ in rows], np.int64)
+    off = np.concatenate(([0], np.cumsum(ppr)[:-1]))
+    ends = np.concatenate(
+        [np.array(e, np.int64) // 2 + o for (_, e), o in zip(rows, off)])
+    return _BatchGeom(coords, ppr, ends,
+                      np.array([len(e) for _, e in rows], np.int64), 2)
+
+
+def test_geodesic_rectangle_exact():
+    """CW lat-lon rectangle: C–D area is analytically exact (edges
+    follow parallels/meridians, trapezoid on sinφ is exact) and
+    haversine lengths match the closed forms."""
+    from go_shapefile_spark.operators.geometry import (_EARTH_R,
+                                                       geodesic_measures_batch)
+
+    L, P = math.radians(30), math.radians(45)
+    ring = [0, 0, 0, 45, 30, 45, 30, 0, 0, 0]     # CW outer
+    area, ln = geodesic_measures_batch(_geo_batch([(ring, [10])]),
+                                       polyline=False)
+    assert area[0] == pytest.approx(_EARTH_R ** 2 * L * math.sin(P),
+                                    rel=1e-15)
+    # meridian edges: R·Δφ; parallel edges: 2R·asin(cosφ·sin(L/2))
+    want = (2 * _EARTH_R * P
+            + 2 * _EARTH_R * math.asin(math.sin(L / 2))
+            * 0 + 2 * _EARTH_R * math.asin(math.cos(P) * math.sin(L / 2))
+            + 2 * _EARTH_R * math.asin(math.cos(0.0) * math.sin(L / 2)))
+    assert ln[0] == pytest.approx(want, rel=1e-12)
+
+
+def test_geodesic_hole_and_winding():
+    """CCW hole subtracts; a CW ring measured alone is positive."""
+    from go_shapefile_spark.operators.geometry import geodesic_measures_batch
+
+    outer = [0, 0, 0, 45, 30, 45, 30, 0, 0, 0]               # CW
+    hole = [10, 10, 20, 10, 20, 20, 10, 20, 10, 10]          # CCW
+    pts = list(zip(hole[0::2], hole[1::2]))[::-1]            # CW twin
+    cw_hole = [v for p in pts for v in p]
+    a_o, _ = geodesic_measures_batch(_geo_batch([(outer, [10])]), False)
+    a_h, _ = geodesic_measures_batch(_geo_batch([(cw_hole, [10])]), False)
+    a_both, _ = geodesic_measures_batch(
+        _geo_batch([(outer + hole, [10, 20])]), False)
+    assert a_o[0] > 0 and a_h[0] > 0
+    assert a_both[0] == pytest.approx(a_o[0] - a_h[0], rel=1e-12)
+
+
+def test_geodesic_antimeridian_wrap():
+    """A ring hugging ±180° measures identically to its 180°-rotated
+    twin at Greenwich (C–D deltas wrapped to (−π, π])."""
+    from go_shapefile_spark.operators.geometry import geodesic_measures_batch
+
+    at_180 = [170, 10, 170, 40, -170, 40, -170, 10, 170, 10]
+    at_0 = [-10, 10, -10, 40, 10, 40, 10, 10, -10, 10]
+    a1, l1 = geodesic_measures_batch(_geo_batch([(at_180, [10])]), False)
+    a2, l2 = geodesic_measures_batch(_geo_batch([(at_0, [10])]), False)
+    assert a1[0] == pytest.approx(a2[0], rel=1e-12) and a1[0] > 0
+    assert l1[0] == pytest.approx(l2[0], rel=1e-12)
+
+
+def test_geodesic_polyline_and_boundary_zeroing():
+    """Polylines: zero area, exact meridian length; two parts never
+    bridge (the boundary pair is zeroed)."""
+    from go_shapefile_spark.operators.geometry import (_EARTH_R,
+                                                       geodesic_measures_batch)
+
+    two = [0, 0, 0, 30, 90, 0, 90, 45]        # two meridian segments
+    area, ln = geodesic_measures_batch(_geo_batch([(two, [4, 8])]), True)
+    assert area[0] == 0.0
+    assert ln[0] == pytest.approx(
+        _EARTH_R * (math.radians(30) + math.radians(45)), rel=1e-12)
+
+
+def test_geodesic_countries_sane():
+    """All 177 ne_110m countries positive; the total matches Earth's
+    land area (~1.49e8 km²) and Russia is the largest (~1.7e7 km²)."""
+    from go_shapefile_spark.operators.geometry import geodesic_for_records
+    from go_shapefile_spark.sources.shapefile_core import read_zip
+
+    sf = read_zip("/root/reference/testdata/110m-admin-0-countries.zip")
+    res = geodesic_for_records(sf.shp.records)
+    areas = np.array([a for a, _ in res]) / 1e6      # km²
+    assert (areas > 0).all()
+    assert 1.3e8 < areas.sum() < 1.6e8
+    assert 1.6e7 < areas.max() < 1.8e7
+
+
+def test_geodesic_spark_matches_driver_kernel(spark):
+    from go_shapefile_spark.operators.geometry import (
+        geodesic_for_records, geodesic_measures)
+    from go_shapefile_spark.sources.shapefile import read_shapefile_df
+    from go_shapefile_spark.sources.shapefile_core import read_zip
+
+    z = "/root/reference/testdata/110m-admin-0-countries.zip"
+    got = {r.fid: (r.geo_area_m2, r.geo_length_m)
+           for r in geodesic_measures(read_shapefile_df(spark, z)).collect()}
+    assert len(got) == 177
+    for i, want in enumerate(geodesic_for_records(read_zip(z).shp.records)):
+        assert got[i + 1] == want          # bit-exact: same batched kernel
