@@ -303,6 +303,23 @@ def ivf_ann_topk(df: DataFrame, k: int = 10, n_centroids: int = 64,
     need a larger probed fraction than clustered real-world embeddings;
     recall@10 ≥ 0.7 vs the exact baseline is pytest- and oracle-gated.
     """
+    assign, probes = _coarse_lists(df, n_centroids, n_probe, vec_col,
+                                   id_col, query_mod, seed,
+                                   train_fraction, max_iter)
+    cands = (probes.join(assign, "centroid")
+             .where(F.col("neighbor_id") != F.col("query_id"))
+             .select("query_id", "neighbor_id").distinct())
+    return _exact_rerank_topk(df, cands, k, vec_col, id_col)
+
+
+def _coarse_lists(df: DataFrame, n_centroids: int, n_probe: int,
+                  vec_col: str, id_col: str, query_mod: int, seed: int,
+                  train_fraction: float | None, max_iter: int
+                  ) -> tuple[DataFrame, DataFrame]:
+    """Spherical-KMeans coarse quantizer shared by the IVF and PQ
+    indexes: returns ``assign`` (neighbor_id, centroid — the inverted
+    lists, one JVM pass over the corpus) and ``probes`` (query_id,
+    centroid — each query's ``n_probe`` nearest lists)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.feature import Normalizer
     from pyspark.ml.functions import array_to_vector
@@ -359,7 +376,157 @@ def ivf_ann_topk(df: DataFrame, k: int = 10, n_centroids: int = 64,
     probes = (df.where(F.col(id_col) % query_mod == 0)
               .select(id_col, vec_col)
               .mapInPandas(probe, schema="query_id long, centroid int"))
+    return assign, probes
+
+
+def pq_train(sample: np.ndarray, m: int, n_codes: int, seed: int,
+             n_iter: int = 20) -> np.ndarray:
+    """Product-quantization codebooks ``(m, n_codes, d/m)`` via seeded
+    Lloyd k-means per subspace (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011) — pure numpy, deterministic,
+    driver-side: the training sample is bounded and the model is
+    ``256·d`` floats however big the corpus is."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"pq: dim {d} not divisible by m={m}")
+    dsub = d // m
+    n_codes = min(n_codes, n)
+    rng = np.random.default_rng(seed)
+    sub = sample.reshape(n, m, dsub)
+    books = np.empty((m, n_codes, dsub))
+    for j in range(m):
+        x = sub[:, j, :]
+        c = x[rng.choice(n, n_codes, replace=False)].copy()
+        for _ in range(n_iter):
+            # ‖x−c‖² argmin via the dot-product expansion (x² is
+            # constant per row and drops out of the argmin)
+            a = np.argmin((c * c).sum(1)[None, :] - 2.0 * (x @ c.T),
+                          axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, x)
+            counts = np.bincount(a, minlength=n_codes)
+            live = counts > 0
+            c[live] = sums[live] / counts[live, None]
+            # empty cells keep their previous center (stable, seeded)
+        books[j] = c
+    return books
+
+
+def _pq_codes_batch(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) float → (n, m) uint8 nearest-code ids per subspace."""
+    n = mat.shape[0]
+    m, n_codes, dsub = books.shape
+    sub = mat.reshape(n, m, dsub)
+    codes = np.empty((n, m), np.uint8)
+    for j in range(m):
+        d2 = (books[j] * books[j]).sum(1)[None, :] \
+            - 2.0 * (sub[:, j, :] @ books[j].T)
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                            1e-12)
+
+
+def pq_encode(df: DataFrame, books: np.ndarray, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """(id, codes binary) — every vector compressed to ``m`` bytes (the
+    at-rest representation: 64 float32 dims → 8 bytes, 32×).  Vectors
+    are L2-normalized before coding so ADC dot products estimate
+    cosine.  One Arrow-batched pass, no shuffle."""
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _unit(np.vstack(pdf[vec_col].to_numpy())
+                        .astype(np.float64))
+            codes = _pq_codes_batch(mat, books)
+            yield pd.DataFrame({
+                "neighbor_id": pdf[id_col].to_numpy(),
+                "codes": [c.tobytes() for c in codes]})
+
+    return (df.select(id_col, vec_col)
+            .mapInPandas(enc, schema="neighbor_id long, codes binary"))
+
+
+def pq_ann_topk(df: DataFrame, k: int = 10, m: int = 8, n_codes: int = 256,
+                n_centroids: int = 64, n_probe: int = 16, refine: int = 100,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                query_mod: int = 50, seed: int = 7,
+                train_fraction: float | None = None,
+                max_iter: int = 10) -> DataFrame:
+    """Product-quantization ANN — the third index next to LSH and IVF,
+    and the memory story at 100 TB: the corpus the search touches is
+    ``m`` BYTES per vector (PQ codes), not ``4·d``.
+
+    1. **coarse**: the shared spherical-KMeans quantizer
+       (:func:`_coarse_lists`) bounds each query's candidates to its
+       ``n_probe`` inverted lists — never the full corpus;
+    2. **train**: PQ codebooks fit driver-side on a bounded seeded
+       sample (:func:`pq_train`; the model is ``n_codes·d`` floats,
+       broadcast by closure like the IVF centers);
+    3. **encode**: one batched pass compresses every vector to ``m``
+       uint8 codes (:func:`pq_encode`);
+    4. **ADC**: per query, one ``(m, n_codes)`` lookup table of
+       subspace dot products scores a candidate with ``m`` table
+       lookups instead of ``d`` multiplies (asymmetric distance,
+       Jégou et al. §III) — batched ``take_along_axis``, grouped per
+       query inside each Arrow batch;
+    5. **refine**: the ADC top-``refine`` per query re-rank EXACTLY
+       through the shared :func:`_exact_rerank_topk` (the standard
+       re-ranking variant), so ADC only has to keep true neighbors in
+       its top-``refine``, not rank them perfectly.
+    """
+    sample_cap = max(4096, 64 * n_codes)
+    n = df.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    rows = (df.select(vec_col) if frac >= 1.0
+            else df.select(vec_col).sample(fraction=frac, seed=seed)) \
+        .collect()
+    train = _unit(np.asarray([r[0] for r in rows], np.float64))
+    books = pq_train(train, m, n_codes, seed)
+
+    assign, probes = _coarse_lists(df, n_centroids, n_probe, vec_col,
+                                   id_col, query_mod, seed,
+                                   train_fraction, max_iter)
+    codes = pq_encode(df, books, vec_col, id_col)
+    qvec = (df.where(F.col(id_col) % query_mod == 0)
+            .select(F.col(id_col).alias("query_id"),
+                    F.col(vec_col).alias("qv")))
     cands = (probes.join(assign, "centroid")
              .where(F.col("neighbor_id") != F.col("query_id"))
-             .select("query_id", "neighbor_id").distinct())
-    return _exact_rerank_topk(df, cands, k, vec_col, id_col)
+             .select("query_id", "neighbor_id").distinct()
+             .join(codes, "neighbor_id").join(qvec, "query_id"))
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mm, nc, dsub = books.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.frombuffer(b"".join(pdf["codes"]), np.uint8) \
+                .reshape(len(pdf), mm)
+            out = np.empty(len(pdf))
+            qids = pdf["query_id"].to_numpy()
+            qcol = pdf["qv"].to_numpy()
+            offs = (np.arange(mm) * nc)[None, :]
+            for qid in np.unique(qids):
+                sel = np.flatnonzero(qids == qid)
+                q = _unit(np.asarray(qcol[sel[0]], np.float64)[None, :])
+                lut = (q.reshape(mm, 1, dsub)
+                       * books).sum(2).ravel()      # (m·n_codes,)
+                out[sel] = lut[cmat[sel] + offs].sum(1)
+            yield pd.DataFrame({"query_id": qids,
+                                "neighbor_id": pdf["neighbor_id"],
+                                "adc": out})
+
+    scored = cands.mapInPandas(
+        adc, schema="query_id long, neighbor_id long, adc double")
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc())
+    short = (scored.withColumn("r", F.row_number().over(win))
+             .where(F.col("r") <= refine)
+             .select("query_id", "neighbor_id"))
+    return _exact_rerank_topk(df, short, k, vec_col, id_col)

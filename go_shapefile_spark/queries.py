@@ -2150,5 +2150,13 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
     queries["ivf_recall"] = _ann_recall_gate(
         lambda emb: SIM.ivf_ann_topk(emb, query_mod=ANN_QUERY_MOD))
     oracles["ivf_recall"] = recall_oracle
+    # PQ gate probes a larger fraction (24/64) than the IVF gate: ADC
+    # with refine re-ranking loses nothing past the coarse stage
+    # (measured equal to IVF recall at the same probes), so the coarse
+    # recall on this random near-orthogonal corpus is the whole budget
+    queries["pq_recall"] = _ann_recall_gate(
+        lambda emb: SIM.pq_ann_topk(emb, query_mod=ANN_QUERY_MOD,
+                                    n_probe=24))
+    oracles["pq_recall"] = recall_oracle
 
     return queries, oracles
