@@ -356,6 +356,23 @@ def main() -> None:
     sections.append(("Sequence packing (shard-local window + rollup)",
                      checks, formatted(pk)))
 
+    # PQ ANN: candidates reach ADC through centroid/neighbor equi-joins
+    # only — a BNLJ or cartesian here would mean the index degenerated
+    # to brute force over the corpus
+    from go_shapefile_spark.operators.similarity import pq_ann_topk
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pq = pq_ann_topk(emb, k=10, n_probe=24)
+    plan = audit.executed_plan(pq)
+    checks = [
+        ("no BroadcastNestedLoopJoin", "BroadcastNestedLoopJoin" not in plan),
+        ("no CartesianProduct", "CartesianProduct" not in plan),
+        ("coarse lists probed via equi-join",
+         "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+         or "ShuffledHashJoin" in plan),
+    ]
+    sections.append(("PQ ANN search (probed inverted lists + ADC + "
+                     "exact refine)", checks, formatted(pq)))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the engine's hot paths\n\n")
         f.write("Generated by `python tools/explain_audit.py`.\n\n")
