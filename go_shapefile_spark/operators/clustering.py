@@ -1,0 +1,175 @@
+"""Grid-accelerated DBSCAN — density-based spatial clustering.
+
+DBSCAN (Ester et al., KDD 1996) over a point corpus, expressed in the
+relational shapes this engine already scales instead of the paper's
+point-at-a-time region queries:
+
+- the eps-radius neighbor search is a 9-key equi-join on an eps-sized
+  grid (the 3x3 ring trick of operators/knn.py — any two points within
+  eps share or abut a grid cell, so candidate pairs are bounded by grid
+  occupancy; no BNLJ, no all-pairs scan);
+- neighbor counting / core classification is one groupBy over the pair
+  stream (a point's eps-neighborhood includes itself, per the paper);
+- cluster formation is connected components over the core-core edge set
+  (operators/graph.py alternating large-star/small-star — O(log n)
+  rounds of key-partitioned shuffles), labels = component-minimum id;
+- border points (non-core with >= 1 core neighbor) take the MINIMUM
+  core-neighbor label; everything else is noise, labeled -1.
+
+Classic DBSCAN's border assignment is visit-order-dependent; the
+min-label tie-break makes the whole labeling a pure function of the
+input, so results replay bit-identically under any partitioning — and
+the DuckDB oracle can check the same algebra with a recursive-CTE
+closure instead of our iterative operator (two different algorithms,
+identical output; same discipline as q:neardup_components).
+
+Distance is planar euclidean on the point coordinates; the predicate
+compares SQUARED distances (IEEE *, + are bit-deterministic in both
+engines; no sqrt, no libm).  eps literals are quoted-string casts so
+both engines parse string->double (correctly rounded) rather than
+DECIMAL-parsing a bare literal (CLAUDE.md dialect seam).
+
+Scale posture: candidate fan-out is sum over cells of |cell| x |3x3
+ring occupancy| — the same bound as the banded dedup joins.  A hot
+cell (density skew) is the LSH bucket-flood analog; at gate scale it
+cannot occur (eps-sized cells over a bounded domain), and at corpus
+scale the mitigation is the same family (cap, pre-aggregate, or raise
+the grid resolution and union two rings).  The npairs relation is
+pinned once and read three times (counts, edges, border labels) —
+CTE inlining would recompute the join per reference.
+
+Reference analog: engine-layer operator (SURVEY.md §2.B family — the
+reference repo is a record-level reader and has no clustering; this is
+part of the analytics engine built over it, composing E3's grid with
+the graph operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..functions import hashes as H
+
+
+def _eps_lit(eps: float) -> str:
+    """Quoted string->double cast: identical correctly-rounded parse in
+    Spark and DuckDB (a bare decimal literal DECIMAL-parses in DuckDB)."""
+    return f"CAST('{float(eps)!r}' AS DOUBLE)"
+
+
+def dbscan_base_cte(dialect: str, eps: float, min_pts: int,
+                    pts: str = "pts") -> str:
+    """CTE chain ``gcells -> goffs -> npairs -> cores -> core_edges``
+    over a point relation ``pts(id, lon, lat)``.  Shared verbatim by the
+    Spark runner and the DuckDB oracle (dialect only reaches the eps
+    literal handling, which is already dialect-free)."""
+    del dialect  # the chain is dialect-free; keep the seam signature
+    e = _eps_lit(eps)
+    return f"""
+gcells AS (
+  SELECT id, lon, lat,
+         CAST(FLOOR(lon / {e}) AS BIGINT) AS cx,
+         CAST(FLOOR(lat / {e}) AS BIGINT) AS cy
+  FROM {pts}),
+goffs AS (
+  SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                        (1,-1),(1,0),(1,1)) AS t(dx, dy)),
+npairs AS (
+  SELECT p.id AS a, q.id AS b
+  FROM (SELECT g.id, g.lon, g.lat, g.cx + o.dx AS gx, g.cy + o.dy AS gy
+        FROM gcells g CROSS JOIN goffs o) p
+  JOIN gcells q ON p.gx = q.cx AND p.gy = q.cy
+  WHERE (p.lon - q.lon) * (p.lon - q.lon)
+      + (p.lat - q.lat) * (p.lat - q.lat) <= {e} * {e}),
+cores AS (
+  SELECT a AS id FROM npairs GROUP BY a HAVING COUNT(*) >= {int(min_pts)}),
+core_edges AS (
+  SELECT p.a AS src, p.b AS dst
+  FROM npairs p
+  JOIN cores ca ON p.a = ca.id
+  JOIN cores cb ON p.b = cb.id
+  WHERE p.a < p.b)"""
+
+
+def dbscan_tail_sql(dialect: str, pts: str = "pts") -> str:
+    """Label assembly over ``{pts}``, ``npairs``, ``cores`` and a
+    ``core_labels(id, label)`` relation (Spark: from the connected
+    components operator; oracle: from a recursive closure).  Border =
+    non-core with a core neighbor, min core-neighbor label; noise = -1."""
+    del dialect
+    return f"""
+border_labels AS (
+  SELECT p.a AS id, MIN(cl.label) AS label
+  FROM npairs p
+  JOIN core_labels cl ON p.b = cl.id
+  LEFT JOIN cores ca ON p.a = ca.id
+  WHERE ca.id IS NULL
+  GROUP BY p.a)
+SELECT n.id AS id,
+       CAST(COALESCE(cl.label, bl.label, -1) AS BIGINT) AS cluster,
+       CASE WHEN cl.label IS NOT NULL THEN 'core'
+            WHEN bl.label IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM {pts} n
+LEFT JOIN core_labels cl ON n.id = cl.id
+LEFT JOIN border_labels bl ON n.id = bl.id"""
+
+
+def dbscan_oracle_sql(dialect: str, eps: float, min_pts: int,
+                      pts_cte: str) -> str:
+    """Complete single-statement twin for DuckDB: the shared base chain
+    plus a recursive-CTE transitive closure in place of the iterative
+    components operator.  ``pts_cte`` is a CTE body defining ``pts``."""
+    return f"""
+WITH RECURSIVE {pts_cte},
+{dbscan_base_cte(dialect, eps, min_pts).lstrip()},
+bi AS (SELECT src AS a, dst AS b FROM core_edges
+       UNION SELECT dst, src FROM core_edges),
+reach AS (
+  SELECT id AS src, id AS node FROM cores
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN bi e ON e.a = r.node),
+core_labels AS (SELECT src AS id, MIN(node) AS label FROM reach GROUP BY src),
+{dbscan_tail_sql(dialect).lstrip()}
+"""
+
+
+def dbscan(points: DataFrame, eps: float, min_pts: int,
+           pin: str | None = None, slot: str | None = None) -> DataFrame:
+    """DBSCAN over ``points(id, lon, lat)`` -> ``(id, cluster, role)``.
+
+    ``cluster`` is the smallest core-point id in the cluster (BIGINT;
+    -1 for noise); ``role`` in {'core','border','noise'}.  ``min_pts``
+    counts the point itself (the paper's |N_eps(p)| >= MinPts).  The
+    candidate-pair relation is pinned (operators/pinning.py) because
+    three downstream consumers read it; ``slot=None`` (the public
+    default) allocates an anonymous per-call slot, the gate/bench
+    harness passes a named one-shot slot so reruns recycle.
+    """
+    from .graph import connected_components
+    from .pinning import fresh_pins
+
+    spark = points.sparkSession
+    pts_v = "dbscan_pts_in"
+    points.selectExpr("id", "lon", "lat").createOrReplaceTempView(pts_v)
+    pinf = fresh_pins(spark, slot, strategy=pin)
+
+    base = dbscan_base_cte(H.SPARK, eps, min_pts, pts=pts_v)
+    npairs = pinf(spark.sql(
+        "WITH " + base[:base.index("cores AS (")].rstrip().rstrip(",")
+        + "\nSELECT * FROM npairs"))
+    npairs.createOrReplaceTempView("npairs")
+    spark.sql(f"SELECT a AS id FROM npairs GROUP BY a "
+              f"HAVING COUNT(*) >= {int(min_pts)}") \
+        .createOrReplaceTempView("cores")
+    core_edges = spark.sql(
+        "SELECT p.a AS src, p.b AS dst FROM npairs p "
+        "JOIN cores ca ON p.a = ca.id JOIN cores cb ON p.b = cb.id "
+        "WHERE p.a < p.b")
+    cc = connected_components(core_edges, pin=pin)
+    cc.createOrReplaceTempView("dbscan_cc")
+    # isolated cores never appear in an edge: they are their own cluster
+    spark.sql("SELECT c.id, COALESCE(x.component, c.id) AS label "
+              "FROM cores c LEFT JOIN dbscan_cc x ON c.id = x.node") \
+        .createOrReplaceTempView("core_labels")
+    return spark.sql("WITH " + dbscan_tail_sql(H.SPARK, pts=pts_v).lstrip())

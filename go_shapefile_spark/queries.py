@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .functions import cells as C
 from .functions import hashes as H
+from .operators import clustering as CL
 from .operators import dedup as D
 from .operators import geotag as GT
 from .operators import text as TX
@@ -2158,5 +2159,26 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
         lambda emb: SIM.pq_ann_topk(emb, query_mod=ANN_QUERY_MOD,
                                     n_probe=24))
     oracles["pq_recall"] = recall_oracle
+
+    # grid-DBSCAN over the geotagged events: eps-grid 9-key equi-join
+    # for the neighbor search, groupBy core classification, connected
+    # components (large-star/small-star) for the clusters.  The oracle
+    # runs the SAME base chain (shared template) but closes the
+    # core-core edges with a recursive CTE — different algorithm,
+    # identical deterministic labels (min core id per cluster,
+    # min-core-neighbor border assignment, -1 noise).
+    DBSCAN_EPS, DBSCAN_MIN_PTS = 2.0, 4
+
+    def dbscan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.clustering import dbscan
+
+        register_tables(spark, sf_dir)
+        pts = spark.sql(f"WITH {geotagged_events_cte(SPARK)} "
+                        f"SELECT id, lon, lat FROM pts")
+        return dbscan(pts, DBSCAN_EPS, DBSCAN_MIN_PTS, slot="dbscan_events")
+    queries["dbscan_events"] = dbscan_events
+    oracles["dbscan_events"] = CL.dbscan_oracle_sql(
+        DUCK, DBSCAN_EPS, DBSCAN_MIN_PTS,
+        geotagged_events_cte(DUCK).strip())
 
     return queries, oracles

@@ -1,0 +1,120 @@
+"""Grid-DBSCAN vs an independent brute-force reference.
+
+The reference below is a from-first-principles DBSCAN with the same
+determinism spec (self-inclusive neighbor counts, component-min core
+labels, min-core-neighbor border labels, -1 noise): all-pairs distance
+matrix + union-find — no grid, no SQL, nothing shared with the
+operator under test.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from go_shapefile_spark.operators.clustering import dbscan
+
+
+def brute_dbscan(ids, xy, eps, min_pts):
+    xy = np.asarray(xy, dtype=np.float64)
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(axis=2)
+    neigh = d2 <= eps * eps          # includes self (diagonal is 0)
+    counts = neigh.sum(axis=1)
+    core = counts >= min_pts
+
+    parent = list(range(len(ids)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(len(ids)):
+        if not core[i]:
+            continue
+        for j in range(i + 1, len(ids)):
+            if core[j] and neigh[i, j]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+
+    # component label = min id in component (ids ascending by index
+    # is NOT assumed: take the min over member ids explicitly)
+    comp_members: dict[int, list[int]] = {}
+    for i in range(len(ids)):
+        if core[i]:
+            comp_members.setdefault(find(i), []).append(i)
+    label_of_root = {r: min(ids[m] for m in members)
+                     for r, members in comp_members.items()}
+
+    out = {}
+    for i in range(len(ids)):
+        if core[i]:
+            out[ids[i]] = (label_of_root[find(i)], "core")
+        else:
+            cand = [label_of_root[find(j)]
+                    for j in range(len(ids)) if core[j] and neigh[i, j]]
+            if cand:
+                out[ids[i]] = (min(cand), "border")
+            else:
+                out[ids[i]] = (-1, "noise")
+    return out
+
+
+def _random_points(seed, n=240):
+    rng = np.random.default_rng(seed)
+    # three dense blobs + uniform background, spanning several grid
+    # cells at eps=1.0 so every ring case (corner/edge/center) occurs
+    blobs = [rng.normal(loc, 0.45, size=(50, 2))
+             for loc in ((0.0, 0.0), (6.2, 3.1), (-4.7, -2.3))]
+    bg = rng.uniform(-10, 10, size=(n - 150, 2))
+    xy = np.concatenate(blobs + [bg])
+    ids = np.arange(xy.shape[0], dtype=np.int64)
+    # shuffle so id order is uncorrelated with position
+    perm = rng.permutation(len(ids))
+    return ids, xy[perm]
+
+
+@pytest.mark.parametrize("seed,eps,min_pts", [(1, 1.0, 5), (2, 0.8, 4),
+                                              (3, 1.5, 8)])
+def test_dbscan_matches_bruteforce(spark, seed, eps, min_pts):
+    ids, xy = _random_points(seed)
+    expect = brute_dbscan(ids, xy, eps, min_pts)
+
+    rows = [(int(i), float(x), float(y)) for i, (x, y) in zip(ids, xy)]
+    pts = spark.createDataFrame(rows, "id long, lon double, lat double")
+    got = {r.id: (r.cluster, r.role)
+           for r in dbscan(pts, eps, min_pts).collect()}
+    assert got == expect
+    roles = {v[1] for v in got.values()}
+    assert roles == {"core", "border", "noise"}, roles
+
+
+def test_dbscan_boundary_distance_is_inclusive(spark):
+    # two pairs exactly eps apart across a grid-cell boundary: <= eps
+    # must pair them, and min_pts=2 makes them cores of a 2-cluster
+    rows = [(1, 0.0, 0.0), (2, 1.0, 0.0),      # d == eps, straddles cells
+            (3, 10.0, 10.0)]                   # isolated -> noise
+    pts = spark.createDataFrame(rows, "id long, lon double, lat double")
+    got = {r.id: (r.cluster, r.role) for r in dbscan(pts, 1.0, 2).collect()}
+    assert got == {1: (1, "core"), 2: (1, "core"), 3: (-1, "noise")}
+
+
+def test_dbscan_deterministic_under_repartition(spark):
+    ids, xy = _random_points(7)
+    rows = [(int(i), float(x), float(y)) for i, (x, y) in zip(ids, xy)]
+    pts = spark.createDataFrame(rows, "id long, lon double, lat double")
+    a = sorted(map(tuple, dbscan(pts, 1.0, 5).collect()))
+    b = sorted(map(tuple, dbscan(pts.repartition(13, "lat"), 1.0, 5)
+                   .collect()))
+    assert a == b
+
+
+def test_dbscan_pair_join_is_equijoin(spark):
+    rows = [(i, float(i % 17), float(i % 13)) for i in range(100)]
+    pts = spark.createDataFrame(rows, "id long, lon double, lat double")
+    df = dbscan(pts, 1.0, 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
