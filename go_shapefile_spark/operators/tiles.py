@@ -37,6 +37,51 @@ def tile_counts(points: DataFrame, res: int, lon_col: str = "lon",
             .groupBy("cell").agg(*aggs))
 
 
+def heatmap_body(dialect: str, pts: str = "pts", ppd: int = 1) -> str:
+    """Kernel-density heatmap raster: every point splats a 3x3 binomial
+    kernel (1-2-1 ⊗ 1-2-1, the standard Gaussian approximation for tile
+    heatmap rendering) onto a pixel grid of ``ppd`` pixels per unit.
+
+    Pure relational splatting — point→pixel is integer floor arithmetic,
+    the kernel is a 9-row inline table, the raster is one groupBy on the
+    pixel key — so the whole render is a map-side-combined single
+    shuffle, JVM-only, identical in both dialects.  Intensity is an
+    all-integer sum (bit-stable dual-engine); ``n_centered`` counts the
+    points whose own pixel this is (the unsmoothed raster, for free).
+    Grid is unbounded (pixel ids may be negative): no clamping, no lost
+    mass — SUM(intensity) == 16 * COUNT(points) exactly.
+
+    Expects a ``{pts}(lon, lat)`` relation in scope; chain after a CTE.
+    """
+    del dialect  # dialect-free; keep the seam signature
+    return f"""
+hpx AS (
+  SELECT CAST(FLOOR(lon * {int(ppd)}) AS BIGINT) AS x,
+         CAST(FLOOR(lat * {int(ppd)}) AS BIGINT) AS y
+  FROM {pts}),
+hkern AS (
+  SELECT * FROM (VALUES (-1,-1,1),(-1,0,2),(-1,1,1),(0,-1,2),(0,0,4),
+                        (0,1,2),(1,-1,1),(1,0,2),(1,1,1)) AS t(dx, dy, w))
+SELECT p.x + k.dx AS x, p.y + k.dy AS y,
+       CAST(SUM(k.w) AS BIGINT) AS intensity,
+       CAST(SUM(CASE WHEN k.dx = 0 AND k.dy = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_centered
+FROM hpx p CROSS JOIN hkern k
+GROUP BY p.x + k.dx, p.y + k.dy"""
+
+
+def heatmap(points: DataFrame, ppd: int = 1, lon_col: str = "lon",
+            lat_col: str = "lat") -> DataFrame:
+    """DataFrame wrapper over :func:`heatmap_body` — KDE-style heatmap
+    raster of a point table, one shuffle, no Python nodes."""
+    spark = points.sparkSession
+    points.selectExpr(f"{lon_col} AS lon", f"{lat_col} AS lat") \
+        .createOrReplaceTempView("heatmap_pts_in")
+    return spark.sql(
+        "WITH " + heatmap_body("spark", pts="heatmap_pts_in", ppd=ppd)
+        .lstrip())
+
+
 def parent_cell_sql(cell: str) -> str:
     """Parent cell id (one resolution coarser) from a cell id — pure
     int arithmetic on the Morton code (drop the low 2 interleave bits,

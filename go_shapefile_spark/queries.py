@@ -2181,4 +2181,19 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
         DUCK, DBSCAN_EPS, DBSCAN_MIN_PTS,
         geotagged_events_cte(DUCK).strip())
 
+    # KDE heatmap raster: 3x3 binomial-kernel splat, one shuffle,
+    # all-integer intensities (bit-stable dual-engine; mass conservation
+    # SUM(intensity) == 16*n is asserted in tests)
+    from .operators import tiles as TI
+
+    def q_heatmap(dialect: str) -> str:
+        return (f"WITH {geotagged_events_cte(dialect)},"
+                f"{TI.heatmap_body(dialect, ppd=1)}")
+
+    def heatmap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(q_heatmap(SPARK))
+    queries["heatmap_events"] = heatmap_events
+    oracles["heatmap_events"] = q_heatmap(DUCK)
+
     return queries, oracles

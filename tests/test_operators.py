@@ -506,3 +506,36 @@ def test_fingerprint_overlap_pairs_detects_planted_copy(spark):
     pairs = {(r.doc_a, r.doc_b) for r in got}
     assert (0, 1) in pairs
     assert all(p == (0, 1) for p in pairs)   # no false pairs
+
+
+def test_heatmap_matches_numpy_splat_and_conserves_mass(spark):
+    from go_shapefile_spark.operators.tiles import heatmap
+    rng = np.random.default_rng(11)
+    n = 3000
+    pdf = pd.DataFrame({"lon": rng.uniform(-180, 180, n),
+                        "lat": rng.uniform(-90, 90, n)})
+    got = heatmap(spark.createDataFrame(pdf), ppd=1).toPandas()
+
+    # independent numpy splat: dict accumulate over the 3x3 kernel
+    kern = {(-1, -1): 1, (-1, 0): 2, (-1, 1): 1, (0, -1): 2, (0, 0): 4,
+            (0, 1): 2, (1, -1): 1, (1, 0): 2, (1, 1): 1}
+    acc, centered = {}, {}
+    for x, y in zip(np.floor(pdf["lon"]).astype(np.int64),
+                    np.floor(pdf["lat"]).astype(np.int64)):
+        for (dx, dy), w in kern.items():
+            acc[(x + dx, y + dy)] = acc.get((x + dx, y + dy), 0) + w
+        centered[(x, y)] = centered.get((x, y), 0) + 1
+    exp = {k: (v, centered.get(k, 0)) for k, v in acc.items()}
+    got_map = {(r.x, r.y): (r.intensity, r.n_centered)
+               for r in got.itertuples()}
+    assert got_map == exp
+    assert got["intensity"].sum() == 16 * n        # no mass lost
+    assert got["n_centered"].sum() == n
+
+
+def test_heatmap_single_point_kernel_shape(spark):
+    from go_shapefile_spark.operators.tiles import heatmap
+    df = spark.createDataFrame([(0.5, 0.5)], "lon double, lat double")
+    rows = {(r.x, r.y): r.intensity for r in heatmap(df).collect()}
+    assert rows == {(-1, -1): 1, (-1, 0): 2, (-1, 1): 1, (0, -1): 2,
+                    (0, 0): 4, (0, 1): 2, (1, -1): 1, (1, 0): 2, (1, 1): 1}
