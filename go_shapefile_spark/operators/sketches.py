@@ -21,6 +21,89 @@ default rsd/accuracy) flips the gate red.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
+
+
+def heavy_hitters(tokens: DataFrame, col: str = "tok",
+                  capacity: int = 64) -> DataFrame:
+    """phi-heavy hitters via a per-partition Misra-Gries sketch plus an
+    exact candidate recount — the bounded-memory answer to "which items
+    exceed a frequency threshold" when the item cardinality is too
+    large to shuffle (the 100-TB top-token / hot-key / hot-URL query).
+
+    Pass 1 (sketch): every partition keeps at most ``capacity`` (c)
+    counters.  Batches merge by value_counts; when the table exceeds c
+    entries, subtract the (c+1)-th largest count m from every entry and
+    drop the non-positive ones.  m is the (c+1)-th LARGEST, so >= c+1
+    entries each lose exactly m: every unit of per-item decrement is
+    matched by >= c+1 units of removed mass, hence total per-item
+    decrement <= n_p/(c+1) (Misra & Gries 1982, batch form).  An item
+    with global count > n/(c+1) must exceed n_p/(c+1) in at least one
+    partition (pigeonhole), so it SURVIVES that partition's sketch: the
+    union of partition candidates is a guaranteed superset of the true
+    heavy hitters.  Sketch output is O(c x partitions) rows — the only
+    thing that ever leaves a partition; the raw stream never shuffles.
+
+    Pass 2 (exact): the tiny candidate set comes back as an ``isin``
+    literal (JVM codegen — no Python in the recount scan), counts are
+    exact, and the final filter ``cnt * (c+1) > n`` keeps exactly the
+    items the guarantee covers.  The output is therefore EXACT and
+    deterministic — independent of partitioning, batch boundaries, and
+    every sketch-internal tie — which is what lets a DuckDB oracle
+    check it relationally (q:heavy_hitters_tokens).
+
+    Returns ``(item, cnt)`` with the input column's name preserved.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    c = int(capacity)
+    if c < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+
+    def sketch(batches):
+        state: dict = {}
+        n_seen = 0
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            n_seen += int(vc.sum())
+            for tok, k in vc.items():
+                state[tok] = state.get(tok, 0) + int(k)
+            if len(state) > c:
+                m = sorted(state.values(), reverse=True)[c]
+                state = {t: v - m for t, v in state.items() if v > m}
+        yield pd.DataFrame({col: list(state) + [None],
+                            "cnt": list(state.values()) + [n_seen]})
+
+    sk = tokens.select(col).mapInPandas(sketch, f"{col} string, cnt long")
+    rows = sk.collect()                      # <= (c+1) x partitions rows
+    n = sum(r.cnt for r in rows if r[col] is None)
+    cands = sorted({r[col] for r in rows if r[col] is not None})
+    if not cands or n == 0:
+        return (tokens.select(col).limit(0)
+                .withColumn("cnt", F.lit(0).cast("long")))
+    return (tokens.where(F.col(col).isin(cands))
+            .groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") * (c + 1) > F.lit(n)))
+
+
+def heavy_hitters_oracle_sql(dialect: str, capacity: int = 64,
+                             rel: str = "documents") -> str:
+    """Relational twin of :func:`heavy_hitters` over the token stream of
+    ``{rel}.text`` — exact counts with the same strict threshold (the
+    guarantee means the sketched path returns exactly this set)."""
+    from ..functions import hashes as H
+    return f"""
+WITH toks AS (
+  SELECT {H.split_tokens('text', dialect)} AS tok FROM {rel}),
+clean AS (SELECT tok FROM toks WHERE tok <> ''),
+tot AS (SELECT COUNT(*) AS n FROM clean)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM clean, tot
+GROUP BY tok, tot.n
+HAVING COUNT(*) * {int(capacity) + 1} > tot.n
+"""
+
 
 def sketch_stats_spark_sql(rel: str = "documents",
                            rel_tol: float = 0.05) -> str:

@@ -2196,4 +2196,20 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
     queries["heatmap_events"] = heatmap_events
     oracles["heatmap_events"] = q_heatmap(DUCK)
 
+    # Misra-Gries heavy hitters: bounded-memory sketch candidates +
+    # exact recount.  The guarantee (candidates ⊇ every item with
+    # cnt*(c+1) > n) makes the sketched output EXACTLY the relational
+    # threshold query, so the oracle is plain GROUP BY ... HAVING.
+    def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.sketches import heavy_hitters
+
+        register_tables(spark, sf_dir)
+        toks = spark.sql(
+            f"SELECT {H.split_tokens('text', SPARK)} AS tok "
+            f"FROM documents").where("tok <> ''")
+        return heavy_hitters(toks, col="tok", capacity=64)
+    queries["heavy_hitters_tokens"] = heavy_hitters_tokens
+    from .operators.sketches import heavy_hitters_oracle_sql
+    oracles["heavy_hitters_tokens"] = heavy_hitters_oracle_sql(DUCK, 64)
+
     return queries, oracles

@@ -539,3 +539,61 @@ def test_heatmap_single_point_kernel_shape(spark):
     rows = {(r.x, r.y): r.intensity for r in heatmap(df).collect()}
     assert rows == {(-1, -1): 1, (-1, 0): 2, (-1, 1): 1, (0, -1): 2,
                     (0, 0): 4, (0, 1): 2, (1, -1): 1, (1, 0): 2, (1, 1): 1}
+
+
+def _exact_heavy_hitters(items, c):
+    n = len(items)
+    vc = pd.Series(items).value_counts()
+    return {t: int(k) for t, k in vc.items() if k * (c + 1) > n}
+
+
+@pytest.mark.parametrize("seed,c", [(0, 8), (1, 4), (2, 16)])
+def test_heavy_hitters_zipf_matches_exact_threshold(spark, seed, c):
+    from go_shapefile_spark.operators.sketches import heavy_hitters
+    rng = np.random.default_rng(seed)
+    # zipf-ish: a few dominant tokens + long uniform tail, far more
+    # distinct items than sketch capacity
+    items = (["hot%d" % i for i in range(3) for _ in range(2000 // (i + 1))]
+             + ["t%d" % v for v in rng.integers(0, 5000, 6000)])
+    rng.shuffle(items)
+    exp = _exact_heavy_hitters(items, c)
+    assert exp, "fixture must contain heavy hitters"
+    df = spark.createDataFrame([(t,) for t in items], "tok string")
+    got = {r.tok: r.cnt for r in heavy_hitters(df, capacity=c).collect()}
+    assert got == exp
+
+
+def test_heavy_hitters_adversarial_ordering_and_partitioning(spark):
+    from go_shapefile_spark.operators.sketches import heavy_hitters
+    # all duplicates adjacent (sorted) vs round-robin shuffled vs one
+    # partition: the guarantee must hold under every layout
+    items = sorted(["hh"] * 600 + ["t%d" % i for i in range(900)])
+    df = spark.createDataFrame([(t,) for t in items], "tok string")
+    exp = _exact_heavy_hitters(items, 4)
+    for layout in (df.coalesce(1), df.repartition(16),
+                   df.repartition(7, "tok")):
+        got = {r.tok: r.cnt for r in
+               heavy_hitters(layout, capacity=4).collect()}
+        assert got == exp == {"hh": 600}
+
+
+def test_heavy_hitters_capacity_one_and_empty(spark):
+    from go_shapefile_spark.operators.sketches import heavy_hitters
+    df = spark.createDataFrame([("a",)] * 9 + [("b",)], "tok string")
+    got = {r.tok: r.cnt for r in heavy_hitters(df, capacity=1).collect()}
+    assert got == {"a": 9}          # 9*2 > 10; b: 1*2 <= 10
+    empty = spark.createDataFrame([], "tok string")
+    assert heavy_hitters(empty, capacity=4).count() == 0
+    with pytest.raises(ValueError):
+        heavy_hitters(df, capacity=0)
+
+
+def test_heavy_hitters_recount_scan_is_jvm(spark):
+    from go_shapefile_spark.operators.sketches import heavy_hitters
+    df = spark.createDataFrame([("a",)] * 50 + [("b%d" % i,) for i in range(50)],
+                               "tok string")
+    out = heavy_hitters(df, capacity=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # pass 2 (the data-proportional scan) must stay in codegen: the
+    # Python sketch stage feeds only the collected candidate literals
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
