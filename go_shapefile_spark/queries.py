@@ -1573,6 +1573,43 @@ def shapefile_poly_oracle() -> str:
     return "\nUNION ALL\n".join(rows)
 
 
+def vector_tiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-tile materialization: every ne_110m country clipped
+    (Sutherland–Hodgman, batched) to the res-4 cell tiles it covers —
+    per (feature, tile): tile origin, clipped ring/point counts and the
+    clipped planar area.  The oracle pins literals from the SAME
+    batched kernel over the golden core parser (driver twin is
+    bit-exact — tested); the kernel itself is proven in
+    tests/test_vector_tiles.py against an independent per-ring
+    Sutherland–Hodgman reference, analytic boxes, and per-feature area
+    conservation across the tile decomposition."""
+    from .operators.vector_tiles import vector_tiles
+    from .sources.shapefile import read_shapefile_df
+
+    df = read_shapefile_df(
+        spark, os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip"))
+    return vector_tiles(df, res=4).select(
+        "fid", "cell", "lon0", "lat0", "n_rings", "n_points", "area")
+
+
+def q_vector_tiles_oracle() -> str:
+    from .operators.vector_tiles import clip_tiles_for_records
+    from .sources.shapefile_core import read_zip
+
+    sf = read_zip(os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip"))
+    rows = []
+    # quoted literals: see q_geom_measures_oracle (bare 17-digit
+    # literals DECIMAL-parse in DuckDB and double-round one ulp off)
+    for fid, cell, x0, y0, nr, npts, area in clip_tiles_for_records(
+            sf.shp.records, 4):
+        rows.append(f"(CAST({fid} AS BIGINT), CAST({cell} AS BIGINT), "
+                    f"CAST('{x0!r}' AS DOUBLE), CAST('{y0!r}' AS DOUBLE), "
+                    f"CAST({nr} AS BIGINT), CAST({npts} AS BIGINT), "
+                    f"CAST('{area!r}' AS DOUBLE))")
+    return ("SELECT * FROM (VALUES\n" + ",\n".join(rows)
+            + "\n) AS t(fid, cell, lon0, lat0, n_rings, n_points, area)")
+
+
 def geom_measures_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometry measures (planar area / perimeter / area-weighted
     centroid) for every ne_110m country, computed distributed over the
@@ -2104,6 +2141,8 @@ FROM comp
         oracles["geodesic_measures_countries"] = q_geodesic_measures_oracle()
         queries["simplify_countries"] = simplify_countries_spark
         oracles["simplify_countries"] = q_simplify_countries_oracle()
+        queries["vector_tiles_countries"] = vector_tiles_spark
+        oracles["vector_tiles_countries"] = q_vector_tiles_oracle()
         queries["geojson_roundtrip"] = geojson_roundtrip_spark
         oracles["geojson_roundtrip"] = q_geojson_roundtrip_oracle(DUCK)
 

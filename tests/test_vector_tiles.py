@@ -1,0 +1,164 @@
+"""Vector-tile clipping: batched Sutherland-Hodgman vs independent
+references, analytic cases, conservation, and Spark/driver parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from go_shapefile_spark.operators.vector_tiles import (
+    _ring_signed2, clip_ring_reference, clip_tiles_for_records,
+    sh_clip_batch, vector_tiles)
+
+COUNTRIES = "/root/reference/testdata/110m-admin-0-countries.zip"
+
+
+def _read_countries():
+    from go_shapefile_spark.sources.shapefile_core import read_zip
+    return read_zip(COUNTRIES)
+
+
+def test_batched_clip_bitwise_equals_reference():
+    rng = np.random.default_rng(42)
+    xs, ys, lens, boxes, refs = [], [], [], [], []
+    for _ in range(500):
+        m = int(rng.integers(3, 50))
+        x, y = rng.uniform(-5, 5, m), rng.uniform(-5, 5, m)
+        bx = np.sort(rng.uniform(-4, 4, 2))
+        by = np.sort(rng.uniform(-4, 4, 2))
+        box = (bx[0], by[0], bx[1], by[1])
+        xs.append(x); ys.append(y); lens.append(m); boxes.append(box)
+        refs.append(clip_ring_reference(x, y, box))
+    cx, cy, clens = sh_clip_batch(np.concatenate(xs), np.concatenate(ys),
+                                  np.array(lens), np.array(boxes))
+    starts = np.concatenate(([0], np.cumsum(clens)[:-1]))
+    for i, ref in enumerate(refs):
+        got = np.stack([cx[starts[i]:starts[i] + clens[i]],
+                        cy[starts[i]:starts[i] + clens[i]]], axis=1)
+        exp = np.array(ref, dtype=np.float64).reshape(-1, 2)
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_clip_analytic_cases():
+    # CW unit-10 square (shapefile solid winding)
+    sq_x = np.array([0.0, 0.0, 10.0, 10.0])
+    sq_y = np.array([0.0, 10.0, 10.0, 0.0])
+
+    # box strictly inside the ring -> collapses to the box exactly
+    x, y, lens = sh_clip_batch(sq_x, sq_y, np.array([4]),
+                               np.array([[2.0, 2.0, 3.0, 3.0]]))
+    assert lens[0] == 4 and -_ring_signed2(x, y, lens)[0] / 2 == 1.0
+    assert x.min() == 2.0 and x.max() == 3.0
+
+    # box overlapping one corner -> intersection rectangle, exact area
+    x, y, lens = sh_clip_batch(sq_x, sq_y, np.array([4]),
+                               np.array([[8.0, 8.0, 12.0, 12.0]]))
+    assert -_ring_signed2(x, y, lens)[0] / 2 == 4.0      # 2x2 corner
+
+    # box fully outside -> empty
+    x, y, lens = sh_clip_batch(sq_x, sq_y, np.array([4]),
+                               np.array([[20.0, 20.0, 30.0, 30.0]]))
+    assert lens[0] == 0 and x.size == 0
+
+    # ring edge exactly ON the clip boundary is kept (>= semantics)
+    x, y, lens = sh_clip_batch(sq_x, sq_y, np.array([4]),
+                               np.array([[0.0, 0.0, 10.0, 10.0]]))
+    assert lens[0] == 4 and -_ring_signed2(x, y, lens)[0] / 2 == 100.0
+
+
+def test_donut_hole_tiles_cancel_exactly():
+    # outer CW 0..10 square with CCW hole 2..8: a box inside the hole
+    # nets EXACTLY zero area (same collapsed box, opposite winding)
+    ox = np.array([0.0, 0.0, 10.0, 10.0])
+    oy = np.array([0.0, 10.0, 10.0, 0.0])
+    hx = np.array([2.0, 8.0, 8.0, 2.0])      # CCW
+    hy = np.array([2.0, 2.0, 8.0, 8.0])
+    box = [4.0, 4.0, 6.0, 6.0]
+    x = np.concatenate([ox, hx]); y = np.concatenate([oy, hy])
+    cx, cy, lens = sh_clip_batch(x, y, np.array([4, 4]),
+                                 np.array([box, box]))
+    s2 = _ring_signed2(cx, cy, lens)
+    assert -(s2[0] + s2[1]) / 2 == 0.0
+    # a box straddling the hole edge keeps the annulus part only
+    box2 = [1.0, 4.0, 3.0, 6.0]              # 2x2, half in the annulus
+    cx, cy, lens = sh_clip_batch(x, y, np.array([4, 4]),
+                                 np.array([box2, box2]))
+    s2 = _ring_signed2(cx, cy, lens)
+    assert -(s2[0] + s2[1]) / 2 == 2.0
+
+
+def test_countries_tiles_conserve_area_and_stay_in_bounds():
+    from go_shapefile_spark.operators.geometry import measures_for_records
+    sf = _read_countries()
+    rows = clip_tiles_for_records(sf.shp.records, 4)
+    assert len(rows) > 400
+    per_fid: dict[int, float] = {}
+    tw, th = 360.0 / 16, 180.0 / 16
+    for fid, cell, x0, y0, nr, npts, area in rows:
+        assert area > 0.0 and nr >= 1 and npts >= 4 * nr
+        assert area <= tw * th * (1 + 1e-12)         # never exceeds a tile
+        per_fid[fid] = per_fid.get(fid, 0.0) + area
+    for i, (a, _l, _cx, _cy) in enumerate(measures_for_records(sf.shp.records)):
+        assert np.isclose(per_fid.get(i + 1, 0.0), a, rtol=1e-9), i + 1
+
+
+def test_spark_matches_driver_twin_bitwise(spark):
+    from go_shapefile_spark.sources.shapefile import read_shapefile_df
+    sf = _read_countries()
+    exp = sorted(clip_tiles_for_records(sf.shp.records, 4))
+    df = vector_tiles(read_shapefile_df(spark, COUNTRIES), res=4)
+    got = sorted((r.fid, r.cell, r.lon0, r.lat0, r.n_rings, r.n_points,
+                  r.area) for r in df.collect())
+    assert got == exp            # bit-exact, including the float areas
+
+
+def test_emitted_geometry_is_closed_and_measures_match(spark):
+    # the emitted per-tile coords/ends must re-measure to the emitted
+    # area (composition with the measures kernel) and be closed rings
+    # clamped to the tile box
+    from go_shapefile_spark.sources.shapefile import read_shapefile_df
+    from go_shapefile_spark.operators.geometry import part_measures
+    df = vector_tiles(read_shapefile_df(spark, COUNTRIES), res=4)
+    rows = df.where("fid IN (1, 4, 9, 33)").collect()
+    assert rows
+    tw, th = 360.0 / 16, 180.0 / 16
+    for r in rows:
+        coords = np.asarray(r.coords)
+        ends = list(r.ends)
+        assert len(ends) == r.n_rings and ends[-1] == coords.size
+        x, y = coords[0::2], coords[1::2]
+        assert x.min() >= r.lon0 and x.max() <= r.lon0 + tw
+        assert y.min() >= r.lat0 and y.max() <= r.lat0 + th
+        prev = 0
+        s2 = 0.0
+        for e in ends:
+            ring = coords[prev:e]
+            assert ring[0] == ring[-2] and ring[1] == ring[-1]  # closed
+            prev = e
+        s2 = sum(p[0] for p in part_measures(coords, ends))
+        assert np.isclose(-s2 / 2.0, r.area, rtol=1e-12)
+
+
+def test_vector_tiles_rejects_polylines(spark):
+    # shape type 3 (PolyLine): clipping lines to boxes is a different
+    # operator (open-path semantics) — must reject, not emit wrong area
+    df = spark.createDataFrame(
+        [(1, 3, ("XY", [0.0, 0.0, 5.0, 5.0], [4]))],
+        "fid long, shape_type int, geometry struct<layout:string, "
+        "coords:array<double>, ends:array<int>>")
+    with pytest.raises(Exception, match="polygon shape types only"):
+        vector_tiles(df, res=4).collect()
+
+
+def test_vector_tiles_plan_no_shuffle_above_parse(spark):
+    # the only Exchange allowed is the source's split-metadata
+    # repartition BELOW the parse stage (it moves split ranges, not
+    # rows); the clip stage itself must chain straight onto the parse
+    from go_shapefile_spark.sources.shapefile import read_shapefile_df
+    df = vector_tiles(read_shapefile_df(spark, COUNTRIES), res=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    clip_at = plan.index("MapInArrow run")
+    parse_at = plan.index("MapInArrow parse")
+    assert clip_at < parse_at
+    assert "Exchange" not in plan[clip_at:parse_at]
+    assert "BatchEvalPython" not in plan
