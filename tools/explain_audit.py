@@ -373,6 +373,70 @@ def main() -> None:
     sections.append(("PQ ANN search (probed inverted lists + ADC + "
                      "exact refine)", checks, formatted(pq)))
 
+    # vector tiles: the tile fan-out happens INSIDE the Arrow kernel, so
+    # the plan must be one mapInArrow chained straight onto the parse —
+    # any Exchange above the parse would mean rows were duplicated
+    # per-tile through a shuffle
+    from go_shapefile_spark.operators.vector_tiles import vector_tiles
+    vt = vector_tiles(feats, res=4)
+    plan = audit.executed_plan(vt)
+    clip_at = plan.index("MapInArrow run")
+    parse_at = plan.index("MapInArrow parse")
+    checks = [
+        ("clip chains directly onto the parse (no Exchange between)",
+         clip_at < parse_at and "Exchange" not in plan[clip_at:parse_at]),
+        ("no row-at-a-time Python", "BatchEvalPython" not in plan),
+    ]
+    sections.append(("Vector-tile clipping (batched Sutherland-Hodgman, "
+                     "in-kernel tile fan-out)", checks, formatted(vt)))
+
+    # grid-DBSCAN: the eps-neighbor search must be a hash equi-join on
+    # the grid key (9-key ring), never a BNLJ/cartesian distance join
+    from go_shapefile_spark.operators.clustering import dbscan
+    db_pts = pts.selectExpr("idx AS id", "lon", "lat").limit(20000)
+    db = dbscan(db_pts, eps=2.0, min_pts=4)
+    plan = audit.executed_plan(db)
+    checks = [
+        ("no CartesianProduct", "CartesianProduct" not in plan),
+        ("no BroadcastNestedLoopJoin",
+         "BroadcastNestedLoopJoin" not in plan),
+    ]
+    sections.append(("Grid-DBSCAN (eps-grid 9-key equi-join + "
+                     "connected components)", checks, formatted(db)))
+
+    # heatmap: one shuffle (the pixel groupBy), JVM-only splat
+    from go_shapefile_spark.operators.tiles import heatmap
+    hm = heatmap(pts, ppd=1)
+    plan = audit.executed_plan(hm)
+    checks = [
+        ("single hash-partitioning exchange",
+         plan.count("Exchange hashpartitioning") == 1),
+        ("map-side partial aggregation", "HashAggregate" in plan),
+    ]
+    try:
+        audit.assert_no_python_udf(hm)
+        checks.append(("no Python nodes", True))
+    except AssertionError:
+        checks.append(("no Python nodes", False))
+    sections.append(("KDE heatmap splat (3x3 kernel, single shuffle)",
+                     checks, formatted(hm)))
+
+    # heavy hitters: the data-proportional recount scan must be pure
+    # codegen — the Python sketch stage only feeds candidate literals
+    from go_shapefile_spark.operators.sketches import heavy_hitters
+    toks = spark.sql(
+        "SELECT explode(split(lower(text), '[^a-z0-9]+')) AS tok "
+        "FROM documents").where("tok <> ''")
+    hh = heavy_hitters(toks, col="tok", capacity=64)
+    plan = audit.executed_plan(hh)
+    checks = [
+        ("recount scan is JVM-only (no MapInPandas/BatchEvalPython)",
+         "MapInPandas" not in plan and "BatchEvalPython" not in plan),
+        ("map-side partial aggregation", "HashAggregate" in plan),
+    ]
+    sections.append(("Heavy hitters (Misra-Gries sketch + exact "
+                     "candidate recount)", checks, formatted(hh)))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the engine's hot paths\n\n")
         f.write("Generated by `python tools/explain_audit.py`.\n\n")
