@@ -190,7 +190,13 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              "corpus_curation", "corpus_curation_fused",
              # r5: PII redaction (sf-scaled documents, pure regex SQL)
              # and the geo×image fusion (fixed gate corpus, like audio)
-             "pii_redact", "zonal_image_stats"]
+             "pii_redact", "zonal_image_stats",
+             # r5 second wave: density clustering (pairs scale with
+             # eps-cell occupancy), heatmap splat (single shuffle),
+             # sketch+recount heavy hitters, vector-tile clipping
+             # (fixed ne_110m corpus, in-kernel fan-out)
+             "dbscan_events", "heatmap_events", "heavy_hitters_tokens",
+             "vector_tiles_countries"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:
