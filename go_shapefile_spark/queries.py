@@ -2251,4 +2251,26 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
     from .operators.sketches import heavy_hitters_oracle_sql
     oracles["heavy_hitters_tokens"] = heavy_hitters_oracle_sql(DUCK, 64)
 
+    # tile-server render: geotag → JVM heatmap splat → per-tile PNG
+    # (real codec) → md5.  Fixed 10k-id corpus (sf-independent); the
+    # oracle pins (tile, md5) literals from the driver twin — the full
+    # pipeline re-run in numpy/hashlib, byte-deterministic because the
+    # raster is all-integer and the PNG encode is filter-0/zlib-6.
+    def render_heatmap_tiles_gate(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+        from .operators.render import render_heatmap_tiles
+        return render_heatmap_tiles(spark).select(
+            "tx", "ty", "n_px", "sum_intensity", "png_md5")
+
+    def q_render_tiles_oracle() -> str:
+        from .operators.render import render_tiles_reference
+        rows = [f"(CAST({tx} AS BIGINT), CAST({ty} AS BIGINT), "
+                f"CAST({npx} AS BIGINT), CAST({si} AS BIGINT), '{md5}')"
+                for tx, ty, npx, si, md5 in render_tiles_reference()]
+        return ("SELECT * FROM (VALUES\n" + ",\n".join(rows)
+                + "\n) AS t(tx, ty, n_px, sum_intensity, png_md5)")
+
+    queries["render_heatmap_tiles"] = render_heatmap_tiles_gate
+    oracles["render_heatmap_tiles"] = q_render_tiles_oracle()
+
     return queries, oracles

@@ -353,3 +353,38 @@ def test_zonal_image_stats_matches_bruteforce(spark):
                    if i % 10 != 9)
         want[fid] = (int(sel.sum()), psum)
     assert got == want
+
+
+def test_render_heatmap_tiles_matches_reference_bytes(spark):
+    import hashlib
+    import numpy as np
+    from go_shapefile_spark.operators.render import (
+        RENDER_SCALE, render_heatmap_tiles, render_tiles_reference)
+    from go_shapefile_spark.sources.images import decode_image
+
+    exp = {(tx, ty): (npx, si, md5)
+           for tx, ty, npx, si, md5 in render_tiles_reference(n_ids=2000)}
+    rows = render_heatmap_tiles(spark, n_ids=2000).collect()
+    got = {(r.tx, r.ty): (r.n_px, r.sum_intensity, r.png_md5) for r in rows}
+    assert got == exp
+    # served bytes hash to the declared md5 and decode to a real image
+    for r in rows:
+        assert hashlib.md5(bytes(r.png)).hexdigest() == r.png_md5
+        img = decode_image(bytes(r.png), "png")
+        assert img.shape == (64, 64, 3)
+        assert img.max() > 0 and img.max() <= 255
+        # grayscale (r == g == b) and quantized by the scale factor
+        assert np.array_equal(img[:, :, 0], img[:, :, 1])
+        vals = np.unique(img[:, :, 0])
+        assert all(v == 255 or v % RENDER_SCALE == 0 for v in vals)
+
+
+def test_render_tile_orientation_north_up():
+    import numpy as np
+    from go_shapefile_spark.operators.render import _render_tile_png
+    from go_shapefile_spark.sources.images import decode_image
+    # single pixel at (x=3, y=60) in tile (0,0) of 64px: row = 63-60
+    png = _render_tile_png(0, 0, np.array([3]), np.array([60]),
+                           np.array([10]), 64)
+    img = decode_image(png, "png")
+    assert img[63 - 60, 3, 0] == 40 and img.sum() == 3 * 40
