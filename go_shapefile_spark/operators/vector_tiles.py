@@ -176,43 +176,12 @@ def clip_tiles_batch(g: _BatchGeom, res: int):
     n_points, area, coords_list_lens, coords_vals, ends_list_lens,
     ends_vals)`` where coords are re-closed rings in the flat XY model.
     """
-    n = 1 << res
-    tw = 360.0 / n
-    th = 180.0 / n
-    rs = g.row_starts
     # computed extent (not the header bbox): both the Spark path and the
-    # driver twin derive candidates from the same coords
-    xmin = np.minimum.reduceat(g.x, rs)
-    xmax = np.maximum.reduceat(g.x, rs)
-    ymin = np.minimum.reduceat(g.y, rs)
-    ymax = np.maximum.reduceat(g.y, rs)
-    ix0, iy0 = C.xy_np(xmin, ymin, res)
-    ix1, iy1 = C.xy_np(xmax, ymax, res)
-    nx = ix1 - ix0 + 1
-    ny = iy1 - iy0 + 1
-    nc_row = nx * ny
-    n_rows = rs.size
-
-    total_cells = int(nc_row.sum())
-    row_of_cell = np.repeat(np.arange(n_rows), nc_row)
-    ord_ = np.arange(total_cells) - _excl(nc_row)[row_of_cell]
-    cix = ix0[row_of_cell] + ord_ // ny[row_of_cell]
-    ciy = iy0[row_of_cell] + ord_ % ny[row_of_cell]
-    cell_id = ((np.int64(res) << C._RES_SHIFT) | C._spread_np(cix)
-               | (C._spread_np(ciy) << 1))
-    bx0 = -180.0 + cix * tw
-    by0 = -90.0 + ciy * th
-    bx1 = bx0 + tw
-    by1 = by0 + th
-
-    # (ring x tile) pairs, tile-major within each row
-    nr_row = g.parts_per_row
-    pair_per_cell = nr_row[row_of_cell]
-    total_pairs = int(pair_per_cell.sum())
-    cell_of_pair = np.repeat(np.arange(total_cells), pair_per_cell)
-    off_in_cell = np.arange(total_pairs) - _excl(pair_per_cell)[cell_of_pair]
-    ring_start_row = _excl(nr_row)
-    ring_of_pair = ring_start_row[row_of_cell[cell_of_pair]] + off_in_cell
+    # driver twin derive candidates from the same coords; pairs are
+    # (ring x tile), tile-major within each row
+    (row_of_cell, cell_id, bx0, by0, bx1, by1, cell_of_pair,
+     ring_of_pair) = _candidate_tiles(g, res)
+    total_cells = cell_id.size
 
     open_lens = np.maximum(g.part_ends - g.part_starts - 1, 0)
     plens = open_lens[ring_of_pair]
@@ -275,6 +244,222 @@ def clip_tiles_batch(g: _BatchGeom, res: int):
     return (row_of_cell[sel], cell_id[sel], bx0[sel], by0[sel],
             n_rings_cell[sel], n_pts_cell[sel], area[sel],
             2 * n_pts_cell[sel], coords_vals, n_rings_cell[sel], ends_vals)
+
+
+def clip_segments_reference(x, y, box):
+    """Readable per-part Liang–Barsky polyline clip: returns the list of
+    clipped sub-paths (each a list of (x, y)) of one OPEN path against
+    ``box`` — the independent reference for the batched kernel."""
+    x0, y0, x1, y1 = box
+    paths, cur = [], []
+    for i in range(len(x) - 1):
+        ax, ay, bx, by = x[i], y[i], x[i + 1], y[i + 1]
+        dx, dy = bx - ax, by - ay
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for p, q in ((-dx, ax - x0), (dx, x1 - ax),
+                     (-dy, ay - y0), (dy, y1 - ay)):
+            if p == 0.0:
+                if q < 0.0:
+                    ok = False
+                    break
+            else:
+                r = q / p
+                if p < 0.0:
+                    t0 = max(t0, r)
+                else:
+                    t1 = min(t1, r)
+        if not ok or t0 > t1:
+            if cur:
+                paths.append(cur)
+                cur = []
+            continue
+        sx = ax + t0 * dx if t0 > 0.0 else ax
+        sy = ay + t0 * dy if t0 > 0.0 else ay
+        ex = ax + t1 * dx if t1 < 1.0 else bx
+        ey = ay + t1 * dy if t1 < 1.0 else by
+        if not cur or t0 > 0.0:
+            if cur:
+                paths.append(cur)
+            cur = [(sx, sy)]
+        cur.append((ex, ey))
+        if t1 < 1.0:
+            paths.append(cur)
+            cur = []
+    if cur:
+        paths.append(cur)
+    return paths
+
+
+def lb_clip_segments(ax, ay, bx, by, boxes):
+    """Batched Liang–Barsky: clip N independent segments against their
+    paired boxes.  Returns ``(keep, sx, sy, ex, ey, enters, exits)`` —
+    ``enters``/``exits`` flag t0 > 0 / t1 < 1 (the path-chaining
+    signals).  Endpoint arithmetic matches the reference exactly
+    (original endpoints are reused untouched when t is 0/1)."""
+    dx = bx - ax
+    dy = by - ay
+    t0 = np.zeros(ax.size)
+    t1 = np.ones(ax.size)
+    ok = np.ones(ax.size, dtype=bool)
+    for p, q in ((-dx, ax - boxes[:, 0]), (dx, boxes[:, 2] - ax),
+                 (-dy, ay - boxes[:, 1]), (dy, boxes[:, 3] - ay)):
+        par = p == 0.0
+        ok &= ~(par & (q < 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = q / p
+        t0 = np.where(~par & (p < 0.0), np.maximum(t0, r), t0)
+        t1 = np.where(~par & (p > 0.0), np.minimum(t1, r), t1)
+    keep = ok & (t0 <= t1)
+    enters = keep & (t0 > 0.0)
+    exits = keep & (t1 < 1.0)
+    sx = np.where(enters, ax + t0 * dx, ax)
+    sy = np.where(enters, ay + t0 * dy, ay)
+    ex = np.where(exits, ax + t1 * dx, bx)
+    ey = np.where(exits, ay + t1 * dy, by)
+    return keep, sx, sy, ex, ey, enters, exits
+
+
+def _candidate_tiles(g: _BatchGeom, res: int):
+    """Shared candidate-tile construction from the row coordinate
+    extents: returns ``(row_of_cell, cell_id, bx0, by0, bx1, by1,
+    cell_of_pair, ring_of_pair)`` with one (part x tile) pair per
+    candidate, tile-major within each row."""
+    n = 1 << res
+    tw = 360.0 / n
+    th = 180.0 / n
+    rs = g.row_starts
+    xmin = np.minimum.reduceat(g.x, rs)
+    xmax = np.maximum.reduceat(g.x, rs)
+    ymin = np.minimum.reduceat(g.y, rs)
+    ymax = np.maximum.reduceat(g.y, rs)
+    ix0, iy0 = C.xy_np(xmin, ymin, res)
+    ix1, iy1 = C.xy_np(xmax, ymax, res)
+    ny = iy1 - iy0 + 1
+    nc_row = (ix1 - ix0 + 1) * ny
+    n_rows = rs.size
+
+    total_cells = int(nc_row.sum())
+    row_of_cell = np.repeat(np.arange(n_rows), nc_row)
+    ord_ = np.arange(total_cells) - _excl(nc_row)[row_of_cell]
+    cix = ix0[row_of_cell] + ord_ // ny[row_of_cell]
+    ciy = iy0[row_of_cell] + ord_ % ny[row_of_cell]
+    cell_id = ((np.int64(res) << C._RES_SHIFT) | C._spread_np(cix)
+               | (C._spread_np(ciy) << 1))
+    bx0 = -180.0 + cix * tw
+    by0 = -90.0 + ciy * th
+
+    nr_row = g.parts_per_row
+    pair_per_cell = nr_row[row_of_cell]
+    total_pairs = int(pair_per_cell.sum())
+    cell_of_pair = np.repeat(np.arange(total_cells), pair_per_cell)
+    off_in_cell = np.arange(total_pairs) - _excl(pair_per_cell)[cell_of_pair]
+    ring_of_pair = _excl(nr_row)[row_of_cell[cell_of_pair]] + off_in_cell
+    return (row_of_cell, cell_id, bx0, by0, bx0 + tw, by0 + th,
+            cell_of_pair, ring_of_pair)
+
+
+def clip_lines_batch(g: _BatchGeom, res: int):
+    """Clip one POLYLINE row group against its candidate tiles.
+
+    Segments clip independently (Liang–Barsky); consecutive clipped
+    segments that stay connected chain back into sub-paths.  Returns
+    per-kept-tile ``(row_idx, cell, lon0, lat0, n_paths, n_points,
+    length)`` — aggregate form (the per-tile line payload; geometry
+    emit follows the polygon path's assembly if a consumer needs it).
+    """
+    (row_of_cell, cell_id, bx0, by0, bx1, by1, cell_of_pair,
+     part_of_pair) = _candidate_tiles(g, res)
+    total_cells = cell_id.size
+
+    part_lens = g.part_ends - g.part_starts
+    seg_lens = np.maximum(part_lens - 1, 0)
+    plens = seg_lens[part_of_pair]
+    pstarts = g.part_starts[part_of_pair]
+    ax = _gather_ranges(g.x, pstarts, plens)
+    ay = _gather_ranges(g.y, pstarts, plens)
+    bx = _gather_ranges(g.x, pstarts + 1, plens)
+    by = _gather_ranges(g.y, pstarts + 1, plens)
+    seg_cell = np.repeat(cell_of_pair, plens)
+    seg_pair = np.repeat(np.arange(plens.size), plens)
+    boxes = np.stack([bx0[seg_cell], by0[seg_cell],
+                      bx1[seg_cell], by1[seg_cell]], axis=1)
+    keep, sx, sy, ex, ey, enters, exits = lb_clip_segments(
+        ax, ay, bx, by, boxes)
+
+    # chain: a kept segment starts a new sub-path unless the previous
+    # segment of the SAME pair was kept, exited nowhere, and this one
+    # enters nowhere (shared original vertex => genuinely connected)
+    nseg = keep.size
+    first_in_pair = np.ones(nseg, dtype=bool)
+    if nseg:
+        first_in_pair[1:] = seg_pair[1:] != seg_pair[:-1]
+    keep_prev = np.concatenate(([False], keep[:-1]))
+    exits_prev = np.concatenate(([False], exits[:-1]))
+    starts_path = keep & (first_in_pair | ~keep_prev | exits_prev | enters)
+
+    seg_len_val = np.where(keep, np.hypot(ex - sx, ey - sy), 0.0)
+    length_cell = np.bincount(seg_cell, weights=seg_len_val,
+                              minlength=total_cells) if nseg else \
+        np.zeros(total_cells)
+    n_paths_cell = np.bincount(seg_cell, weights=starts_path,
+                               minlength=total_cells).astype(np.int64) \
+        if nseg else np.zeros(total_cells, np.int64)
+    n_pts_cell = np.bincount(
+        seg_cell, weights=keep.astype(np.int64) + starts_path,
+        minlength=total_cells).astype(np.int64) if nseg else \
+        np.zeros(total_cells, np.int64)
+
+    sel = np.flatnonzero(n_paths_cell > 0)
+    return (row_of_cell[sel], cell_id[sel], bx0[sel], by0[sel],
+            n_paths_cell[sel], n_pts_cell[sel], length_cell[sel])
+
+
+def clip_line_tiles_for_records(recs, res: int):
+    """Driver twin of :func:`vector_tiles_lines` (oracle pinning)."""
+    g, closed = _geom_from_records(recs)
+    if closed:
+        raise ValueError("vector_tiles_lines: polyline shape types only")
+    out = clip_lines_batch(g, res)
+    return [(int(r) + 1, int(c), float(x0), float(y0), int(np_), int(pt),
+             float(ln)) for r, c, x0, y0, np_, pt, ln in zip(*out)]
+
+
+def vector_tiles_lines(features: DataFrame, res: int) -> DataFrame:
+    """Per-(feature, tile) clipped-polyline summary of a line corpus:
+    ``(fid, cell, lon0, lat0, n_paths, n_points, length)``.  One Arrow
+    pass, no shuffle — the polyline twin of :func:`vector_tiles`."""
+    import pyarrow as pa
+
+    cols = features.select("fid", "shape_type", "geometry.layout",
+                           "geometry.coords", "geometry.ends")
+
+    def run(batches):
+        for batch in batches:
+            fid = batch.column(0).to_numpy(zero_copy_only=False)
+            for sel, g, _rv, _rpr, closed, _layout in _arrow_groups(
+                    batch, with_rings=False):
+                if closed:
+                    raise ValueError(
+                        "vector_tiles_lines: polyline shape types only")
+                row, cell, lon0, lat0, npth, npts, ln = \
+                    clip_lines_batch(g, res)
+                if row.size == 0:
+                    continue
+                yield pa.RecordBatch.from_arrays([
+                    pa.array(fid[sel][row], pa.int64()),
+                    pa.array(cell, pa.int64()),
+                    pa.array(lon0, pa.float64()),
+                    pa.array(lat0, pa.float64()),
+                    pa.array(npth, pa.int64()),
+                    pa.array(npts, pa.int64()),
+                    pa.array(ln, pa.float64()),
+                ], names=["fid", "cell", "lon0", "lat0", "n_paths",
+                          "n_points", "length"])
+
+    return cols.mapInArrow(
+        run, schema="fid long, cell long, lon0 double, lat0 double, "
+                    "n_paths long, n_points long, length double")
 
 
 def clip_tiles_for_records(recs, res: int):

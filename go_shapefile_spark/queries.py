@@ -1610,6 +1610,65 @@ def q_vector_tiles_oracle() -> str:
             + "\n) AS t(fid, cell, lon0, lat0, n_rings, n_points, area)")
 
 
+def ensure_lines_corpus() -> str:
+    """Deterministic 500-polyline gate corpus (seeded random walks,
+    1-3 parts each) written once to .cache as a real PolyLine shapefile
+    — versioned path, regenerable like the audio/image gate corpora."""
+    import numpy as np
+
+    base = os.path.join(_CACHE_ROOT, "gate_lines_n500_v1", "lines")
+    if not os.path.exists(base + ".shp"):
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        from .sources.shapefile_writer import write_polylines
+        rng = np.random.default_rng(21)
+        lines = []
+        for _ in range(500):
+            coords, ends, pos = [], [], 0
+            for _p in range(int(rng.integers(1, 4))):
+                m = int(rng.integers(4, 40))
+                x0 = rng.uniform(-170, 170)
+                y0 = rng.uniform(-80, 80)
+                steps = rng.uniform(-0.4, 0.4, (m - 1, 2))
+                pts = np.concatenate(([[x0, y0]],
+                                      [[x0, y0]] + np.cumsum(steps, 0)))
+                coords.extend(pts.ravel().tolist())
+                pos += 2 * m
+                ends.append(pos)
+            lines.append({"coords": coords, "ends": ends})
+        write_polylines(base, lines)
+    return base
+
+
+def vector_tiles_lines_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline vector tiles: the deterministic 500-line corpus clipped
+    (batched Liang–Barsky + path re-chaining) to res-5 cell tiles —
+    per (feature, tile): sub-path/point counts and clipped length.  The
+    oracle pins literals from the SAME kernel over the core parser; the
+    segment clip itself is proven against an independent per-part
+    reference in tests/test_vector_tiles.py."""
+    from .operators.vector_tiles import vector_tiles_lines
+    from .sources.shapefile import read_shapefile_df
+
+    return vector_tiles_lines(
+        read_shapefile_df(spark, ensure_lines_corpus()), res=5)
+
+
+def q_vector_tiles_lines_oracle() -> str:
+    from .operators.vector_tiles import clip_line_tiles_for_records
+    from .sources.shapefile_core import read_shapefile
+
+    sf = read_shapefile(ensure_lines_corpus())
+    rows = []
+    for fid, cell, x0, y0, npth, npts, ln in clip_line_tiles_for_records(
+            sf.shp.records, 5):
+        rows.append(f"(CAST({fid} AS BIGINT), CAST({cell} AS BIGINT), "
+                    f"CAST('{x0!r}' AS DOUBLE), CAST('{y0!r}' AS DOUBLE), "
+                    f"CAST({npth} AS BIGINT), CAST({npts} AS BIGINT), "
+                    f"CAST('{ln!r}' AS DOUBLE))")
+    return ("SELECT * FROM (VALUES\n" + ",\n".join(rows)
+            + "\n) AS t(fid, cell, lon0, lat0, n_paths, n_points, length)")
+
+
 def geom_measures_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometry measures (planar area / perimeter / area-weighted
     centroid) for every ne_110m country, computed distributed over the
@@ -2145,6 +2204,10 @@ FROM comp
         oracles["vector_tiles_countries"] = q_vector_tiles_oracle()
         queries["geojson_roundtrip"] = geojson_roundtrip_spark
         oracles["geojson_roundtrip"] = q_geojson_roundtrip_oracle(DUCK)
+    # polyline tiles use a self-generated deterministic corpus — no
+    # dependency on the reference fixtures being present
+    queries["vector_tiles_lines"] = vector_tiles_lines_spark
+    oracles["vector_tiles_lines"] = q_vector_tiles_lines_oracle()
 
     # Approximate ANN, oracle-gated on its recall contract (VERDICT r2
     # #3, image_invariants pattern): Spark runs the approximate top-k AND

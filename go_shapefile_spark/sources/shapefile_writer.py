@@ -60,8 +60,12 @@ def write_points(basename: str, xs: np.ndarray, ys: np.ndarray,
 
 def write_polygons(basename: str, polygons: list[dict],
                    fields: list[tuple] | None = None,
-                   rows: list[list] | None = None) -> None:
-    """Write a Polygon shapefile from {coords, ends} dicts (flat XY)."""
+                   rows: list[list] | None = None,
+                   shape_type: int = 5) -> None:
+    """Write a Polygon shapefile from {coords, ends} dicts (flat XY).
+    PolyLine (type 3) shares the record layout byte-for-byte, so
+    ``shape_type=3`` writes a line corpus (see :func:`write_polylines`).
+    """
     recs, offs = [], []
     pos = 100
     gx0 = gy0 = float("inf")
@@ -75,7 +79,7 @@ def write_polygons(basename: str, polygons: list[dict],
         x0, y0, x1, y1 = x.min(), y.min(), x.max(), y.max()
         gx0, gy0 = min(gx0, x0), min(gy0, y0)
         gx1, gy1 = max(gx1, x1), max(gy1, y1)
-        body = struct.pack("<I4dII", 5, x0, y0, x1, y1, len(parts), num_points)
+        body = struct.pack("<I4dII", shape_type, x0, y0, x1, y1, len(parts), num_points)
         body += np.asarray(parts, dtype="<u4").tobytes()
         body += coords.astype("<f8").tobytes()
         recs.append(struct.pack(">II", i + 1, len(body) // 2) + body)
@@ -84,13 +88,20 @@ def write_polygons(basename: str, polygons: list[dict],
     payload = b"".join(recs)
     bbox = (gx0, gy0, gx1, gy1)
     with open(basename + ".shp", "wb") as f:
-        f.write(_shx_header(5, 100 + len(payload), bbox) + payload)
+        f.write(_shx_header(shape_type, 100 + len(payload), bbox) + payload)
     shx = b"".join(struct.pack(">II", o, l) for o, l in offs)
     with open(basename + ".shx", "wb") as f:
-        f.write(_shx_header(5, 100 + len(shx), bbox) + shx)
+        f.write(_shx_header(shape_type, 100 + len(shx), bbox) + shx)
     if fields is not None:
         write_dbf(basename + ".dbf", fields,
                   rows or [[None] * len(fields) for _ in polygons])
+
+
+def write_polylines(basename: str, lines: list[dict],
+                    fields: list[tuple] | None = None,
+                    rows: list[list] | None = None) -> None:
+    """Write a PolyLine shapefile from {coords, ends} dicts (flat XY)."""
+    write_polygons(basename, lines, fields, rows, shape_type=3)
 
 
 def write_dbf(path: str, fields: list[tuple],

@@ -162,3 +162,73 @@ def test_vector_tiles_plan_no_shuffle_above_parse(spark):
     assert clip_at < parse_at
     assert "Exchange" not in plan[clip_at:parse_at]
     assert "BatchEvalPython" not in plan
+
+
+def test_batched_segment_clip_matches_reference_paths():
+    from go_shapefile_spark.operators.vector_tiles import (
+        clip_segments_reference, lb_clip_segments)
+    rng = np.random.default_rng(3)
+    for trial in range(300):
+        m = int(rng.integers(2, 30))
+        x, y = rng.uniform(-5, 5, m), rng.uniform(-5, 5, m)
+        bx = np.sort(rng.uniform(-4, 4, 2))
+        by = np.sort(rng.uniform(-4, 4, 2))
+        box = (bx[0], by[0], bx[1], by[1])
+        ref = clip_segments_reference(x, y, box)
+        keep, sx, sy, ex, ey, enters, exits = lb_clip_segments(
+            x[:-1], y[:-1], x[1:], y[1:], np.tile(np.array(box), (m - 1, 1)))
+        # rebuild sub-paths from the batched chaining signals
+        paths, cur = [], []
+        for i in range(m - 1):
+            if not keep[i]:
+                if cur:
+                    paths.append(cur); cur = []
+                continue
+            if not cur or enters[i]:
+                if cur:
+                    paths.append(cur)
+                cur = [(sx[i], sy[i])]
+            cur.append((ex[i], ey[i]))
+            if exits[i]:
+                paths.append(cur); cur = []
+        if cur:
+            paths.append(cur)
+        assert [len(p) for p in paths] == [len(p) for p in ref], trial
+        for pg, pr in zip(paths, ref):
+            assert pg == pr, trial                 # bitwise
+
+
+def test_line_tiles_conserve_length_and_match_spark(spark):
+    from go_shapefile_spark.operators.vector_tiles import (
+        clip_line_tiles_for_records, vector_tiles_lines)
+    from go_shapefile_spark.operators.geometry import measures_for_records
+    from go_shapefile_spark.queries import ensure_lines_corpus
+    from go_shapefile_spark.sources.shapefile import read_shapefile_df
+    from go_shapefile_spark.sources.shapefile_core import read_shapefile
+
+    base = ensure_lines_corpus()
+    sf = read_shapefile(base)
+    rows = clip_line_tiles_for_records(sf.shp.records, 5)
+    # tiles partition the world: clipped lengths must sum back to each
+    # feature's total length (new vertices only at tile boundaries)
+    per_fid: dict[int, float] = {}
+    for fid, cell, x0, y0, npth, npts, ln in rows:
+        assert npts >= 2 * npth >= 2
+        per_fid[fid] = per_fid.get(fid, 0.0) + ln
+    meas = measures_for_records(sf.shp.records)
+    for i, (_a, ln, _cx, _cy) in enumerate(meas):
+        assert np.isclose(per_fid.get(i + 1, 0.0), ln, rtol=1e-9), i + 1
+    # Spark == driver twin bit-exact
+    got = sorted((r.fid, r.cell, r.lon0, r.lat0, r.n_paths, r.n_points,
+                  r.length)
+                 for r in vector_tiles_lines(
+                     read_shapefile_df(spark, base), res=5).collect())
+    assert got == sorted(rows)
+
+
+def test_line_tiles_reject_polygons(spark):
+    from go_shapefile_spark.operators.vector_tiles import vector_tiles_lines
+    from go_shapefile_spark.sources.shapefile import read_shapefile_df
+    df = vector_tiles_lines(read_shapefile_df(spark, COUNTRIES), res=4)
+    with pytest.raises(Exception, match="polyline shape types only"):
+        df.collect()
