@@ -476,6 +476,81 @@ def clip_tiles_for_records(recs, res: int):
             in zip(row, cell, lon0, lat0, nr, npts, area)]
 
 
+def vector_tile_pyramid(features: DataFrame, min_res: int, max_res: int,
+                        eps_fraction: float = 1.0 / 256,
+                        pin: str | None = None,
+                        slot: str | None = None) -> DataFrame:
+    """Multi-zoom vector tiles (the tippecanoe pipeline): per zoom ``z``
+    the corpus is Douglas–Peucker-simplified at one tile-pixel of
+    tolerance (``eps_fraction`` of the tile height — default 1/256, a
+    256-px tile) and then clipped to the res-``z`` tiles.  Output rows
+    are the union over zooms; the cell id encodes the resolution, so no
+    extra level column is needed.
+
+    The parsed features are pinned once (operators/pinning.py) and every
+    level reads the pin — levels re-simplify (tolerance differs per
+    zoom; that is the point of the pyramid) but never re-parse/re-scan
+    the source.  Each level stays a shuffle-free mapInArrow chain.
+    """
+    from .pinning import fresh_pins
+
+    if not 0 <= min_res <= max_res:
+        raise ValueError(f"bad zoom range [{min_res}, {max_res}]")
+    from .geometry import simplify_features
+
+    pinf = fresh_pins(features.sparkSession, slot, strategy=pin)
+    feats = pinf(features.select("fid", "shape_type", "geometry"))
+    out = None
+    for z in range(min_res, max_res + 1):
+        eps = eps_fraction * (180.0 / (1 << z))
+        lvl = vector_tiles(simplify_features(feats, eps), res=z)
+        out = lvl if out is None else out.unionByName(lvl)
+    return out
+
+
+class _ShimRec:
+    """Minimal record for :func:`_geom_from_records` over already-
+    simplified geometry (driver pyramid twin)."""
+
+    __slots__ = ("shape_type", "layout", "coords", "ends", "endss")
+
+    def __init__(self, shape_type, layout, coords, ends):
+        self.shape_type = shape_type
+        self.layout = layout
+        self.coords = coords
+        self.ends = ends
+        self.endss = None
+
+
+def pyramid_for_records(recs, min_res: int, max_res: int,
+                        eps_fraction: float = 1.0 / 256):
+    """Driver twin of :func:`vector_tile_pyramid` — simplify + clip per
+    zoom with the SAME batched kernels, preserving original fids across
+    rows that simplification drops entirely."""
+    from .geometry import simplify_for_records
+
+    out = []
+    for z in range(min_res, max_res + 1):
+        eps = eps_fraction * (180.0 / (1 << z))
+        simp = simplify_for_records(recs, eps)
+        fids = [i + 1 for i, s in enumerate(simp) if s is not None]
+        shims = [_ShimRec(recs[i].shape_type, recs[i].layout, s[0], s[1])
+                 for i, s in enumerate(simp) if s is not None]
+        if not shims:
+            continue
+        g, closed = _geom_from_records(shims)
+        if not closed:
+            raise ValueError("vector_tile_pyramid: polygons only")
+        (row, cell, lon0, lat0, nr, npts, area, _cl, _cv, _el,
+         _ev) = clip_tiles_batch(g, z)
+        out.extend(
+            (fids[int(r)], int(c), float(x0), float(y0), int(a), int(b),
+             float(ar))
+            for r, c, x0, y0, a, b, ar
+            in zip(row, cell, lon0, lat0, nr, npts, area))
+    return out
+
+
 def vector_tiles(features: DataFrame, res: int) -> DataFrame:
     """Per-(feature, tile) clipped geometry of a polygon corpus.
 

@@ -1610,6 +1610,37 @@ def q_vector_tiles_oracle() -> str:
             + "\n) AS t(fid, cell, lon0, lat0, n_rings, n_points, area)")
 
 
+def vector_tile_pyramid_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom vector tiles (tippecanoe pipeline): ne_110m countries
+    simplified at one tile-pixel tolerance per zoom, then clipped to
+    that zoom's tiles, zooms 2-4 unioned (cell ids encode the level).
+    Oracle pins literals from the driver twin composing the SAME
+    simplify + clip kernels."""
+    from .operators.vector_tiles import vector_tile_pyramid
+    from .sources.shapefile import read_shapefile_df
+
+    df = read_shapefile_df(
+        spark, os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip"))
+    return vector_tile_pyramid(df, 2, 4, slot="vector_tile_pyramid") \
+        .select("fid", "cell", "lon0", "lat0", "n_rings", "n_points",
+                "area")
+
+
+def q_vector_tile_pyramid_oracle() -> str:
+    from .operators.vector_tiles import pyramid_for_records
+    from .sources.shapefile_core import read_zip
+
+    sf = read_zip(os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip"))
+    rows = [f"(CAST({fid} AS BIGINT), CAST({cell} AS BIGINT), "
+            f"CAST('{x0!r}' AS DOUBLE), CAST('{y0!r}' AS DOUBLE), "
+            f"CAST({nr} AS BIGINT), CAST({npts} AS BIGINT), "
+            f"CAST('{area!r}' AS DOUBLE))"
+            for fid, cell, x0, y0, nr, npts, area
+            in pyramid_for_records(sf.shp.records, 2, 4)]
+    return ("SELECT * FROM (VALUES\n" + ",\n".join(rows)
+            + "\n) AS t(fid, cell, lon0, lat0, n_rings, n_points, area)")
+
+
 def ensure_lines_corpus() -> str:
     """Deterministic 500-polyline gate corpus (seeded random walks,
     1-3 parts each) written once to .cache as a real PolyLine shapefile
@@ -2202,6 +2233,8 @@ FROM comp
         oracles["simplify_countries"] = q_simplify_countries_oracle()
         queries["vector_tiles_countries"] = vector_tiles_spark
         oracles["vector_tiles_countries"] = q_vector_tiles_oracle()
+        queries["vector_tile_pyramid"] = vector_tile_pyramid_spark
+        oracles["vector_tile_pyramid"] = q_vector_tile_pyramid_oracle()
         queries["geojson_roundtrip"] = geojson_roundtrip_spark
         oracles["geojson_roundtrip"] = q_geojson_roundtrip_oracle(DUCK)
     # polyline tiles use a self-generated deterministic corpus — no

@@ -232,3 +232,45 @@ def test_line_tiles_reject_polygons(spark):
     df = vector_tiles_lines(read_shapefile_df(spark, COUNTRIES), res=4)
     with pytest.raises(Exception, match="polyline shape types only"):
         df.collect()
+
+
+def test_pyramid_levels_conserve_simplified_area(spark):
+    from go_shapefile_spark.operators.geometry import (
+        measures_for_records, simplify_for_records)
+    from go_shapefile_spark.operators.vector_tiles import (
+        _ShimRec, pyramid_for_records)
+    sf = _read_countries()
+    rows = pyramid_for_records(sf.shp.records, 2, 4)
+    # per zoom, the tile areas must sum to the area of the SIMPLIFIED
+    # geometry at that zoom's tolerance (clipping conserves; the
+    # simplification is what intentionally changes area between zooms)
+    by_res: dict[int, dict[int, float]] = {}
+    for fid, cell, x0, y0, nr, npts, area in rows:
+        res = cell >> 52
+        by_res.setdefault(res, {}).setdefault(fid, 0.0)
+        by_res[res][fid] += area
+    assert sorted(by_res) == [2, 3, 4]
+    for z, per_fid in by_res.items():
+        eps = (1.0 / 256) * (180.0 / (1 << z))
+        simp = simplify_for_records(sf.shp.records, eps)
+        shims = {i + 1: _ShimRec(sf.shp.records[i].shape_type,
+                                 sf.shp.records[i].layout, s[0], s[1])
+                 for i, s in enumerate(simp) if s is not None}
+        for fid, shim in shims.items():
+            (a, _l, _cx, _cy), = measures_for_records([shim])
+            got = per_fid.get(fid, 0.0)
+            assert np.isclose(got, a, rtol=1e-9, atol=1e-12), (z, fid)
+
+
+def test_pyramid_spark_matches_driver_twin(spark):
+    from go_shapefile_spark.operators.vector_tiles import (
+        pyramid_for_records, vector_tile_pyramid)
+    from go_shapefile_spark.sources.shapefile import read_shapefile_df
+    sf = _read_countries()
+    exp = sorted(pyramid_for_records(sf.shp.records, 3, 4))
+    df = vector_tile_pyramid(read_shapefile_df(spark, COUNTRIES), 3, 4)
+    got = sorted((r.fid, r.cell, r.lon0, r.lat0, r.n_rings, r.n_points,
+                  r.area) for r in df.collect())
+    assert got == exp
+    with pytest.raises(ValueError, match="bad zoom range"):
+        vector_tile_pyramid(read_shapefile_df(spark, COUNTRIES), 5, 4)
