@@ -196,7 +196,11 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              # sketch+recount heavy hitters, vector-tile clipping
              # (fixed ne_110m corpus, in-kernel fan-out)
              "dbscan_events", "heatmap_events", "heavy_hitters_tokens",
-             "vector_tiles_countries"]
+             "vector_tiles_countries",
+             # r5: polyline tiles (seeded corpus), multi-zoom pyramid,
+             # PNG tile render (fixed 10k-id corpus)
+             "vector_tiles_lines", "vector_tile_pyramid",
+             "render_heatmap_tiles"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

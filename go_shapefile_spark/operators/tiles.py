@@ -43,13 +43,17 @@ def heatmap_body(dialect: str, pts: str = "pts", ppd: int = 1) -> str:
     heatmap rendering) onto a pixel grid of ``ppd`` pixels per unit.
 
     Pure relational splatting — point→pixel is integer floor arithmetic,
-    the kernel is a 9-row inline table, the raster is one groupBy on the
-    pixel key — so the whole render is a map-side-combined single
-    shuffle, JVM-only, identical in both dialects.  Intensity is an
-    all-integer sum (bit-stable dual-engine); ``n_centered`` counts the
-    points whose own pixel this is (the unsmoothed raster, for free).
-    Grid is unbounded (pixel ids may be negative): no clamping, no lost
-    mass — SUM(intensity) == 16 * COUNT(points) exactly.
+    the kernel is a 9-row inline table, the raster is a groupBy on the
+    pixel key — JVM-only, identical in both dialects.  Points
+    PRE-AGGREGATE per pixel before the 9-way kernel fan-out (measured
+    on 100M points: the naive splat-then-aggregate form pushes 9n rows
+    through the partial aggregate; aggregating first shrinks the
+    fan-out input by the per-pixel multiplicity — same exact integers,
+    since Σ_points w == w·n per pixel).  Intensity is an all-integer
+    sum (bit-stable dual-engine); ``n_centered`` counts the points
+    whose own pixel this is (the unsmoothed raster, for free).  Grid is
+    unbounded (pixel ids may be negative): no clamping, no lost mass —
+    SUM(intensity) == 16 * COUNT(points) exactly.
 
     Expects a ``{pts}(lon, lat)`` relation in scope; chain after a CTE.
     """
@@ -59,14 +63,16 @@ hpx AS (
   SELECT CAST(FLOOR(lon * {int(ppd)}) AS BIGINT) AS x,
          CAST(FLOOR(lat * {int(ppd)}) AS BIGINT) AS y
   FROM {pts}),
+hagg AS (
+  SELECT x, y, COUNT(*) AS n FROM hpx GROUP BY x, y),
 hkern AS (
   SELECT * FROM (VALUES (-1,-1,1),(-1,0,2),(-1,1,1),(0,-1,2),(0,0,4),
                         (0,1,2),(1,-1,1),(1,0,2),(1,1,1)) AS t(dx, dy, w))
 SELECT p.x + k.dx AS x, p.y + k.dy AS y,
-       CAST(SUM(k.w) AS BIGINT) AS intensity,
-       CAST(SUM(CASE WHEN k.dx = 0 AND k.dy = 0 THEN 1 ELSE 0 END)
+       CAST(SUM(k.w * p.n) AS BIGINT) AS intensity,
+       CAST(SUM(CASE WHEN k.dx = 0 AND k.dy = 0 THEN p.n ELSE 0 END)
             AS BIGINT) AS n_centered
-FROM hpx p CROSS JOIN hkern k
+FROM hagg p CROSS JOIN hkern k
 GROUP BY p.x + k.dx, p.y + k.dy"""
 
 
