@@ -76,6 +76,65 @@ FROM hagg p CROSS JOIN hkern k
 GROUP BY p.x + k.dx, p.y + k.dy"""
 
 
+def adaptive_cells_body(dialect: str, max_res: int, k: int,
+                        pts: str = "pts") -> str:
+    """Adaptive quadtree tiling: every point lands in the SHALLOWEST
+    cell holding <= ``k`` points (cells over budget split, down to
+    ``max_res``) — variable-resolution tiles: fine where dense, coarse
+    where sparse (the classic adaptive spatial index / map LOD rule).
+
+    Top-down recursive splitting collapses to ONE relational query:
+    per-point cell counts are non-increasing in resolution (a finer
+    cell is a subset of its parent), so the top-down leaf is exactly
+    ``min{r : count_r(cell_r(p)) <= k}`` (or ``max_res``).  Levels key
+    by plain integer grid coordinates (``ix DIV 2^(R-r)``) — cheap
+    codegen; the Morton id is packed ONCE per leaf group after the
+    final aggregate (the CollapseProject lesson: never inline the
+    spread per point).  Cost: a bounded (max_res+1)-way fan-out of the
+    point keys, counts relations are tiny — no iteration, no pinning.
+
+    Output: ``(cell, res, n_points)`` per leaf cell.  Expects
+    ``{pts}(id, lon, lat)``; the only dialect seam is integer division.
+    """
+    from ..functions import hashes as H
+
+    if not 0 <= max_res <= C.MAX_RES:
+        raise ValueError(f"max_res {max_res} out of range")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    levels = ",".join(f"({r},{1 << (max_res - r)})"
+                      for r in range(max_res + 1))
+    sx = C._spread_sql("kx")
+    sy = C._spread_sql("ky")
+    return f"""
+qbase AS (
+  SELECT id, {C.ix_sql('lon', max_res)} AS ix,
+         {C.iy_sql('lat', max_res)} AS iy
+  FROM {pts}),
+qlv AS (SELECT * FROM (VALUES {levels}) AS t(r, shift)),
+qkeys AS (
+  SELECT b.id, l.r, {H.idiv('b.ix', 'l.shift', dialect)} AS kx, {H.idiv('b.iy', 'l.shift', dialect)} AS ky
+  FROM qbase b CROSS JOIN qlv l),
+qcounts AS (
+  SELECT r, kx, ky, COUNT(*) AS n FROM qkeys GROUP BY r, kx, ky),
+qleaf AS (
+  SELECT k.id, MIN(k.r) AS leaf_r
+  FROM qkeys k
+  JOIN qcounts c ON k.r = c.r AND k.kx = c.kx AND k.ky = c.ky
+  WHERE c.n <= {int(k)} OR c.r = {max_res}
+  GROUP BY k.id),
+qgroups AS (
+  SELECT k.r, k.kx, k.ky, COUNT(*) AS n_points
+  FROM qkeys k
+  JOIN qleaf l ON k.id = l.id AND k.r = l.leaf_r
+  GROUP BY k.r, k.kx, k.ky)
+SELECT (CAST(r AS BIGINT) * {1 << C._RES_SHIFT} + ({sx} | ({sy} * 2)))
+         AS cell,
+       CAST(r AS BIGINT) AS res,
+       CAST(n_points AS BIGINT) AS n_points
+FROM qgroups"""
+
+
 def heatmap(points: DataFrame, ppd: int = 1, lon_col: str = "lon",
             lat_col: str = "lat") -> DataFrame:
     """DataFrame wrapper over :func:`heatmap_body` — KDE-style heatmap

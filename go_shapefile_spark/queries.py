@@ -2347,6 +2347,20 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
     from .operators.sketches import heavy_hitters_oracle_sql
     oracles["heavy_hitters_tokens"] = heavy_hitters_oracle_sql(DUCK, 64)
 
+    # adaptive quadtree tiling: shallowest cell holding <= k points —
+    # top-down splitting collapsed to one relational query (counts are
+    # non-increasing in res, so leaf = min{r: count <= k}); same
+    # template both engines, integer-division dialect seam only
+    def q_adaptive(dialect: str) -> str:
+        return (f"WITH {geotagged_events_cte(dialect)},"
+                f"{TI.adaptive_cells_body(dialect, max_res=8, k=50)}")
+
+    def adaptive_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(q_adaptive(SPARK))
+    queries["adaptive_tiles"] = adaptive_tiles
+    oracles["adaptive_tiles"] = q_adaptive(DUCK)
+
     # tile-server render: geotag → JVM heatmap splat → per-tile PNG
     # (real codec) → md5.  Fixed 10k-id corpus (sf-independent); the
     # oracle pins (tile, md5) literals from the driver twin — the full

@@ -597,3 +597,47 @@ def test_heavy_hitters_recount_scan_is_jvm(spark):
     # pass 2 (the data-proportional scan) must stay in codegen: the
     # Python sketch stage feeds only the collected candidate literals
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_adaptive_tiles_matches_bruteforce_quadtree(spark):
+    from go_shapefile_spark.functions import cells as C
+    from go_shapefile_spark.operators.tiles import adaptive_cells_body
+    rng = np.random.default_rng(5)
+    # dense blob + sparse background forces a mix of leaf depths
+    lon = np.concatenate([rng.normal(10, 1.5, 700),
+                          rng.uniform(-180, 180, 300)])
+    lat = np.concatenate([rng.normal(20, 1.0, 700),
+                          rng.uniform(-90, 90, 300)])
+    R, K = 7, 25
+
+    # independent recursive top-down reference
+    def leaves(ids, r, kx, ky):
+        if len(ids) <= K or r == R:
+            return {(r, kx, ky): len(ids)}
+        out = {}
+        n = 1 << (R - r - 1)
+        ix = np.clip(((lon[ids] + 180.0) / 360.0 * (1 << R)).astype(np.int64),
+                     0, (1 << R) - 1) // n
+        iy = np.clip(((lat[ids] + 90.0) / 180.0 * (1 << R)).astype(np.int64),
+                     0, (1 << R) - 1) // n
+        for cx in (2 * kx, 2 * kx + 1):
+            for cy in (2 * ky, 2 * ky + 1):
+                sub = ids[(ix == cx) & (iy == cy)]
+                if len(sub):
+                    out.update(leaves(sub, r + 1, cx, cy))
+        return out
+
+    exp = {}
+    for (r, kx, ky), n in leaves(np.arange(1000), 0, 0, 0).items():
+        cell = (np.int64(r) << C._RES_SHIFT) | C._spread_np(
+            np.array([kx]))[0] | (C._spread_np(np.array([ky]))[0] << 1)
+        exp[int(cell)] = (r, n)
+
+    pdf = pd.DataFrame({"id": np.arange(1000), "lon": lon, "lat": lat})
+    spark.createDataFrame(pdf).createOrReplaceTempView("qt_pts")
+    got = {r.cell: (r.res, r.n_points) for r in spark.sql(
+        "WITH " + adaptive_cells_body("spark", R, K, pts="qt_pts").lstrip()
+    ).collect()}
+    assert got == exp
+    assert sum(n for _r, n in got.values()) == 1000     # partition of pts
+    assert len({r for r, _n in got.values()}) >= 3      # mixed depths
