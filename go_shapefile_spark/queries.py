@@ -2331,6 +2331,32 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
     queries["heatmap_events"] = heatmap_events
     oracles["heatmap_events"] = q_heatmap(DUCK)
 
+    def streaming_heatmap_spark(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+        """Streaming KDE splat (9-way stateless kernel explode, one
+        pixel-keyed stateful aggregation) drained availableNow;
+        all-integer, so the backfill equals the BATCH heatmap oracle
+        exactly."""
+        import tempfile
+        import uuid
+
+        from .streaming.events import (run_available_now,
+                                       streaming_heatmap_counts)
+
+        src = os.path.join(sf_dir, "events.parquet")
+        schema = spark.read.parquet(src).schema
+        out = streaming_heatmap_counts(
+            spark, _stream_source_dir(src), schema, ppd=1)
+        name = f"gate_stream_heatmap_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="gate_stream_heatmap_")
+        run_available_now(out, ckpt, query_name=name)
+        return (spark.table(name)
+                .selectExpr("x", "y",
+                            "CAST(intensity AS BIGINT) AS intensity",
+                            "CAST(n_centered AS BIGINT) AS n_centered"))
+    queries["streaming_heatmap"] = streaming_heatmap_spark
+    oracles["streaming_heatmap"] = q_heatmap(DUCK)
+
     # Misra-Gries heavy hitters: bounded-memory sketch candidates +
     # exact recount.  The guarantee (candidates ⊇ every item with
     # cnt*(c+1) > n) makes the sketched output EXACTLY the relational
@@ -2346,6 +2372,39 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
     queries["heavy_hitters_tokens"] = heavy_hitters_tokens
     from .operators.sketches import heavy_hitters_oracle_sql
     oracles["heavy_hitters_tokens"] = heavy_hitters_oracle_sql(DUCK, 64)
+
+    # per-tile sketch statistics: the sketch_stats contract gate keyed
+    # by the spatial cell — the 100-TB "distinct users per tile" query
+    # (HLL state is bounded and mergeable per cell; exact values +
+    # within-tolerance booleans, oracle pins the booleans TRUE)
+    def _tile_sketch_pts(dialect: str) -> str:
+        return (f"tpts AS (SELECT user_id, "
+                f"{GT.lon_sql('event_id', dialect)} AS lon, "
+                f"{GT.lat_sql('event_id', dialect)} AS lat FROM events)")
+
+    def tile_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(f"""
+WITH {_tile_sketch_pts(SPARK)}
+SELECT {C.cell_sql('lon', 'lat', 3)} AS cell,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS exact_users,
+       (ABS(approx_count_distinct(user_id, 0.02)
+            - COUNT(DISTINCT user_id))
+          <= GREATEST(2.0, 0.05 * COUNT(DISTINCT user_id))) AS hll_ok
+FROM tpts
+GROUP BY {C.cell_sql('lon', 'lat', 3)}
+""")
+    queries["tile_sketch_stats"] = tile_sketch_stats
+    oracles["tile_sketch_stats"] = f"""
+WITH {_tile_sketch_pts(DUCK)}
+SELECT {C.cell_sql('lon', 'lat', 3)} AS cell,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_ok
+FROM tpts
+GROUP BY {C.cell_sql('lon', 'lat', 3)}
+"""
 
     # adaptive quadtree tiling: shallowest cell holding <= k points —
     # top-down splitting collapsed to one relational query (counts are

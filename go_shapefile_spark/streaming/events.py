@@ -145,3 +145,34 @@ def streaming_audio_dedup_counts(spark: SparkSession, source_dir: str,
             .dropDuplicatesWithinWatermark(["afp"])
             .groupBy("fmt")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def streaming_heatmap_counts(spark: SparkSession, source_dir: str, schema,
+                             ppd: int = 1,
+                             id_col: str = "event_id") -> DataFrame:
+    """Streaming KDE heatmap: readStream → JVM geotag → 9-way weighted
+    kernel explode (stateless, the splat) → pixel-keyed aggregation.
+
+    The pixel aggregation is the only stateful operator; arithmetic is
+    all-integer, so a complete-mode drain equals the batch
+    ``heatmap_body`` raster EXACTLY (the oracle is the batch twin).
+    The batch path's pre-aggregation rewrite does not apply here —
+    streaming allows a single aggregation — but per-microbatch partial
+    aggregation still combines map-side before state updates."""
+    kern = ("array(" + ",".join(
+        f"named_struct('dx', {dx}L, 'dy', {dy}L, 'w', {w}L)"
+        for dx, dy, w in ((-1, -1, 1), (-1, 0, 2), (-1, 1, 1), (0, -1, 2),
+                          (0, 0, 4), (0, 1, 2), (1, -1, 1), (1, 0, 2),
+                          (1, 1, 1))) + ")")
+    stream = (spark.readStream.schema(schema).parquet(source_dir)
+              .withColumn("lon", F.expr(lon_sql(id_col, "spark")))
+              .withColumn("lat", F.expr(lat_sql(id_col, "spark")))
+              .selectExpr(f"CAST(FLOOR(lon * {int(ppd)}) AS BIGINT) AS px",
+                          f"CAST(FLOOR(lat * {int(ppd)}) AS BIGINT) AS py")
+              .select("px", "py", F.explode(F.expr(kern)).alias("k")))
+    return (stream
+            .groupBy((F.col("px") + F.col("k.dx")).alias("x"),
+                     (F.col("py") + F.col("k.dy")).alias("y"))
+            .agg(F.sum("k.w").alias("intensity"),
+                 F.sum(F.when((F.col("k.dx") == 0) & (F.col("k.dy") == 0), 1)
+                       .otherwise(0)).alias("n_centered")))

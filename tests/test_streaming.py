@@ -181,3 +181,31 @@ def test_streaming_audio_dedup_collapses_replays(spark, tmp_path):
     run_available_now(out, str(tmp_path / "ackpt"), "audio_dedup_test")
     got = {r.fmt: r.n for r in spark.table("audio_dedup_test").collect()}
     assert got == {"wav-pcm16": 15, "wav-ulaw": 15}
+
+
+def test_streaming_heatmap_equals_batch_raster(spark, sf_dir, tmp_path):
+    """The streaming splat (explode-then-aggregate) and the batch form
+    (pre-aggregate-then-splat) are different plans over the same
+    integer algebra — complete-mode drain must equal the batch raster
+    row-for-row."""
+    from go_shapefile_spark.operators.tiles import heatmap
+    from go_shapefile_spark.streaming.events import streaming_heatmap_counts
+
+    src = str(tmp_path / "hm_src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+    stream_df = streaming_heatmap_counts(spark, src, SCHEMA, ppd=1)
+    run_available_now(stream_df, str(tmp_path / "hm_ckpt"), "heatmap_test")
+    got = (spark.table("heatmap_test").toPandas()
+           .astype({"intensity": "int64", "n_centered": "int64"})
+           .sort_values(["x", "y"]).reset_index(drop=True))
+
+    batch = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+             .withColumn("lon", F.expr(lon_sql("event_id", "spark")))
+             .withColumn("lat", F.expr(lat_sql("event_id", "spark"))))
+    exp = (heatmap(batch, ppd=1).toPandas()
+           .sort_values(["x", "y"]).reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    assert got[["x", "y", "intensity", "n_centered"]].equals(
+        exp[["x", "y", "intensity", "n_centered"]])
