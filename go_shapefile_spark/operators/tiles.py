@@ -135,6 +135,63 @@ SELECT (CAST(r AS BIGINT) * {1 << C._RES_SHIFT} + ({sx} | ({sy} * 2)))
 FROM qgroups"""
 
 
+def idw_body(dialect: str, pts: str = "pts") -> str:
+    """Inverse-distance-weighted interpolation (IDW, power 2) of a
+    point measure onto the grid of occupied cells — the kriging-lite
+    surface raster (rainfall/price/temperature maps from samples).
+
+    Nodes are the occupied unit cells' centers; each node interpolates
+    from the points of its 3x3 cell ring (the knn ring trick — an
+    equi-join, JVM-only).  Determinism across engines AND partitionings
+    is the design constraint: float SUMs are accumulation-order-
+    dependent, so weights are QUANTIZED to integers (w = floor(1e6/d²),
+    capped at 1e12 — the cap also handles a sample landing exactly on
+    a node center) and the measure to cents; the weighted sums are then
+    exact BIGINT arithmetic (order-independent), and the final ratio is
+    one double division of exact integers — bit-identical everywhere.
+    Quantization error is bounded by 1e-6 relative per weight
+    (documented approximation; the STRUCTURE of the estimate is exact).
+
+    Expects ``{pts}(lon, lat, value)``.  Output per node: grid x/y,
+    contributing sample count, exact num/den, and ``idw_micro`` =
+    floor(1e4 * weighted mean of value) as BIGINT.
+    """
+    del dialect
+    cap = 10 ** 12
+    return f"""
+ipx AS (
+  SELECT CAST(FLOOR(lon) AS BIGINT) AS x, CAST(FLOOR(lat) AS BIGINT) AS y,
+         lon, lat, CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM {pts}),
+inodes AS (SELECT DISTINCT x, y FROM ipx),
+ioffs AS (
+  SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                        (1,-1),(1,0),(1,1)) AS t(dx, dy)),
+icand AS (
+  SELECT n.x, n.y, p.v,
+         (p.lon - (CAST(n.x AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           * (p.lon - (CAST(n.x AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         + (p.lat - (CAST(n.y AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           * (p.lat - (CAST(n.y AS DOUBLE) + CAST(0.5 AS DOUBLE))) AS d2
+  FROM (SELECT n.x, n.y, n.x + o.dx AS gx, n.y + o.dy AS gy
+        FROM inodes n CROSS JOIN ioffs o) n
+  JOIN ipx p ON p.x = n.gx AND p.y = n.gy),
+iw AS (
+  SELECT x, y, v,
+         CASE WHEN d2 = CAST(0.0 AS DOUBLE) THEN {cap}
+              ELSE LEAST({cap}, CAST(FLOOR(CAST(1000000.0 AS DOUBLE) / d2)
+                                     AS BIGINT)) END AS w
+  FROM icand)
+SELECT x, y,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(SUM(w) AS BIGINT) AS den,
+       CAST(SUM(w * v) AS BIGINT) AS num,
+       CAST(FLOOR(CAST(SUM(w * v) AS DOUBLE) * 10000.0
+                  / CAST(SUM(w) AS DOUBLE)) AS BIGINT) AS idw_micro
+FROM iw
+GROUP BY x, y"""
+
+
 def heatmap(points: DataFrame, ppd: int = 1, lon_col: str = "lon",
             lat_col: str = "lat") -> DataFrame:
     """DataFrame wrapper over :func:`heatmap_body` — KDE-style heatmap

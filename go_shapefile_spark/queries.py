@@ -246,6 +246,48 @@ def grid_spatial_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                         keep_cols=["id", "polygon_fid"])
 
 
+def spatial_antijoin_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial ANTI-join: events contained in NO polygon (the coverage
+    -gap / outside-region query).  Spark runs the REAL engine join
+    (cover + PIP refine) against a 9-rect subset of the nation grid,
+    then left-anti joins the matches back; the oracle is the NOT
+    EXISTS containment twin."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from .operators.spatial_join import spatial_join
+
+    register_tables(spark, sf_dir)
+    pts = spark.sql(f"WITH {geotagged_events_cte(SPARK)} SELECT * FROM pts")
+    rect_rows = spark.sql(
+        f"WITH {nation_rects_cte(SPARK)} SELECT * FROM rects "
+        f"WHERE polygon_fid % 3 = 0").collect()
+    polygons = []
+    for r in rect_rows:
+        ring = [r.x0, r.y0, r.x0, r.y1, r.x1, r.y1, r.x1, r.y0, r.x0, r.y0]
+        polygons.append({"fid": int(r.polygon_fid),
+                         "coords": np.array(ring), "ends": [10]})
+    joined = spatial_join(spark, pts, polygons, res=5, keep_cols=["id"])
+    return (pts.join(joined.select("id").distinct(), "id", "left_anti")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_outside")))
+
+
+def q_spatial_antijoin_oracle(dialect: str) -> str:
+    return f"""
+WITH {geotagged_events_cte(dialect)},
+{nation_rects_cte(dialect)}
+SELECT p.event_type, CAST(COUNT(*) AS BIGINT) AS n_outside
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM rects r
+  WHERE r.polygon_fid % 3 = 0
+    AND p.lon > r.x0 AND p.lon < r.x1 AND p.lat > r.y0 AND p.lat < r.y1)
+GROUP BY p.event_type
+"""
+
+
 KNN_K, KNN_RADIUS, KNN_QUERY_MOD = 5, 1.5, 53
 
 
@@ -1946,6 +1988,8 @@ def build_registry():
 
     # Engine-path queries whose Spark side is DataFrame-API operators.
     queries["grid_spatial_join"] = grid_spatial_join_spark
+    queries["spatial_antijoin"] = spatial_antijoin_spark
+    oracles["spatial_antijoin"] = q_spatial_antijoin_oracle(DUCK)
     oracles["grid_spatial_join"] = q_grid_spatial_join_oracle(DUCK)
     queries["knn_events"] = knn_events_spark
     oracles["knn_events"] = q_knn_events_oracle(DUCK)
@@ -2372,6 +2416,20 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
     queries["heavy_hitters_tokens"] = heavy_hitters_tokens
     from .operators.sketches import heavy_hitters_oracle_sql
     oracles["heavy_hitters_tokens"] = heavy_hitters_oracle_sql(DUCK, 64)
+
+    # IDW interpolation surface: integer-quantized weights make the
+    # weighted sums exact BIGINT arithmetic (order-independent — the
+    # dual-engine answer to float-SUM nondeterminism); one double
+    # division of exact integers at the end
+    def q_idw(dialect: str) -> str:
+        return (f"WITH {geotagged_events_cte(dialect)},"
+                f"{TI.idw_body(dialect)}")
+
+    def idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(q_idw(SPARK))
+    queries["idw_surface"] = idw_surface
+    oracles["idw_surface"] = q_idw(DUCK)
 
     # per-tile sketch statistics: the sketch_stats contract gate keyed
     # by the spatial cell — the 100-TB "distinct users per tile" query

@@ -641,3 +641,43 @@ def test_adaptive_tiles_matches_bruteforce_quadtree(spark):
     assert got == exp
     assert sum(n for _r, n in got.values()) == 1000     # partition of pts
     assert len({r for r, _n in got.values()}) >= 3      # mixed depths
+
+
+def test_idw_matches_numpy_reference_and_bounds(spark):
+    from go_shapefile_spark.operators.tiles import idw_body
+    rng = np.random.default_rng(9)
+    n = 800
+    pdf = pd.DataFrame({
+        "lon": rng.uniform(-20, 20, n), "lat": rng.uniform(-10, 10, n),
+        "value": np.round(rng.uniform(0, 100, n), 2)})
+    # plant a sample exactly on a node center: the cap weight dominates
+    pdf.loc[0, ["lon", "lat", "value"]] = (3.5, 4.5, 77.25)
+    spark.createDataFrame(pdf).createOrReplaceTempView("idw_pts")
+    got = {(r.x, r.y): (r.n_pts, r.den, r.num, r.idw_micro)
+           for r in spark.sql(
+               "WITH idw_in AS (SELECT * FROM idw_pts),"
+               + idw_body("spark", pts="idw_in")).collect()}
+
+    # independent reference with the same quantization spec
+    import math
+    px = np.floor(pdf.lon).astype(np.int64)
+    py = np.floor(pdf.lat).astype(np.int64)
+    v = np.round(pdf.value * 100).astype(np.int64)
+    nodes = sorted(set(zip(px, py)))
+    exp = {}
+    CAP = 10 ** 12
+    for (x, y) in nodes:
+        sel = (np.abs(px - x) <= 1) & (np.abs(py - y) <= 1)
+        d2 = (pdf.lon[sel] - (x + 0.5)) ** 2 + (pdf.lat[sel] - (y + 0.5)) ** 2
+        w = np.array([CAP if d == 0.0 else min(CAP, math.floor(1e6 / d))
+                      for d in d2], dtype=np.int64)
+        num, den = int((w * v[sel]).sum()), int(w.sum())
+        exp[(x, y)] = (int(sel.sum()), den, num,
+                       math.floor(num * 10000.0 / den))
+    assert got == exp
+    # interpolated value stays inside the sample range (weights >= 0):
+    # idw_micro = floor(1e4 * mean cents), values <= 100.00
+    for (x, y), (_n, den, num, micro) in got.items():
+        assert 0 <= micro <= 100_00 * 10_000
+    # the planted on-center sample (77.25 -> 7725 cents) dominates
+    assert abs(got[(3, 4)][3] - 7725 * 10_000) < 200_000
