@@ -200,7 +200,9 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              # r5: polyline tiles (seeded corpus), multi-zoom pyramid,
              # PNG tile render (fixed 10k-id corpus)
              "vector_tiles_lines", "vector_tile_pyramid",
-             "render_heatmap_tiles"]
+             "render_heatmap_tiles",
+             # r5: quadtree + IDW surfaces (pure relational, sf-scaled)
+             "adaptive_tiles", "idw_surface"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:
