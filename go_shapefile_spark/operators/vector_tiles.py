@@ -409,10 +409,49 @@ def clip_lines_batch(g: _BatchGeom, res: int):
         seg_cell, weights=keep.astype(np.int64) + starts_path,
         minlength=total_cells).astype(np.int64) if nseg else \
         np.zeros(total_cells, np.int64)
-
     sel = np.flatnonzero(n_paths_cell > 0)
+
+    # geometry emit: each kept segment contributes its end point, plus
+    # its (clipped) start point when it begins a new sub-path
+    cnt = keep.astype(np.int64) + starts_path
+    offs = np.cumsum(cnt)
+    st = offs - cnt
+    total_pts = int(offs[-1]) if nseg else 0
+    fx = np.empty(total_pts)
+    fy = np.empty(total_pts)
+    si = np.flatnonzero(starts_path)
+    fx[st[si]] = sx[si]
+    fy[st[si]] = sy[si]
+    ki = np.flatnonzero(keep)
+    fx[st[ki] + starts_path[ki]] = ex[ki]
+    fy[st[ki] + starts_path[ki]] = ey[ki]
+    coords_vals = np.empty(2 * total_pts)
+    coords_vals[0::2] = fx
+    coords_vals[1::2] = fy
+
+    # per-sub-path coordinate-unit exclusive ends, relative to the cell
+    pts_per_path = np.bincount(
+        np.cumsum(starts_path)[keep] - 1,
+        weights=cnt[keep]).astype(np.int64) if nseg and keep.any() else \
+        np.zeros(0, np.int64)
+    cell_of_path = seg_cell[si]
+    csum = np.cumsum(pts_per_path * 2)
+    path_excl = csum - pts_per_path * 2
+    if cell_of_path.size:
+        first_of_cell = np.concatenate(
+            ([True], cell_of_path[1:] != cell_of_path[:-1]))
+        base = np.repeat(path_excl[first_of_cell],
+                         np.diff(np.concatenate(
+                             (np.flatnonzero(first_of_cell),
+                              [cell_of_path.size]))))
+        ends_vals = (csum - base).astype(np.int32)
+    else:
+        ends_vals = np.zeros(0, np.int32)
+
     return (row_of_cell[sel], cell_id[sel], bx0[sel], by0[sel],
-            n_paths_cell[sel], n_pts_cell[sel], length_cell[sel])
+            n_paths_cell[sel], n_pts_cell[sel], length_cell[sel],
+            2 * n_pts_cell[sel], coords_vals, n_paths_cell[sel],
+            ends_vals)
 
 
 def clip_line_tiles_for_records(recs, res: int):
@@ -420,7 +459,7 @@ def clip_line_tiles_for_records(recs, res: int):
     g, closed = _geom_from_records(recs)
     if closed:
         raise ValueError("vector_tiles_lines: polyline shape types only")
-    out = clip_lines_batch(g, res)
+    out = clip_lines_batch(g, res)[:7]
     return [(int(r) + 1, int(c), float(x0), float(y0), int(np_), int(pt),
              float(ln)) for r, c, x0, y0, np_, pt, ln in zip(*out)]
 
@@ -442,10 +481,12 @@ def vector_tiles_lines(features: DataFrame, res: int) -> DataFrame:
                 if closed:
                     raise ValueError(
                         "vector_tiles_lines: polyline shape types only")
-                row, cell, lon0, lat0, npth, npts, ln = \
-                    clip_lines_batch(g, res)
+                (row, cell, lon0, lat0, npth, npts, ln, c_lens, c_vals,
+                 e_lens, e_vals) = clip_lines_batch(g, res)
                 if row.size == 0:
                     continue
+                c_offs = np.concatenate(([0], np.cumsum(c_lens)))
+                e_offs = np.concatenate(([0], np.cumsum(e_lens)))
                 yield pa.RecordBatch.from_arrays([
                     pa.array(fid[sel][row], pa.int64()),
                     pa.array(cell, pa.int64()),
@@ -454,12 +495,19 @@ def vector_tiles_lines(features: DataFrame, res: int) -> DataFrame:
                     pa.array(npth, pa.int64()),
                     pa.array(npts, pa.int64()),
                     pa.array(ln, pa.float64()),
+                    pa.ListArray.from_arrays(
+                        pa.array(c_offs, pa.int32()),
+                        pa.array(c_vals, pa.float64())),
+                    pa.ListArray.from_arrays(
+                        pa.array(e_offs, pa.int32()),
+                        pa.array(e_vals, pa.int32())),
                 ], names=["fid", "cell", "lon0", "lat0", "n_paths",
-                          "n_points", "length"])
+                          "n_points", "length", "coords", "ends"])
 
     return cols.mapInArrow(
         run, schema="fid long, cell long, lon0 double, lat0 double, "
-                    "n_paths long, n_points long, length double")
+                    "n_paths long, n_points long, length double, "
+                    "coords array<double>, ends array<int>")
 
 
 def clip_tiles_for_records(recs, res: int):

@@ -1723,7 +1723,8 @@ def vector_tiles_lines_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.shapefile import read_shapefile_df
 
     return vector_tiles_lines(
-        read_shapefile_df(spark, ensure_lines_corpus()), res=5)
+        read_shapefile_df(spark, ensure_lines_corpus()), res=5).select(
+        "fid", "cell", "lon0", "lat0", "n_paths", "n_points", "length")
 
 
 def q_vector_tiles_lines_oracle() -> str:

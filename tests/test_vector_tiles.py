@@ -274,3 +274,31 @@ def test_pyramid_spark_matches_driver_twin(spark):
     assert got == exp
     with pytest.raises(ValueError, match="bad zoom range"):
         vector_tile_pyramid(read_shapefile_df(spark, COUNTRIES), 5, 4)
+
+
+def test_line_tiles_geometry_payload_consistent(spark):
+    from go_shapefile_spark.operators.vector_tiles import vector_tiles_lines
+    from go_shapefile_spark.queries import ensure_lines_corpus
+    from go_shapefile_spark.sources.shapefile import read_shapefile_df
+
+    df = vector_tiles_lines(
+        read_shapefile_df(spark, ensure_lines_corpus()), res=5)
+    rows = df.where("fid <= 40").collect()
+    assert rows
+    tw, th = 360.0 / 32, 180.0 / 32
+    for r in rows:
+        coords = np.asarray(r.coords)
+        ends = list(r.ends)
+        assert coords.size == 2 * r.n_points
+        assert len(ends) == r.n_paths and ends[-1] == coords.size
+        x, y = coords[0::2], coords[1::2]
+        eps = 1e-9
+        assert x.min() >= r.lon0 - eps and x.max() <= r.lon0 + tw + eps
+        assert y.min() >= r.lat0 - eps and y.max() <= r.lat0 + th + eps
+        total, prev = 0.0, 0
+        for e in ends:
+            px, py = coords[prev:e:2], coords[prev + 1:e:2]
+            assert px.size >= 2                      # a path has >= 2 pts
+            total += float(np.hypot(np.diff(px), np.diff(py)).sum())
+            prev = e
+        assert np.isclose(total, r.length, rtol=1e-12, atol=1e-12)
