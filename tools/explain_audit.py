@@ -409,8 +409,10 @@ def main() -> None:
     hm = heatmap(pts, ppd=1)
     plan = audit.executed_plan(hm)
     checks = [
-        ("single hash-partitioning exchange",
-         plan.count("Exchange hashpartitioning") == 1),
+        # two-stage raster since the pre-aggregation rewrite: pixel
+        # pre-agg shuffle + final splat-agg shuffle (3.8x at 100M pts)
+        ("two hash-partitioning exchanges (pre-agg + raster agg)",
+         plan.count("Exchange hashpartitioning") == 2),
         ("map-side partial aggregation", "HashAggregate" in plan),
     ]
     try:
@@ -436,6 +438,55 @@ def main() -> None:
     ]
     sections.append(("Heavy hitters (Misra-Gries sketch + exact "
                      "candidate recount)", checks, formatted(hh)))
+
+    # adaptive quadtree: the (R+1)-way level fan-out must stay a hash
+    # equi-join against the tiny counts relation; the point stream
+    # shuffles once per aggregate, never per level
+    from go_shapefile_spark.operators.tiles import adaptive_cells_body
+    from go_shapefile_spark.queries import SPARK, geotagged_events_cte
+    aq = spark.sql(f"WITH {geotagged_events_cte(SPARK)},"
+                   f"{adaptive_cells_body(SPARK, max_res=8, k=50)}")
+    plan = audit.executed_plan(aq)
+    checks = [
+        # the (R+1)-row levels table cross-joins as a tiny broadcast
+        # (intended); the DATA joins (counts/leaf lookups) must be hash
+        # equi-joins and nothing may plan a true cartesian
+        ("counts/leaf lookups are hash equi-joins",
+         ("BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+          or "SortMergeJoin" in plan)),
+        ("no CartesianProduct", "CartesianProduct" not in plan),
+        ("map-side partial aggregation", "HashAggregate" in plan),
+    ]
+    try:
+        audit.assert_no_python_udf(aq)
+        checks.append(("no Python nodes", True))
+    except AssertionError:
+        checks.append(("no Python nodes", False))
+    sections.append(("Adaptive quadtree tiling (one-shot min-level "
+                     "collapse)", checks, formatted(aq)))
+
+    # IDW surface: 3x3 ring equi-join, integer-weighted sums
+    from go_shapefile_spark.operators.tiles import idw_body
+    iq = spark.sql(f"WITH {geotagged_events_cte(SPARK)},"
+                   f"{idw_body(SPARK)}")
+    plan = audit.executed_plan(iq)
+    checks = [
+        # the 9-row kernel table cross-joins as a tiny broadcast
+        # (intended); the ring lookup against the point relation must
+        # be a hash equi-join and nothing may plan a true cartesian
+        ("ring lookup is a hash equi-join",
+         ("BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+          or "SortMergeJoin" in plan)),
+        ("no CartesianProduct", "CartesianProduct" not in plan),
+        ("map-side partial aggregation", "HashAggregate" in plan),
+    ]
+    try:
+        audit.assert_no_python_udf(iq)
+        checks.append(("no Python nodes", True))
+    except AssertionError:
+        checks.append(("no Python nodes", False))
+    sections.append(("IDW interpolation surface (quantized integer "
+                     "weights)", checks, formatted(iq)))
 
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the engine's hot paths\n\n")
