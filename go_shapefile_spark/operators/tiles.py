@@ -86,12 +86,17 @@ def adaptive_cells_body(dialect: str, max_res: int, k: int,
     Top-down recursive splitting collapses to ONE relational query:
     per-point cell counts are non-increasing in resolution (a finer
     cell is a subset of its parent), so the top-down leaf is exactly
-    ``min{r : count_r(cell_r(p)) <= k}`` (or ``max_res``).  Levels key
-    by plain integer grid coordinates (``ix DIV 2^(R-r)``) — cheap
-    codegen; the Morton id is packed ONCE per leaf group after the
-    final aggregate (the CollapseProject lesson: never inline the
-    spread per point).  Cost: a bounded (max_res+1)-way fan-out of the
-    point keys, counts relations are tiny — no iteration, no pinning.
+    ``min{r : count_r(cell_r(p)) <= k}`` (or ``max_res``).
+
+    Scale shape (the 100M-point probe killed the naive form): every
+    point in the same max-res cell shares the same leaf, so the POINTS
+    are touched exactly once — one groupBy to max-res cell counts —
+    and ALL level logic (the (R+1)-way fan-out, ancestor counts, the
+    min-level pick, the leaf regroup) runs on the occupied-CELLS
+    relation, which is <= min(n, 4^R) rows.  Levels key by plain
+    integer grid coordinates (``ix DIV 2^(R-r)``); the Morton id packs
+    ONCE per leaf group after the final aggregate (the CollapseProject
+    lesson).  No iteration, no pinning, one data-proportional shuffle.
 
     Output: ``(cell, res, n_points)`` per leaf cell.  Expects
     ``{pts}(id, lon, lat)``; the only dialect seam is integer division.
@@ -108,25 +113,29 @@ def adaptive_cells_body(dialect: str, max_res: int, k: int,
     sy = C._spread_sql("ky")
     return f"""
 qbase AS (
-  SELECT id, {C.ix_sql('lon', max_res)} AS ix,
+  SELECT {C.ix_sql('lon', max_res)} AS ix,
          {C.iy_sql('lat', max_res)} AS iy
   FROM {pts}),
+qcells AS (
+  SELECT ix, iy, COUNT(*) AS n FROM qbase GROUP BY ix, iy),
 qlv AS (SELECT * FROM (VALUES {levels}) AS t(r, shift)),
-qkeys AS (
-  SELECT b.id, l.r, {H.idiv('b.ix', 'l.shift', dialect)} AS kx, {H.idiv('b.iy', 'l.shift', dialect)} AS ky
-  FROM qbase b CROSS JOIN qlv l),
+qckeys AS (
+  SELECT c.ix, c.iy, c.n, l.r,
+         {H.idiv('c.ix', 'l.shift', dialect)} AS kx,
+         {H.idiv('c.iy', 'l.shift', dialect)} AS ky
+  FROM qcells c CROSS JOIN qlv l),
 qcounts AS (
-  SELECT r, kx, ky, COUNT(*) AS n FROM qkeys GROUP BY r, kx, ky),
+  SELECT r, kx, ky, SUM(n) AS n FROM qckeys GROUP BY r, kx, ky),
 qleaf AS (
-  SELECT k.id, MIN(k.r) AS leaf_r
-  FROM qkeys k
+  SELECT k.ix, k.iy, MIN(k.r) AS leaf_r
+  FROM qckeys k
   JOIN qcounts c ON k.r = c.r AND k.kx = c.kx AND k.ky = c.ky
   WHERE c.n <= {int(k)} OR c.r = {max_res}
-  GROUP BY k.id),
+  GROUP BY k.ix, k.iy),
 qgroups AS (
-  SELECT k.r, k.kx, k.ky, COUNT(*) AS n_points
-  FROM qkeys k
-  JOIN qleaf l ON k.id = l.id AND k.r = l.leaf_r
+  SELECT k.r, k.kx, k.ky, SUM(k.n) AS n_points
+  FROM qckeys k
+  JOIN qleaf l ON k.ix = l.ix AND k.iy = l.iy AND k.r = l.leaf_r
   GROUP BY k.r, k.kx, k.ky)
 SELECT (CAST(r AS BIGINT) * {1 << C._RES_SHIFT} + ({sx} | ({sy} * 2)))
          AS cell,
