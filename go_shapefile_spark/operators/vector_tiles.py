@@ -599,6 +599,57 @@ def pyramid_for_records(recs, min_res: int, max_res: int,
     return out
 
 
+def vector_tile_pyramid_lines(features: DataFrame, min_res: int,
+                              max_res: int,
+                              eps_fraction: float = 1.0 / 256,
+                              pin: str | None = None,
+                              slot: str | None = None) -> DataFrame:
+    """Polyline twin of :func:`vector_tile_pyramid`: per zoom, DP-
+    simplify at one tile-pixel tolerance then clip to that zoom's
+    tiles; parse pinned once, levels unioned."""
+    from .pinning import fresh_pins
+
+    if not 0 <= min_res <= max_res:
+        raise ValueError(f"bad zoom range [{min_res}, {max_res}]")
+    from .geometry import simplify_features
+
+    pinf = fresh_pins(features.sparkSession, slot, strategy=pin)
+    feats = pinf(features.select("fid", "shape_type", "geometry"))
+    out = None
+    for z in range(min_res, max_res + 1):
+        eps = eps_fraction * (180.0 / (1 << z))
+        lvl = vector_tiles_lines(simplify_features(feats, eps), res=z)
+        out = lvl if out is None else out.unionByName(lvl)
+    return out
+
+
+def line_pyramid_for_records(recs, min_res: int, max_res: int,
+                             eps_fraction: float = 1.0 / 256):
+    """Driver twin of :func:`vector_tile_pyramid_lines` (polyline
+    simplification keeps endpoints, so no feature ever drops)."""
+    from .geometry import simplify_for_records
+
+    out = []
+    for z in range(min_res, max_res + 1):
+        eps = eps_fraction * (180.0 / (1 << z))
+        simp = simplify_for_records(recs, eps)
+        fids = [i + 1 for i, s in enumerate(simp) if s is not None]
+        shims = [_ShimRec(recs[i].shape_type, recs[i].layout, s[0], s[1])
+                 for i, s in enumerate(simp) if s is not None]
+        if not shims:
+            continue
+        g, closed = _geom_from_records(shims)
+        if closed:
+            raise ValueError("vector_tile_pyramid_lines: polylines only")
+        row, cell, lon0, lat0, npth, npts, ln = clip_lines_batch(g, z)[:7]
+        out.extend(
+            (fids[int(r)], int(c), float(x0), float(y0), int(a), int(b),
+             float(l_))
+            for r, c, x0, y0, a, b, l_
+            in zip(row, cell, lon0, lat0, npth, npts, ln))
+    return out
+
+
 def vector_tiles(features: DataFrame, res: int) -> DataFrame:
     """Per-(feature, tile) clipped geometry of a polygon corpus.
 

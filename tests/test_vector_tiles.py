@@ -302,3 +302,30 @@ def test_line_tiles_geometry_payload_consistent(spark):
             total += float(np.hypot(np.diff(px), np.diff(py)).sum())
             prev = e
         assert np.isclose(total, r.length, rtol=1e-12, atol=1e-12)
+
+
+def test_line_pyramid_conserves_simplified_length(spark):
+    from go_shapefile_spark.operators.geometry import (
+        measures_for_records, simplify_for_records)
+    from go_shapefile_spark.operators.vector_tiles import (
+        _ShimRec, line_pyramid_for_records)
+    from go_shapefile_spark.queries import ensure_lines_corpus
+    from go_shapefile_spark.sources.shapefile_core import read_shapefile
+
+    sf = read_shapefile(ensure_lines_corpus())
+    rows = line_pyramid_for_records(sf.shp.records, 4, 5)
+    by_res: dict[int, dict[int, float]] = {}
+    for fid, cell, x0, y0, npth, npts, ln in rows:
+        by_res.setdefault(cell >> 52, {}).setdefault(fid, 0.0)
+        by_res[cell >> 52][fid] += ln
+    assert sorted(by_res) == [4, 5]
+    for z, per_fid in by_res.items():
+        eps = (1.0 / 256) * (180.0 / (1 << z))
+        simp = simplify_for_records(sf.shp.records, eps)
+        for i, s in enumerate(simp):
+            assert s is not None        # polyline endpoints always kept
+            shim = _ShimRec(sf.shp.records[i].shape_type,
+                            sf.shp.records[i].layout, s[0], s[1])
+            (_a, ln, _cx, _cy), = measures_for_records([shim])
+            assert np.isclose(per_fid.get(i + 1, 0.0), ln,
+                              rtol=1e-9), (z, i + 1)
