@@ -13,6 +13,13 @@ Operators
     spatial_join, PreparedCover — cell-cover broadcast join + PIP refine
     knn_radius, knn_exact — cell-local / exact k nearest neighbors
     tile_counts, tile_pyramid, rasterize_features, vectorize_raster
+    heatmap, simplify_features, geom_measures, geodesic_measures
+    dbscan — grid-accelerated density clustering
+    heavy_hitters — Misra-Gries sketch + exact candidate recount
+    vector_tiles, vector_tiles_lines, vector_tile_pyramid,
+    vector_tile_pyramid_lines — Sutherland-Hodgman / Liang-Barsky
+    tile clipping (the vector-tile pipeline)
+    render_heatmap_tiles — per-tile PNG rendering (tile server)
     decode_resize_featurize, augment_images, frame_sample,
     audio_features, audio_resample — multimodal
     (image / video / audio) binary-column operators
@@ -48,6 +55,19 @@ _LAZY = {
     "audio_resample": "go_shapefile_spark.operators.multimodal",
     "augment_images": "go_shapefile_spark.operators.multimodal",
     "learn_bpe": "go_shapefile_spark.operators.bpe_train",
+    "heatmap": "go_shapefile_spark.operators.tiles",
+    "simplify_features": "go_shapefile_spark.operators.geometry",
+    "geom_measures": "go_shapefile_spark.operators.geometry",
+    "geodesic_measures": "go_shapefile_spark.operators.geometry",
+    "dbscan": "go_shapefile_spark.operators.clustering",
+    "heavy_hitters": "go_shapefile_spark.operators.sketches",
+    "vector_tiles": "go_shapefile_spark.operators.vector_tiles",
+    "vector_tiles_lines": "go_shapefile_spark.operators.vector_tiles",
+    "vector_tile_pyramid": "go_shapefile_spark.operators.vector_tiles",
+    "vector_tile_pyramid_lines":
+        "go_shapefile_spark.operators.vector_tiles",
+    "render_heatmap_tiles": "go_shapefile_spark.operators.render",
+    "connected_components": "go_shapefile_spark.operators.graph",
     "to_wkt": "go_shapefile_spark.functions.wkt",
     "features_to_geojson": "go_shapefile_spark.functions.geojson",
     "features_to_geojson_jvm": "go_shapefile_spark.functions.geojson",
