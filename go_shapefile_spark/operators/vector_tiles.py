@@ -355,8 +355,30 @@ def _candidate_tiles(g: _BatchGeom, res: int):
     cell_of_pair = np.repeat(np.arange(total_cells), pair_per_cell)
     off_in_cell = np.arange(total_pairs) - _excl(pair_per_cell)[cell_of_pair]
     ring_of_pair = _excl(nr_row)[row_of_cell[cell_of_pair]] + off_in_cell
-    return (row_of_cell, cell_id, bx0, by0, bx0 + tw, by0 + th,
-            cell_of_pair, ring_of_pair)
+
+    # part-bbox x tile prefilter: a part whose own extent misses the
+    # tile box clips to nothing (and cannot enclose the tile — enclosure
+    # implies bbox overlap), so the pair is dropped BEFORE the coords
+    # gather.  This is what keeps multi-part features whose parts sit in
+    # different corners of the row extent from fanning every part out to
+    # every candidate tile (measured 20x+ on such corpora); aggregates
+    # and emitted geometry are unchanged (dropped pairs contribute
+    # nothing).  Inclusive compares keep boundary touches (degenerate
+    # zero-area output, same result either way).
+    ps, pe = g.part_starts, g.part_ends
+    pxmin = np.minimum.reduceat(g.x, ps)
+    pxmax = np.maximum.reduceat(g.x, ps)
+    pymin = np.minimum.reduceat(g.y, ps)
+    pymax = np.maximum.reduceat(g.y, ps)
+    del pe
+    bx1 = bx0 + tw
+    by1 = by0 + th
+    keep_pair = ((pxmin[ring_of_pair] <= bx1[cell_of_pair])
+                 & (pxmax[ring_of_pair] >= bx0[cell_of_pair])
+                 & (pymin[ring_of_pair] <= by1[cell_of_pair])
+                 & (pymax[ring_of_pair] >= by0[cell_of_pair]))
+    return (row_of_cell, cell_id, bx0, by0, bx1, by1,
+            cell_of_pair[keep_pair], ring_of_pair[keep_pair])
 
 
 def clip_lines_batch(g: _BatchGeom, res: int):

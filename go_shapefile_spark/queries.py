@@ -1689,7 +1689,7 @@ def ensure_lines_corpus() -> str:
     — versioned path, regenerable like the audio/image gate corpora."""
     import numpy as np
 
-    base = os.path.join(_CACHE_ROOT, "gate_lines_n500_v1", "lines")
+    base = os.path.join(_CACHE_ROOT, "gate_lines_n500_v2", "lines")
     if not os.path.exists(base + ".shp"):
         os.makedirs(os.path.dirname(base), exist_ok=True)
         from .sources.shapefile_writer import write_polylines
@@ -1697,10 +1697,15 @@ def ensure_lines_corpus() -> str:
         lines = []
         for _ in range(500):
             coords, ends, pos = [], [], 0
+            # parts cluster around one feature origin (a real line
+            # layer's parts are near each other; v1 scattered parts
+            # world-wide, which made every feature's bbox near-global)
+            fx = rng.uniform(-170, 170)
+            fy = rng.uniform(-80, 80)
             for _p in range(int(rng.integers(1, 4))):
                 m = int(rng.integers(4, 40))
-                x0 = rng.uniform(-170, 170)
-                y0 = rng.uniform(-80, 80)
+                x0 = fx + rng.uniform(-2.0, 2.0)
+                y0 = fy + rng.uniform(-2.0, 2.0)
                 steps = rng.uniform(-0.4, 0.4, (m - 1, 2))
                 pts = np.concatenate(([[x0, y0]],
                                       [[x0, y0]] + np.cumsum(steps, 0)))
@@ -1723,7 +1728,8 @@ def vector_tiles_lines_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.shapefile import read_shapefile_df
 
     return vector_tiles_lines(
-        read_shapefile_df(spark, ensure_lines_corpus()), res=5).select(
+        read_shapefile_df(spark, ensure_lines_corpus(),
+                          target_records_per_split=64), res=5).select(
         "fid", "cell", "lon0", "lat0", "n_paths", "n_points", "length")
 
 
@@ -2294,7 +2300,8 @@ FROM comp
         from .operators.vector_tiles import vector_tile_pyramid_lines
         from .sources.shapefile import read_shapefile_df
 
-        df = read_shapefile_df(spark, ensure_lines_corpus())
+        df = read_shapefile_df(spark, ensure_lines_corpus(),
+                               target_records_per_split=64)
         return vector_tile_pyramid_lines(
             df, 4, 5, slot="vector_tile_pyramid_lines").select(
             "fid", "cell", "lon0", "lat0", "n_paths", "n_points",
