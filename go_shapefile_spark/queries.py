@@ -1389,6 +1389,37 @@ def audio_dedup_groups_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("size").alias("max_group_size"))
 
 
+def image_dedup_groups_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image duplicate GROUPS — the image twin of audio_dedup_groups:
+    strict decode → perceptual hash → banded pair edges → connected
+    components → group rollup.  The oracle pins the planted structure:
+    every perturbed copy forms exactly one two-member group with its
+    original and nothing merges beyond that (the corpus is built so
+    unplanted images sit far apart in ahash space)."""
+    from pyspark.sql import functions as F
+
+    from .operators.graph import connected_components
+    from .operators.multimodal import image_neardup_pairs
+
+    path = _ensure_imgdup_table(spark)
+    pairs = image_neardup_pairs(spark.read.parquet(path),
+                                max_hamming=IMGDUP_MAX_HAMMING)
+    cc = connected_components(
+        pairs.select(F.col("image_a").alias("src"),
+                     F.col("image_b").alias("dst")))
+    groups = cc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("size").alias("n_members"),
+        F.max("size").alias("max_group_size"))
+
+
+def q_image_dedup_groups_oracle(dialect: str) -> str:
+    return (f"SELECT CAST({IMGDUP_PLANTED} AS BIGINT) AS n_groups, "
+            f"CAST({IMGDUP_PLANTED * 2} AS BIGINT) AS n_members, "
+            f"CAST(2 AS BIGINT) AS max_group_size")
+
+
 def q_audio_dedup_groups_oracle(dialect: str) -> str:
     return (f"SELECT CAST({AUDDUP_PLANTED} AS BIGINT) AS n_groups, "
             f"CAST({AUDDUP_PLANTED * 2} AS BIGINT) AS n_members, "
@@ -2058,6 +2089,8 @@ def build_registry():
     oracles["audio_neardup"] = q_audio_neardup_oracle(DUCK)
     queries["audio_dedup_groups"] = audio_dedup_groups_spark
     oracles["audio_dedup_groups"] = q_audio_dedup_groups_oracle(DUCK)
+    queries["image_dedup_groups"] = image_dedup_groups_spark
+    oracles["image_dedup_groups"] = q_image_dedup_groups_oracle(DUCK)
     queries["streaming_audio_dedup"] = streaming_audio_dedup_spark
     oracles["streaming_audio_dedup"] = q_streaming_audio_dedup_oracle(DUCK)
     queries["bpe_learn"] = bpe_learn_spark
