@@ -35,6 +35,19 @@ def lat_sql(id_expr: str, dialect: str) -> str:
             f"- CAST(90.0 AS DOUBLE))")
 
 
+def lonlat_py(i: int) -> tuple[float, float]:
+    """Pure-Python twin of :func:`lon_sql`/:func:`lat_sql` (md5 % range
+    / 1e4) — for driver-side oracle pinning (e.g. the heatmap tile
+    render twin).  Keep the three twins in THIS module so a formula
+    change cannot silently diverge a private copy."""
+    import hashlib
+
+    hlon = int(hashlib.md5(f"{i}_lon".encode()).hexdigest()[:8], 16)
+    hlat = int(hashlib.md5(f"{i}_lat".encode()).hexdigest()[:8], 16)
+    return (float(hlon % 3600000) / 10000.0 - 180.0,
+            float(hlat % 1800000) / 10000.0 - 90.0)
+
+
 def with_lonlat_jvm(df, key_col: str = "phash", lon_col: str = "lon",
                     lat_col: str = "lat"):
     """JVM-only geotag: xxhash64-derived lon/lat columns.

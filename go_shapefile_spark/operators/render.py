@@ -57,14 +57,6 @@ pts AS (
   FROM ({ids}) ids)"""
 
 
-def _lonlat_py(i: int) -> tuple[float, float]:
-    """Python twin of geotag.lon_sql/lat_sql (md5 % range / 1e4)."""
-    hlon = int(hashlib.md5(f"{i}_lon".encode()).hexdigest()[:8], 16)
-    hlat = int(hashlib.md5(f"{i}_lat".encode()).hexdigest()[:8], 16)
-    return (float(hlon % 3600000) / 10000.0 - 180.0,
-            float(hlat % 1800000) / 10000.0 - 90.0)
-
-
 _KERNEL = {(-1, -1): 1, (-1, 0): 2, (-1, 1): 1, (0, -1): 2, (0, 0): 4,
            (0, 1): 2, (1, -1): 1, (1, 0): 2, (1, 1): 1}
 
@@ -86,7 +78,7 @@ def render_tiles_reference(n_ids: int = RENDER_N_IDS, ppd: int = 1,
     oracle literals and to cross-check Spark byte-for-byte."""
     acc: dict[tuple[int, int], int] = {}
     for i in range(n_ids):
-        lon, lat = _lonlat_py(i)
+        lon, lat = GT.lonlat_py(i)
         x0, y0 = int(np.floor(lon * ppd)), int(np.floor(lat * ppd))
         for (dx, dy), w in _KERNEL.items():
             k = (x0 + dx, y0 + dy)

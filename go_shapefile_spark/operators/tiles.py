@@ -154,16 +154,22 @@ def idw_body(dialect: str, pts: str = "pts") -> str:
     equi-join, JVM-only).  Determinism across engines AND partitionings
     is the design constraint: float SUMs are accumulation-order-
     dependent, so weights are QUANTIZED to integers (w = floor(1e6/d²),
-    capped at 1e12 — the cap also handles a sample landing exactly on
-    a node center) and the measure to cents; the weighted sums are then
-    exact BIGINT arithmetic (order-independent), and the final ratio is
-    one double division of exact integers — bit-identical everywhere.
+    clamped to 1e12 ON THE DOUBLE, before the BIGINT cast — a sample
+    near-but-not-on a node center would otherwise overflow the cast
+    under ANSI; exactly-on-center takes the cap via the CASE) and the
+    measure to cents; the weighted sums accumulate in DECIMAL(38,0)
+    (exact, order-independent, and immune to the int64-overflow
+    crash-vs-HUGEINT divergence between Spark ANSI and DuckDB), and the
+    final ratio is one double division of the exact sums — the same
+    correctly-rounded DECIMAL→DOUBLE cast in both engines.
     Quantization error is bounded by 1e-6 relative per weight
     (documented approximation; the STRUCTURE of the estimate is exact).
 
     Expects ``{pts}(lon, lat, value)``.  Output per node: grid x/y,
-    contributing sample count, exact num/den, and ``idw_micro`` =
-    floor(1e4 * weighted mean of value) as BIGINT.
+    contributing sample count, and ``idw_micro`` = floor(1e4 * weighted
+    mean of value) as BIGINT (the exact DECIMAL num/den stay internal:
+    DuckDB's pandas bridge degrades DECIMAL(38) to float64, so they are
+    not hash-comparable as output columns).
     """
     del dialect
     cap = 10 ** 12
@@ -188,15 +194,16 @@ icand AS (
 iw AS (
   SELECT x, y, v,
          CASE WHEN d2 = CAST(0.0 AS DOUBLE) THEN {cap}
-              ELSE LEAST({cap}, CAST(FLOOR(CAST(1000000.0 AS DOUBLE) / d2)
-                                     AS BIGINT)) END AS w
+              ELSE CAST(FLOOR(LEAST(CAST({cap} AS DOUBLE),
+                                    CAST(1000000.0 AS DOUBLE) / d2))
+                        AS BIGINT) END AS w
   FROM icand)
 SELECT x, y,
        CAST(COUNT(*) AS BIGINT) AS n_pts,
-       CAST(SUM(w) AS BIGINT) AS den,
-       CAST(SUM(w * v) AS BIGINT) AS num,
-       CAST(FLOOR(CAST(SUM(w * v) AS DOUBLE) * 10000.0
-                  / CAST(SUM(w) AS DOUBLE)) AS BIGINT) AS idw_micro
+       CAST(FLOOR(CAST(SUM(CAST(w AS DECIMAL(38, 0)) * v) AS DOUBLE)
+                  * 10000.0
+                  / CAST(SUM(CAST(w AS DECIMAL(38, 0))) AS DOUBLE))
+            AS BIGINT) AS idw_micro
 FROM iw
 GROUP BY x, y"""
 

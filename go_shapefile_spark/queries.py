@@ -1370,19 +1370,24 @@ def audio_dedup_groups_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planted structure: every lossy re-encode forms exactly one
     two-member group with its original, nothing merges beyond that
     (unrelated clips sit ≥ 11 bits apart, so no bridge edges exist)."""
-    from pyspark.sql import functions as F
-
-    from .operators.graph import connected_components
     from .operators.multimodal import audio_neardup_pairs
 
     path = _ensure_auddup_table(spark)
     pairs = audio_neardup_pairs(spark.read.parquet(path),
                                 max_hamming=AUDDUP_MAX_HAMMING)
+    return _dedup_groups_rollup(pairs, "audio_a", "audio_b")
+
+
+def _dedup_groups_rollup(pairs, a_col: str, b_col: str):
+    """Shared tail of the modality dedup-groups gates: pair edges →
+    connected components → (n_groups, n_members, max_group_size)."""
+    from pyspark.sql import functions as F
+
+    from .operators.graph import connected_components
+
     cc = connected_components(
-        pairs.select(F.col("audio_a").alias("src"),
-                     F.col("audio_b").alias("dst")))
-    groups = cc.groupBy("component").agg(
-        F.count(F.lit(1)).alias("size"))
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")))
+    groups = cc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
     return groups.agg(
         F.count(F.lit(1)).alias("n_groups"),
         F.sum("size").alias("n_members"),
@@ -1396,22 +1401,12 @@ def image_dedup_groups_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     every perturbed copy forms exactly one two-member group with its
     original and nothing merges beyond that (the corpus is built so
     unplanted images sit far apart in ahash space)."""
-    from pyspark.sql import functions as F
-
-    from .operators.graph import connected_components
     from .operators.multimodal import image_neardup_pairs
 
     path = _ensure_imgdup_table(spark)
     pairs = image_neardup_pairs(spark.read.parquet(path),
                                 max_hamming=IMGDUP_MAX_HAMMING)
-    cc = connected_components(
-        pairs.select(F.col("image_a").alias("src"),
-                     F.col("image_b").alias("dst")))
-    groups = cc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
-    return groups.agg(
-        F.count(F.lit(1)).alias("n_groups"),
-        F.sum("size").alias("n_members"),
-        F.max("size").alias("max_group_size"))
+    return _dedup_groups_rollup(pairs, "image_a", "image_b")
 
 
 def q_image_dedup_groups_oracle(dialect: str) -> str:
@@ -1721,7 +1716,8 @@ def ensure_lines_corpus() -> str:
     import numpy as np
 
     base = os.path.join(_CACHE_ROOT, "gate_lines_n500_v2", "lines")
-    if not os.path.exists(base + ".shp"):
+    marker = base + "._SUCCESS_GATE"
+    if not os.path.exists(marker):
         os.makedirs(os.path.dirname(base), exist_ok=True)
         from .sources.shapefile_writer import write_polylines
         rng = np.random.default_rng(21)
@@ -1745,7 +1741,9 @@ def ensure_lines_corpus() -> str:
                 ends.append(pos)
             lines.append({"coords": coords, "ends": ends})
         write_polylines(base, lines)
-    return base
+        with open(marker, "w") as f:
+            f.write("ok")      # write-after-data: a killed generation
+    return base                # regenerates instead of parsing a stub
 
 
 def vector_tiles_lines_spark(spark: SparkSession, sf_dir: str) -> DataFrame:

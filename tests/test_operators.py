@@ -653,7 +653,7 @@ def test_idw_matches_numpy_reference_and_bounds(spark):
     # plant a sample exactly on a node center: the cap weight dominates
     pdf.loc[0, ["lon", "lat", "value"]] = (3.5, 4.5, 77.25)
     spark.createDataFrame(pdf).createOrReplaceTempView("idw_pts")
-    got = {(r.x, r.y): (r.n_pts, r.den, r.num, r.idw_micro)
+    got = {(r.x, r.y): (r.n_pts, r.idw_micro)
            for r in spark.sql(
                "WITH idw_in AS (SELECT * FROM idw_pts),"
                + idw_body("spark", pts="idw_in")).collect()}
@@ -672,12 +672,28 @@ def test_idw_matches_numpy_reference_and_bounds(spark):
         w = np.array([CAP if d == 0.0 else min(CAP, math.floor(1e6 / d))
                       for d in d2], dtype=np.int64)
         num, den = int((w * v[sel]).sum()), int(w.sum())
-        exp[(x, y)] = (int(sel.sum()), den, num,
-                       math.floor(num * 10000.0 / den))
+        exp[(x, y)] = (int(sel.sum()),
+                       math.floor(float(num) * 10000.0 / float(den)))
     assert got == exp
     # interpolated value stays inside the sample range (weights >= 0):
     # idw_micro = floor(1e4 * mean cents), values <= 100.00
-    for (x, y), (_n, den, num, micro) in got.items():
+    for (x, y), (_n, micro) in got.items():
         assert 0 <= micro <= 100_00 * 10_000
     # the planted on-center sample (77.25 -> 7725 cents) dominates
-    assert abs(got[(3, 4)][3] - 7725 * 10_000) < 200_000
+    assert abs(got[(3, 4)][1] - 7725 * 10_000) < 200_000
+
+
+def test_idw_near_center_sample_does_not_overflow(spark):
+    # regression (review finding): a sample within ~3e-7 deg of a node
+    # center (d2 tiny but nonzero) must take the clamped cap, not
+    # overflow the BIGINT cast under ANSI mode
+    from go_shapefile_spark.operators.tiles import idw_body
+    pdf = pd.DataFrame({"lon": [2.5 + 1e-9, 2.9], "lat": [7.5, 7.1],
+                        "value": [50.0, 10.0]})
+    spark.createDataFrame(pdf).createOrReplaceTempView("idw_tiny")
+    rows = spark.sql("WITH idw_in AS (SELECT * FROM idw_tiny),"
+                     + idw_body("spark", pts="idw_in")).collect()
+    by_node = {(r.x, r.y): r for r in rows}
+    r = by_node[(2, 7)]
+    # the near-center sample carries the cap weight -> mean ~= 50.00
+    assert abs(r.idw_micro - 5000 * 10_000) < 10_000
