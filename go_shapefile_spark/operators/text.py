@@ -775,3 +775,59 @@ SELECT doc_id,
        MD5({red}) AS redacted_hash
 FROM planted
 """
+
+
+def sparse_cosine_pairs_sql(dialect: str, rel: str = "documents",
+                            max_df: int | None = None,
+                            min_cosine: float = 0.5) -> str:
+    """Exact sparse-cosine similarity join via an inverted index — the
+    classic term-at-a-time all-pairs similarity join (Bayardo et al.,
+    WWW'07 family), relational: per-doc term frequencies self-join on
+    the term (the inverted index; candidate pairs are bounded by
+    per-term document frequency, never |docs|²), partial products sum
+    per pair, and the cosine normalizes by per-doc norms.
+
+    Dual-engine exactness discipline: dot products and squared norms
+    are all-integer (BIGINT — order-independent), and the one float
+    step is ``dot / SQRT(n2a * n2b)`` — SQRT is correctly rounded
+    (unlike libm pow), so both engines compute the identical double.
+
+    ``max_df`` is the scale lever: a term in m docs contributes m²/2
+    candidate partials, so stop-terms must be pruned at corpus scale
+    (same lesson as the MinHash stop-shingle filter).  Norms are over
+    the KEPT terms (documented: pruning changes the vector space, not
+    just the candidates).  The Spark runner must PIN the kept-tf
+    relation — the self-join inlines CTEs per reference otherwise.
+    """
+    toks = H.split_tokens("text", dialect)
+    df_filter = f"WHERE d <= {int(max_df)}" if max_df is not None else ""
+    tau = f"CAST('{float(min_cosine)!r}' AS DOUBLE)"
+    return f"""
+sc_toks AS (
+  SELECT doc_id, {toks} AS tok FROM {rel}),
+sc_tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sc_toks WHERE tok <> '' GROUP BY doc_id, tok),
+sc_df AS (
+  SELECT tok, COUNT(*) AS d FROM sc_tf GROUP BY tok),
+kept_tf AS (
+  SELECT t.doc_id, t.tok, t.c
+  FROM sc_tf t JOIN sc_df f ON t.tok = f.tok {df_filter}),
+sc_norms AS (
+  SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS n2
+  FROM kept_tf GROUP BY doc_id),
+sc_dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+  FROM kept_tf a JOIN kept_tf b
+    ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT d.doc_a, d.doc_b, d.dot,
+       CAST(d.dot AS DOUBLE)
+         / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+FROM sc_dots d
+JOIN sc_norms na ON d.doc_a = na.doc_id
+JOIN sc_norms nb ON d.doc_b = nb.doc_id
+WHERE CAST(d.dot AS DOUBLE)
+        / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= {tau}
+"""

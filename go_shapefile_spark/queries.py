@@ -2487,6 +2487,21 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
     from .operators.sketches import heavy_hitters_oracle_sql
     oracles["heavy_hitters_tokens"] = heavy_hitters_oracle_sql(DUCK, 64)
 
+    # sparse-cosine similarity join (inverted index): integer dots and
+    # norms, one correctly-rounded SQRT — dual-engine exact floats; the
+    # kept-tf relation pins before the self-join (CTE inlining)
+    def sparse_cosine_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        pin = _fresh_checkpoints(spark, "sparse_cosine_pairs")
+        full = TX.sparse_cosine_pairs_sql(SPARK, min_cosine=0.95)
+        head = full[:full.index("sc_norms AS (")].rstrip().rstrip(",")
+        pin(spark.sql("WITH " + head + "\nSELECT * FROM kept_tf")) \
+            .createOrReplaceTempView("kept_tf")
+        return spark.sql("WITH " + full[full.index("sc_norms AS ("):])
+    queries["sparse_cosine_pairs"] = sparse_cosine_cached
+    oracles["sparse_cosine_pairs"] = \
+        "WITH " + TX.sparse_cosine_pairs_sql(DUCK, min_cosine=0.95)
+
     # IDW interpolation surface: integer-quantized weights make the
     # weighted sums exact BIGINT arithmetic (order-independent — the
     # dual-engine answer to float-SUM nondeterminism); one double

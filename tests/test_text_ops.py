@@ -308,3 +308,59 @@ def test_pii_redact_counts_and_global_replace(spark):
     assert by_id[9][3] == 2            # pre-existing + planted IPv4
     assert by_id[12][1:4] == (0, 0, 0)
     assert by_id[15][1] == 2           # global replace, not first-only
+
+
+def test_sparse_cosine_matches_numpy_reference(spark):
+    """Inverted-index cosine join vs a dense numpy computation with the
+    same spec (counts over kept terms, <= max_df pruning)."""
+    import numpy as np
+
+    from go_shapefile_spark.operators.text import sparse_cosine_pairs_sql
+
+    docs = [
+        (0, "apple banana apple cherry"),
+        (1, "apple banana apple cherry date"),       # near-dup of 0
+        (2, "zebra yak xray walrus"),
+        (3, "zebra yak xray walrus zebra"),          # near-dup of 2
+        (4, "apple zebra mango"),                    # bridges, low sim
+        (5, "the the the the the"),                  # degenerate
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .createOrReplaceTempView("sc_docs")
+    got = {(r.doc_a, r.doc_b): (r.dot, r.cosine)
+           for r in spark.sql("WITH " + sparse_cosine_pairs_sql(
+               "spark", rel="sc_docs", min_cosine=0.0).lstrip()).collect()}
+
+    import re
+    vocab = sorted({t for _i, s in docs for t in re.split("[^a-z0-9]+",
+                                                          s.lower()) if t})
+    vecs = {}
+    for i, s in docs:
+        v = np.zeros(len(vocab), np.int64)
+        for t in re.split("[^a-z0-9]+", s.lower()):
+            if t:
+                v[vocab.index(t)] += 1
+        vecs[i] = v
+    for a in range(6):
+        for b in range(a + 1, 6):
+            dot = int(vecs[a] @ vecs[b])
+            if dot == 0:
+                assert (a, b) not in got     # no shared term, no pair
+                continue
+            cos = dot / np.sqrt(float(vecs[a] @ vecs[a])
+                                * float(vecs[b] @ vecs[b]))
+            gd, gc = got[(a, b)]
+            assert gd == dot and abs(gc - cos) < 1e-15, (a, b)
+    # near-dups rank far above the bridge pairs
+    assert got[(0, 1)][1] > 0.9 and got[(2, 3)][1] > 0.9
+    assert all(c < 0.6 for (a, b), (_d, c) in got.items()
+               if 4 in (a, b))
+
+    # max_df prunes the stop term: with max_df=2 the 'the'-only doc
+    # keeps nothing and 'apple' (df=3) drops, killing the 0-4 pair
+    pruned = {(r.doc_a, r.doc_b)
+              for r in spark.sql("WITH " + sparse_cosine_pairs_sql(
+                  "spark", rel="sc_docs", max_df=2,
+                  min_cosine=0.0).lstrip()).collect()}
+    assert (0, 1) in pruned and (2, 3) in pruned
+    assert not any(5 in p or (0, 4) == p for p in pruned)
