@@ -1778,6 +1778,62 @@ def q_vector_tiles_lines_oracle() -> str:
             + "\n) AS t(fid, cell, lon0, lat0, n_paths, n_points, length)")
 
 
+def dissolve_tiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissolve-by-attribute for a NON-OVERLAPPING layer (the classic
+    admin-boundary dissolve), per tile: countries clip to res-4 tiles,
+    then tiles group by MAP_COLOR — for disjoint inputs the union of
+    clipped geometries is their concatenation, so per-(group, tile)
+    area is a sum and the dissolve is exact.  Per-tile areas quantize
+    to integer 1e-9 deg² units BEFORE the group sum (float SUM
+    accumulation order is not dual-engine stable; integer sums are) —
+    the IDW/heatmap discipline.  Oracle pins literals from the driver
+    twin of the same clip kernel + grouping."""
+    from pyspark.sql import functions as F
+
+    from .operators.vector_tiles import vector_tiles
+    from .sources.shapefile import read_shapefile_df
+
+    df = read_shapefile_df(
+        spark, os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip"))
+    tiles = vector_tiles(df.select("fid", "shape_type", "geometry"),
+                         res=4)
+    colors = df.select("fid", F.col("MAP_COLOR").cast("long")
+                       .alias("map_color"))
+    return (tiles
+            .withColumn("area_u", F.expr(
+                "CAST(FLOOR(area * CAST(1000000000.0 AS DOUBLE)) "
+                "AS BIGINT)"))
+            .join(F.broadcast(colors), "fid")
+            .groupBy("map_color", "cell")
+            .agg(F.count(F.lit(1)).alias("n_features"),
+                 F.sum("n_rings").alias("n_rings"),
+                 F.sum("area_u").alias("area_u")))
+
+
+def q_dissolve_tiles_oracle() -> str:
+    import math
+
+    from .operators.vector_tiles import clip_tiles_for_records
+    from .sources.shapefile_core import read_zip
+
+    sf = read_zip(os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip"))
+    color_of = {i + 1: int(sf.record(i)[0]["MAP_COLOR"])
+                for i in range(sf.num_records())}
+    acc: dict = {}
+    for fid, cell, _x0, _y0, nr, _npts, area in clip_tiles_for_records(
+            sf.shp.records, 4):
+        key = (color_of[fid], cell)
+        n, rings, au = acc.get(key, (0, 0, 0))
+        acc[key] = (n + 1, rings + nr,
+                    au + math.floor(area * 1000000000.0))
+    rows = [f"(CAST({c} AS BIGINT), CAST({cell} AS BIGINT), "
+            f"CAST({n} AS BIGINT), CAST({rings} AS BIGINT), "
+            f"CAST({au} AS BIGINT))"
+            for (c, cell), (n, rings, au) in sorted(acc.items())]
+    return ("SELECT * FROM (VALUES\n" + ",\n".join(rows)
+            + "\n) AS t(map_color, cell, n_features, n_rings, area_u)")
+
+
 def geom_measures_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometry measures (planar area / perimeter / area-weighted
     centroid) for every ne_110m country, computed distributed over the
@@ -2317,6 +2373,8 @@ FROM comp
         oracles["vector_tiles_countries"] = q_vector_tiles_oracle()
         queries["vector_tile_pyramid"] = vector_tile_pyramid_spark
         oracles["vector_tile_pyramid"] = q_vector_tile_pyramid_oracle()
+        queries["dissolve_tiles"] = dissolve_tiles_spark
+        oracles["dissolve_tiles"] = q_dissolve_tiles_oracle()
         queries["geojson_roundtrip"] = geojson_roundtrip_spark
         oracles["geojson_roundtrip"] = q_geojson_roundtrip_oracle(DUCK)
     # polyline tiles use a self-generated deterministic corpus — no

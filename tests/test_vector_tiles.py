@@ -329,3 +329,25 @@ def test_line_pyramid_conserves_simplified_length(spark):
             (_a, ln, _cx, _cy), = measures_for_records([shim])
             assert np.isclose(per_fid.get(i + 1, 0.0), ln,
                               rtol=1e-9), (z, i + 1)
+
+
+def test_dissolve_tiles_conserves_group_area(spark):
+    from go_shapefile_spark.operators.geometry import measures_for_records
+    from go_shapefile_spark.queries import (dissolve_tiles_spark,
+                                            q_dissolve_tiles_oracle)
+    sf = _read_countries()
+    rows = dissolve_tiles_spark(spark, "/root/testdata/sf0.001").collect()
+    per_color: dict[int, int] = {}
+    n_tiles = 0
+    for r in rows:
+        per_color[r.map_color] = per_color.get(r.map_color, 0) + r.area_u
+        n_tiles += 1
+    exp: dict[int, float] = {}
+    meas = measures_for_records(sf.shp.records)
+    for i, (a, _l, _cx, _cy) in enumerate(meas):
+        c = int(sf.record(i)[0]["MAP_COLOR"])
+        exp[c] = exp.get(c, 0.0) + a
+    assert set(per_color) == set(exp)
+    for c, au in per_color.items():
+        # quantized tile areas undercount by < 1 unit per tile
+        assert 0 <= exp[c] * 1e9 - au <= n_tiles, c
