@@ -131,6 +131,9 @@ def test_dedup_runners_pin_signature_subtrees(spark, sf_dir):
         # fp self-join must see only LogicalRDD leaves (r5: the inlined
         # aggregate was mis-estimated as broadcastable and OOM'd at 50k)
         ("fingerprint_overlap_pairs", 0, 0),
+        # sparse cosine: kept_tf pins before the inverted-index
+        # self-join (tokenize+tf would otherwise recompute per side)
+        ("sparse_cosine_pairs", 0, 0),
     ]
     for name, max_scans, max_gen in expectations:
         c = nodes(qs[name](spark, sf_dir))
