@@ -302,3 +302,61 @@ def test_winnowing_matches_pure_python_reference(spark, texts):
             assert r.n_fps == len(fps)
             assert r.min_fp == min(fps) and r.max_fp == max(fps)
             assert r.sum_fp == sum(fps)
+
+
+coord_st = st.floats(min_value=-50.0, max_value=50.0,
+                     allow_nan=False, allow_infinity=False)
+
+
+@given(st.lists(st.tuples(coord_st, coord_st), min_size=1, max_size=25),
+       st.tuples(coord_st, coord_st, coord_st, coord_st),
+       st.sampled_from([0.0, 1e-12, 7.5]))
+@settings(max_examples=250, deadline=None)
+def test_sh_clip_batched_equals_reference_property(pts, raw_box, pad):
+    """Sutherland-Hodgman batched pass == per-ring reference, bitwise,
+    on arbitrary rings (incl. degenerate: repeated points, collinear
+    runs, sub-3-point 'rings') and arbitrary boxes (incl. zero-area
+    boxes via pad=0 on equal coords)."""
+    import numpy as np
+
+    from go_shapefile_spark.operators.vector_tiles import (
+        clip_ring_reference, sh_clip_batch)
+
+    x = np.array([p[0] for p in pts])
+    y = np.array([p[1] for p in pts])
+    x0, y0 = min(raw_box[0], raw_box[2]), min(raw_box[1], raw_box[3])
+    x1, y1 = max(raw_box[0], raw_box[2]) + pad, max(raw_box[1],
+                                                    raw_box[3]) + pad
+    ref = clip_ring_reference(x, y, (x0, y0, x1, y1))
+    cx, cy, lens = sh_clip_batch(x, y, np.array([len(pts)]),
+                                 np.array([[x0, y0, x1, y1]]))
+    got = list(zip(cx[:lens[0]], cy[:lens[0]]))
+    assert got == ref
+
+
+@given(st.lists(st.tuples(coord_st, coord_st), min_size=2, max_size=25),
+       st.tuples(coord_st, coord_st, coord_st, coord_st))
+@settings(max_examples=250, deadline=None)
+def test_lb_clip_length_never_exceeds_original_property(pts, raw_box):
+    """Liang-Barsky clipped pieces never exceed their segment's length,
+    and clipped endpoints stay inside the box (within one ulp scale)."""
+    import numpy as np
+
+    from go_shapefile_spark.operators.vector_tiles import lb_clip_segments
+
+    x = np.array([p[0] for p in pts])
+    y = np.array([p[1] for p in pts])
+    x0, y0 = min(raw_box[0], raw_box[2]), min(raw_box[1], raw_box[3])
+    x1, y1 = max(raw_box[0], raw_box[2]), max(raw_box[1], raw_box[3])
+    boxes = np.tile(np.array([x0, y0, x1, y1]), (len(pts) - 1, 1))
+    keep, sx, sy, ex, ey, _en, _xx = lb_clip_segments(
+        x[:-1], y[:-1], x[1:], y[1:], boxes)
+    seg_len = np.hypot(np.diff(x), np.diff(y))
+    clip_len = np.hypot(ex - sx, ey - sy)
+    tol = 1e-9 * (1 + seg_len)
+    assert np.all(clip_len[keep] <= seg_len[keep] + tol[keep])
+    eps = 1e-9 * (1 + np.abs([x0, y0, x1, y1]).max())
+    for arr, lo, hi in ((sx, x0, x1), (ex, x0, x1)):
+        assert np.all(arr[keep] >= lo - eps) and np.all(arr[keep] <= hi + eps)
+    for arr, lo, hi in ((sy, y0, y1), (ey, y0, y1)):
+        assert np.all(arr[keep] >= lo - eps) and np.all(arr[keep] <= hi + eps)
