@@ -186,3 +186,74 @@ def cell_xy_sql(lon: str, lat: str, res: int) -> str:
     """Simpler row-major packed id (iy·2^r + ix) for oracle queries that
     want a human-readable tile id; same float semantics as cell_sql."""
     return f"({iy_sql(lat, res)} * {1 << res} + {ix_sql(lon, res)})"
+
+
+def _morton_scalar(ix: int, iy: int) -> int:
+    return int(_spread_np(np.array([ix], np.int64))[0]
+               | (_spread_np(np.array([iy], np.int64))[0] << 1))
+
+
+def z_ranges(lon0: float, lat0: float, lon1: float, lat1: float,
+             res: int, max_ranges: int = 64) -> list[tuple[int, int]]:
+    """Decompose a bbox window into Morton CELL-ID INTERVALS at ``res``
+    — the data-skipping predicate for Z-ordered layouts.
+
+    Because nearby cells share id prefixes, the window's cells are
+    covered by a handful of contiguous id ranges; on a cell-sorted /
+    range-partitioned table each ``cell BETWEEN lo AND hi`` maps to
+    contiguous storage, so parquet row-group min/max stats (and range
+    partition pruning) skip everything outside the window.  Standard
+    quadrant descent: a quad fully inside the window emits its whole
+    id interval, fully outside is dropped, partial splits; adjacent
+    intervals merge, and if the count still exceeds ``max_ranges`` the
+    smallest gaps merge — the result is then a SUPERSET cover (always
+    sound for skipping: pair it with the exact residual predicate,
+    which is how every pushdown works).  Returned ids carry the packed
+    resolution bits, matching :func:`cell_sql`/:func:`cell_np` output.
+
+    Guarantee (tested): every cell at ``res`` intersecting the window
+    is inside exactly one returned interval; intervals are sorted and
+    disjoint; with an unlimited budget the cover is exact (covers no
+    cell outside the window).
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"resolution {res} out of range 0..{MAX_RES}")
+    if max_ranges < 1:
+        raise ValueError("max_ranges must be >= 1")
+    qx = xy_np(np.array([min(lon0, lon1), max(lon0, lon1)]),
+               np.array([min(lat0, lat1), max(lat0, lat1)]), res)
+    qx0, qx1 = int(qx[0][0]), int(qx[0][1])
+    qy0, qy1 = int(qx[1][0]), int(qx[1][1])
+    out: list[tuple[int, int]] = []
+
+    def rec(d: int, px: int, py: int) -> None:
+        size = 1 << (res - d)
+        x0, y0 = px * size, py * size
+        x1, y1 = x0 + size - 1, y0 + size - 1
+        if x1 < qx0 or x0 > qx1 or y1 < qy0 or y0 > qy1:
+            return
+        if x0 >= qx0 and x1 <= qx1 and y0 >= qy0 and y1 <= qy1:
+            m = _morton_scalar(px, py) << (2 * (res - d))
+            out.append((m, m + (1 << (2 * (res - d))) - 1))
+            return
+        for dy in (0, 1):
+            for dx in (0, 1):
+                rec(d + 1, 2 * px + dx, 2 * py + dy)
+
+    rec(0, 0, 0)
+    out.sort()
+    merged: list[list[int]] = []
+    for lo, hi in out:
+        if merged and lo == merged[-1][1] + 1:
+            merged[-1][1] = hi
+        else:
+            merged.append([lo, hi])
+    while len(merged) > max_ranges:
+        # merge the pair with the smallest id gap (superset, sound)
+        gaps = [merged[i + 1][0] - merged[i][1]
+                for i in range(len(merged) - 1)]
+        i = gaps.index(min(gaps))
+        merged[i][1] = merged[i + 1][1]
+        del merged[i + 1]
+    base = res << _RES_SHIFT
+    return [(base + lo, base + hi) for lo, hi in merged]

@@ -2545,6 +2545,41 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
     from .operators.sketches import heavy_hitters_oracle_sql
     oracles["heavy_hitters_tokens"] = heavy_hitters_oracle_sql(DUCK, 64)
 
+    # Z-order range query: the bbox window decomposes to Morton id
+    # intervals (functions/cells.z_ranges) + the exact residual bbox
+    # predicate — the data-skipping shape (BETWEENs map to contiguous
+    # storage on a cell-sorted table, so min/max stats prune).  The
+    # oracle is the plain bbox predicate: equality proves the range
+    # cover has no false negatives on real data.
+    ZQ = (10.0, -20.0, 60.0, 30.0)
+
+    def zorder_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        ranges = C.z_ranges(*ZQ, res=8, max_ranges=32)
+        # ranges as an inline TABLE, not an OR chain: a predicate chain
+        # inlines the multi-KB Morton encode per BETWEEN branch (the
+        # CLAUDE.md fat-predicate codegen blowup — measured: the OR
+        # form hung); the tiny broadcast join evaluates `cell` once per
+        # row.  Ranges are disjoint, so the join cannot duplicate ids.
+        vals = ",".join(f"({lo},{hi})" for lo, hi in ranges)
+        return spark.sql(f"""
+WITH {geotagged_events_cte(SPARK)},
+zr AS (SELECT * FROM (VALUES {vals}) AS t(lo, hi)),
+zcells AS (
+  SELECT id, lon, lat, {C.cell_sql('lon', 'lat', 8)} AS cell FROM pts)
+SELECT id FROM zcells JOIN zr
+  ON zcells.cell >= zr.lo AND zcells.cell <= zr.hi
+WHERE lon >= CAST('{ZQ[0]!r}' AS DOUBLE) AND lon <= CAST('{ZQ[2]!r}' AS DOUBLE)
+  AND lat >= CAST('{ZQ[1]!r}' AS DOUBLE) AND lat <= CAST('{ZQ[3]!r}' AS DOUBLE)
+""")
+    queries["zorder_range_query"] = zorder_range_query
+    oracles["zorder_range_query"] = f"""
+WITH {geotagged_events_cte(DUCK)}
+SELECT id FROM pts
+WHERE lon >= CAST('{ZQ[0]!r}' AS DOUBLE) AND lon <= CAST('{ZQ[2]!r}' AS DOUBLE)
+  AND lat >= CAST('{ZQ[1]!r}' AS DOUBLE) AND lat <= CAST('{ZQ[3]!r}' AS DOUBLE)
+"""
+
     # sparse-cosine similarity join (inverted index): integer dots and
     # norms, one correctly-rounded SQRT — dual-engine exact floats; the
     # kept-tf relation pins before the self-join (CTE inlining)

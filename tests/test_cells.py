@@ -91,3 +91,43 @@ def test_cell_xy_sql_parity(spark):
     got = np.array(sdf.select(F.expr(C.cell_xy_sql("lon", "lat", res)).alias("c"))
                    .toPandas()["c"])
     np.testing.assert_array_equal(got, np.array(duck))
+
+
+def test_z_ranges_cover_window_exactly_and_budget_is_superset():
+    import pytest
+    import numpy as np
+
+    from go_shapefile_spark.functions.cells import cell_np, z_ranges
+
+    res = 6
+    lon0, lat0, lon1, lat1 = -33.0, 7.5, 41.2, 55.0
+    n = 1 << res
+    # brute-force reference: enumerate the window's grid cells from the
+    # same clamped corner coords z_ranges uses
+    from go_shapefile_spark.functions.cells import xy_np
+    qx, qy = xy_np(np.array([lon0, lon1]), np.array([lat0, lat1]), res)
+    cells_in = set()
+    for x in range(int(qx[0]), int(qx[1]) + 1):
+        for y in range(int(qy[0]), int(qy[1]) + 1):
+            clon = -180.0 + (x + 0.5) * 360.0 / n
+            clat = -90.0 + (y + 0.5) * 180.0 / n
+            cells_in.add(int(cell_np(np.array([clon]),
+                                     np.array([clat]), res)[0]))
+
+    exact = z_ranges(lon0, lat0, lon1, lat1, res, max_ranges=10**9)
+    covered = set()
+    for lo, hi in exact:
+        covered.update(range(lo, hi + 1))
+    assert covered == cells_in                 # exact cover, both ways
+
+    tight = z_ranges(lon0, lat0, lon1, lat1, res, max_ranges=5)
+    assert len(tight) <= 5
+    cov2 = set()
+    for lo, hi in tight:
+        cov2.update(range(lo, hi + 1))
+    assert cells_in <= cov2                    # superset: still sound
+    # sorted + disjoint
+    for (l1, h1), (l2, h2) in zip(tight, tight[1:]):
+        assert h1 < l2 and l1 <= h1
+    with pytest.raises(ValueError):
+        z_ranges(0, 0, 1, 1, 99)
