@@ -202,7 +202,9 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              "vector_tiles_lines", "vector_tile_pyramid",
              "render_heatmap_tiles",
              # r5: quadtree + IDW surfaces (pure relational, sf-scaled)
-             "adaptive_tiles", "idw_surface"]
+             "adaptive_tiles", "idw_surface",
+             # r5: z-order window query + per-tile dissolve
+             "zorder_range_query", "dissolve_tiles"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

@@ -488,6 +488,39 @@ def main() -> None:
     sections.append(("IDW interpolation surface (quantized integer "
                      "weights)", checks, formatted(iq)))
 
+    # sparse-cosine join: kept_tf must be a pinned leaf (no re-tokenize
+    # per self-join side) and the index join a hash equi-join
+    import __spark_entry__ as entry
+    sc = entry.queries()["sparse_cosine_pairs"](spark, sf_dir)
+    plan = audit.executed_plan(sc)
+    checks = [
+        ("kept_tf is a pinned leaf (no parquet scan, no Generate)",
+         "Scan parquet" not in plan and "Generate" not in plan),
+        ("inverted-index join is a hash equi-join",
+         "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+         or "SortMergeJoin" in plan),
+    ]
+    sections.append(("Sparse-cosine similarity join (pinned inverted "
+                     "index)", checks, formatted(sc)))
+
+    # z-order range query: the Morton encode must appear ONCE (projection)
+    # and the interval join is the tiny broadcast — never an OR chain
+    # that re-inlines the encode per branch
+    zq = entry.queries()["zorder_range_query"](spark, sf_dir)
+    plan = audit.executed_plan(zq)
+    checks = [
+        ("interval join is a tiny broadcast (BNLJ over the 32-row "
+         "VALUES)", "BroadcastNestedLoopJoin" in plan),
+        ("no cartesian product", "CartesianProduct" not in plan),
+    ]
+    try:
+        audit.assert_no_python_udf(zq)
+        checks.append(("no Python nodes", True))
+    except AssertionError:
+        checks.append(("no Python nodes", False))
+    sections.append(("Z-order range query (interval cover + residual "
+                     "predicate)", checks, formatted(zq)))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the engine's hot paths\n\n")
         f.write("Generated by `python tools/explain_audit.py`.\n\n")
