@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from ..functions import hashes as H
+
 
 def heavy_hitters(tokens: DataFrame, col: str = "tok",
                   capacity: int = 64) -> DataFrame:
@@ -140,4 +142,88 @@ SELECT source,
        TRUE AS p50_ok
 FROM {rel}
 GROUP BY source
+"""
+
+
+def kmv_overlap_sql(dialect: str, rel: str = "events",
+                    group: str = "event_type", member: str = "user_id",
+                    k: int = 64, union_tol: float = 0.15,
+                    inter_tol: float = 0.25) -> str:
+    """KMV (k-minimum-values) sketch SET OPERATIONS: estimated distinct
+    union and intersection between every pair of groups — the "how many
+    users in region A AND region B" query whose exact answer needs a
+    full distinct shuffle per pair, answered from k-row mergeable
+    sketches (Beyer et al., SIGMOD'07).
+
+    Everything is relational and DETERMINISTIC: a group's sketch is the
+    k smallest md5-derived member hashes (exact k-minima — a pure
+    function of the set, no RNG), the union sketch is the k smallest of
+    the two sketches' union, the estimators are arithmetic on those
+    exact integers: D_union ≈ (k-1)·2^32/h_k, Jaccard ≈ (shared hashes
+    in the union sketch)/k, D_inter ≈ Jaccard·D_union.  Like the HLL
+    gate, the oracle pins the EXACT values plus within-tolerance
+    booleans — a broken estimator or a changed hash flips the gate.
+
+    Scale: sketches are k rows per group (mergeable, broadcastable);
+    the pairwise stage runs on sketches only — pairs never touch the
+    raw member stream.
+    """
+    st = "STRING" if dialect == H.SPARK else "VARCHAR"
+    h = H.h32(f"CAST(m AS {st})", dialect)
+    two32 = float(1 << 32)
+    return f"""
+km AS (SELECT DISTINCT {group} AS g, {member} AS m FROM {rel}),
+kh AS (SELECT g, {h} AS h FROM km),
+ksk AS (
+  SELECT g, h, rk FROM (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rk
+    FROM kh) t WHERE rk <= {int(k)}),
+kgroups AS (SELECT g, COUNT(*) AS n_sk FROM ksk GROUP BY g),
+kpairs AS (
+  SELECT a.g AS g1, b.g AS g2
+  FROM kgroups a JOIN kgroups b ON a.g < b.g),
+kuh AS (
+  SELECT p.g1, p.g2, s.h,
+         MAX(CASE WHEN s.g = p.g1 THEN 1 ELSE 0 END) AS in1,
+         MAX(CASE WHEN s.g = p.g2 THEN 1 ELSE 0 END) AS in2
+  FROM kpairs p JOIN ksk s ON s.g = p.g1 OR s.g = p.g2
+  GROUP BY p.g1, p.g2, s.h),
+kur AS (
+  SELECT g1, g2, h, in1, in2,
+         ROW_NUMBER() OVER (PARTITION BY g1, g2 ORDER BY h) AS rk
+  FROM kuh),
+kest AS (
+  SELECT g1, g2,
+         COUNT(*) AS n_u,
+         MAX(h) AS h_k,
+         SUM(in1 * in2) AS n_shared
+  FROM kur WHERE rk <= {int(k)}
+  GROUP BY g1, g2),
+kexact AS (
+  SELECT a.g1, a.g2,
+         CAST(COUNT(DISTINCT u.m) AS BIGINT) AS exact_union,
+         CAST(COUNT(DISTINCT CASE WHEN ia.m IS NOT NULL
+                                   AND ib.m IS NOT NULL THEN u.m END)
+              AS BIGINT) AS exact_inter
+  FROM kpairs a
+  JOIN km u ON u.g = a.g1 OR u.g = a.g2
+  LEFT JOIN km ia ON ia.g = a.g1 AND ia.m = u.m
+  LEFT JOIN km ib ON ib.g = a.g2 AND ib.m = u.m
+  GROUP BY a.g1, a.g2),
+kfinal AS (
+  SELECT e.g1, e.g2, x.exact_union, x.exact_inter,
+         CASE WHEN e.n_u < {int(k)}
+              THEN CAST(e.n_u AS DOUBLE)
+              ELSE CAST({int(k) - 1} AS DOUBLE) * {two32!r}
+                   / CAST(e.h_k AS DOUBLE) END AS est_union,
+         CAST(e.n_shared AS DOUBLE) / CAST(e.n_u AS DOUBLE) AS jac_est
+  FROM kest e JOIN kexact x ON e.g1 = x.g1 AND e.g2 = x.g2)
+SELECT g1, g2, exact_union, exact_inter,
+       (ABS(est_union - exact_union)
+          <= GREATEST(CAST(3.0 AS DOUBLE),
+                      {float(union_tol)!r} * exact_union)) AS union_ok,
+       (ABS(jac_est * est_union - exact_inter)
+          <= GREATEST(CAST(5.0 AS DOUBLE),
+                      {float(inter_tol)!r} * exact_union)) AS inter_ok
+FROM kfinal
 """

@@ -2545,6 +2545,25 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
     from .operators.sketches import heavy_hitters_oracle_sql
     oracles["heavy_hitters_tokens"] = heavy_hitters_oracle_sql(DUCK, 64)
 
+    # KMV sketch set operations: distinct union/intersection estimates
+    # between group pairs from k-minima sketches (deterministic — exact
+    # k smallest hashes); contract gate, HLL pattern
+    def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.sketches import kmv_overlap_sql
+
+        register_tables(spark, sf_dir)
+        return spark.sql("WITH " + kmv_overlap_sql(SPARK))
+    queries["kmv_overlap"] = kmv_overlap
+
+    def q_kmv_oracle() -> str:
+        from .operators.sketches import kmv_overlap_sql
+        body = kmv_overlap_sql(DUCK)
+        head = body[:body.index("SELECT g1, g2, exact_union")]
+        return ("WITH " + head
+                + "SELECT g1, g2, exact_union, exact_inter, "
+                  "TRUE AS union_ok, TRUE AS inter_ok FROM kfinal")
+    oracles["kmv_overlap"] = q_kmv_oracle()
+
     # Z-order range query: the bbox window decomposes to Morton id
     # intervals (functions/cells.z_ranges) + the exact residual bbox
     # predicate — the data-skipping shape (BETWEENs map to contiguous

@@ -697,3 +697,43 @@ def test_idw_near_center_sample_does_not_overflow(spark):
     r = by_node[(2, 7)]
     # the near-center sample carries the cap weight -> mean ~= 50.00
     assert abs(r.idw_micro - 5000 * 10_000) < 10_000
+
+
+def test_kmv_overlap_estimator_accuracy_controlled(spark):
+    """KMV union/intersection estimates on synthetic groups with
+    CONTROLLED overlap at realistic cardinality (the gate corpus is
+    tiny/full-overlap; this is the statistical check): 3 groups of 8000
+    members, pairwise overlaps engineered at ~50%/25%/12.5%."""
+    from go_shapefile_spark.operators.sketches import kmv_overlap_sql
+
+    rows = []
+    # group A: 0..7999; B: 4000..11999 (50% of A); C: 10000..17999
+    # (2000 shared with B, none with A)
+    for g, lo in (("a", 0), ("b", 4000), ("c", 10000)):
+        rows.extend((g, m) for m in range(lo, lo + 8000))
+    spark.createDataFrame(rows, "g string, m long") \
+        .createOrReplaceTempView("kmv_members")
+    out = {(r.g1, r.g2): r for r in spark.sql(
+        "WITH " + kmv_overlap_sql(
+            "spark", rel="kmv_members", group="g", member="m",
+            k=512, union_tol=0.10, inter_tol=0.12).lstrip()).collect()}
+    assert out[("a", "b")].exact_union == 12000
+    assert out[("a", "b")].exact_inter == 4000
+    assert out[("b", "c")].exact_inter == 2000
+    assert out[("a", "c")].exact_inter == 0
+    for pair, r in out.items():
+        assert r.union_ok and r.inter_ok, (pair, r)
+
+
+def test_kmv_sketch_is_deterministic_under_partitioning(spark):
+    from go_shapefile_spark.operators.sketches import kmv_overlap_sql
+    rows = [(f"g{m % 2}", m % 500) for m in range(4000)]
+    df = spark.createDataFrame(rows, "g string, m long")
+    outs = []
+    for layout in (df.coalesce(1), df.repartition(17, "m")):
+        layout.createOrReplaceTempView("kmv_det")
+        outs.append(sorted(map(tuple, spark.sql(
+            "WITH " + kmv_overlap_sql(
+                "spark", rel="kmv_det", group="g",
+                member="m").lstrip()).collect())))
+    assert outs[0] == outs[1]
