@@ -151,3 +151,58 @@ w AS (
            AS {out_col}
   FROM u
 )"""
+
+
+def gap_fill_sql(dialect: str, rel: str = "events", width: int = 3600,
+                 key: str = "user_id", ts_col: str = "ts",
+                 value_col: str = "value",
+                 tiebreak_col: str = "event_id") -> str:
+    """Time-series densification: per-key dense bucket grid between the
+    key's first and last observation + last-observation-carried-forward.
+
+    Dialect seams: epoch seconds (unix_timestamp vs epoch), the grid
+    explode (Spark ``sequence`` is end-inclusive, DuckDB ``range``
+    end-exclusive), and the IGNORE-NULLS window modifier (shared with
+    :func:`asof_join`).  Within a bucket the observation with the
+    greatest (ts, tiebreak) wins — deterministic.  Gap buckets emit
+    n_obs = 0 and carry the prior value; the first bucket always has an
+    observation, so the filled value is never NULL.  One explode + two
+    key-partitioned windows — no joins over raw pairs, scales per key.
+    """
+    from ..functions import hashes as H
+
+    if dialect == H.SPARK:
+        ep = f"unix_timestamp({ts_col})"
+        grid = (f"SELECT {key}, explode(sequence(b0, b1, "
+                f"CAST({width} AS BIGINT))) AS b FROM gf_span")
+    else:
+        ep = f"CAST(FLOOR(epoch({ts_col})) AS BIGINT)"
+        grid = (f"SELECT {key}, unnest(range(b0, b1 + {width}, "
+                f"{width})) AS b FROM gf_span")
+    b = f"({H.idiv(ep, width, dialect)}) * {width}"
+    locf = H.last_ignore_nulls("v", dialect)
+    return f"""
+gf_obs AS (
+  SELECT {key}, {b} AS b, {value_col} AS value, {ts_col} AS ts,
+         {tiebreak_col} AS tb FROM {rel}),
+gf_span AS (
+  SELECT {key}, MIN(b) AS b0, MAX(b) AS b1 FROM gf_obs
+  GROUP BY {key}),
+gf_grid AS ({grid}),
+gf_last AS (
+  SELECT {key}, b, v, n_obs FROM (
+    SELECT {key}, b, value AS v,
+           ROW_NUMBER() OVER (PARTITION BY {key}, b
+                              ORDER BY ts DESC, tb DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY {key}, b) AS n_obs
+    FROM gf_obs) t WHERE rn = 1),
+gf_joined AS (
+  SELECT g.{key}, g.b, l.v, COALESCE(l.n_obs, 0) AS n_obs
+  FROM gf_grid g LEFT JOIN gf_last l
+    ON g.{key} = l.{key} AND g.b = l.b)
+SELECT {key}, b AS bucket_start,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       {locf} OVER (PARTITION BY {key} ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS locf_value
+FROM gf_joined"""

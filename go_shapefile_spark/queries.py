@@ -2545,6 +2545,17 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
     from .operators.sketches import heavy_hitters_oracle_sql
     oracles["heavy_hitters_tokens"] = heavy_hitters_oracle_sql(DUCK, 64)
 
+    # temporal gap-fill: dense per-key grid + LOCF (operators/temporal.py)
+    def gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.temporal import gap_fill_sql
+
+        register_tables(spark, sf_dir)
+        return spark.sql("WITH " + gap_fill_sql(SPARK).lstrip())
+
+    queries["gap_fill_events"] = gap_fill_events
+    from .operators.temporal import gap_fill_sql as _gf
+    oracles["gap_fill_events"] = "WITH " + _gf(DUCK).lstrip()
+
     # KMV sketch set operations: distinct union/intersection estimates
     # between group pairs from k-minima sketches (deterministic — exact
     # k smallest hashes); contract gate, HLL pattern

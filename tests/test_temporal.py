@@ -145,3 +145,38 @@ def test_range_join_plan_is_equijoin(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_locf_semantics(spark):
+    """Dense grid + LOCF on a hand-built series: gap buckets carry the
+    prior value with n_obs=0; within-bucket the latest (ts, id) wins."""
+    import datetime as dt
+
+    from go_shapefile_spark.operators.temporal import gap_fill_sql
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: obs in hour 0 (two - later one wins), gap hour 1,
+        # obs hour 2
+        (1, ts(5), 10.0, 100), (1, ts(50), 11.0, 101),
+        (1, ts(125), 12.0, 102),
+        # user 2: single obs
+        (2, ts(30), 7.0, 200),
+    ]
+    spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                "value double, event_id long") \
+        .createOrReplaceTempView("gf_test_events")
+    out = {(r.user_id, r.bucket_start): (r.n_obs, r.locf_value)
+           for r in spark.sql("WITH " + gap_fill_sql(
+               "spark", rel="gf_test_events").lstrip()).collect()}
+    # session TZ is UTC: naive timestamps read as UTC instants
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert out[(1, base)] == (2, 11.0)            # later obs wins
+    assert out[(1, base + 3600)] == (0, 11.0)     # gap carries forward
+    assert out[(1, base + 7200)] == (1, 12.0)
+    assert out[(2, base)] == (1, 7.0)
+    assert len(out) == 4
