@@ -2545,6 +2545,50 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
     from .operators.sketches import heavy_hitters_oracle_sql
     oracles["heavy_hitters_tokens"] = heavy_hitters_oracle_sql(DUCK, 64)
 
+    # origin-destination matrix: per-user event sequences -> cell
+    # transitions (LAG over the time order) with great-circle move
+    # lengths.  Movement analytics: the flow-map / commute-matrix
+    # rollup.  Per-move distances ROUND to 1e-6 km before the integer
+    # sum (the knn-haversine precedent absorbs the libm ulp seam; the
+    # SUM itself is BIGINT — order-independent).
+    def q_od_matrix(dialect: str) -> str:
+        from .operators.knn import EARTH_RADIUS_KM
+        hav = (f"2 * {EARTH_RADIUS_KM} * asin(sqrt("
+               "pow(sin(radians(lat - flat) / 2), 2) + "
+               "cos(radians(flat)) * cos(radians(lat)) * "
+               "pow(sin(radians(lon - flon) / 2), 2)))")
+        w = "PARTITION BY user_id ORDER BY ts, id"
+        return f"""
+WITH od_pts AS (
+  SELECT event_id AS id, user_id, ts,
+         {GT.lon_sql('event_id', dialect)} AS lon,
+         {GT.lat_sql('event_id', dialect)} AS lat
+  FROM events),
+od_seq AS (
+  SELECT user_id, ts, id, lon, lat,
+         {C.cell_sql('lon', 'lat', 4)} AS cell
+  FROM od_pts),
+od_tr AS (
+  SELECT user_id,
+         LAG(cell) OVER ({w}) AS from_cell, cell AS to_cell,
+         LAG(lon) OVER ({w}) AS flon, LAG(lat) OVER ({w}) AS flat,
+         lon, lat
+  FROM od_seq)
+SELECT from_cell, to_cell,
+       CAST(COUNT(*) AS BIGINT) AS n_moves,
+       CAST(SUM(CAST(ROUND({hav} * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS dist_sum_mm_km
+FROM od_tr
+WHERE from_cell IS NOT NULL AND from_cell <> to_cell
+GROUP BY from_cell, to_cell
+"""
+
+    def od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(q_od_matrix(SPARK))
+    queries["od_matrix"] = od_matrix
+    oracles["od_matrix"] = q_od_matrix(DUCK)
+
     # temporal gap-fill: dense per-key grid + LOCF (operators/temporal.py)
     def gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .operators.temporal import gap_fill_sql
