@@ -2545,6 +2545,32 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
     from .operators.sketches import heavy_hitters_oracle_sql
     oracles["heavy_hitters_tokens"] = heavy_hitters_oracle_sql(DUCK, 64)
 
+    # rolling time-window aggregates: trailing-24h per-user activity
+    # via a RANGE frame over epoch seconds — the sliding-window feature
+    # (fraud velocity, rate limits).  All-integer (cents), and RANGE
+    # frames include timestamp peers, so the result is deterministic
+    # under any partitioning in both engines.
+    def q_rolling(dialect: str) -> str:
+        ep = _epoch_s("ts", dialect)
+        w = ("PARTITION BY user_id ORDER BY ts_s "
+             "RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW")
+        return f"""
+WITH rr AS (
+  SELECT user_id, event_id, {ep} AS ts_s,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events)
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER ({w}) AS BIGINT) AS n_24h,
+       CAST(SUM(v) OVER ({w}) AS BIGINT) AS cents_24h
+FROM rr
+"""
+
+    def rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(q_rolling(SPARK))
+    queries["rolling_user_stats"] = rolling_user_stats
+    oracles["rolling_user_stats"] = q_rolling(DUCK)
+
     # origin-destination matrix: per-user event sequences -> cell
     # transitions (LAG over the time order) with great-circle move
     # lengths.  Movement analytics: the flow-map / commute-matrix
