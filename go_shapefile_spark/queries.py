@@ -2545,6 +2545,35 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
     from .operators.sketches import heavy_hitters_oracle_sql
     oracles["heavy_hitters_tokens"] = heavy_hitters_oracle_sql(DUCK, 64)
 
+    # CUBE grouping-sets rollup: every (event_type x coarse-cell)
+    # subtotal combination in one pass — the OLAP cube over the
+    # spatial dimension.  All-integer measures; NULL group keys
+    # COALESCE to sentinels so the dual-engine hash compare is
+    # dtype-stable.
+    def q_cube(dialect: str) -> str:
+        cell = C.cell_sql("lon", "lat", 2)
+        return f"""
+WITH {geotagged_events_cte(dialect)},
+cb AS (
+  SELECT event_type, {cell} AS cell,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM pts)
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(cell, -1) AS cell,
+       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+       CAST(GROUPING(cell) AS BIGINT) AS g_cell,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS cents
+FROM cb
+GROUP BY CUBE(event_type, cell)
+"""
+
+    def cube_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(q_cube(SPARK))
+    queries["cube_rollup_events"] = cube_rollup_events
+    oracles["cube_rollup_events"] = q_cube(DUCK)
+
     # rolling time-window aggregates: trailing-24h per-user activity
     # via a RANGE frame over epoch seconds — the sliding-window feature
     # (fraud velocity, rate limits).  All-integer (cents), and RANGE
