@@ -204,7 +204,10 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              # r5: quadtree + IDW surfaces (pure relational, sf-scaled)
              "adaptive_tiles", "idw_surface",
              # r5: z-order window query + per-tile dissolve
-             "zorder_range_query", "dissolve_tiles"]
+             "zorder_range_query", "dissolve_tiles",
+             # r5 third wave: temporal + sketch-set + OLAP relational
+             "gap_fill_events", "od_matrix", "rolling_user_stats",
+             "kmv_overlap", "cube_rollup_events"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:
