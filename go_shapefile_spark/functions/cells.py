@@ -257,3 +257,49 @@ def z_ranges(lon0: float, lat0: float, lon1: float, lat1: float,
         del merged[i + 1]
     base = res << _RES_SHIFT
     return [(base + lo, base + hi) for lo, hi in merged]
+
+
+# pointy-top hexagonal binning constants, pinned as exact double
+# literals so both engines compute identical axial coordinates
+# (sqrt(3)/3 and 2/3 correctly rounded to double)
+_HEX_C1 = "0.5773502691896258"
+_HEX_C2 = "0.3333333333333333"
+_HEX_C3 = "0.6666666666666666"
+
+
+def hex_axial_sql(lon: str, lat: str, size: float) -> str:
+    """Axial hex coordinates ``(hq, hr)`` of a point, as a SQL struct-
+    free pair baked into two CASE expressions — use via
+    :func:`hexbin_body`.  Pointy-top hexagons of circumradius ``size``
+    degrees; fractional axial coords cube-round to the nearest hex
+    center (Amit Patel's cube-rounding).  Every operation is +,*,/ on
+    pinned double literals plus ROUND (round-half-away in both Spark
+    and DuckDB for doubles), so the assignment is bit-identical in both
+    engines — no libm."""
+    s = f"CAST('{float(size)!r}' AS DOUBLE)"
+    q = (f"((CAST('{_HEX_C1}' AS DOUBLE) * ({lon}) "
+         f"- CAST('{_HEX_C2}' AS DOUBLE) * ({lat})) / {s})")
+    r = f"((CAST('{_HEX_C3}' AS DOUBLE) * ({lat})) / {s})"
+    return q, r
+
+
+def hexbin_body(dialect: str, size: float, pts: str = "pts") -> str:
+    """CTE chain ``hx -> hexcells`` rolling a point relation
+    ``{pts}(lon, lat)`` up to hex-bin counts ``(hq, hr, n)``."""
+    del dialect  # identical text in both engines
+    q, r = hex_axial_sql("lon", "lat", size)
+    return f"""
+hx AS (
+  SELECT ROUND(qf) AS rx, ROUND(-qf - rf) AS ry, ROUND(rf) AS rz,
+         ABS(ROUND(qf) - qf) AS dx,
+         ABS(ROUND(-qf - rf) - (-qf - rf)) AS dy,
+         ABS(ROUND(rf) - rf) AS dz
+  FROM (SELECT {q} AS qf, {r} AS rf FROM {pts}) t),
+hexcells AS (
+  SELECT CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz
+              ELSE rx END AS BIGINT) AS hq,
+         CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
+              THEN -rx - ry ELSE rz END AS BIGINT) AS hr
+  FROM hx)
+SELECT hq, hr, CAST(COUNT(*) AS BIGINT) AS n
+FROM hexcells GROUP BY hq, hr"""

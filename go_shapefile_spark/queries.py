@@ -2545,6 +2545,20 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
     from .operators.sketches import heavy_hitters_oracle_sql
     oracles["heavy_hitters_tokens"] = heavy_hitters_oracle_sql(DUCK, 64)
 
+    # hexagonal binning: the hexbin viz aggregation (H3-adjacent
+    # aesthetics on the from-scratch mandate).  Cube-rounded axial
+    # coords from PINNED double constants — +,*,/ and round-half-away
+    # only, so assignment is bit-identical in both engines.
+    def q_hexbin(dialect: str) -> str:
+        return (f"WITH {geotagged_events_cte(dialect)},"
+                f"{C.hexbin_body(dialect, size=2.0)}")
+
+    def hexbin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(q_hexbin(SPARK))
+    queries["hexbin_events"] = hexbin_events
+    oracles["hexbin_events"] = q_hexbin(DUCK)
+
     # CUBE grouping-sets rollup: every (event_type x coarse-cell)
     # subtotal combination in one pass — the OLAP cube over the
     # spatial dimension.  All-integer measures; NULL group keys

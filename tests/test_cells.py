@@ -131,3 +131,42 @@ def test_z_ranges_cover_window_exactly_and_budget_is_superset():
         assert h1 < l2 and l1 <= h1
     with pytest.raises(ValueError):
         z_ranges(0, 0, 1, 1, 99)
+
+
+def test_hexbin_assigns_nearest_center(spark):
+    """Cube rounding must send every point to the NEAREST hex center
+    (Euclidean, pointy-top lattice) — checked against a brute-force
+    nearest-center search over the local lattice neighborhood."""
+    import numpy as np
+
+    from go_shapefile_spark.functions.cells import hexbin_body
+
+    rng = np.random.default_rng(13)
+    size = 2.0
+    pdf_lon = rng.uniform(-30, 30, 2000)
+    pdf_lat = rng.uniform(-30, 30, 2000)
+    import pandas as pd
+    spark.createDataFrame(pd.DataFrame({"lon": pdf_lon, "lat": pdf_lat})) \
+        .createOrReplaceTempView("hex_pts")
+    # per-point assignment: run the same chain without the final rollup
+    body = hexbin_body("spark", size, pts="hex_pts")
+    body = body[:body.index("SELECT hq, hr, CAST(COUNT(*)")]
+    rows = spark.sql("WITH " + body.rstrip().rstrip(",")
+                     + "\nSELECT hq, hr FROM hexcells").collect()
+    assert len(rows) == 2000
+
+    c1, c2, c3 = np.sqrt(3) / 3, 1 / 3, 2 / 3
+    for (lon, lat), r in zip(zip(pdf_lon, pdf_lat), rows):
+        # center of assigned hex back in lon/lat:
+        # lat = hr*size/c3 ; lon = (hq + c2/ c1... invert the map
+        def center(hq, hr):
+            clat = hr * size / c3
+            clon = (hq * size + c2 * clat) / c1
+            return clon, clat
+        ax, ay = center(r.hq, r.hr)
+        d0 = (lon - ax) ** 2 + (lat - ay) ** 2
+        for dq in (-1, 0, 1):
+            for dr in (-1, 0, 1):
+                bx, by = center(r.hq + dq, r.hr + dr)
+                d = (lon - bx) ** 2 + (lat - by) ** 2
+                assert d0 <= d + 1e-9, (lon, lat, r.hq, r.hr, dq, dr)
