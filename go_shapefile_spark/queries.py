@@ -2545,6 +2545,45 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
     from .operators.sketches import heavy_hitters_oracle_sql
     oracles["heavy_hitters_tokens"] = heavy_hitters_oracle_sql(DUCK, 64)
 
+    # stay-point detection (gaps-and-islands): maximal runs of
+    # consecutive same-cell events per user — the classic islands
+    # trick: run id = row_number over time minus row_number over
+    # (time within cell), constant exactly within a run.  The
+    # trajectory "dwell" primitive; pure relational, all-integer.
+    def q_stay_points(dialect: str, min_run: int = 3) -> str:
+        ep = _epoch_s("ts", dialect)
+        return f"""
+WITH sp AS (
+  SELECT user_id, event_id, {ep} AS ts_s,
+         {GT.lon_sql('event_id', dialect)} AS lon,
+         {GT.lat_sql('event_id', dialect)} AS lat
+  FROM events),
+sc AS (
+  SELECT user_id, event_id, ts_s,
+         {C.cell_sql('lon', 'lat', 2)} AS cell
+  FROM sp),
+runs AS (
+  SELECT user_id, cell, ts_s,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts_s, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, cell
+                              ORDER BY ts_s, event_id) AS grp
+  FROM sc)
+SELECT user_id, cell,
+       CAST(MIN(ts_s) AS BIGINT) AS start_s,
+       CAST(MAX(ts_s) AS BIGINT) AS end_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM runs
+GROUP BY user_id, cell, grp
+HAVING COUNT(*) >= {int(min_run)}
+"""
+
+    def stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(q_stay_points(SPARK))
+    queries["stay_points"] = stay_points
+    oracles["stay_points"] = q_stay_points(DUCK)
+
     # hexagonal binning: the hexbin viz aggregation (H3-adjacent
     # aesthetics on the from-scratch mandate).  Cube-rounded axial
     # coords from PINNED double constants — +,*,/ and round-half-away
