@@ -2545,6 +2545,47 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
     from .operators.sketches import heavy_hitters_oracle_sql
     oracles["heavy_hitters_tokens"] = heavy_hitters_oracle_sql(DUCK, 64)
 
+    # hotspot extraction: heatmap -> threshold -> raster-to-vector
+    # rectangles (E8's vectorizer over the KDE raster) — "draw polygons
+    # around the hot areas".  The rectangle decomposition is algorithm-
+    # specific, so the gate pins the INVARIANT instead: the rectangles
+    # cover exactly the hot pixel set (conservation, exact integers).
+    HOTSPOT_TAU = 24
+
+    def hotspot_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from .operators.tiles import vectorize_raster
+
+        register_tables(spark, sf_dir)
+        hm = spark.sql(q_heatmap(SPARK))
+        hot = hm.where(F.col("intensity") >= HOTSPOT_TAU)
+        tiled = hot.selectExpr(
+            "CAST(FLOOR(CAST(x AS DOUBLE) / 16) AS BIGINT) AS tx",
+            "CAST(FLOOR(CAST(y AS DOUBLE) / 16) AS BIGINT) AS ty",
+            "x", "y")
+        raster = tiled.selectExpr(
+            "(tx + 16384) * 32768 + (ty + 16384) AS cell",
+            "CAST(1 AS BIGINT) AS fid",
+            "CAST(x - tx * 16 AS INT) AS px",
+            "CAST(y - ty * 16 AS INT) AS py")
+        rects = vectorize_raster(raster, tile_px=16)
+        covered = rects.agg(
+            F.coalesce(F.sum((F.col("x1") - F.col("x0") + 1)
+                             * (F.col("y1") - F.col("y0") + 1)),
+                       F.lit(0)).cast("long").alias("covered_pixels"))
+        n_hot = hot.agg(F.count(F.lit(1)).cast("long").alias("n_hot"))
+        return (n_hot.crossJoin(covered)
+                .withColumn("covered_ok",
+                            F.col("covered_pixels") == F.col("n_hot")))
+    queries["hotspot_rects"] = hotspot_rects
+    oracles["hotspot_rects"] = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hot,
+       CAST(COUNT(*) AS BIGINT) AS covered_pixels,
+       TRUE AS covered_ok
+FROM ({q_heatmap(DUCK)}) h WHERE intensity >= {HOTSPOT_TAU}
+"""
+
     # stay-point detection (gaps-and-islands): maximal runs of
     # consecutive same-cell events per user — the classic islands
     # trick: run id = row_number over time minus row_number over
