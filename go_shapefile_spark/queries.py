@@ -2625,6 +2625,69 @@ HAVING COUNT(*) >= {int(min_run)}
     queries["stay_points"] = stay_points
     oracles["stay_points"] = q_stay_points(DUCK)
 
+    # spatial autocorrelation: global Moran's I + Geary's C over the
+    # occupied 1-degree grid with queen (8-neighbor) contiguity.  The
+    # neighbor relation is an 8-offset fan-out + equi-join on the cell
+    # key — never an O(N^2) distance join — so it scales like any other
+    # banded join here.  All sums are BIGINT-exact: deviations are
+    # scaled by n_cells (d_i = N*n_i - S, integer), which multiplies
+    # num and den by N^2 alike; both statistics are invariant under
+    # linear rescaling of the variable, so a 100-TB run can pre-divide
+    # counts by a constant if the exact-integer sums would overflow —
+    # the statistic is unchanged.  Final doubles are products/quotients
+    # of exactly-converted BIGINTs (one rounding each) rounded at 1e-9
+    # and emitted as scaled BIGINTs (the od_matrix libm-seam precedent).
+    def q_spatial_autocorr(dialect: str) -> str:
+        return f"""
+WITH {geotagged_events_cte(dialect)},
+grid AS (
+  SELECT CAST(FLOOR(lon) AS BIGINT) AS x,
+         CAST(FLOOR(lat) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY CAST(FLOOR(lon) AS BIGINT), CAST(FLOOR(lat) AS BIGINT)),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(n) AS BIGINT) AS s
+  FROM grid),
+dev AS (
+  SELECT g.x, g.y, g.n, t.n_cells * g.n - t.s AS d
+  FROM grid g CROSS JOIN tot t),
+offs AS (
+  SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                        (0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)),
+pairs AS (
+  SELECT a.d AS da, b.d AS db, a.n AS na, b.n AS nb
+  FROM dev a CROSS JOIN offs o
+  JOIN dev b ON b.x = a.x + o.dx AND b.y = a.y + o.dy),
+den AS (
+  SELECT CAST(SUM(d * d) AS BIGINT) AS ss FROM dev),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS w_sum,
+         CAST(SUM(da * db) AS BIGINT) AS num_moran,
+         CAST(SUM((na - nb) * (na - nb)) AS BIGINT) AS num_geary
+  FROM pairs)
+SELECT t.n_cells, t.s AS n_points, a.w_sum, d.ss,
+       a.num_moran, a.num_geary,
+       CAST(ROUND(CAST(1000000000 AS DOUBLE)
+                  * (CAST(t.n_cells AS DOUBLE) * CAST(a.num_moran AS DOUBLE))
+                  / (CAST(a.w_sum AS DOUBLE) * CAST(d.ss AS DOUBLE)))
+            AS BIGINT) AS moran_i_e9,
+       CAST(ROUND(CAST(1000000000 AS DOUBLE)
+                  * ((CAST(t.n_cells AS DOUBLE) - CAST(1 AS DOUBLE))
+                     * CAST(t.n_cells AS DOUBLE) * CAST(t.n_cells AS DOUBLE)
+                     * CAST(a.num_geary AS DOUBLE))
+                  / (CAST(2 AS DOUBLE) * CAST(a.w_sum AS DOUBLE)
+                     * CAST(d.ss AS DOUBLE)))
+            AS BIGINT) AS geary_c_e9
+FROM tot t CROSS JOIN agg a CROSS JOIN den d
+"""
+
+    def spatial_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(q_spatial_autocorr(SPARK))
+    queries["spatial_autocorr"] = spatial_autocorr
+    oracles["spatial_autocorr"] = q_spatial_autocorr(DUCK)
+
     # hexagonal binning: the hexbin viz aggregation (H3-adjacent
     # aesthetics on the from-scratch mandate).  Cube-rounded axial
     # coords from PINNED double constants — +,*,/ and round-half-away
