@@ -2688,6 +2688,63 @@ FROM tot t CROSS JOIN agg a CROSS JOIN den d
     queries["spatial_autocorr"] = spatial_autocorr
     oracles["spatial_autocorr"] = q_spatial_autocorr(DUCK)
 
+    # Getis-Ord Gi* local hot-spot z-scores over the same occupied
+    # grid (queen contiguity INCLUDING self).  Every aggregate the
+    # z-score needs (local sum L_i, neighborhood size W_i, global S,
+    # sum-of-squares) is BIGINT-exact; the z expression is then
+    # products/quotients of exactly-converted doubles and TWO
+    # correctly-rounded SQRTs — an identical expression tree over
+    # identical inputs is bit-identical dual-engine (the sparse-cosine
+    # SQRT precedent).  z = (N*L_i - S*W_i) * sqrt(N-1)
+    #                      / sqrt((N*SS - S^2) * (N*W_i - W_i^2)).
+    # Top-k hottest cells; ties broken on the integer cell key.  The
+    # global top-k window runs over the GRID relation, whose size is
+    # bounded by the grid itself (<= 64,800 cells at 1 degree) no
+    # matter the input volume — safe at any scale.
+    def q_getis_ord(dialect: str, k: int = 50) -> str:
+        return f"""
+WITH {geotagged_events_cte(dialect)},
+grid AS (
+  SELECT CAST(FLOOR(lon) AS BIGINT) AS x,
+         CAST(FLOOR(lat) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY CAST(FLOOR(lon) AS BIGINT), CAST(FLOOR(lat) AS BIGINT)),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(n) AS BIGINT) AS s,
+         CAST(SUM(n * n) AS BIGINT) AS ss
+  FROM grid),
+offs AS (
+  SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                        (0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)),
+loc AS (
+  SELECT a.x, a.y, a.n,
+         CAST(COUNT(b.n) AS BIGINT) AS w_i,
+         CAST(SUM(b.n) AS BIGINT) AS l_i
+  FROM grid a CROSS JOIN offs o
+  JOIN grid b ON b.x = a.x + o.dx AND b.y = a.y + o.dy
+  GROUP BY a.x, a.y, a.n),
+z AS (
+  SELECT l.x, l.y, l.n, l.w_i, l.l_i,
+         CAST(ROUND(CAST(1000000000 AS DOUBLE)
+              * CAST(t.n_cells * l.l_i - t.s * l.w_i AS DOUBLE)
+              * SQRT(CAST(t.n_cells - 1 AS DOUBLE))
+              / SQRT(CAST(t.n_cells * t.ss - t.s * t.s AS DOUBLE)
+                     * CAST(t.n_cells * l.w_i - l.w_i * l.w_i AS DOUBLE)))
+              AS BIGINT) AS z_e9
+  FROM loc l CROSS JOIN tot t)
+SELECT x, y, n, w_i, l_i, z_e9
+FROM (SELECT z.*, ROW_NUMBER() OVER (ORDER BY z_e9 DESC, x, y) AS rk
+      FROM z) ranked
+WHERE rk <= {int(k)}
+"""
+
+    def getis_ord_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(q_getis_ord(SPARK))
+    queries["getis_ord_hotspots"] = getis_ord_hotspots
+    oracles["getis_ord_hotspots"] = q_getis_ord(DUCK)
+
     # hexagonal binning: the hexbin viz aggregation (H3-adjacent
     # aesthetics on the from-scratch mandate).  Cube-rounded axial
     # coords from PINNED double constants — +,*,/ and round-half-away
