@@ -26,7 +26,7 @@ Operators
     learn_bpe — distributed BPE tokenizer training
 Functions
     to_wkt, features_to_geojson, features_to_geojson_jvm,
-    geojson_to_features
+    geojson_to_features, geohash_np, geohash_sql
 Pinning
     fresh_pins, release_pins — pinned-relation materialization
     (executor-local checkpoint or durable storage scan-back)
@@ -68,6 +68,8 @@ _LAZY = {
         "go_shapefile_spark.operators.vector_tiles",
     "render_heatmap_tiles": "go_shapefile_spark.operators.render",
     "connected_components": "go_shapefile_spark.operators.graph",
+    "geohash_np": "go_shapefile_spark.functions.cells",
+    "geohash_sql": "go_shapefile_spark.functions.cells",
     "to_wkt": "go_shapefile_spark.functions.wkt",
     "features_to_geojson": "go_shapefile_spark.functions.geojson",
     "features_to_geojson_jvm": "go_shapefile_spark.functions.geojson",

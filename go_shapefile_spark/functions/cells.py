@@ -303,3 +303,80 @@ hexcells AS (
   FROM hx)
 SELECT hq, hr, CAST(COUNT(*) AS BIGINT) AS n
 FROM hexcells GROUP BY hq, hr"""
+
+
+# --- geohash (public base32 encoding; lon-first bit interleave) -----------
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_np(lon: np.ndarray, lat: np.ndarray, precision: int) -> np.ndarray:
+    """Vectorized geohash encoder: lon, lat → base32 string of
+    ``precision`` chars.  Standard scheme: quantize lon over [-180,180)
+    and lat over [-90,90) to ceil(5p/2) / floor(5p/2) bits, interleave
+    lon-first, emit 5 bits per char.  Twin of :func:`geohash_sql`
+    (bit-identical; same FLOOR-quantization as :func:`xy_np`)."""
+    if not 1 <= precision <= 10:  # 5*10 = 50 bits < 2^53, double-exact
+        raise ValueError(f"precision {precision} out of range 1..10")
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    ix, _ = xy_np(np.asarray(lon, np.float64),
+                  np.asarray(lat, np.float64) * 0.0, lon_bits)
+    _, iy = xy_np(np.asarray(lon, np.float64) * 0.0,
+                  np.asarray(lat, np.float64), lat_bits)
+    sx, sy = _spread_np(ix), _spread_np(iy)
+    # even total: pairs are (lon, lat) MSB-first → lon on the high bit
+    # of each pair; odd total: the sequence starts AND ends with lon →
+    # lon on the low bit.
+    m = (sx * 2) | sy if bits % 2 == 0 else sx | (sy * 2)
+    out = np.empty(m.shape, dtype=f"U{precision}")
+    flat_m = m.ravel()
+    chars = []
+    for i in range(precision):
+        shift = bits - 5 * (i + 1)
+        chars.append((flat_m >> shift) & 31)
+    alpha = np.array(list(GEOHASH_ALPHABET))
+    joined = alpha[np.stack(chars, axis=1)]
+    out.ravel()[:] = np.array(["".join(row) for row in joined])
+    return out
+
+
+def geohash_morton_sql(lon: str, lat: str, precision: int) -> str:
+    """The lon-first interleaved ``5*precision``-bit integer a geohash
+    encodes — compute this ONCE in a CTE column and feed it to
+    :func:`geohash_chars_sql` (the char extraction references the value
+    ``precision`` times; inlining the spread that many times is the
+    CollapseProject codegen-bloat trap of :func:`_compact_sql`)."""
+    if not 1 <= precision <= 10:
+        raise ValueError(f"precision {precision} out of range 1..10")
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    sx = _spread_sql(ix_sql(lon, lon_bits))
+    sy = _spread_sql(iy_sql(lat, lat_bits))
+    return (f"(({sx}) * 2 | ({sy}))" if bits % 2 == 0
+            else f"(({sx}) | ({sy}) * 2)")
+
+
+def geohash_chars_sql(m: str, precision: int) -> str:
+    """Base32 chars from a :func:`geohash_morton_sql` column — each
+    5-bit group extracted with exact FLOOR division (values < 2^50),
+    1-based SUBSTR into the alphabet; identical text in both engines."""
+    if not 1 <= precision <= 10:
+        raise ValueError(f"precision {precision} out of range 1..10")
+    bits = 5 * precision
+    parts = []
+    for i in range(precision):
+        shift = bits - 5 * (i + 1)
+        grp = (f"(CAST(FLOOR(({m}) / {1 << shift}) AS BIGINT) % 32)"
+               if shift else f"(({m}) % 32)")
+        parts.append(f"SUBSTR('{GEOHASH_ALPHABET}', CAST({grp} AS INT) + 1, 1)")
+    return "CONCAT(" + ", ".join(parts) + ")"
+
+
+def geohash_sql(lon: str, lat: str, precision: int) -> str:
+    """Geohash as ONE SQL expression (tests / one-shot projections;
+    prefer the CTE split above in query templates)."""
+    return geohash_chars_sql(geohash_morton_sql(lon, lat, precision),
+                             precision)

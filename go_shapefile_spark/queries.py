@@ -2745,6 +2745,29 @@ WHERE rk <= {int(k)}
     queries["getis_ord_hotspots"] = getis_ord_hotspots
     oracles["getis_ord_hotspots"] = q_getis_ord(DUCK)
 
+    # geohash rollup: the standard base32 interchange cell (every
+    # external geo system speaks it).  The interleaved Morton value is
+    # computed ONCE in a CTE column; char extraction references that
+    # column, not the spread expression (the CollapseProject bloat
+    # rule).  Counts per precision-4 geohash, dual-engine identical.
+    def q_geohash(dialect: str, precision: int = 4) -> str:
+        m = C.geohash_morton_sql("lon", "lat", precision)
+        gh = C.geohash_chars_sql("m", precision)
+        return f"""
+WITH {geotagged_events_cte(dialect)},
+gm AS (SELECT {m} AS m, value FROM pts)
+SELECT {gh} AS geohash,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM gm GROUP BY m
+"""
+
+    def geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(q_geohash(SPARK))
+    queries["geohash_rollup"] = geohash_rollup
+    oracles["geohash_rollup"] = q_geohash(DUCK)
+
     # hexagonal binning: the hexbin viz aggregation (H3-adjacent
     # aesthetics on the from-scratch mandate).  Cube-rounded axial
     # coords from PINNED double constants — +,*,/ and round-half-away

@@ -170,3 +170,45 @@ def test_hexbin_assigns_nearest_center(spark):
                 bx, by = center(r.hq + dq, r.hr + dr)
                 d = (lon - bx) ** 2 + (lat - by) ** 2
                 assert d0 <= d + 1e-9, (lon, lat, r.hq, r.hr, dq, dr)
+
+
+def test_geohash_known_vectors():
+    # classic public test vectors (Wikipedia / original geohash.org)
+    assert C.geohash_np(np.array([10.40744]), np.array([57.64911]), 6)[0] \
+        == "u4pruy"
+    assert C.geohash_np(np.array([-5.6]), np.array([42.6]), 5)[0] == "ezs42"
+    assert C.geohash_np(np.array([10.40744]), np.array([57.64911]), 5)[0] \
+        == "u4pru"
+
+
+def test_geohash_sql_np_duckdb_spark_parity(spark):
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 179.999, 300)
+    lat = rng.uniform(-90, 89.999, 300)
+    for p in (1, 4, 5, 6):
+        expected = C.geohash_np(lon, lat, p)
+        sql = C.geohash_sql("lon", "lat", p)
+        pdf = pd.DataFrame({"lon": lon, "lat": lat})
+        got_duck = np.array([r[0] for r in
+                             duckdb.query_df(pdf, "pdf",
+                                             f"SELECT {sql} FROM pdf")
+                             .fetchall()])
+        np.testing.assert_array_equal(got_duck, expected)
+        sdf = spark.createDataFrame(pdf)
+        got_spark = np.array(
+            [r[0] for r in sdf.selectExpr(f"{sql} AS gh").collect()])
+        np.testing.assert_array_equal(got_spark, expected)
+
+
+def test_geohash_prefix_nesting():
+    # a geohash at precision p is a prefix of the same point at p+1
+    # only when the higher precision refines the SAME cell; the
+    # guaranteed invariant is prefix-compatibility of the bit paths:
+    # cells at precision p group points whose p-char hashes are equal.
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 179.999, 200)
+    lat = rng.uniform(-90, 89.999, 200)
+    g4 = C.geohash_np(lon, lat, 4)
+    g6 = C.geohash_np(lon, lat, 6)
+    # even-split precisions nest exactly (4 -> 6 adds 5 lon + 5 lat bits)
+    assert all(b.startswith(a) for a, b in zip(g4, g6))
