@@ -541,6 +541,56 @@ def image_pixel_sums(images: DataFrame, stub_ok: bool = False) -> DataFrame:
         run, schema="image_id string, pix_sum long, n_px long")
 
 
+def image_quality_stats(images: DataFrame, stub_ok: bool = False) -> DataFrame:
+    """Exact-integer image quality/curation metrics per image — the
+    image-payload analog of the text quality_score: everything a
+    sharpness (blur), brightness, or contrast filter needs, emitted as
+    BIGINT sums so thresholds evaluate as INTEGER inequalities in SQL
+    (no float seam anywhere; the idw quantize-to-BIGINT discipline).
+
+    Per image, over integer luma ``L = 299R + 587G + 114B`` (the
+    Rec.601 weights ×1000, 0..255000):
+
+    * ``n_pix, sum_luma, sum_luma2`` — brightness mean and contrast
+      variance are exact rationals of these;
+    * ``n_int, sum_lap, sum_lap2`` — 4-neighbor Laplacian
+      ``4L - L_up - L_down - L_left - L_right`` over interior pixels;
+      its variance is THE standard blur/sharpness detector (variance
+      of Laplacian).  Interior-only, so any h,w ≥ 1 works (n_int = 0
+      below 3×3).
+
+    int64 bounds: |lap| ≤ 8·255000, lap² ≤ 4.2e12 — sums stay exact
+    below ~2.2 megapixels per image; larger frames should be tiled
+    first (extract_patches).  Arrow-batched; same-shape images reduce
+    as one numpy pass (the _decoded_stacks discipline).
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: np.zeros(len(pdf), dtype=np.int64)
+                    for k in ("n_pix", "sum_luma", "sum_luma2",
+                              "n_int", "sum_lap", "sum_lap2")}
+            for idxs, stack in _decoded_stacks(pdf, stub_ok):
+                s = stack.astype(np.int64)
+                luma = 299 * s[..., 0] + 587 * s[..., 1] + 114 * s[..., 2]
+                n, h, w = luma.shape
+                cols["n_pix"][idxs] = h * w
+                cols["sum_luma"][idxs] = luma.sum(axis=(1, 2))
+                cols["sum_luma2"][idxs] = (luma * luma).sum(axis=(1, 2))
+                if h >= 3 and w >= 3:
+                    lap = (4 * luma[:, 1:-1, 1:-1]
+                           - luma[:, :-2, 1:-1] - luma[:, 2:, 1:-1]
+                           - luma[:, 1:-1, :-2] - luma[:, 1:-1, 2:])
+                    cols["n_int"][idxs] = (h - 2) * (w - 2)
+                    cols["sum_lap"][idxs] = lap.sum(axis=(1, 2))
+                    cols["sum_lap2"][idxs] = (lap * lap).sum(axis=(1, 2))
+            yield pd.DataFrame({"image_id": pdf["image_id"], **cols})
+
+    return images.mapInPandas(
+        run, schema=("image_id string, n_pix long, sum_luma long, "
+                     "sum_luma2 long, n_int long, sum_lap long, "
+                     "sum_lap2 long"))
+
+
 AHASH_GRID = 8          # 8x8 grid -> 64-bit hash
 
 

@@ -639,6 +639,49 @@ def image_invariants_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise(0)).alias("n_progressive"))
 
 
+IMG_QUALITY_TAU = 6.75   # sharpness = lap_var / luma_var; measured
+#                          populations on the gate corpus: smooth
+#                          (low-freq cosine, jpegp) ≤ 5.98, sharp
+#                          (splitmix64 noise, png+jpeg) ≥ 7.60 — 13%
+#                          margin each side of 6.75
+
+
+def image_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image curation metrics (the image twin of q:quality_score):
+    exact-BIGINT luma/Laplacian sums per image
+    (multimodal.image_quality_stats), classified by the scale-free
+    sharpness ratio Var(laplacian)/Var(luma) — ≈20 for iid noise,
+    near 0 for smooth gradients, invariant to brightness and contrast.
+    The gate corpus plants both populations (noise rows are sharp,
+    low-frequency progressive rows are smooth), so the contract is the
+    planted split.  Ratio is computed in doubles from exactly-converted
+    BIGINTs; the threshold sits 13% from both populations."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import image_quality_stats
+
+    path = _ensure_images_gate(spark)
+    qs = image_quality_stats(spark.read.parquet(path))
+    d = F.col  # noqa: E731 - terse columns below
+    lap_var = (d("n_int").cast("double") * d("sum_lap2").cast("double")
+               - d("sum_lap").cast("double") * d("sum_lap").cast("double")) \
+        / (d("n_int").cast("double") * d("n_int").cast("double"))
+    luma_var = (d("n_pix").cast("double") * d("sum_luma2").cast("double")
+                - d("sum_luma").cast("double") * d("sum_luma").cast("double")) \
+        / (d("n_pix").cast("double") * d("n_pix").cast("double"))
+    sharp = lap_var > F.lit(IMG_QUALITY_TAU) * luma_var
+    return qs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.sum(F.when(sharp, 1).otherwise(0)).cast("long").alias("n_sharp"),
+        F.sum(F.when(~sharp, 1).otherwise(0)).cast("long").alias("n_smooth"))
+
+
+def q_image_quality_oracle() -> str:
+    return (f"SELECT CAST({IMG_GATE_N + IMG_GATE_N_PROG} AS BIGINT) "
+            f"AS n_images, CAST({IMG_GATE_N} AS BIGINT) AS n_sharp, "
+            f"CAST({IMG_GATE_N_PROG} AS BIGINT) AS n_smooth")
+
+
 def q_image_invariants_oracle(dialect: str) -> str:
     return (f"SELECT CAST({IMG_GATE_N + IMG_GATE_N_PROG} AS BIGINT) "
             f"AS n_checked, CAST(0 AS BIGINT) AS n_bad, "
@@ -2129,6 +2172,8 @@ def build_registry():
     oracles["snapshot_incremental_rollup"] = q_snapshot_incremental_oracle(DUCK)
     queries["snapshot_compaction_rollup"] = snapshot_compaction_spark
     oracles["snapshot_compaction_rollup"] = q_snapshot_compaction_oracle(DUCK)
+    queries["image_quality"] = image_quality_spark
+    oracles["image_quality"] = q_image_quality_oracle()
     queries["image_neardup"] = image_neardup_spark
     oracles["image_neardup"] = q_image_neardup_oracle(DUCK)
     queries["image_patches"] = image_patches_spark

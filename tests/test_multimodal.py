@@ -388,3 +388,51 @@ def test_render_tile_orientation_north_up():
                            np.array([10]), 64)
     img = decode_image(png, "png")
     assert img[63 - 60, 3, 0] == 40 and img.sum() == 3 * 40
+
+
+def test_image_quality_stats_analytic_and_reference(spark):
+    import pandas as pd
+
+    from go_shapefile_spark.operators.multimodal import image_quality_stats
+    from go_shapefile_spark.sources.images import encode_png
+
+    # constant image: luma = 299c+587c+114c = 1000c, laplacian = 0
+    const = np.full((5, 4, 3), 7, dtype=np.uint8)
+    # checkerboard in all channels: luma alternates 0 / 255000;
+    # interior laplacian = 4L - 4*opposite = ±4*255000 ∓ ... compute
+    # via the independent reference below instead of by hand
+    cb = (np.indices((6, 6)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    checker = np.stack([cb] * 3, axis=-1)
+    rng = np.random.default_rng(3)
+    rand = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+
+    def reference(px):
+        s = px.astype(object)  # python ints: no overflow by construction
+        h, w, _ = px.shape
+        L = [[299 * int(s[y][x][0]) + 587 * int(s[y][x][1])
+              + 114 * int(s[y][x][2]) for x in range(w)] for y in range(h)]
+        sl = sum(v for row in L for v in row)
+        sl2 = sum(v * v for row in L for v in row)
+        lap = [4 * L[y][x] - L[y - 1][x] - L[y + 1][x]
+               - L[y][x - 1] - L[y][x + 1]
+               for y in range(1, h - 1) for x in range(1, w - 1)]
+        return (h * w, sl, sl2, len(lap),
+                sum(lap), sum(v * v for v in lap))
+
+    pdf = pd.DataFrame({
+        "image_id": ["const", "checker", "rand"],
+        "bytes": [encode_png(const), encode_png(checker), encode_png(rand)],
+        "w": [4, 6, 8], "h": [5, 6, 8],
+        "fmt": ["png"] * 3, "caption": [""] * 3, "phash": [0, 1, 2]})
+    sdf = spark.createDataFrame(
+        pdf, schema=("image_id string, bytes binary, w int, h int, "
+                     "fmt string, caption string, phash long"))
+    got = {r["image_id"]: r for r in image_quality_stats(sdf).collect()}
+    for name, px in (("const", const), ("checker", checker), ("rand", rand)):
+        n_pix, sl, sl2, n_int, slap, slap2 = reference(px)
+        row = got[name]
+        assert (row["n_pix"], row["sum_luma"], row["sum_luma2"],
+                row["n_int"], row["sum_lap"], row["sum_lap2"]) == \
+            (n_pix, sl, sl2, n_int, slap, slap2), name
+    assert got["const"]["sum_lap2"] == 0
+    assert got["const"]["sum_luma"] == 5 * 4 * 7000
