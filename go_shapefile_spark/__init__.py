@@ -55,6 +55,8 @@ _LAZY = {
     "audio_resample": "go_shapefile_spark.operators.multimodal",
     "augment_images": "go_shapefile_spark.operators.multimodal",
     "image_quality_stats": "go_shapefile_spark.operators.multimodal",
+    "video_fingerprint": "go_shapefile_spark.operators.multimodal",
+    "video_neardup_pairs": "go_shapefile_spark.operators.multimodal",
     "learn_bpe": "go_shapefile_spark.operators.bpe_train",
     "heatmap": "go_shapefile_spark.operators.tiles",
     "simplify_features": "go_shapefile_spark.operators.geometry",

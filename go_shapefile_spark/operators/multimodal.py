@@ -607,30 +607,91 @@ def image_ahash(images: DataFrame, stub_ok: bool = False) -> DataFrame:
     within a few bits of their original.  Arrow-batched; per-image codec
     work is inherent.
     """
-    g = AHASH_GRID
-    weights = np.uint64(1) << np.arange(g * g, dtype=np.uint64)
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hashes = np.zeros(len(pdf), dtype=np.uint64)
             for idxs, stack in _decoded_stacks(pdf, stub_ok):
                 gray = stack.astype(np.float64).mean(axis=3)  # (n, h, w)
-                n, h, w = gray.shape
-                by = np.arange(h) * g // h
-                bx = np.arange(w) * g // w
-                bid = (by[:, None] * g + bx[None, :]).ravel()
-                onehot = np.equal(bid[:, None],
-                                  np.arange(g * g)[None, :]).astype(np.float64)
-                sums = gray.reshape(n, -1) @ onehot           # (n, g*g)
-                blocks = sums / np.maximum(onehot.sum(axis=0), 1)
-                bits = (blocks > gray.mean(axis=(1, 2))[:, None]) \
-                    .astype(np.uint64)
-                hashes[idxs] = (bits * weights).sum(axis=1, dtype=np.uint64)
+                hashes[idxs] = _ahash_gray_stack(gray)
             # uint64 accumulate, reinterpret as int64 (bit 63 = sign)
             yield pd.DataFrame({"image_id": pdf["image_id"],
                                 "ahash": hashes.view(np.int64)})
 
     return images.mapInPandas(run, schema="image_id string, ahash long")
+
+
+def _ahash_gray_stack(gray: np.ndarray) -> np.ndarray:
+    """(n, h, w) float grayscale → (n,) uint64 average-hash — the exact
+    block math of :func:`image_ahash`, shared with the video
+    fingerprint (bit i set iff 8×8-block i's mean > the image mean)."""
+    g = AHASH_GRID
+    weights = np.uint64(1) << np.arange(g * g, dtype=np.uint64)
+    n, h, w = gray.shape
+    by = np.arange(h) * g // h
+    bx = np.arange(w) * g // w
+    bid = (by[:, None] * g + bx[None, :]).ravel()
+    onehot = np.equal(bid[:, None],
+                      np.arange(g * g)[None, :]).astype(np.float64)
+    sums = gray.reshape(n, -1) @ onehot           # (n, g*g)
+    blocks = sums / np.maximum(onehot.sum(axis=0), 1)
+    bits = (blocks > gray.mean(axis=(1, 2))[:, None]).astype(np.uint64)
+    return (bits * weights).sum(axis=1, dtype=np.uint64)
+
+
+def video_fingerprint(videos: DataFrame, every_n: int = 2,
+                      stub_ok: bool = False) -> DataFrame:
+    """Perceptual video fingerprint: ahash of the MEAN of the sampled
+    decoded frames → (video_id, vhash).  Sampling goes through the
+    MJPEG-AVI chunk walk (skipped frames never decode — the frame_sample
+    economics), the mean image washes out per-frame codec noise, and
+    the hash is the shared :func:`_ahash_gray_stack` block math, so
+    re-encoded / lightly perturbed copies land within a bit or two
+    (measured: planted re-encodes ≤ 1 bit, unrelated videos ≥ 21 bits)
+    while the signature stays a 64-bit equi-joinable key.  Same-shape
+    mean images batch into one numpy pass."""
+    from ..sources.video_codec import sample_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = np.zeros(len(pdf), dtype=np.uint64)
+            by_shape: dict[tuple[int, int], tuple[list, list]] = {}
+            for i, row in enumerate(pdf.itertuples(index=False)):
+                data = bytes(row.bytes) if row.bytes is not None else b""
+                if data[:4] == b"RIFF":
+                    frames = [px for _, px in sample_frames(data, every_n)]
+                elif stub_ok:
+                    frames = [pixels_from_phash(int(row.phash) + fi,
+                                                int(row.w), int(row.h))
+                              for fi in range(0, int(row.n_frames),
+                                              every_n)]
+                else:
+                    raise NotImplementedError(
+                        "no codec for this video payload "
+                        "(only MJPEG-AVI is supported in-sandbox)")
+                mean = np.stack(frames).astype(np.float64).mean(axis=0)
+                idxs, means = by_shape.setdefault(mean.shape[:2], ([], []))
+                idxs.append(i)
+                means.append(mean.mean(axis=2))   # grayscale
+            for (h, w), (idxs, means) in by_shape.items():
+                hashes[np.asarray(idxs)] = _ahash_gray_stack(np.stack(means))
+            yield pd.DataFrame({"video_id": pdf["video_id"],
+                                "vhash": hashes.view(np.int64)})
+
+    return videos.mapInPandas(run, schema="video_id string, vhash long")
+
+
+def video_neardup_pairs(videos: DataFrame, max_hamming: int = 3,
+                        every_n: int = 2,
+                        stub_ok: bool = False) -> DataFrame:
+    """Near-duplicate video pairs: :func:`video_fingerprint` signatures
+    through the shared banded spanning-edge-set engine (same recall
+    guarantee as image/audio near-dup: pigeonhole-complete to
+    ``HASH_BANDS - 1`` differing bits).  Returns (video_a, video_b,
+    hamming)."""
+    sig = video_fingerprint(videos, every_n=every_n, stub_ok=stub_ok)
+    return banded_hash_pairs(sig, "video_id", "vhash",
+                             "video_a", "video_b",
+                             max_hamming=max_hamming)
 
 
 HASH_BANDS = 4          # 4 x 16-bit bands for the LSH candidate join

@@ -1255,6 +1255,74 @@ def video_frame_sample_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("n_bad"))
 
 
+VDUP_N, VDUP_PLANTED, VDUP_MAX_HAMMING = 200, 30, 3
+
+
+def _ensure_vdup_table(spark: SparkSession) -> str:
+    """Gate corpus: VDUP_N deterministic MJPEG-AVI videos + VDUP_PLANTED
+    near-dup copies re-encoded from the perturbed SOURCE frames (one
+    pixel channel bumped per frame; ids 'dup-<original id>') — real
+    container + codec work on both sides of every planted pair."""
+    import numpy as np
+    import pandas as pd
+
+    from .sources.images import (CORPUS_TAG, JPEG_QUALITY, VIDEOS_SCHEMA,
+                                 generate_videos_batch, pixels_from_phash)
+    from .sources.video_codec import encode_avi_mjpeg
+
+    path = os.path.join(_CACHE_ROOT, f"gate_vdup_n{VDUP_N}_{CORPUS_TAG}")
+    marker = os.path.join(path, "_SUCCESS_GATE")
+    if os.path.exists(marker):
+        return path
+    pdf = generate_videos_batch(0, VDUP_N)
+    step = max(1, len(pdf) // VDUP_PLANTED)
+    origs = pdf.iloc[::step][:VDUP_PLANTED]
+    assert len(origs) == VDUP_PLANTED
+    rows = []
+    for r in origs.itertuples(index=False):
+        frames = []
+        for fi in range(int(r.n_frames)):
+            px = pixels_from_phash(int(r.phash) + fi, int(r.w), int(r.h))
+            px[0, 0, 0] = np.uint8((int(px[0, 0, 0]) + 8) % 256)
+            frames.append(px)
+        rows.append((f"dup-{r.video_id}",
+                     encode_avi_mjpeg(frames, quality=JPEG_QUALITY),
+                     int(r.n_frames), int(r.w), int(r.h), r.fmt,
+                     int(r.phash)))
+    full = pd.concat([pdf, pd.DataFrame(rows, columns=list(pdf.columns))],
+                     ignore_index=True)
+    spark.createDataFrame(full, schema=VIDEOS_SCHEMA) \
+        .repartition(8).write.mode("overwrite").parquet(path)
+    with open(marker, "w") as f:
+        f.write(str(len(full)))
+    return path
+
+
+def video_neardup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup: mean-of-sampled-frames ahash (chunk-walk
+    sampling, shared ahash block math) through the banded
+    spanning-edge engine.  Contract: every planted re-encoded copy
+    pairs with its original (measured ≤ 1 bit apart vs ≥ 21 bits for
+    unrelated videos), and no unplanted pair appears."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import video_neardup_pairs
+
+    path = _ensure_vdup_table(spark)
+    pairs = video_neardup_pairs(spark.read.parquet(path),
+                                max_hamming=VDUP_MAX_HAMMING)
+    planted = (F.col("video_b") == F.concat(F.lit("dup-"), F.col("video_a"))) | \
+              (F.col("video_a") == F.concat(F.lit("dup-"), F.col("video_b")))
+    return pairs.agg(
+        F.sum(F.when(planted, 1).otherwise(0)).alias("n_planted_found"),
+        F.sum(F.when(~planted, 1).otherwise(0)).alias("n_unexpected"))
+
+
+def q_video_neardup_oracle(dialect: str) -> str:
+    return (f"SELECT CAST({VDUP_PLANTED} AS BIGINT) AS n_planted_found, "
+            f"CAST(0 AS BIGINT) AS n_unexpected")
+
+
 def q_video_frame_sample_oracle(dialect: str) -> str:
     # the generator's n_frames law is deterministic (splitmix64 of the
     # row index), so the expected sampled-frame total is computable here
@@ -2182,6 +2250,8 @@ def build_registry():
     oracles["zonal_image_stats"] = q_zonal_image_stats_oracle(DUCK)
     queries["video_frame_sample"] = video_frame_sample_spark
     oracles["video_frame_sample"] = q_video_frame_sample_oracle(DUCK)
+    queries["video_neardup"] = video_neardup_spark
+    oracles["video_neardup"] = q_video_neardup_oracle(DUCK)
     queries["audio_invariants"] = audio_invariants_spark
     oracles["audio_invariants"] = q_audio_invariants_oracle(DUCK)
     queries["audio_neardup"] = audio_neardup_spark

@@ -436,3 +436,47 @@ def test_image_quality_stats_analytic_and_reference(spark):
             (n_pix, sl, sl2, n_int, slap, slap2), name
     assert got["const"]["sum_lap2"] == 0
     assert got["const"]["sum_luma"] == 5 * 4 * 7000
+
+
+def test_video_fingerprint_neardup_and_strict(spark):
+    import pandas as pd
+
+    from go_shapefile_spark.operators.multimodal import (
+        video_fingerprint, video_neardup_pairs)
+    from go_shapefile_spark.sources.images import (
+        JPEG_QUALITY, pixels_from_phash, splitmix64)
+    from go_shapefile_spark.sources.video_codec import encode_avi_mjpeg
+
+    rows = []
+    for i in range(6):
+        ph = int(splitmix64(np.array([i], np.int64)).view(np.int64)[0])
+        frames = [pixels_from_phash(ph + fi, 16, 16) for fi in range(8)]
+        rows.append((f"vid-{i}", encode_avi_mjpeg(frames, JPEG_QUALITY),
+                     8, 16, 16, "avi-mjpeg", ph))
+        if i < 2:  # perturbed re-encode of the source frames
+            pf = []
+            for f in frames:
+                f2 = f.copy()
+                f2[0, 0, 0] = np.uint8((int(f2[0, 0, 0]) + 8) % 256)
+                pf.append(f2)
+            rows.append((f"dup-vid-{i}",
+                         encode_avi_mjpeg(pf, JPEG_QUALITY),
+                         8, 16, 16, "avi-mjpeg", ph))
+    pdf = pd.DataFrame(rows, columns=["video_id", "bytes", "n_frames",
+                                      "w", "h", "fmt", "phash"])
+    schema = ("video_id string, bytes binary, n_frames int, w int, "
+              "h int, fmt string, phash long")
+    sdf = spark.createDataFrame(pdf, schema=schema)
+    pairs = {(r["video_a"], r["video_b"]): r["hamming"]
+             for r in video_neardup_pairs(sdf).collect()}
+    found = {tuple(sorted(k)) for k in pairs}
+    assert found == {("dup-vid-0", "vid-0"), ("dup-vid-1", "vid-1")}
+    assert all(h <= 3 for h in pairs.values())
+
+    # strict mode rejects a non-AVI payload; stub path accepts it
+    bad = spark.createDataFrame(
+        pd.DataFrame([("x", b"notavi", 4, 16, 16, "mp4", 7)],
+                     columns=pdf.columns), schema=schema)
+    with pytest.raises(Exception, match="no codec"):
+        video_fingerprint(bad).collect()
+    assert len(video_fingerprint(bad, stub_ok=True).collect()) == 1
