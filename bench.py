@@ -207,7 +207,12 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              "zorder_range_query", "dissolve_tiles",
              # r5 third wave: temporal + sketch-set + OLAP relational
              "gap_fill_events", "od_matrix", "rolling_user_stats",
-             "kmv_overlap", "cube_rollup_events"]
+             "kmv_overlap", "cube_rollup_events",
+             # r5 fourth wave: trajectory dwell, spatial statistics
+             # (neighbor equi-joins over the grid-bounded relation),
+             # geohash rollup, and the image-quality strict-decode scan
+             "stay_points", "spatial_autocorr", "getis_ord_hotspots",
+             "geohash_rollup", "image_quality", "video_neardup"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

@@ -521,6 +521,44 @@ def main() -> None:
     sections.append(("Z-order range query (interval cover + residual "
                      "predicate)", checks, formatted(zq)))
 
+    # spatial statistics: the queen-contiguity neighbor relation must
+    # plan as a hash equi-join on the offset cell key (never a distance
+    # cartesian), and the whole statistic stays JVM-side
+    for gate, title in (("spatial_autocorr",
+                         "Moran/Geary spatial autocorrelation "
+                         "(queen-contiguity equi-join)"),
+                        ("getis_ord_hotspots",
+                         "Getis-Ord Gi* hot spots (grid-bounded "
+                         "top-k)")):
+        g = entry.queries()[gate](spark, sf_dir)
+        plan = audit.executed_plan(g)
+        checks = [
+            ("neighbor lookup is a hash equi-join",
+             "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+             or "SortMergeJoin" in plan),
+            ("no CartesianProduct", "CartesianProduct" not in plan),
+        ]
+        try:
+            audit.assert_no_python_udf(g)
+            checks.append(("no Python nodes", True))
+        except AssertionError:
+            checks.append(("no Python nodes", False))
+        sections.append((title, checks, formatted(g)))
+
+    # geohash rollup: one projection computes the interleave, the
+    # rollup is a plain hash aggregate, all JVM
+    gh = entry.queries()["geohash_rollup"](spark, sf_dir)
+    plan = audit.executed_plan(gh)
+    checks = [("hash aggregate", "HashAggregate" in plan),
+              ("no joins at all", "Join" not in plan)]
+    try:
+        audit.assert_no_python_udf(gh)
+        checks.append(("no Python nodes", True))
+    except AssertionError:
+        checks.append(("no Python nodes", False))
+    sections.append(("Geohash rollup (single-projection interleave)",
+                     checks, formatted(gh)))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the engine's hot paths\n\n")
         f.write("Generated by `python tools/explain_audit.py`.\n\n")
