@@ -135,6 +135,17 @@ def arr_gram(arr_expr: str, pos_expr: str, n: int, dialect: str) -> str:
             f"{pos_expr} + {n - 1}), ' ')")
 
 
+def arr_slice_join(arr_expr: str, pos_expr: str, len_expr: str,
+                   dialect: str) -> str:
+    """Space-joined slice of a token array at 1-based ``pos`` with
+    DYNAMIC length (the n-ary cousin of :func:`arr_gram`); a length of
+    0 yields '' in both engines."""
+    if dialect == SPARK:
+        return f"array_join(slice({arr_expr}, {pos_expr}, {len_expr}), ' ')"
+    return (f"array_to_string(list_slice({arr_expr}, {pos_expr}, "
+            f"({pos_expr}) + ({len_expr}) - 1), ' ')")
+
+
 def regexp_replace_all(text_expr: str, pattern: str, replacement: str,
                        dialect: str) -> str:
     """Replace EVERY match: Spark's regexp_replace is global by default,

@@ -831,3 +831,56 @@ JOIN sc_norms nb ON d.doc_b = nb.doc_id
 WHERE CAST(d.dot AS DOUBLE)
         / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= {tau}
 """
+
+
+def chunk_documents_sql(dialect: str, rel: str = "documents",
+                        size: int = 128, overlap: int = 32) -> str:
+    """RAG-style document chunking: fixed ``size``-token windows with
+    ``overlap`` tokens of context carried between consecutive chunks —
+    the retrieval-pipeline splitter every embedding index is built on.
+
+    Pure relational: tokenize once, compute the chunk count per doc
+    (ceil((n - size)/stride) + 1, stride = size - overlap), explode the
+    chunk grid, and slice the token array per chunk.  The fan-out is
+    ≤ n/stride + 1 rows per document and the chunk text is reduced to
+    a 60-bit hash on the spot, so the explode never carries document
+    text (the winnowing-chunked discipline).  Per-doc fan-out is
+    embarrassingly parallel — no joins, no windows, one shuffle only if
+    a downstream aggregate asks for one.
+
+    Invariants (tested vs an independent python chunker): every token
+    index is covered; consecutive chunks share exactly ``overlap``
+    tokens (except a shorter final chunk); chunk 0 starts at token 0;
+    a doc with ≤ size tokens yields exactly one chunk.
+
+    Columns: doc_id, chunk_id (0-based), tok_start (0-based), n_tok,
+    chunk_hash.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap}/{size}")
+    stride = size - overlap
+    tok = H.tokens_arr("text", dialect)
+    nc_tail = H.idiv(f"n - {size} + {stride - 1}", str(stride), dialect)
+    grid = H.seq_range("CAST(0 AS BIGINT)", "nc - 1", dialect)
+    piece = H.arr_slice_join(
+        "tok", f"ci * {stride} + 1", "LEAST(CAST(%d AS BIGINT), "
+        "n - ci * %d)" % (size, stride), dialect)
+    return f"""
+WITH ch_toks AS (
+  SELECT doc_id, {tok} AS tok FROM {rel}),
+ch_meta AS (
+  SELECT doc_id, tok, CAST({H.array_len('tok', dialect)} AS BIGINT) AS n
+  FROM ch_toks),
+ch_nc AS (
+  SELECT doc_id, tok, n,
+         CASE WHEN n <= {size} THEN CAST(1 AS BIGINT)
+              ELSE {nc_tail} + 1 END AS nc
+  FROM ch_meta),
+ch_grid AS (
+  SELECT doc_id, tok, n, {grid} AS ci FROM ch_nc)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+       CAST(ci * {stride} AS BIGINT) AS tok_start,
+       CAST(LEAST(CAST({size} AS BIGINT), n - ci * {stride}) AS BIGINT)
+         AS n_tok,
+       {H.h60(piece, dialect)} AS chunk_hash
+FROM ch_grid"""

@@ -2181,6 +2181,10 @@ def build_registry():
         "pack_sequences": lambda d: TX.pack_sequences_sql(d),
         # PII detect + redact (planted spans; global-replace seam)
         "pii_redact": lambda d: TX.pii_redact_sql(d),
+        # RAG chunking: fixed windows + overlap, hash-reduced slices
+        # (text never rides the explode)
+        "chunk_documents": lambda d: TX.chunk_documents_sql(
+            d, size=64, overlap=16),
         "cosine_topk": lambda d: SIM.cosine_topk_sql(d),
         "embedding_neardup": lambda d: SIM.embedding_neardup_sql(d, threshold=0.25),
         "embedding_neardup_bucketed":

@@ -364,3 +364,50 @@ def test_sparse_cosine_matches_numpy_reference(spark):
                   min_cosine=0.0).lstrip()).collect()}
     assert (0, 1) in pruned and (2, 3) in pruned
     assert not any(5 in p or (0, 4) == p for p in pruned)
+
+
+def test_chunk_documents_matches_python_chunker(spark):
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    from go_shapefile_spark.functions import hashes as H
+    from go_shapefile_spark.operators.text import chunk_documents_sql
+
+    size, overlap, stride = 10, 3, 7
+    docs = {
+        1: "one two three",                          # < size: one chunk
+        2: " ".join(f"w{i}" for i in range(10)),     # == size
+        3: " ".join(f"w{i}" for i in range(11)),     # size + 1
+        4: " ".join(f"w{i}" for i in range(25)),     # several chunks
+        5: "Sol! Sol, SOL?  x",                      # normalization
+    }
+
+    def chunker(text):
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        n = len(toks)
+        nc = 1 if n <= size else -((n - size) // -stride) + 1
+        out = []
+        for ci in range(nc):
+            piece = toks[ci * stride: ci * stride + size]
+            h = int(hashlib.md5(" ".join(piece).encode())
+                    .hexdigest()[:15], 16)
+            out.append((ci, ci * stride, len(piece), h))
+        return out
+
+    expected = {(d, *row) for d, t in docs.items() for row in chunker(t)}
+    pdf = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    spark.createDataFrame(pdf).createOrReplaceTempView("chunk_test_docs")
+    got = {(r.doc_id, r.chunk_id, r.tok_start, r.n_tok, r.chunk_hash)
+           for r in spark.sql(chunk_documents_sql(
+               H.SPARK, rel="chunk_test_docs",
+               size=size, overlap=overlap)).collect()}
+    assert got == expected
+    # coverage + overlap invariants on the multi-chunk doc
+    rows = sorted((r for r in got if r[0] == 4), key=lambda r: r[1])
+    assert rows[0][2] == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b[2] == a[2] + stride          # stride advance
+        assert a[2] + a[3] >= b[2] + overlap or a[3] < size
+    assert rows[-1][2] + rows[-1][3] == 25    # last token covered
