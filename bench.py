@@ -212,7 +212,12 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              # (neighbor equi-joins over the grid-bounded relation),
              # geohash rollup, and the image-quality strict-decode scan
              "stay_points", "spatial_autocorr", "getis_ord_hotspots",
-             "geohash_rollup", "image_quality", "video_neardup"]
+             "geohash_rollup", "image_quality", "video_neardup",
+             # r5 fifth wave: raster map algebra (separable blur vs
+             # direct splat, marching-squares contours, Horn slope)
+             # and grid-pruned trajectory Hausdorff
+             "focal_blur", "contour_segments", "slope_aspect",
+             "trajectory_hausdorff"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

@@ -3163,4 +3163,124 @@ GROUP BY {C.cell_sql('lon', 'lat', 3)}
     queries["render_heatmap_tiles"] = render_heatmap_tiles_gate
     oracles["render_heatmap_tiles"] = q_render_tiles_oracle()
 
+    # ---- raster map-algebra family (operators/raster.py) ----
+    # Focal convolution, iso-contours, slope/aspect over the sparse
+    # pixel relation.  The blur gate is the separability proof: Spark
+    # runs the two-pass separable form (2 shuffles, O(2k) kernel rows),
+    # the DuckDB oracle the direct 25-way splat — exact-integer equal.
+    from .operators import raster as RA
+
+    def q_blur(dialect: str, form: str) -> str:
+        return (f"WITH {geotagged_events_cte(dialect)},"
+                f"{RA.pixel_grid_cte()},"
+                f"{RA.blur5_body(form)}")
+
+    def focal_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(q_blur(H.SPARK, "separable"))
+    queries["focal_blur"] = focal_blur
+    oracles["focal_blur"] = q_blur(H.DUCK, "direct")
+
+    # iso-contour extraction: marching squares at threshold tau over
+    # the blurred density surface (the "draw the density isolines"
+    # viz primitive).  Both engines chain blur->contours; Spark again
+    # takes the separable blur, the oracle the direct form.
+    CONTOUR_TAU = 64
+
+    def q_contours(dialect: str, form: str) -> str:
+        return (f"WITH {geotagged_events_cte(dialect)},"
+                f"{RA.pixel_grid_cte()},"
+                f"{RA.blur5_body(form, out='rblur')},"
+                f"{RA.marching_squares_body(CONTOUR_TAU, grid='rblur')}")
+
+    def contour_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(q_contours(H.SPARK, "separable"))
+    queries["contour_segments"] = contour_segments
+    oracles["contour_segments"] = q_contours(H.DUCK, "direct")
+
+    # slope/aspect (Horn stencil) over the same smoothed surface —
+    # the DEM terrain classification, splat-transposed to one shuffle;
+    # all-integer gradient numerators, octant + magnitude-class rollup.
+    def q_slope(dialect: str, form: str) -> str:
+        return (f"WITH {geotagged_events_cte(dialect)},"
+                f"{RA.pixel_grid_cte()},"
+                f"{RA.blur5_body(form, out='rblur')},"
+                f"{RA.slope_aspect_body(grid='rblur')}")
+
+    def slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(q_slope(H.SPARK, "separable"))
+    queries["slope_aspect"] = slope_aspect
+    oracles["slope_aspect"] = q_slope(H.DUCK, "direct")
+
+    # trajectory similarity: symmetric Hausdorff distance between
+    # per-user tracks.  Tracks are synthesized deterministically from
+    # the md5 seam (per-user anchor ± per-event jitter, so users DO
+    # cluster); candidate pairs are users anchored in the same 16-deg
+    # cell (the spatial-prune contract — pair count scales with local
+    # density^2, not users^2); per-pair work is capped at 32 points a
+    # side.  d2 is per-row double arithmetic and the aggregation is
+    # MIN/MAX only — order-independent, dual-engine stable (the float
+    # SUM rule from BENCH.md does not bite).  The 2-row dir table
+    # computes BOTH directed Hausdorff halves from one pass over the
+    # point-pair relation; symmetric H = MAX over both.
+    def q_traj_hausdorff(dialect: str) -> str:
+        def hmod(expr: str, salt: str, mod: int) -> str:
+            s = (f"CAST({expr} AS STRING) || '_{salt}'" if dialect == H.SPARK
+                 else f"CAST({expr} AS VARCHAR) || '_{salt}'")
+            return f"({H.h32(s, dialect)} % {mod})"
+
+        def dbl(e: str) -> str:
+            return f"CAST({e} AS DOUBLE) / CAST(10000.0 AS DOUBLE)"
+
+        alon = (f"({dbl(hmod('user_id', 'alon', 3200000))}"
+                f" - CAST(160.0 AS DOUBLE))")
+        alat = (f"({dbl(hmod('user_id', 'alat', 1600000))}"
+                f" - CAST(80.0 AS DOUBLE))")
+        jlon = (f"({dbl(hmod('event_id', 'jlon', 20000))}"
+                f" - CAST(1.0 AS DOUBLE))")
+        jlat = (f"({dbl(hmod('event_id', 'jlat', 20000))}"
+                f" - CAST(1.0 AS DOUBLE))")
+        return f"""
+WITH tr0 AS (
+  SELECT user_id AS u,
+         {alon} + {jlon} AS lon,
+         {alat} + {jlat} AS lat,
+         {alon} AS alon, {alat} AS alat,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events),
+tr AS (SELECT * FROM tr0 WHERE rn <= 32),
+anch AS (
+  SELECT u,
+         CAST(FLOOR(MIN(alon) / CAST(16.0 AS DOUBLE)) AS BIGINT) AS cx,
+         CAST(FLOOR(MIN(alat) / CAST(16.0 AS DOUBLE)) AS BIGINT) AS cy
+  FROM tr GROUP BY u),
+cand AS (
+  SELECT a.u AS u, b.u AS v
+  FROM anch a JOIN anch b ON a.cx = b.cx AND a.cy = b.cy AND a.u < b.u),
+pp AS (
+  SELECT c.u, c.v, p.rn AS arn, q.rn AS brn,
+         (p.lon - q.lon) * (p.lon - q.lon)
+         + (p.lat - q.lat) * (p.lat - q.lat) AS d2
+  FROM cand c
+  JOIN tr p ON p.u = c.u
+  JOIN tr q ON q.u = c.v),
+dd AS (
+  SELECT u, v, d.dir,
+         CASE WHEN d.dir = 0 THEN arn ELSE brn END AS idx,
+         MIN(d2) AS md
+  FROM pp CROSS JOIN (VALUES (0), (1)) AS d(dir)
+  GROUP BY u, v, d.dir, CASE WHEN d.dir = 0 THEN arn ELSE brn END)
+SELECT u, v, MAX(md) AS hausdorff_sq
+FROM dd GROUP BY u, v
+"""
+
+    def trajectory_hausdorff(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(q_traj_hausdorff(H.SPARK))
+    queries["trajectory_hausdorff"] = trajectory_hausdorff
+    oracles["trajectory_hausdorff"] = q_traj_hausdorff(H.DUCK)
+
     return queries, oracles

@@ -1,0 +1,200 @@
+"""Raster map-algebra operators (operators/raster.py): separable blur,
+marching-squares contours, Horn slope/aspect, trajectory Hausdorff.
+
+Independent references: numpy convolution for the blur, hand-derived
+marching-squares fixtures, an analytic plane for the Horn stencil, and
+a hashlib/numpy brute-force twin for the Hausdorff gate.
+"""
+
+import hashlib
+import os
+
+import duckdb
+import numpy as np
+import pytest
+
+from go_shapefile_spark.operators import raster as RA
+
+
+def _grid_sql(cells):
+    rows = ",".join(f"({x},{y},{v})" for x, y, v in cells)
+    return f"rgrid AS (SELECT * FROM (VALUES {rows}) AS t(x, y, v))"
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    try:
+        return con.sql(sql).df()
+    finally:
+        con.close()
+
+
+# ---------------------------------------------------------------- blur
+
+def test_blur_separable_equals_direct_and_numpy():
+    rng = np.random.default_rng(7)
+    xs = rng.integers(-3, 9, 60)
+    ys = rng.integers(-4, 6, 60)
+    vs = rng.integers(1, 50, 60)
+    seen = {}
+    for x, y, v in zip(xs, ys, vs):
+        seen[(int(x), int(y))] = seen.get((int(x), int(y)), 0) + int(v)
+    cells = [(x, y, v) for (x, y), v in seen.items()]
+
+    out = {}
+    for form in ("separable", "direct"):
+        df = _duck(f"WITH {_grid_sql(cells)},{RA.blur5_body(form)}")
+        out[form] = {(r.x, r.y): r.v for r in df.itertuples()}
+    assert out["separable"] == out["direct"]
+
+    # numpy dense twin
+    k = np.outer([1, 4, 6, 4, 1], [1, 4, 6, 4, 1])
+    x0, x1 = min(x for x, _, _ in cells), max(x for x, _, _ in cells)
+    y0, y1 = min(y for _, y, _ in cells), max(y for _, y, _ in cells)
+    dense = np.zeros((x1 - x0 + 5, y1 - y0 + 5), dtype=np.int64)
+    for x, y, v in cells:
+        dense[x - x0 + 2 - 2:x - x0 + 2 + 3,
+              y - y0 + 2 - 2:y - y0 + 2 + 3] += k * v
+    ref = {(x + x0 - 2, y + y0 - 2): int(val)
+           for (x, y), val in np.ndenumerate(dense) if val}
+    assert out["direct"] == ref
+
+    # mass conservation: kernel sums to 256
+    assert sum(out["direct"].values()) == 256 * sum(v for _, _, v in cells)
+
+
+# ---------------------------------------- marching squares fixtures
+
+def _contours(cells, tau):
+    df = _duck(f"WITH {_grid_sql(cells)},"
+               f"{RA.marching_squares_body(tau)}")
+    return {tuple(r) for r in df.to_numpy().tolist()}
+
+
+def _norm(segs):
+    return {(min(p, q), max(p, q))
+            for p, q in (((a, b), (c, d)) for a, b, c, d in segs)}
+
+
+def test_marching_squares_single_pixel_diamond():
+    segs = _contours([(5, 7, 9)], tau=5)
+    # one hot pixel at (5,7): 4 blocks, each contributing one segment;
+    # doubled coords of the surrounding diamond through the 4 edge mids
+    assert _norm(segs) == {
+        ((10, 15), (11, 14)), ((9, 14), (10, 15)),
+        ((9, 14), (10, 13)), ((10, 13), (11, 14))}
+    # closed loop: every vertex has even degree
+    deg = {}
+    for x0, y0, x1, y1 in segs:
+        deg[(x0, y0)] = deg.get((x0, y0), 0) + 1
+        deg[(x1, y1)] = deg.get((x1, y1), 0) + 1
+    assert all(d == 2 for d in deg.values())
+
+
+def test_marching_squares_pair_and_saddle():
+    # two horizontally adjacent hot pixels -> a 6-segment ring
+    segs = _contours([(0, 0, 9), (1, 0, 9)], tau=5)
+    assert len(segs) == 6
+    # diagonal pair -> saddle cases 5/10 fire: 2 four-way blocks emit
+    # two segments each; total = 4 (outer corners) + 4 (two saddles)
+    segs = _contours([(0, 0, 9), (1, 1, 9)], tau=5)
+    assert len(segs) == 8
+    deg = {}
+    for x0, y0, x1, y1 in segs:
+        for p in ((x0, y0), (x1, y1)):
+            deg[p] = deg.get(p, 0) + 1
+    assert all(d % 2 == 0 for d in deg.values())
+
+
+def test_marching_squares_even_degree_random():
+    rng = np.random.default_rng(11)
+    seen = {}
+    for x, y, v in zip(rng.integers(0, 12, 80), rng.integers(0, 12, 80),
+                       rng.integers(1, 10, 80)):
+        seen[(int(x), int(y))] = seen.get((int(x), int(y)), 0) + int(v)
+    segs = _contours([(x, y, v) for (x, y), v in seen.items()], tau=8)
+    deg = {}
+    for x0, y0, x1, y1 in segs:
+        for p in ((x0, y0), (x1, y1)):
+            deg[p] = deg.get(p, 0) + 1
+    assert segs and all(d % 2 == 0 for d in deg.values())
+
+
+# ------------------------------------------------- Horn slope/aspect
+
+def test_slope_aspect_analytic_plane():
+    # z = 10*x over a 7x7 patch: interior Horn dzdx = 8*10, dzdy = 0
+    cells = [(x, y, 10 * (x + 1)) for x in range(7) for y in range(7)]
+    df = _duck(f"WITH {_grid_sql(cells)},{RA.slope_aspect_body()}")
+    rows = {(r.aspect_bin, r.slope_class): r.n_pixels
+            for r in df.itertuples()}
+    # 5x5 interior pixels: gx = 8*10 = 80 -> aspect octant 0 (+x),
+    # class 4 (64 <= 80 < 256).  The x=0 edge column sees zeros to the
+    # west (sparse convention), which for THIS plane gives the same
+    # gx=80 -> 25 interior + 5 left-edge = 30.
+    assert rows[(0, 4)] == 30
+    assert sum(rows.values()) == 49  # every raster pixel classified
+
+
+def test_aspect_octants_cover_all_directions():
+    # plant one gradient per octant via a tiny two-pixel dipole is
+    # awkward; instead evaluate the classifier CASE directly on a
+    # synthetic hgrad via the full body over rotated planes
+    for (dx, dy), want in [((1, 0), 0), ((1, 1), 0), ((0, 1), 1),
+                           ((-1, 1), 2), ((-1, 0), 3), ((-1, -1), 4),
+                           ((0, -1), 5), ((1, -2), 6), ((2, -1), 7)]:
+        cells = [(x, y, 100 + 10 * (dx * x + dy * y))
+                 for x in range(7) for y in range(7)]
+        df = _duck(f"WITH {_grid_sql(cells)},{RA.slope_aspect_body()}")
+        interior = df.loc[df.n_pixels >= 25]
+        assert len(interior) == 1, (dx, dy, df)
+        assert interior.aspect_bin.iloc[0] == want, (dx, dy, df)
+
+
+# -------------------------------------------- trajectory Hausdorff
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_trajectory_hausdorff_matches_bruteforce(sf_dir):
+    from go_shapefile_spark.functions import hashes as H
+    from go_shapefile_spark.queries import build_registry
+
+    _, oracles = build_registry()
+    con = duckdb.connect()
+    ev = os.path.join(sf_dir, "events.parquet")
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{ev}'")
+    got = {(int(r.u), int(r.v)): float(r.hausdorff_sq)
+           for r in con.sql(oracles["trajectory_hausdorff"]).df()
+           .itertuples()}
+
+    raw = con.sql(
+        f"SELECT user_id, event_id FROM '{ev}' ORDER BY event_id").df()
+    tracks, anchors = {}, {}
+    for uid, eid in zip(raw.user_id, raw.event_id):
+        uid, eid = int(uid), int(eid)
+        if len(tracks.get(uid, ())) >= 32:
+            continue
+        alon = float(_h32(f"{uid}_alon") % 3200000) / 10000.0 - 160.0
+        alat = float(_h32(f"{uid}_alat") % 1600000) / 10000.0 - 80.0
+        lon = alon + float(_h32(f"{eid}_jlon") % 20000) / 10000.0 - 1.0
+        lat = alat + float(_h32(f"{eid}_jlat") % 20000) / 10000.0 - 1.0
+        tracks.setdefault(uid, []).append((lon, lat))
+        anchors[uid] = (int(np.floor(alon / 16.0)),
+                        int(np.floor(alat / 16.0)))
+
+    want = {}
+    users = sorted(tracks)
+    for i, u in enumerate(users):
+        for v in users[i + 1:]:
+            if anchors[u] != anchors[v]:
+                continue
+            a = np.asarray(tracks[u])
+            b = np.asarray(tracks[v])
+            d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2)
+            want[(u, v)] = max(d2.min(axis=1).max(), d2.min(axis=0).max())
+
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), k
