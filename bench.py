@@ -217,7 +217,9 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              # direct splat, marching-squares contours, Horn slope)
              # and grid-pruned trajectory Hausdorff
              "focal_blur", "contour_segments", "slope_aspect",
-             "trajectory_hausdorff"]
+             "trajectory_hausdorff",
+             # r5: DCT pHash near-dup through multi-probe banding
+             "image_phash_neardup"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

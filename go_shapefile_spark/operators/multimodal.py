@@ -638,6 +638,84 @@ def _ahash_gray_stack(gray: np.ndarray) -> np.ndarray:
     return (bits * weights).sum(axis=1, dtype=np.uint64)
 
 
+PHASH_DIM = 16   # resize target before the DCT
+PHASH_LOW = 8    # low-frequency block kept (8x8 - DC = 63 bits used)
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (same transform family as the
+    JPEG codec's, at size ``n``)."""
+    k = np.arange(n, dtype=np.float64)
+    d = np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+    d *= np.sqrt(2.0 / n)
+    d[0] *= np.sqrt(0.5)
+    return d
+
+
+_DCT_P = _dct_matrix(PHASH_DIM)
+
+
+def _phash_gray_stack(gray: np.ndarray) -> np.ndarray:
+    """(n, PHASH_DIM, PHASH_DIM) float grayscale → (n,) uint64 DCT
+    perceptual hash: 2-D orthonormal DCT, keep the PHASH_LOW² low-
+    frequency block, bit i set iff coefficient i exceeds the MEDIAN of
+    the non-DC coefficients; the DC bit is forced 0 (it only carries
+    brightness).  Median thresholding makes the hash invariant to
+    global brightness shifts (only DC moves) and to positive contrast
+    scaling (all coefficients and their median scale together) — the
+    two nuisances the block-mean ahash is also blind to — while the
+    low-frequency restriction adds what ahash lacks: stability under
+    resampling/rescaling (high frequencies die in the resize, low ones
+    survive).
+    """
+    f = np.einsum("ij,njk,lk->nil", _DCT_P, gray, _DCT_P)
+    low = f[:, :PHASH_LOW, :PHASH_LOW].reshape(len(gray), -1)
+    med = np.median(low[:, 1:], axis=1)
+    bits = (low > med[:, None]).astype(np.uint64)
+    bits[:, 0] = 0
+    weights = np.uint64(1) << np.arange(low.shape[1], dtype=np.uint64)
+    return (bits * weights).sum(axis=1, dtype=np.uint64)
+
+
+def image_phash_dct(images: DataFrame, stub_ok: bool = False) -> DataFrame:
+    """DCT perceptual hash (pHash) over DECODED pixels: grayscale →
+    bilinear resize to PHASH_DIM² (any input size) → 2-D DCT → 63
+    low-frequency sign-of-median bits → (image_id, phash_dct).
+
+    Complements :func:`image_ahash`: the resize+low-pass front end
+    makes re-rendered/rescaled copies land within a few bits where
+    block means drift.  Arrow-batched, same-shape stacking, one
+    einsum per stack.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = np.zeros(len(pdf), dtype=np.uint64)
+            for idxs, stack in _decoded_stacks(pdf, stub_ok):
+                small = resize_bilinear_stack(stack, PHASH_DIM, PHASH_DIM)
+                gray = small.astype(np.float64).mean(axis=3)
+                hashes[idxs] = _phash_gray_stack(gray)
+            yield pd.DataFrame({"image_id": pdf["image_id"],
+                                "phash_dct": hashes.view(np.int64)})
+
+    return images.mapInPandas(run, schema="image_id string, phash_dct long")
+
+
+def image_phash_neardup_pairs(images: DataFrame, max_hamming: int = 10,
+                              probe_radius: int = 2,
+                              stub_ok: bool = False) -> DataFrame:
+    """Near-duplicate image pairs by DCT perceptual hash, via
+    :func:`banded_hash_pairs` in multi-probe mode — rescaled re-renders
+    land around Hamming 6-8 on the 64-bit pHash, past the plain 4-band
+    guarantee, so exact recall needs probe_radius 2 (guarantee 11).
+    Returns (image_a, image_b, hamming).
+    """
+    sig = image_phash_dct(images, stub_ok=stub_ok)
+    return banded_hash_pairs(sig, "image_id", "phash_dct",
+                             "image_a", "image_b",
+                             max_hamming=max_hamming,
+                             probe_radius=probe_radius)
+
+
 def video_fingerprint(videos: DataFrame, every_n: int = 2,
                       stub_ok: bool = False) -> DataFrame:
     """Perceptual video fingerprint: ahash of the MEAN of the sampled
@@ -699,7 +777,8 @@ HASH_BANDS = 4          # 4 x 16-bit bands for the LSH candidate join
 
 def banded_hash_pairs(sig: DataFrame, id_col: str, hash_col: str,
                       out_a: str, out_b: str,
-                      max_hamming: int = 3) -> DataFrame:
+                      max_hamming: int = 3,
+                      probe_radius: int = 0) -> DataFrame:
     """Near-duplicate pairs over a 64-bit perceptual-hash relation
     (id, hash) — the shared engine behind image AND audio near-dup.
     The output is a SPANNING edge set for near-dup clustering — run
@@ -720,6 +799,18 @@ def banded_hash_pairs(sig: DataFrame, id_col: str, hash_col: str,
     ≤3 differing bits leave ≥1 of 4 bands identical), which is why
     ``max_hamming`` defaults to 3; wider distances are found only
     probabilistically.  All JVM past the hash build.
+
+    ``probe_radius`` > 0 turns on multi-index multi-probe search
+    (Norouzi/Punjani/Fleet, "Fast Search in Hamming Space with
+    Multi-Index Hashing"): one join side additionally probes every
+    band key within Hamming ``r`` of its own (Σ C(16,k), k ≤ r masks —
+    17 at r=1, 137 at r=2), which lifts the exact-recall guarantee to
+    ``HASH_BANDS·(r+1) − 1`` differing bits (pigeonhole: h diffs over
+    4 bands leave one band with ≤ ⌊h/4⌋ ≤ r, and XOR-symmetric probing
+    lands exactly on the partner's key).  The probe fan-out is a
+    BROADCAST cross join with the tiny mask table — linear in rows,
+    never the n² pair space; radius 2 costs 137× band rows, the price
+    of exact recall at Hamming 11 on a 64-bit hash.
     Returns (out_a, out_b, hamming).
     """
     from pyspark.sql import Window
@@ -754,6 +845,18 @@ def banded_hash_pairs(sig: DataFrame, id_col: str, hash_col: str,
         .select(id_col, hash_col, "bb.band", "bb.bkey")
     a = bands.select(F.col(id_col).alias(out_a),
                      F.col(hash_col).alias("hash_a"), "band", "bkey")
+    if probe_radius > 0:
+        from itertools import combinations
+
+        masks = [0]
+        for k in range(1, probe_radius + 1):
+            masks.extend(sum(1 << b for b in bits)
+                         for bits in combinations(range(16), k))
+        mask_df = sig.sparkSession.createDataFrame(
+            [(m,) for m in masks], "mask long")
+        a = (a.crossJoin(F.broadcast(mask_df))
+             .select(out_a, "hash_a", "band",
+                     F.expr("bkey ^ mask").alias("bkey")))
     b = bands.select(F.col(id_col).alias(out_b),
                      F.col(hash_col).alias("hash_b"), "band", "bkey")
     # filter BEFORE distinct: hamming is functionally determined by the

@@ -1195,6 +1195,74 @@ def q_image_neardup_oracle(dialect: str) -> str:
             f"CAST(0 AS BIGINT) AS n_unexpected")
 
 
+PHASHDUP_N, PHASHDUP_PLANTED, PHASH_MAX_HAMMING = 800, 40, 10
+
+
+def _ensure_phashdup_table(spark: SparkSession) -> str:
+    """Gate corpus for the DCT-pHash near-dup: PHASHDUP_N deterministic
+    images + PHASHDUP_PLANTED RESIZED re-renders (bilinear to w+8/h+8,
+    re-encoded PNG) — the perturbation pHash is built for: block means
+    drift under resampling, the low-frequency DCT signs survive
+    (measured: planted ≤ 8 bits, unrelated ≥ 14, so max_hamming 10
+    separates with ≥ 3 bits of margin on each side)."""
+    import numpy as np
+
+    from .operators.multimodal import resize_bilinear_stack
+    from .sources.images import (
+        CORPUS_TAG, IMAGES_SCHEMA, decode_image, encode_png,
+        generate_batch)
+
+    path = os.path.join(_CACHE_ROOT,
+                        f"gate_phashdup_n{PHASHDUP_N}_{CORPUS_TAG}")
+    marker = os.path.join(path, "_SUCCESS_GATE")
+    if os.path.exists(marker):
+        return path
+    pdf = generate_batch(0, PHASHDUP_N)
+    png = pdf[pdf.fmt == "png"].reset_index(drop=True)
+    step = max(1, len(png) // PHASHDUP_PLANTED)
+    origs = png.iloc[::step][:PHASHDUP_PLANTED]
+    assert len(origs) == PHASHDUP_PLANTED
+    rows = []
+    for r in origs.itertuples(index=False):
+        px = decode_image(r.bytes, "png")
+        big = resize_bilinear_stack(px[None], r.w + 8, r.h + 8)[0]
+        rows.append((f"dup-{r.image_id}", encode_png(big), r.w + 8,
+                     r.h + 8, "png", r.caption, r.phash))
+    import pandas as pd
+    dup_pdf = pd.DataFrame(rows, columns=list(pdf.columns))
+    full = pd.concat([pdf, dup_pdf], ignore_index=True)
+    spark.createDataFrame(full, schema=IMAGES_SCHEMA) \
+        .repartition(8).write.mode("overwrite").parquet(path)
+    with open(marker, "w") as f:
+        f.write(str(len(full)))
+    return path
+
+
+def image_phash_neardup_spark(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """DCT-pHash near-dup with multi-probe banding (probe_radius=2 →
+    exact recall to Hamming 11 > gate τ=10): every planted rescaled
+    re-render pairs with its original, nothing else pairs."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import image_phash_neardup_pairs
+
+    path = _ensure_phashdup_table(spark)
+    pairs = image_phash_neardup_pairs(spark.read.parquet(path),
+                                      max_hamming=PHASH_MAX_HAMMING,
+                                      probe_radius=2)
+    planted = (F.col("image_b") == F.concat(F.lit("dup-"), F.col("image_a"))) | \
+              (F.col("image_a") == F.concat(F.lit("dup-"), F.col("image_b")))
+    return pairs.agg(
+        F.sum(F.when(planted, 1).otherwise(0)).alias("n_planted_found"),
+        F.sum(F.when(~planted, 1).otherwise(0)).alias("n_unexpected"))
+
+
+def q_image_phash_neardup_oracle(dialect: str) -> str:
+    return (f"SELECT CAST({PHASHDUP_PLANTED} AS BIGINT) AS n_planted_found, "
+            f"CAST(0 AS BIGINT) AS n_unexpected")
+
+
 VIDEO_GATE_N, VIDEO_EVERY_N = 300, 5
 
 
@@ -2248,6 +2316,8 @@ def build_registry():
     oracles["image_quality"] = q_image_quality_oracle()
     queries["image_neardup"] = image_neardup_spark
     oracles["image_neardup"] = q_image_neardup_oracle(DUCK)
+    queries["image_phash_neardup"] = image_phash_neardup_spark
+    oracles["image_phash_neardup"] = q_image_phash_neardup_oracle(DUCK)
     queries["image_patches"] = image_patches_spark
     oracles["image_patches"] = q_image_patches_oracle(DUCK)
     queries["zonal_image_stats"] = zonal_image_stats_spark

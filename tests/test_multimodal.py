@@ -480,3 +480,89 @@ def test_video_fingerprint_neardup_and_strict(spark):
     with pytest.raises(Exception, match="no codec"):
         video_fingerprint(bad).collect()
     assert len(video_fingerprint(bad, stub_ok=True).collect()) == 1
+
+
+def test_phash_dct_invariances_and_resize_robustness():
+    from go_shapefile_spark.operators.multimodal import (
+        PHASH_DIM, _dct_matrix, _phash_gray_stack, resize_bilinear_stack)
+    from go_shapefile_spark.sources.images import (
+        decode_image, encode_png, generate_batch)
+
+    # orthonormality of the DCT basis
+    d = _dct_matrix(PHASH_DIM)
+    assert np.allclose(d @ d.T, np.eye(PHASH_DIM), atol=1e-12)
+
+    rng = np.random.default_rng(3)
+    gray = rng.uniform(60.0, 180.0, (5, PHASH_DIM, PHASH_DIM))
+    base = _phash_gray_stack(gray)
+    # brightness shift moves only the DC coefficient -> hash unchanged
+    assert np.array_equal(_phash_gray_stack(gray + 30.0), base)
+    # positive contrast scaling scales coeffs AND their median together
+    assert np.array_equal(_phash_gray_stack(gray * 1.5), base)
+    # DC bit is forced off
+    assert not np.any(base & np.uint64(1))
+
+    # resize robustness on the real corpus: rescaled re-encoded copies
+    # land within 8 bits; unrelated images stay >= 12 apart
+    def phash_imgs(imgs):
+        out = np.zeros(len(imgs), dtype=np.uint64)
+        for shape in set(i.shape for i in imgs):
+            idxs = [j for j, im in enumerate(imgs) if im.shape == shape]
+            small = resize_bilinear_stack(
+                np.stack([imgs[j] for j in idxs]), PHASH_DIM, PHASH_DIM)
+            out[idxs] = _phash_gray_stack(
+                small.astype(np.float64).mean(axis=3))
+        return out
+
+    pdf = generate_batch(0, 120)
+    imgs = [decode_image(r.bytes, r.fmt) for r in pdf.itertuples(index=False)]
+    h = phash_imgs(imgs)
+    copies = []
+    for j in range(30):
+        im = imgs[j]
+        big = resize_bilinear_stack(im[None], im.shape[1] + 8,
+                                    im.shape[0] + 8)[0]
+        copies.append(decode_image(encode_png(big), "png"))
+    hc = phash_imgs(copies)
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert max(ham(h[j], hc[j]) for j in range(30)) <= 8
+    unrel = min(ham(h[a], h[b]) for a in range(60) for b in range(a + 1, 60))
+    assert unrel >= 12
+
+
+def test_multiprobe_banding_exact_recall(spark):
+    """probe_radius=2 must find EVERY pair at Hamming <= 10 even when
+    the differing bits are spread adversarially across all 4 bands
+    (plain banding's worst case); brute force is the reference."""
+    from go_shapefile_spark.operators.multimodal import banded_hash_pairs
+
+    rng = np.random.default_rng(17)
+    base = rng.integers(0, 2**63, 12, dtype=np.int64)
+    rows = [(f"b{i:02d}", int(v)) for i, v in enumerate(base)]
+    # partners: k diffs spread round-robin over the 4 bands (so a band
+    # never holds more than ceil(k/4) <= 2 of them for k <= 8, and for
+    # k = 10 one band holds 3 -> still some band with <= 2: covered)
+    for i, v in enumerate(base):
+        k = (i % 6) + 5  # 5..10 differing bits
+        mask = 0
+        for d in range(k):
+            band = d % 4
+            bit = 16 * band + (d // 4) * 5 + (i % 3)
+            mask |= 1 << bit
+        rows.append((f"p{i:02d}", int(np.int64(np.uint64(v) ^ np.uint64(mask)))))
+    sig = spark.createDataFrame(rows, "image_id string, h long")
+
+    got = {tuple(sorted((r.image_a, r.image_b)))
+           for r in banded_hash_pairs(sig, "image_id", "h",
+                                      "image_a", "image_b",
+                                      max_hamming=10,
+                                      probe_radius=2).collect()}
+    want = set()
+    for ia, va in rows:
+        for ib, vb in rows:
+            if ia < ib and bin((va ^ vb) & (2**64 - 1)).count("1") <= 10:
+                want.add((ia, ib))
+    assert got == want and len(want) >= 12
