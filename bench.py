@@ -219,7 +219,9 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              "focal_blur", "contour_segments", "slope_aspect",
              "trajectory_hausdorff",
              # r5: DCT pHash near-dup through multi-probe banding
-             "image_phash_neardup"]
+             "image_phash_neardup",
+             # r5: Hilbert state-machine rollup (res broadcast joins)
+             "hilbert_rollup"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

@@ -380,3 +380,74 @@ def geohash_sql(lon: str, lat: str, precision: int) -> str:
     prefer the CTE split above in query templates)."""
     return geohash_chars_sql(geohash_morton_sql(lon, lat, precision),
                              precision)
+
+
+# --- Hilbert curve (locality-improved space-filling index) ----------------
+
+# 4-state quad state machine: (state, qx, qy) -> (digit, next_state).
+# Derived from the classic bit-loop algorithm (states are the dihedral
+# transforms {identity, swap, swap+complement, complement} reachable
+# from identity; test_cells re-derives the table and asserts equality).
+_HILBERT_LUT = (
+    (0, 0, 0, 0, 1), (0, 0, 1, 1, 0), (0, 1, 0, 3, 2), (0, 1, 1, 2, 0),
+    (1, 0, 0, 0, 0), (1, 0, 1, 3, 3), (1, 1, 0, 1, 1), (1, 1, 1, 2, 1),
+    (2, 0, 0, 2, 2), (2, 0, 1, 1, 2), (2, 1, 0, 3, 0), (2, 1, 1, 0, 3),
+    (3, 0, 0, 2, 3), (3, 0, 1, 3, 1), (3, 1, 0, 1, 3), (3, 1, 1, 0, 2))
+
+
+def hilbert_np(ix: np.ndarray, iy: np.ndarray, res: int) -> np.ndarray:
+    """Vectorized Hilbert index of grid cells (ix, iy) on a 2^res grid
+    (the classic top-bit-down rotate/reflect loop; coordinates stay in
+    [0, 2^res) because reflections use n-1-x)."""
+    x = np.asarray(ix, dtype=np.int64).copy()
+    y = np.asarray(iy, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    n = np.int64(1) << res
+    s = n >> 1
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        flip = (ry == 0) & (rx == 1)
+        x = np.where(flip, n - 1 - x, x)
+        y = np.where(flip, n - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y, x), np.where(swap, x, y)
+        s >>= 1
+    return d
+
+
+def hilbert_cte(res: int, src: str = "hsrc",
+                carry: tuple[str, ...] = ()) -> str:
+    """CTE chain computing the Hilbert index of ``{src}(ix, iy, ...)``
+    rows — final CTE ``hilb`` has (ix, iy, *carry, hd).
+
+    The per-bit rotate/reflect recurrence is NOT inlined as nested CASE
+    expressions (each level would multiply the expression tree ~4x —
+    the CollapseProject codegen blowup CLAUDE.md warns about; res 16
+    would be a 4^16-node expression).  Instead each bit level is ONE
+    equi-join against the 16-row state LUT: expression size stays
+    constant, rows never fan out, Spark broadcasts the LUT and DuckDB
+    hash-joins it.  ``res`` levels -> ``res`` joins.
+    """
+    lut_rows = ",".join(f"({s},{qx},{qy},{d},{ns})"
+                        for s, qx, qy, d, ns in _HILBERT_LUT)
+    cols = "".join(f"q.{c}, " for c in ("ix", "iy") + tuple(carry))
+    parts = [f"""
+hlut AS (SELECT * FROM (VALUES {lut_rows}) AS t(st, qx, qy, dig, nst)),
+hq{res} AS (
+  SELECT ix, iy, {", ".join(carry) + ", " if carry else ""}
+         CAST(0 AS BIGINT) AS hd, 0 AS hst
+  FROM {src})"""]
+    for b in range(res - 1, -1, -1):
+        parts.append(f"""
+hq{b} AS (
+  SELECT {cols}q.hd * 4 + l.dig AS hd, l.nst AS hst
+  FROM hq{b + 1} q JOIN hlut l
+    ON l.st = q.hst
+   AND l.qx = (q.ix >> {b}) & 1
+   AND l.qy = (q.iy >> {b}) & 1)""")
+    parts.append(f"""
+hilb AS (SELECT ix, iy, {", ".join(carry) + ", " if carry else ""}hd
+         FROM hq0)""")
+    return ",".join(parts)

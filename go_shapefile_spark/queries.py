@@ -2957,6 +2957,34 @@ FROM gm GROUP BY m
     queries["geohash_rollup"] = geohash_rollup
     oracles["geohash_rollup"] = q_geohash(DUCK)
 
+    # Hilbert-curve rollup: the locality-improved space-filling index
+    # (fewer scan intervals per window than Morton — measured in
+    # test_cells).  The per-bit state machine runs as res broadcast
+    # equi-joins against the 16-row LUT, NOT nested CASE expressions
+    # (which would 4x the expression tree per level — the
+    # CollapseProject codegen blowup).
+    HILBERT_RES = 8
+
+    def q_hilbert(dialect: str) -> str:
+        ixe = C.ix_sql("lon", HILBERT_RES)
+        iye = C.iy_sql("lat", HILBERT_RES)
+        return f"""
+WITH {geotagged_events_cte(dialect)},
+hsrc AS (
+  SELECT ix, iy, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM (SELECT {ixe} AS ix, {iye} AS iy, value FROM pts) t
+  GROUP BY ix, iy),
+{C.hilbert_cte(HILBERT_RES, carry=("n", "cents"))}
+SELECT hd AS hilbert_d, ix, iy, n, cents FROM hilb
+"""
+
+    def hilbert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(q_hilbert(H.SPARK))
+    queries["hilbert_rollup"] = hilbert_rollup
+    oracles["hilbert_rollup"] = q_hilbert(H.DUCK)
+
     # hexagonal binning: the hexbin viz aggregation (H3-adjacent
     # aesthetics on the from-scratch mandate).  Cube-rounded axial
     # coords from PINNED double constants — +,*,/ and round-half-away
