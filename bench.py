@@ -221,7 +221,9 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              # r5: DCT pHash near-dup through multi-probe banding
              "image_phash_neardup",
              # r5: Hilbert state-machine rollup (res broadcast joins)
-             "hilbert_rollup"]
+             "hilbert_rollup",
+             # r5: area-weighted zone transfer over the clip kernel
+             "areal_interpolation"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

@@ -1857,6 +1857,75 @@ def q_vector_tiles_oracle() -> str:
             + "\n) AS t(fid, cell, lon0, lat0, n_rings, n_points, area)")
 
 
+def _areal_interp_tail() -> str:
+    """Shared (dialect-free) tail of the areal-interpolation query over
+    a ``tiles(fid, cell, area)`` relation: a per-country value is
+    transferred to tiles proportionally to clipped area (the classic
+    population-reaggregation operator between zone systems).
+
+    The per-tile rollup is an INTEGER sum: each (fid, tile) share is
+    quantized to parts-per-billion first (the idw_surface lesson —
+    float SUM accumulation order is not dual-engine stable, integer
+    sums are; products stay ≤ 1e14, far from the int64 ANSI ceiling).
+    The per-row double division and ROUND are deterministic in both
+    engines.  The synthetic value (fid²·37 mod 100000) keeps the gate
+    self-contained — no external attribute needed.
+    """
+    return """
+vals AS (
+  SELECT fid, (fid * fid * 37) % 100000 AS pop
+  FROM (SELECT DISTINCT fid FROM tiles) f),
+tot AS (SELECT fid, SUM(area) AS fid_area FROM tiles GROUP BY fid),
+shares AS (
+  SELECT t.cell, v.pop,
+         CAST(ROUND(t.area / g.fid_area
+                    * CAST(1000000000 AS DOUBLE)) AS BIGINT) AS share_ppb
+  FROM tiles t
+  JOIN tot g ON t.fid = g.fid
+  JOIN vals v ON v.fid = t.fid)
+SELECT cell, CAST(SUM(pop * share_ppb) AS BIGINT) AS pop_ppb,
+       CAST(COUNT(*) AS BIGINT) AS n_countries
+FROM shares GROUP BY cell"""
+
+
+def areal_interpolation_spark(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Areal interpolation (area-weighted zone transfer): ne_110m
+    countries clipped to res-4 tiles by the batched Sutherland–Hodgman
+    kernel, a per-country value reaggregated onto the tile system
+    proportional to clipped area.  Geometry is the proven clip kernel
+    (oracle pins the same driver-twin areas); the transfer math is
+    dual-engine SQL."""
+    import uuid
+
+    from .operators.vector_tiles import vector_tiles
+    from .sources.shapefile import read_shapefile_df
+
+    df = read_shapefile_df(
+        spark, os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip"))
+    view = f"areal_tiles_{uuid.uuid4().hex[:8]}"
+    vector_tiles(df, res=4).select("fid", "cell", "area") \
+        .createOrReplaceTempView(view)
+    return spark.sql(
+        f"WITH tiles AS (SELECT fid, cell, area FROM {view}),"
+        f"{_areal_interp_tail()}")
+
+
+def q_areal_interpolation_oracle() -> str:
+    from .operators.vector_tiles import clip_tiles_for_records
+    from .sources.shapefile_core import read_zip
+
+    sf = read_zip(os.path.join(REF_TESTDATA, "110m-admin-0-countries.zip"))
+    rows = []
+    for fid, cell, x0, y0, nr, npts, area in clip_tiles_for_records(
+            sf.shp.records, 4):
+        rows.append(f"(CAST({fid} AS BIGINT), CAST({cell} AS BIGINT), "
+                    f"CAST('{area!r}' AS DOUBLE))")
+    return (f"WITH tiles AS (SELECT * FROM (VALUES\n"
+            + ",\n".join(rows)
+            + f"\n) AS t(fid, cell, area)),{_areal_interp_tail()}")
+
+
 def vector_tile_pyramid_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-zoom vector tiles (tippecanoe pipeline): ne_110m countries
     simplified at one tile-pixel tolerance per zoom, then clipped to
@@ -2560,6 +2629,8 @@ FROM comp
         oracles["simplify_countries"] = q_simplify_countries_oracle()
         queries["vector_tiles_countries"] = vector_tiles_spark
         oracles["vector_tiles_countries"] = q_vector_tiles_oracle()
+        queries["areal_interpolation"] = areal_interpolation_spark
+        oracles["areal_interpolation"] = q_areal_interpolation_oracle()
         queries["vector_tile_pyramid"] = vector_tile_pyramid_spark
         oracles["vector_tile_pyramid"] = q_vector_tile_pyramid_oracle()
         queries["dissolve_tiles"] = dissolve_tiles_spark

@@ -351,3 +351,43 @@ def test_dissolve_tiles_conserves_group_area(spark):
     for c, au in per_color.items():
         # quantized tile areas undercount by < 1 unit per tile
         assert 0 <= exp[c] * 1e9 - au <= n_tiles, c
+
+
+def test_areal_interpolation_tail_analytic_and_conserves():
+    """The transfer math on a hand-built tiles relation: a country
+    split 1:3 across two tiles sends exactly 25%/75% of its value
+    (in ppb); per-country shares sum to 1e9 within quantization."""
+    import duckdb
+
+    from go_shapefile_spark.queries import _areal_interp_tail
+
+    tiles = ("(1, 100, 1.0), (1, 200, 3.0), "   # fid 1: 1:3 split
+             "(2, 200, 5.0)")                    # fid 2: all in 200
+    sql = (f"WITH tiles AS (SELECT * FROM (VALUES {tiles}) "
+           f"AS t(fid, cell, area)),{_areal_interp_tail()}")
+    con = duckdb.connect()
+    rows = {int(r.cell): (int(r.pop_ppb), int(r.n_countries))
+            for r in con.sql(sql).df().itertuples()}
+    con.close()
+    pop1 = (1 * 1 * 37) % 100000   # 37
+    pop2 = (2 * 2 * 37) % 100000   # 148
+    assert rows[100] == (pop1 * 250_000_000, 1)
+    assert rows[200] == (pop1 * 750_000_000 + pop2 * 1_000_000_000, 2)
+
+    # conservation on the real corpus: every country's quantized
+    # shares sum to 1e9 ± (tiles-1) half-ulps of the ppb grid
+    from go_shapefile_spark.operators.vector_tiles import (
+        clip_tiles_for_records)
+    from go_shapefile_spark.sources.shapefile_core import read_zip
+
+    sf = read_zip(
+        "/root/reference/testdata/110m-admin-0-countries.zip")
+    per_fid: dict[int, list[float]] = {}
+    for fid, cell, x0, y0, nr, npts, area in clip_tiles_for_records(
+            sf.shp.records, 4):
+        per_fid.setdefault(fid, []).append(area)
+    assert len(per_fid) == 177
+    for fid, areas in per_fid.items():
+        tot = sum(areas)
+        ppb = sum(round(a / tot * 1e9) for a in areas)
+        assert abs(ppb - 1_000_000_000) <= len(areas), fid
