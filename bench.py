@@ -223,7 +223,9 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              # r5: Hilbert state-machine rollup (res broadcast joins)
              "hilbert_rollup",
              # r5: area-weighted zone transfer over the clip kernel
-             "areal_interpolation"]
+             "areal_interpolation",
+             # r5: multi-source BFS through occupied pixels
+             "distance_transform"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

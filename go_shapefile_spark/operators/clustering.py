@@ -173,3 +173,105 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
               "FROM cores c LEFT JOIN dbscan_cc x ON c.id = x.node") \
         .createOrReplaceTempView("core_labels")
     return spark.sql("WITH " + dbscan_tail_sql(H.SPARK, pts=pts_v).lstrip())
+
+
+# --- grid distance transform (multi-source BFS) ---------------------------
+
+def distance_transform_base_cte(dialect: str, pts: str = "pts") -> str:
+    """Occupied-pixel relation + queen-adjacency edge set for the grid
+    distance transform.  Expects ``{pts}(lon, lat, is_src)``; emits
+    ``dbase(x, y, is_src)`` and ``dedges(x, y, nx, ny)``.
+
+    Adjacency is the same offset-fan-out equi-join as the spatial-
+    autocorrelation and Getis-Ord gates — candidate neighbors via 8
+    pinned offsets, kept only where the neighbor pixel EXISTS (the
+    sparse-raster convention: BFS runs through observed cells, the
+    connectivity-constrained distance, not free-space Chebyshev which
+    would collapse to a closed-form nearest-source query).
+    """
+    del dialect  # identical text in both engines
+    return f"""
+dpx AS (
+  SELECT CAST(FLOOR(lon) AS BIGINT) AS x,
+         CAST(FLOOR(lat) AS BIGINT) AS y, is_src
+  FROM {pts}),
+dbase AS (
+  SELECT x, y, CAST(MAX(is_src) AS BIGINT) AS is_src
+  FROM dpx GROUP BY x, y),
+doffs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                                (0,1),(1,-1),(1,0),(1,1)) AS t(dx, dy)),
+dedges AS (
+  SELECT b.x, b.y, n.x AS nx, n.y AS ny
+  FROM dbase b CROSS JOIN doffs o
+  JOIN dbase n ON n.x = b.x + o.dx AND n.y = b.y + o.dy)"""
+
+
+def distance_transform_oracle_sql(rounds: int, pts_cte: str,
+                                  pts: str = "pts") -> str:
+    """DuckDB oracle: the SAME base relations, but the iteration is a
+    recursive-CTE walk (a different algorithm computing the same
+    function — the q:dbscan_events discipline).  UNION dedups visited
+    (x, y, d) states, MIN per cell is the BFS distance."""
+    return f"""
+WITH RECURSIVE {pts_cte},
+{distance_transform_base_cte('duck', pts=pts).lstrip()},
+walk AS (
+  SELECT x, y, 0 AS d FROM dbase WHERE is_src = 1
+  UNION
+  SELECT e.nx, e.ny, w.d + 1
+  FROM walk w JOIN dedges e ON e.x = w.x AND e.y = w.y
+  WHERE w.d < {int(rounds)})
+SELECT x, y, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY x, y"""
+
+
+def grid_distance_transform(points: DataFrame, rounds: int = 8,
+                            pin: str | None = None,
+                            slot: str | None = None) -> DataFrame:
+    """Multi-source BFS distance over the occupied pixel grid:
+    ``points(lon, lat, is_src)`` → ``(x, y, dist)`` for every cell
+    reachable from a source cell within ``rounds`` queen-steps through
+    occupied cells (unreached cells are absent — same cap in the
+    oracle).
+
+    Scale posture: the edge relation is built ONCE (one offset fan-out
+    + equi-join, pinned); each BFS round is one equi-join of the
+    CURRENT FRONTIER (cells first reached that round — classic BFS,
+    so every cell is expanded at most once across all rounds) against
+    the edges plus a min-aggregate, pinned to stop plan growth.  A
+    fixed round count means NO per-round driver action (no count(),
+    no convergence collect) — the loop is `rounds` chained jobs.
+    """
+    from pyspark.sql import functions as F
+
+    from .pinning import fresh_pins
+
+    spark = points.sparkSession
+    pinf = fresh_pins(spark, slot, strategy=pin)
+    v = "dtx_pts_in"
+    points.selectExpr("lon", "lat",
+                      "CAST(is_src AS BIGINT) AS is_src") \
+        .createOrReplaceTempView(v)
+    cte = distance_transform_base_cte(H.SPARK, pts=v)
+    # split the chain: materialize dbase once, edges once
+    base_sql = cte[:cte.index("doffs AS (")].rstrip().rstrip(",")
+    base = pinf(spark.sql("WITH " + base_sql.lstrip() +
+                          "\nSELECT * FROM dbase"))
+    base.createOrReplaceTempView("dtx_base")
+    edges = pinf(spark.sql(f"""
+WITH doffs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                                     (0,1),(1,-1),(1,0),(1,1)) AS t(dx, dy))
+SELECT b.x, b.y, n.x AS nx, n.y AS ny
+FROM dtx_base b CROSS JOIN doffs o
+JOIN dtx_base n ON n.x = b.x + o.dx AND n.y = b.y + o.dy"""))
+
+    dist = base.where("is_src = 1") \
+        .selectExpr("x", "y", "CAST(0 AS BIGINT) AS dist")
+    frontier = dist
+    for r in range(1, int(rounds) + 1):
+        nxt = (frontier.join(edges, ["x", "y"])
+               .selectExpr("nx AS x", "ny AS y",
+                           f"CAST({r} AS BIGINT) AS dist"))
+        dist = pinf(dist.unionByName(nxt).groupBy("x", "y")
+                    .agg(F.min("dist").alias("dist")))
+        frontier = dist.where(F.col("dist") == r)
+    return dist

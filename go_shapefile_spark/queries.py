@@ -2748,6 +2748,32 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
         DUCK, DBSCAN_EPS, DBSCAN_MIN_PTS,
         geotagged_events_cte(DUCK).strip())
 
+    # grid distance transform: multi-source BFS through occupied
+    # pixels (dist-to-nearest-'error'-cell along the observed
+    # corridor).  Spark = fixed-round frontier iteration (no per-round
+    # driver action); oracle = recursive-CTE walk — two algorithms,
+    # one function.
+    DTX_ROUNDS = 8
+
+    def distance_transform_events(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        pts = spark.sql(
+            f"WITH {geotagged_events_cte(SPARK)} "
+            "SELECT lon, lat, CASE WHEN event_type = 'error' "
+            "THEN 1 ELSE 0 END AS is_src FROM pts")
+        return CL.grid_distance_transform(pts, rounds=DTX_ROUNDS,
+                                          slot="distance_transform")
+    queries["distance_transform"] = distance_transform_events
+    oracles["distance_transform"] = CL.distance_transform_oracle_sql(
+        DTX_ROUNDS,
+        pts_cte=(geotagged_events_cte(DUCK).strip() + """,
+dsrc AS (
+  SELECT lon, lat, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+         AS is_src
+  FROM pts)"""),
+        pts="dsrc")
+
     # KDE heatmap raster: 3x3 binomial-kernel splat, one shuffle,
     # all-integer intensities (bit-stable dual-engine; mass conservation
     # SUM(intensity) == 16*n is asserted in tests)

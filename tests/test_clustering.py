@@ -118,3 +118,38 @@ def test_dbscan_pair_join_is_equijoin(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grid_distance_transform_corridor(spark):
+    """Hand-built corridor: BFS distance is connectivity-constrained
+    (runs through occupied cells only) — (2,0) is Chebyshev-1 from
+    nothing occupied but graph-2 from the source via (1,0); the
+    disconnected (0,2) island never appears."""
+    from go_shapefile_spark.operators.clustering import (
+        grid_distance_transform)
+
+    cells = [((0, 0), 1), ((1, 0), 0), ((2, 0), 0),
+             ((2, 1), 0), ((2, 2), 0), ((0, 2), 0)]
+    pts = spark.createDataFrame(
+        [(x + 0.5, y + 0.5, s) for (x, y), s in cells],
+        "lon double, lat double, is_src int")
+    got = {(r.x, r.y): r.dist
+           for r in grid_distance_transform(pts, rounds=8).collect()}
+    assert got == {(0, 0): 0, (1, 0): 1, (2, 0): 2,
+                   (2, 1): 2, (2, 2): 3}
+
+    # the DuckDB oracle twin computes the same function on the fixture
+    import duckdb
+
+    from go_shapefile_spark.operators.clustering import (
+        distance_transform_oracle_sql)
+
+    vals = ",".join(f"({x}.5, {y}.5, {s})" for (x, y), s in cells)
+    sql = distance_transform_oracle_sql(
+        8, pts_cte=f"pts AS (SELECT * FROM (VALUES {vals}) "
+                   f"AS t(lon, lat, is_src))")
+    con = duckdb.connect()
+    want = {(int(r.x), int(r.y)): int(r.dist)
+            for r in con.sql(sql).df().itertuples()}
+    con.close()
+    assert want == got
