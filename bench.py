@@ -225,7 +225,9 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              # r5: area-weighted zone transfer over the clip kernel
              "areal_interpolation",
              # r5: multi-source BFS through occupied pixels
-             "distance_transform"]
+             "distance_transform",
+             # r5: exposure profile over the strict-decode corpus
+             "image_luma_histogram"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

@@ -591,6 +591,46 @@ def image_quality_stats(images: DataFrame, stub_ok: bool = False) -> DataFrame:
                      "sum_lap2 long"))
 
 
+LUMA_HIST_BINS = 16
+
+
+def luma_hist_stack(stack: np.ndarray) -> np.ndarray:
+    """(n, h, w, 3) uint8 → (n, 16) int64 luma histogram — integer
+    Rec.601 luma (//1000 → 0..255), 16 equal bins.  One bincount for
+    the whole stack via the row-offset trick."""
+    s = stack.astype(np.int64)
+    luma = (299 * s[..., 0] + 587 * s[..., 1] + 114 * s[..., 2]) // 1000
+    bins = luma // LUMA_HIST_BINS
+    n = len(stack)
+    flat = (np.arange(n)[:, None, None] * LUMA_HIST_BINS + bins).ravel()
+    return np.bincount(flat, minlength=n * LUMA_HIST_BINS) \
+        .reshape(n, LUMA_HIST_BINS).astype(np.int64)
+
+
+def image_luma_histogram(images: DataFrame,
+                         stub_ok: bool = False) -> DataFrame:
+    """Per-image 16-bin luma histogram as LONG rows (image_id, bin, n)
+    — the exposure/contrast curation primitive (clipped-highlight or
+    crushed-shadow detection is a per-bin integer inequality
+    downstream).  All-integer; the 16-way fan-out happens in-kernel,
+    so the only shuffle is whatever the caller aggregates next.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bins_, counts = [], [], []
+            for idxs, stack in _decoded_stacks(pdf, stub_ok):
+                hist = luma_hist_stack(stack)
+                for row, hv in zip(idxs, hist):
+                    ids.extend([pdf["image_id"].iloc[row]] * LUMA_HIST_BINS)
+                    bins_.extend(range(LUMA_HIST_BINS))
+                    counts.extend(int(x) for x in hv)
+            yield pd.DataFrame({"image_id": ids, "bin": bins_,
+                                "n": counts})
+
+    return images.mapInPandas(
+        run, schema="image_id string, bin int, n long")
+
+
 AHASH_GRID = 8          # 8x8 grid -> 64-bit hash
 
 

@@ -676,6 +676,83 @@ def image_quality_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~sharp, 1).otherwise(0)).cast("long").alias("n_smooth"))
 
 
+LUMAHIST_N = 400
+
+
+def _ensure_lumahist_table(spark: SparkSession) -> str:
+    from .sources.images import CORPUS_TAG, IMAGES_SCHEMA, generate_batch
+
+    path = os.path.join(_CACHE_ROOT,
+                        f"gate_lumahist_n{LUMAHIST_N}_{CORPUS_TAG}")
+    marker = os.path.join(path, "_SUCCESS_GATE")
+    if os.path.exists(marker):
+        return path
+    spark.createDataFrame(generate_batch(0, LUMAHIST_N),
+                          schema=IMAGES_SCHEMA) \
+        .repartition(8).write.mode("overwrite").parquet(path)
+    with open(marker, "w") as f:
+        f.write(str(LUMAHIST_N))
+    return path
+
+
+def _lumahist_reference() -> list:
+    """Corpus-level luma-histogram rollup computed by the CORE codec +
+    numpy twin on the driver (the render_tiles_reference discipline:
+    an independent same-math implementation pins the oracle literals).
+    Cached in .cache keyed by the codec version tag."""
+    import json
+
+    import numpy as np
+
+    from .operators.multimodal import luma_hist_stack
+    from .sources.images import CORPUS_TAG, decode_image, generate_batch
+
+    path = os.path.join(_CACHE_ROOT,
+                        f"oracle_lumahist_{LUMAHIST_N}_{CORPUS_TAG}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return [tuple(r) for r in json.load(f)]
+    pdf = generate_batch(0, LUMAHIST_N)
+    tot = np.zeros(16, np.int64)
+    nimg = np.zeros(16, np.int64)
+    for r in pdf.itertuples(index=False):
+        px = decode_image(r.bytes, r.fmt)
+        h = luma_hist_stack(px[None])[0]
+        tot += h
+        nimg += (h > 0)
+    rows = [(b, int(tot[b]), int(nimg[b])) for b in range(16)]
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(rows, f)
+    return rows
+
+
+def image_luma_histogram_spark(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Corpus exposure profile: per-image 16-bin integer luma
+    histograms (strict decode, PNG + JFIF) rolled up per bin —
+    total pixel mass and how many images touch the bin."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import image_luma_histogram
+
+    path = _ensure_lumahist_table(spark)
+    hist = image_luma_histogram(spark.read.parquet(path))
+    return hist.groupBy("bin").agg(
+        F.sum("n").cast("long").alias("n_pixels"),
+        F.sum(F.when(F.col("n") > 0, 1).otherwise(0)).cast("long")
+        .alias("n_images")).selectExpr("CAST(bin AS BIGINT) AS bin",
+                                       "n_pixels", "n_images")
+
+
+def q_image_luma_histogram_oracle() -> str:
+    rows = ",\n".join(
+        f"(CAST({b} AS BIGINT), CAST({npx} AS BIGINT), "
+        f"CAST({ni} AS BIGINT))" for b, npx, ni in _lumahist_reference())
+    return ("SELECT * FROM (VALUES\n" + rows
+            + "\n) AS t(bin, n_pixels, n_images)")
+
+
 def q_image_quality_oracle() -> str:
     return (f"SELECT CAST({IMG_GATE_N + IMG_GATE_N_PROG} AS BIGINT) "
             f"AS n_images, CAST({IMG_GATE_N} AS BIGINT) AS n_sharp, "
@@ -2383,6 +2460,8 @@ def build_registry():
     oracles["snapshot_compaction_rollup"] = q_snapshot_compaction_oracle(DUCK)
     queries["image_quality"] = image_quality_spark
     oracles["image_quality"] = q_image_quality_oracle()
+    queries["image_luma_histogram"] = image_luma_histogram_spark
+    oracles["image_luma_histogram"] = q_image_luma_histogram_oracle()
     queries["image_neardup"] = image_neardup_spark
     oracles["image_neardup"] = q_image_neardup_oracle(DUCK)
     queries["image_phash_neardup"] = image_phash_neardup_spark

@@ -566,3 +566,37 @@ def test_multiprobe_banding_exact_recall(spark):
             if ia < ib and bin((va ^ vb) & (2**64 - 1)).count("1") <= 10:
                 want.add((ia, ib))
     assert got == want and len(want) >= 12
+
+
+def test_luma_histogram_analytic(spark):
+    from go_shapefile_spark.operators.multimodal import (
+        LUMA_HIST_BINS, image_luma_histogram, luma_hist_stack)
+
+    # constant mid-gray image: every pixel in one bin
+    const = np.full((1, 6, 6, 3), 100, dtype=np.uint8)   # luma 100 -> bin 6
+    h = luma_hist_stack(const)[0]
+    assert h[100 // LUMA_HIST_BINS] == 36 and h.sum() == 36
+
+    # gray ramp 0..255 over 256 pixels: exactly 16 per bin
+    ramp = np.arange(256, dtype=np.uint8).reshape(1, 16, 16)
+    ramp = np.stack([ramp, ramp, ramp], axis=-1)
+    h = luma_hist_stack(ramp)[0]
+    # integer luma of gray g is (299g+587g+114g)//1000 == g exactly
+    assert np.array_equal(h, np.full(16, 16))
+
+    # Spark long-format emission over PNG bytes
+    import pandas as pd
+
+    from go_shapefile_spark.sources.images import encode_png
+
+    pdf = pd.DataFrame({
+        "image_id": ["c", "r"],
+        "bytes": [encode_png(const[0]), encode_png(ramp[0])],
+        "w": [6, 16], "h": [6, 16], "fmt": ["png", "png"],
+        "caption": ["", ""], "phash": [0, 1]})
+    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long")
+    out = image_luma_histogram(spark.createDataFrame(pdf, schema=schema))
+    rows = {(r.image_id, r.bin): r.n for r in out.collect()}
+    assert len(rows) == 32
+    assert rows[("c", 6)] == 36 and rows[("r", 3)] == 16
