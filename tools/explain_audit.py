@@ -559,6 +559,47 @@ def main() -> None:
     sections.append(("Geohash rollup (single-projection interleave)",
                      checks, formatted(gh)))
 
+    # raster map algebra + trajectory + Hilbert (r5 fifth wave): all
+    # dialect-free relational templates — must stay fully JVM, no
+    # cartesian products; the separable blur should show the two
+    # cascaded aggregations, Hilbert the LUT broadcast-join chain
+    for gate, title, extra in (
+            ("focal_blur",
+             "Separable 5x5 blur (two cascaded 1-D splats)",
+             [("two blur aggregations (x-pass, y-pass) present",
+               lambda p: p.count("HashAggregate") >= 4)]),
+            ("contour_segments",
+             "Marching-squares contours (corner splat + case lookup)",
+             [("case lookup is a broadcast join",
+               lambda p: "BroadcastHashJoin" in p)]),
+            ("slope_aspect",
+             "Horn slope/aspect (splat-transposed stencil)", []),
+            ("trajectory_hausdorff",
+             "Trajectory Hausdorff (anchor-cell candidates, "
+             "dir-table single pass)",
+             [("candidate pairing is an equi-join",
+               lambda p: "CartesianProduct" not in p)]),
+            ("hilbert_rollup",
+             "Hilbert rollup (state-machine LUT broadcast joins)",
+             [("LUT levels are broadcast hash joins",
+               lambda p: p.count("BroadcastHashJoin") >= 8)]),
+            ("distance_transform",
+             "Grid distance transform (pinned frontier BFS)",
+             [("rounds read pinned leaves, not recomputed chains",
+               lambda p: "Scan ExistingRDD" in p or "LogicalRDD" in p
+               or "Scan parquet" in p)])):
+        g = entry.queries()[gate](spark, sf_dir)
+        plan = audit.executed_plan(g)
+        checks = [(name, fn(plan)) for name, fn in extra]
+        checks.append(("no CartesianProduct",
+                       "CartesianProduct" not in plan))
+        try:
+            audit.assert_no_python_udf(g)
+            checks.append(("no Python nodes", True))
+        except AssertionError:
+            checks.append(("no Python nodes", False))
+        sections.append((title, checks, formatted(g)))
+
     with open("PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the engine's hot paths\n\n")
         f.write("Generated by `python tools/explain_audit.py`.\n\n")
