@@ -227,7 +227,9 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              # r5: multi-source BFS through occupied pixels
              "distance_transform",
              # r5: exposure profile over the strict-decode corpus
-             "image_luma_histogram"]
+             "image_luma_histogram",
+             # r5: per-cell Mann-Kendall trend (space-time analytic)
+             "emerging_hotspots"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

@@ -3161,6 +3161,54 @@ SELECT hd AS hilbert_d, ix, iy, n, cents FROM hilb
     queries["hilbert_rollup"] = hilbert_rollup
     oracles["hilbert_rollup"] = q_hilbert(H.DUCK)
 
+    # emerging hot spots: per-cell Mann-Kendall trend over the
+    # day-bucketed count series (the space-time analytic ESRI ships as
+    # "emerging hot spot analysis").  S = Σ_{i<j} sign(n_j − n_i) over
+    # the DENSE day grid (absent days count 0 — a cell that went quiet
+    # must trend down); S is a pure integer statistic, so the
+    # dual-engine compare is exact.  Work = cells × days² (30-day
+    # fixed span ⇒ 435 pairs/cell at any SF; the day-pair self-join is
+    # an equi-join on the cell key).  |S| ≥ 2σ_MK(30 days) ≈ 112
+    # classifies the trend.
+    EHS_RES, EHS_TAU = 4, 112
+
+    def q_emerging(dialect: str) -> str:
+        ep = _epoch_s("ts", dialect)
+        cell = C.cell_sql(
+            GT.lon_sql("event_id", dialect),
+            GT.lat_sql("event_id", dialect), EHS_RES)
+        return f"""
+WITH ebins AS (
+  SELECT {cell} AS cell,
+         CAST(FLOOR(CAST({ep} AS DOUBLE) / 86400.0) AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+ecells AS (SELECT DISTINCT cell FROM ebins),
+edays AS (SELECT DISTINCT day FROM ebins),
+edense AS (
+  SELECT g.cell, g.day, COALESCE(b.n, 0) AS n
+  FROM (SELECT c.cell, d.day FROM ecells c CROSS JOIN edays d) g
+  LEFT JOIN ebins b ON b.cell = g.cell AND b.day = g.day),
+epairs AS (
+  SELECT a.cell,
+         CASE WHEN b.n > a.n THEN 1
+              WHEN b.n < a.n THEN -1 ELSE 0 END AS sgn
+  FROM edense a JOIN edense b
+    ON a.cell = b.cell AND b.day > a.day)
+SELECT cell, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CASE WHEN SUM(sgn) >= {EHS_TAU} THEN 'rising'
+            WHEN SUM(sgn) <= -{EHS_TAU} THEN 'falling'
+            ELSE 'flat' END AS trend
+FROM epairs GROUP BY cell
+"""
+
+    def emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(q_emerging(SPARK))
+    queries["emerging_hotspots"] = emerging_hotspots
+    oracles["emerging_hotspots"] = q_emerging(DUCK)
+
     # hexagonal binning: the hexbin viz aggregation (H3-adjacent
     # aesthetics on the from-scratch mandate).  Cube-rounded axial
     # coords from PINNED double constants — +,*,/ and round-half-away

@@ -198,3 +198,44 @@ def test_trajectory_hausdorff_matches_bruteforce(sf_dir):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+# -------------------------------------------- emerging hotspots (MK)
+
+def test_emerging_hotspots_matches_pandas_mann_kendall(sf_dir):
+    """Independent reference: per-cell Mann-Kendall S computed by a
+    plain O(T²) pandas/numpy loop over the dense day grid must equal
+    the relational self-join template (DuckDB side)."""
+    from go_shapefile_spark.queries import build_registry
+
+    _, oracles = build_registry()
+    con = duckdb.connect()
+    ev = os.path.join(sf_dir, "events.parquet")
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{ev}'")
+    got = {int(r.cell): (int(r.s_stat), int(r.n_pairs), r.trend)
+           for r in con.sql(oracles["emerging_hotspots"]).df()
+           .itertuples()}
+    # rebuild the binned counts with independent tools
+    sql = oracles["emerging_hotspots"]
+    bins_sql = sql[sql.index("WITH ebins AS ("):]
+    bins_sql = ("WITH " + bins_sql[len("WITH "):bins_sql.index("ecells AS")]
+                .rstrip().rstrip(",") + " SELECT * FROM ebins")
+    bins = con.sql(bins_sql).df()
+    con.close()
+    days = sorted(bins.day.unique())
+    assert got, "no cells"
+    for cell, grp in bins.groupby("cell"):
+        series = {int(d): 0 for d in days}
+        series.update({int(d): int(n) for d, n in zip(grp.day, grp.n)})
+        xs = [series[d] for d in sorted(series)]
+        s = sum(np.sign(xs[j] - xs[i])
+                for i in range(len(xs)) for j in range(i + 1, len(xs)))
+        n_pairs = len(xs) * (len(xs) - 1) // 2
+        trend = ("rising" if s >= 112 else
+                 "falling" if s <= -112 else "flat")
+        assert got[int(cell)] == (int(s), n_pairs, trend), cell
+    # monotone sanity: a strictly increasing series maxes S
+    xs = list(range(10))
+    s = sum(np.sign(xs[j] - xs[i])
+            for i in range(10) for j in range(i + 1, 10))
+    assert s == 45
