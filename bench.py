@@ -229,7 +229,9 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              # r5: exposure profile over the strict-decode corpus
              "image_luma_histogram",
              # r5: per-cell Mann-Kendall trend (space-time analytic)
-             "emerging_hotspots"]
+             "emerging_hotspots",
+             # r5: shaded-relief PNG tiles (blur+Horn JVM, numpy shade)
+             "render_hillshade_tiles"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

@@ -159,20 +159,11 @@ SELECT b.bx * 2 + s.lx0 AS x0d, b.by * 2 + s.ly0 AS y0d,
 FROM mcase b JOIN mseg s ON b.cs = s.cs"""
 
 
-def slope_aspect_body(grid: str = "rgrid") -> str:
-    """Horn-stencil slope/aspect over ``{grid}(x, y, v)`` →
-    ``(aspect_bin, slope_class, n_pixels)``.
-
-    dz/dx numerator = (z_NE + 2·z_E + z_SE) − (z_NW + 2·z_W + z_SW)
-    (Horn 1981, the estimator every GIS ships); dz/dy likewise.
-    Transposed to a splat: source at offset (ox, oy) from the target
-    carries wx = ox·(2−|oy|‖…)  — concretely ox·(oy=0 ? 2 : 1) — and
-    wy = oy·(ox=0 ? 2 : 1); the (0,0) row carries the center marker.
-    Absent neighbours are zero (the sparse-raster convention).  Aspect
-    octant 0..7 counts counter-clockwise from +x by integer
-    comparisons on (gx, gy); flat cells (gx=gy=0) bin to −1.  Slope
-    class is a power-of-4 ladder on max(|gx|, |gy|).
-    """
+def horn_gradient_cte(grid: str = "rgrid") -> str:
+    """Horn-stencil gradient numerators over ``{grid}(x, y, v)`` —
+    emits ``hgrad(x, y, gx, gy, ctr)`` (ctr = 1 iff the pixel exists
+    in the input raster).  One splat fan-out + one aggregation; shared
+    by the slope/aspect classifier and the hillshade renderer."""
     rows = []
     for ox in (-1, 0, 1):
         for oy in (-1, 0, 1):
@@ -188,7 +179,24 @@ hgrad AS (
          CAST(SUM(s.wy * g.v) AS BIGINT) AS gy,
          CAST(SUM(s.ctr) AS BIGINT) AS ctr
   FROM {grid} g CROSS JOIN hst s
-  GROUP BY g.x - s.ox, g.y - s.oy),
+  GROUP BY g.x - s.ox, g.y - s.oy)"""
+
+
+def slope_aspect_body(grid: str = "rgrid") -> str:
+    """Horn-stencil slope/aspect over ``{grid}(x, y, v)`` →
+    ``(aspect_bin, slope_class, n_pixels)``.
+
+    dz/dx numerator = (z_NE + 2·z_E + z_SE) − (z_NW + 2·z_W + z_SW)
+    (Horn 1981, the estimator every GIS ships); dz/dy likewise.
+    Transposed to a splat: source at offset (ox, oy) from the target
+    carries wx = ox·(2−|oy|‖…)  — concretely ox·(oy=0 ? 2 : 1) — and
+    wy = oy·(ox=0 ? 2 : 1); the (0,0) row carries the center marker.
+    Absent neighbours are zero (the sparse-raster convention).  Aspect
+    octant 0..7 counts counter-clockwise from +x by integer
+    comparisons on (gx, gy); flat cells (gx=gy=0) bin to −1.  Slope
+    class is a power-of-4 ladder on max(|gx|, |gy|).
+    """
+    return f"""{horn_gradient_cte(grid)},
 hcls AS (
   SELECT CASE
            WHEN gx = 0 AND gy = 0 THEN -1

@@ -3485,6 +3485,27 @@ GROUP BY {C.cell_sql('lon', 'lat', 3)}
     queries["render_heatmap_tiles"] = render_heatmap_tiles_gate
     oracles["render_heatmap_tiles"] = q_render_tiles_oracle()
 
+    # hillshade tiles: shaded relief of the blurred density surface —
+    # separable blur + Horn gradient splat stay JVM/exact-integer; the
+    # trig shading runs in the SHARED numpy helper on both executors
+    # and the driver twin, so tile bytes are identical by construction.
+    def render_hillshade_gate(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+        from .operators.render import render_hillshade_tiles
+        return render_hillshade_tiles(spark).select(
+            "tx", "ty", "n_px", "png_md5")
+
+    def q_render_hillshade_oracle() -> str:
+        from .operators.render import hillshade_reference
+        rows = [f"(CAST({tx} AS BIGINT), CAST({ty} AS BIGINT), "
+                f"CAST({npx} AS BIGINT), '{md5}')"
+                for tx, ty, npx, md5 in hillshade_reference()]
+        return ("SELECT * FROM (VALUES\n" + ",\n".join(rows)
+                + "\n) AS t(tx, ty, n_px, png_md5)")
+
+    queries["render_hillshade_tiles"] = render_hillshade_gate
+    oracles["render_hillshade_tiles"] = q_render_hillshade_oracle()
+
     # ---- raster map-algebra family (operators/raster.py) ----
     # Focal convolution, iso-contours, slope/aspect over the sparse
     # pixel relation.  The blur gate is the separability proof: Spark

@@ -600,3 +600,26 @@ def test_luma_histogram_analytic(spark):
     rows = {(r.image_id, r.bin): r.n for r in out.collect()}
     assert len(rows) == 32
     assert rows[("c", 6)] == 36 and rows[("r", 3)] == 16
+
+
+def test_render_hillshade_tiles_matches_reference_bytes(spark):
+    import hashlib
+
+    from go_shapefile_spark.operators.render import (
+        hillshade_reference, render_hillshade_tiles)
+    from go_shapefile_spark.sources.images import decode_image
+
+    exp = {(tx, ty): (npx, md5)
+           for tx, ty, npx, md5 in hillshade_reference(n_ids=2000)}
+    rows = render_hillshade_tiles(spark, n_ids=2000).collect()
+    got = {(r.tx, r.ty): (r.n_px, r.png_md5) for r in rows}
+    assert got == exp
+    shades = set()
+    for r in rows:
+        assert hashlib.md5(bytes(r.png)).hexdigest() == r.png_md5
+        img = decode_image(bytes(r.png), "png")
+        assert img.shape == (64, 64, 3)
+        assert np.array_equal(img[:, :, 0], img[:, :, 1])
+        shades.update(np.unique(img[:, :, 0]).tolist())
+    # real relief: many distinct shade levels, not a binary mask
+    assert len(shades) > 32
