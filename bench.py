@@ -231,7 +231,9 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              # r5: per-cell Mann-Kendall trend (space-time analytic)
              "emerging_hotspots",
              # r5: shaded-relief PNG tiles (blur+Horn JVM, numpy shade)
-             "render_hillshade_tiles"]
+             "render_hillshade_tiles",
+             # r5: Hilbert window query (state-carrying interval plan)
+             "hilbert_range_query"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

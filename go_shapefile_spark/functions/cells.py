@@ -451,3 +451,62 @@ hq{b} AS (
 hilb AS (SELECT ix, iy, {", ".join(carry) + ", " if carry else ""}hd
          FROM hq0)""")
     return ",".join(parts)
+
+
+def hilbert_ranges(lon0: float, lat0: float, lon1: float, lat1: float,
+                   res: int, max_ranges: int = 64) -> list[tuple[int, int]]:
+    """Decompose a bbox window into HILBERT-INDEX INTERVALS at ``res``
+    — the data-skipping predicate for Hilbert-ordered layouts (twin of
+    :func:`z_ranges`; same guarantees, fewer intervals on typical
+    windows because the curve never teleports — measured in
+    test_cells).
+
+    Quadrant descent carrying the state machine: a node at depth d
+    with accumulated Hilbert prefix p covers EXACTLY the contiguous
+    ids [p·4^(res−d), (p+1)·4^(res−d)); each child quad's 2-bit digit
+    and next state come from the same ``_HILBERT_LUT`` the encoders
+    use, so the planner cannot drift from the index.
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"resolution {res} out of range 0..{MAX_RES}")
+    if max_ranges < 1:
+        raise ValueError("max_ranges must be >= 1")
+    lut = {(s, qx, qy): (dig, ns)
+           for s, qx, qy, dig, ns in _HILBERT_LUT}
+    q = xy_np(np.array([min(lon0, lon1), max(lon0, lon1)]),
+              np.array([min(lat0, lat1), max(lat0, lat1)]), res)
+    qx0, qx1 = int(q[0][0]), int(q[0][1])
+    qy0, qy1 = int(q[1][0]), int(q[1][1])
+    out: list[tuple[int, int]] = []
+
+    def rec(d: int, px: int, py: int, prefix: int, st: int) -> None:
+        size = 1 << (res - d)
+        x0, y0 = px * size, py * size
+        x1, y1 = x0 + size - 1, y0 + size - 1
+        if x1 < qx0 or x0 > qx1 or y1 < qy0 or y0 > qy1:
+            return
+        if x0 >= qx0 and x1 <= qx1 and y0 >= qy0 and y1 <= qy1:
+            lo = prefix << (2 * (res - d))
+            out.append((lo, lo + (1 << (2 * (res - d))) - 1))
+            return
+        for dx in (0, 1):
+            for dy in (0, 1):
+                dig, ns = lut[(st, dx, dy)]
+                rec(d + 1, 2 * px + dx, 2 * py + dy,
+                    prefix * 4 + dig, ns)
+
+    rec(0, 0, 0, 0, 0)
+    out.sort()
+    merged: list[list[int]] = []
+    for lo, hi in out:
+        if merged and lo == merged[-1][1] + 1:
+            merged[-1][1] = hi
+        else:
+            merged.append([lo, hi])
+    while len(merged) > max_ranges:
+        gaps = [merged[i + 1][0] - merged[i][1]
+                for i in range(len(merged) - 1)]
+        i = gaps.index(min(gaps))
+        merged[i][1] = merged[i + 1][1]
+        del merged[i + 1]
+    return [(lo, hi) for lo, hi in merged]

@@ -3387,6 +3387,31 @@ WHERE lon >= CAST('{ZQ[0]!r}' AS DOUBLE) AND lon <= CAST('{ZQ[2]!r}' AS DOUBLE)
   AND lat >= CAST('{ZQ[1]!r}' AS DOUBLE) AND lat <= CAST('{ZQ[3]!r}' AS DOUBLE)
 """
 
+    # Hilbert twin of the z-order window query: same window, intervals
+    # from the state-carrying quadrant planner (hilbert_ranges) — the
+    # curve never teleports, so the SAME window needs ~half the
+    # intervals Morton does (measured in test_cells); same sound
+    # cover + exact residual shape.
+    def hilbert_range_query(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        ranges = C.hilbert_ranges(*ZQ, res=8, max_ranges=32)
+        vals = ",".join(f"({lo},{hi})" for lo, hi in ranges)
+        return spark.sql(f"""
+WITH {geotagged_events_cte(SPARK)},
+hsrc AS (
+  SELECT id, lon, lat, {C.ix_sql('lon', 8)} AS ix,
+         {C.iy_sql('lat', 8)} AS iy
+  FROM pts),
+{C.hilbert_cte(8, carry=("id", "lon", "lat"))},
+hr AS (SELECT * FROM (VALUES {vals}) AS t(lo, hi))
+SELECT id FROM hilb JOIN hr ON hilb.hd >= hr.lo AND hilb.hd <= hr.hi
+WHERE lon >= CAST('{ZQ[0]!r}' AS DOUBLE) AND lon <= CAST('{ZQ[2]!r}' AS DOUBLE)
+  AND lat >= CAST('{ZQ[1]!r}' AS DOUBLE) AND lat <= CAST('{ZQ[3]!r}' AS DOUBLE)
+""")
+    queries["hilbert_range_query"] = hilbert_range_query
+    oracles["hilbert_range_query"] = oracles["zorder_range_query"]
+
     # sparse-cosine similarity join (inverted index): integer dots and
     # norms, one correctly-rounded SQRT — dual-engine exact floats; the
     # kept-tf relation pins before the self-join (CTE inlining)

@@ -309,3 +309,39 @@ def test_hilbert_locality_beats_morton():
         h_total += int((np.diff(hd) > 1).sum()) + 1
         m_total += int((np.diff(md) > 1).sum()) + 1
     assert h_total < m_total, (h_total, m_total)
+
+
+def test_hilbert_ranges_exact_cover_and_fewer_intervals():
+    import bisect
+
+    import numpy as np
+
+    from go_shapefile_spark.functions import cells as C
+
+    rng = np.random.default_rng(9)
+    res = 7
+    h_total = m_total = 0
+    for _ in range(25):
+        x0, x1 = sorted(rng.uniform(-170, 170, 2))
+        y0, y1 = sorted(rng.uniform(-80, 80, 2))
+        rs = C.hilbert_ranges(x0, y0, x1, y1, res, max_ranges=10**9)
+        ix, iy = C.xy_np(np.array([x0, x1]), np.array([y0, y1]), res)
+        xs, ys = np.meshgrid(np.arange(ix[0], ix[1] + 1),
+                             np.arange(iy[0], iy[1] + 1))
+        hd = np.sort(C.hilbert_np(xs.ravel(), ys.ravel(), res))
+        # exact cover: interval mass equals the window's cell count,
+        # and every window cell falls inside one interval
+        assert sum(hi - lo + 1 for lo, hi in rs) == len(hd)
+        los = [lo for lo, _ in rs]
+        his = [hi for _, hi in rs]
+        for d in (int(hd[0]), int(hd[len(hd) // 2]), int(hd[-1])):
+            i = bisect.bisect_right(los, d) - 1
+            assert 0 <= i and d <= his[i]
+        h_total += len(rs)
+        m_total += len(C.z_ranges(x0, y0, x1, y1, res,
+                                  max_ranges=10**9))
+        # budget merging stays a sound superset
+        capped = C.hilbert_ranges(x0, y0, x1, y1, res, max_ranges=8)
+        assert len(capped) <= 8
+        assert sum(hi - lo + 1 for lo, hi in capped) >= len(hd)
+    assert h_total < m_total, (h_total, m_total)
