@@ -233,7 +233,9 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              # r5: shaded-relief PNG tiles (blur+Horn JVM, numpy shade)
              "render_hillshade_tiles",
              # r5: Hilbert window query (state-carrying interval plan)
-             "hilbert_range_query"]
+             "hilbert_range_query",
+             # r5: copy-on-write MERGE through the snapshot table
+             "snapshot_merge_rollup"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

@@ -1125,6 +1125,58 @@ def snapshot_incremental_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("event_id").alias("max_id")))
 
 
+def snapshot_merge_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE gate: base = events with id % 3 != 2 in two
+    appends (multiple data files); the merge upserts every id % 7 == 3
+    row with its value DOUBLED — ids also in the base replace in place,
+    ids with % 3 == 2 insert.  The rollup over the merged table must
+    equal the oracle's relational reconstruction, putting upsert
+    row-replacement, partial-file rewrite, and the REPLACE snapshot on
+    the hash-checked path."""
+    from pyspark.sql import functions as F
+
+    from .sources import fsio
+    from .sources.table_format import SnapshotTable
+
+    register_tables(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_CACHE_ROOT, f"gate_snapmerge_{tag}")
+    marker = os.path.join(root, "_GATE_BASE")
+    if not os.path.exists(marker):
+        fsio.rmtree(root)
+        t = SnapshotTable(root)
+        ev = spark.table("events")
+        t.append(ev.where("event_id % 3 = 0"))
+        t.append(ev.where("event_id % 3 = 1"))
+        updates = ev.where("event_id % 7 = 3") \
+            .withColumn("value", F.col("value") * 2)
+        t.merge(spark, updates, ["event_id"])
+        with open(marker, "w") as f:
+            f.write("done")
+    final = SnapshotTable(root).read(spark)
+    return (final.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+                 .cast("long").alias("cents"),
+                 F.min("event_id").alias("min_id"),
+                 F.max("event_id").alias("max_id")))
+
+
+def q_snapshot_merge_oracle(dialect: str) -> str:
+    return """
+WITH final AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE event_id % 3 <> 2 AND event_id % 7 <> 3
+  UNION ALL
+  SELECT event_id, event_type, value * 2 FROM events
+  WHERE event_id % 7 = 3)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM final GROUP BY event_type
+"""
+
+
 def q_snapshot_incremental_oracle(dialect: str) -> str:
     return """
 SELECT user_id, COUNT(*) AS n_events,
@@ -2458,6 +2510,8 @@ def build_registry():
     oracles["snapshot_incremental_rollup"] = q_snapshot_incremental_oracle(DUCK)
     queries["snapshot_compaction_rollup"] = snapshot_compaction_spark
     oracles["snapshot_compaction_rollup"] = q_snapshot_compaction_oracle(DUCK)
+    queries["snapshot_merge_rollup"] = snapshot_merge_spark
+    oracles["snapshot_merge_rollup"] = q_snapshot_merge_oracle(DUCK)
     queries["image_quality"] = image_quality_spark
     oracles["image_quality"] = q_image_quality_oracle()
     queries["image_luma_histogram"] = image_luma_histogram_spark

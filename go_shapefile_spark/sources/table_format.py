@@ -326,6 +326,67 @@ class SnapshotTable:
             fsio.rmtree(data_dir)
             raise
 
+    def merge(self, spark: SparkSession, updates: DataFrame,
+              key_cols: list[str]) -> str:
+        """Copy-on-write MERGE (upsert): every current row whose key
+        matches an ``updates`` row is replaced by it; update rows with
+        unseen keys insert.  ``updates`` must be key-unique and share
+        the table schema.
+
+        CoW at FILE granularity, the Iceberg merge-on-write shape:
+        only data files that actually contain a matched key are
+        rewritten (their unmatched rows carry over via an anti-join,
+        unioned with all update rows); untouched files are referenced
+        as-is by the new REPLACE snapshot — on a 100-TB table a merge
+        touching one partition rewrites one partition.  The commit
+        CASes on the snapshot the merge read (a racing append raises
+        :class:`CommitConflict` and the staged rewrite is cleaned up).
+        Matched-file discovery uses the scan's ``_metadata.file_path``
+        — one aggregation over the key join, collected only to the
+        (already driver-sized) file-list granularity.
+        """
+        from pyspark.sql import functions as F
+
+        def _plain(p: str) -> str:
+            if p.startswith("file:"):
+                from urllib.parse import unquote, urlparse
+                return unquote(urlparse(p).path)
+            return p
+
+        parent = self.current_snapshot_id()
+        files = self.files(parent)
+        if not files:
+            return self.append(updates)
+        keys = updates.select(*key_cols).distinct()
+        cur = spark.read.parquet(*files).withColumn(
+            "_src_file", F.col("_metadata.file_path"))
+        hit_norm = {_plain(r[0]) for r in
+                    cur.join(F.broadcast(keys), key_cols)
+                    .select("_src_file").distinct().collect()}
+        by_norm = {_plain(f): f for f in files}
+        hits = [orig for norm, orig in by_norm.items()
+                if norm in hit_norm]
+        untouched = [f for f in files if f not in set(hits)]
+        data_dir = posixpath.join(self.root, "data",
+                                  f"merge-{uuid.uuid4().hex}")
+        cols = [c for c in updates.columns]
+        if hits:
+            kept = (spark.read.parquet(*hits)
+                    .join(keys, key_cols, "left_anti").select(*cols))
+            rewritten = kept.unionByName(updates.select(*cols))
+        else:
+            rewritten = updates.select(*cols)
+        rewritten.write.parquet(data_dir)
+        new_files = [f for f in fsio.list_files(data_dir)
+                     if f.endswith(".parquet")]
+        try:
+            return self.commit(new_files, operation="replace",
+                               expected_parent=parent,
+                               files_override=untouched + new_files)
+        except CommitConflict:
+            fsio.rmtree(data_dir)
+            raise
+
     def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
         """Drop all but the most recent ``keep_last`` snapshots and
         delete data files no retained snapshot references — the GC that

@@ -271,3 +271,70 @@ def test_expire_removes_empty_commit_dirs(spark, tmp_path):
     t.expire_snapshots(keep_last=2)
     for d in old_dirs:
         assert not fsio.exists(d)
+
+
+def test_merge_copy_on_write_semantics(spark, tmp_path):
+    """MERGE replaces matched keys, inserts unseen keys, rewrites ONLY
+    the files containing a matched key, and leaves the pre-merge
+    snapshot time-travelable."""
+    t = SnapshotTable(str(tmp_path / "mt"))
+    t.append(spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                                   "k long, s string, v long"))
+    s2 = t.append(spark.createDataFrame([(3, "c", 30), (4, "d", 40)],
+                                        "k long, s string, v long"))
+    files_before = set(t.files())
+    assert len(files_before) >= 2
+
+    upd = spark.createDataFrame([(2, "B", 200), (9, "z", 900)],
+                                "k long, s string, v long")
+    s3 = t.merge(spark, upd, ["k"])
+
+    rows = {r.k: (r.s, r.v) for r in t.read(spark).collect()}
+    assert rows == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30),
+                    4: ("d", 40), 9: ("z", 900)}
+
+    # CoW at file granularity: the second commit's files held no
+    # matched key, so they must be referenced UNCHANGED by the merge
+    # snapshot; at least one file (the k=2 holder) was rewritten
+    files_after = set(t.files(s3))
+    carried = files_before & files_after
+    assert carried and files_after != files_before
+    s2_files = set(t.snapshot(s2)["added_files"])
+    assert s2_files <= files_after   # untouched commit carried over
+
+    # pre-merge snapshot still reads the old rows (time travel)
+    old = {r.k: r.v for r in t.read(spark, snapshot_id=s2).collect()}
+    assert old == {1: 10, 2: 20, 3: 30, 4: 40}
+
+    # merge into an empty table is an append
+    t2 = SnapshotTable(str(tmp_path / "mt2"))
+    t2.merge(spark, upd, ["k"])
+    assert {r.k for r in t2.read(spark).collect()} == {2, 9}
+
+
+def test_merge_conflict_with_racing_append(spark, tmp_path):
+    from go_shapefile_spark.sources.table_format import (
+        CommitConflict, InMemoryCatalog)
+
+    cat = InMemoryCatalog()
+    root = str(tmp_path / "mc")
+    t = SnapshotTable(root, catalog=cat)
+    t.append(spark.createDataFrame([(1, 10)], "k long, v long"))
+
+    # simulate a racer: another handle appends after the merge reads
+    racer = SnapshotTable(root, catalog=cat)
+
+    class RacingTable(SnapshotTable):
+        def files(self, snapshot_id=None):
+            files = super().files(snapshot_id)
+            racer.append(spark.createDataFrame([(5, 50)],
+                                               "k long, v long"))
+            return files
+
+    rt = RacingTable(root, catalog=cat)
+    with pytest.raises(CommitConflict):
+        rt.merge(spark, spark.createDataFrame([(1, 11)],
+                                              "k long, v long"), ["k"])
+    # the racer's row is intact and no merge data leaked in
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == {(1, 10),
+                                                             (5, 50)}
