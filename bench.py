@@ -235,7 +235,9 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              # r5: Hilbert window query (state-carrying interval plan)
              "hilbert_range_query",
              # r5: copy-on-write MERGE through the snapshot table
-             "snapshot_merge_rollup"]
+             "snapshot_merge_rollup",
+             # r5: per-group monotone-chain hulls vs O(n^3) oracle
+             "convex_hulls"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

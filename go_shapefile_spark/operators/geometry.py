@@ -743,3 +743,59 @@ def geom_measures(features: DataFrame) -> DataFrame:
     return cols.mapInArrow(
         run, schema="fid long, area double, perimeter double, "
                     "cx double, cy double")
+
+
+# --- convex hull per group -------------------------------------------------
+
+def monotone_chain_hull(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Indices of the convex-hull VERTICES of a point set (Andrew's
+    monotone chain).  Pops only on STRICT right turns, so collinear
+    boundary points stay on the hull — matching the relational hull
+    definition (a point with a supporting half-plane is a vertex,
+    cross products ≥ 0), which is also the convention the O(n³) oracle
+    uses.  1- and 2-point sets are their own hull."""
+    n = len(x)
+    if n <= 2:
+        return np.arange(n)
+    order = np.lexsort((y, x))
+
+    def chain(idx):
+        out: list[int] = []
+        for i in idx:
+            while len(out) >= 2:
+                ax, ay = x[out[-2]], y[out[-2]]
+                bx, by = x[out[-1]], y[out[-1]]
+                cross = (bx - ax) * (y[i] - ay) - (by - ay) * (x[i] - ax)
+                if cross < 0:          # strict right turn: pop
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = chain(order)
+    upper = chain(order[::-1])
+    return np.unique(np.array(lower[:-1] + upper[:-1], dtype=np.int64))
+
+
+def convex_hull_groups(points: DataFrame, group_col: str = "u",
+                       lon_col: str = "lon",
+                       lat_col: str = "lat") -> DataFrame:
+    """Per-group convex hull vertices via ``applyInPandas`` (groups are
+    small by contract — trajectory caps, cluster caps; the shuffle is
+    one hash partition on the group key).  Returns every hull vertex
+    row (group, lon, lat) — downstream rollups stay relational."""
+    import pandas as pd
+
+    def hull(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = monotone_chain_hull(pdf[lon_col].to_numpy(np.float64),
+                                  pdf[lat_col].to_numpy(np.float64))
+        out = pdf.iloc[idx]
+        return pd.DataFrame({group_col: out[group_col],
+                             lon_col: out[lon_col],
+                             lat_col: out[lat_col]})
+
+    return points.select(group_col, lon_col, lat_col) \
+        .groupBy(group_col).applyInPandas(
+            hull, schema=f"{group_col} long, {lon_col} double, "
+                         f"{lat_col} double")

@@ -3647,7 +3647,11 @@ GROUP BY {C.cell_sql('lon', 'lat', 3)}
     # SUM rule from BENCH.md does not bite).  The 2-row dir table
     # computes BOTH directed Hausdorff halves from one pass over the
     # point-pair relation; symmetric H = MAX over both.
-    def q_traj_hausdorff(dialect: str) -> str:
+    def _traj_cte(dialect: str) -> str:
+        """Anchored synthetic tracks (shared by the Hausdorff and
+        convex-hull gates): per-user md5 anchor ± per-event jitter,
+        capped at 32 points, with the anchor carried for the spatial
+        candidate prune.  Emits ``tr(u, lon, lat, alon, alat, rn)``."""
         def hmod(expr: str, salt: str, mod: int) -> str:
             s = (f"CAST({expr} AS STRING) || '_{salt}'" if dialect == H.SPARK
                  else f"CAST({expr} AS VARCHAR) || '_{salt}'")
@@ -3665,14 +3669,18 @@ GROUP BY {C.cell_sql('lon', 'lat', 3)}
         jlat = (f"({dbl(hmod('event_id', 'jlat', 20000))}"
                 f" - CAST(1.0 AS DOUBLE))")
         return f"""
-WITH tr0 AS (
+tr0 AS (
   SELECT user_id AS u,
          {alon} + {jlon} AS lon,
          {alat} + {jlat} AS lat,
          {alon} AS alon, {alat} AS alat,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
   FROM events),
-tr AS (SELECT * FROM tr0 WHERE rn <= 32),
+tr AS (SELECT * FROM tr0 WHERE rn <= 32)"""
+
+    def q_traj_hausdorff(dialect: str) -> str:
+        return f"""
+WITH {_traj_cte(dialect).lstrip()},
 anch AS (
   SELECT u,
          CAST(FLOOR(MIN(alon) / CAST(16.0 AS DOUBLE)) AS BIGINT) AS cx,
@@ -3704,5 +3712,52 @@ FROM dd GROUP BY u, v
         return spark.sql(q_traj_hausdorff(H.SPARK))
     queries["trajectory_hausdorff"] = trajectory_hausdorff
     oracles["trajectory_hausdorff"] = q_traj_hausdorff(H.DUCK)
+
+    # per-user convex hulls: Spark runs Andrew's monotone chain per
+    # group (applyInPandas — groups capped at 32 points, one shuffle
+    # on the group key); the oracle is the O(n³) RELATIONAL hull
+    # definition (p is a vertex iff some supporting half-plane through
+    # p and another point has every point on one side — all cross
+    # products ≥ 0).  Two algorithms, one function; identical doubles
+    # in both engines, vertex sums quantized to e6 BIGINTs.
+    def convex_hulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from .operators.geometry import convex_hull_groups
+
+        register_tables(spark, sf_dir)
+        tr = spark.sql(f"WITH {_traj_cte(H.SPARK).lstrip()} "
+                       "SELECT u, lon, lat FROM tr")
+        hull = convex_hull_groups(tr)
+        return hull.groupBy("u").agg(
+            F.count(F.lit(1)).cast("long").alias("n_hull"),
+            F.sum(F.expr("CAST(ROUND(lon * 1000000) AS BIGINT)"))
+            .cast("long").alias("sum_lon_e6"),
+            F.sum(F.expr("CAST(ROUND(lat * 1000000) AS BIGINT)"))
+            .cast("long").alias("sum_lat_e6"))
+    queries["convex_hulls"] = convex_hulls
+    oracles["convex_hulls"] = f"""
+WITH {_traj_cte(H.DUCK).lstrip()},
+cnt AS (SELECT u, COUNT(*) AS c FROM tr GROUP BY u),
+pq AS (
+  SELECT a.u AS u, a.rn AS p,
+         MIN((b.lon - a.lon) * (r.lat - a.lat)
+             - (b.lat - a.lat) * (r.lon - a.lon)) AS mn
+  FROM tr a
+  JOIN tr b ON b.u = a.u AND b.rn <> a.rn
+  JOIN tr r ON r.u = a.u
+  GROUP BY a.u, a.rn, b.rn),
+verts AS (
+  SELECT DISTINCT u, p FROM pq WHERE mn >= 0
+  UNION
+  SELECT u, CAST(1 AS BIGINT) AS p FROM cnt WHERE c = 1)
+SELECT t.u AS u, CAST(COUNT(*) AS BIGINT) AS n_hull,
+       CAST(SUM(CAST(ROUND(t.lon * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_lon_e6,
+       CAST(SUM(CAST(ROUND(t.lat * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_lat_e6
+FROM verts v JOIN tr t ON t.u = v.u AND t.rn = v.p
+GROUP BY t.u
+"""
 
     return queries, oracles

@@ -402,3 +402,44 @@ def test_geodesic_spark_matches_driver_kernel(spark):
     assert len(got) == 177
     for i, want in enumerate(geodesic_for_records(read_zip(z).shp.records)):
         assert got[i + 1] == want          # bit-exact: same batched kernel
+
+
+def test_monotone_chain_hull_known_and_bruteforce():
+    import numpy as np
+
+    from go_shapefile_spark.operators.geometry import monotone_chain_hull
+
+    # unit square + interior point: hull = the 4 corners
+    x = np.array([0.0, 1.0, 1.0, 0.0, 0.5])
+    y = np.array([0.0, 0.0, 1.0, 1.0, 0.5])
+    assert set(monotone_chain_hull(x, y).tolist()) == {0, 1, 2, 3}
+
+    # collinear boundary point stays (the relational-definition
+    # convention the oracle uses)
+    x = np.array([0.0, 2.0, 1.0, 1.0])
+    y = np.array([0.0, 0.0, 0.0, 1.0])
+    assert set(monotone_chain_hull(x, y).tolist()) == {0, 1, 2, 3}
+
+    # 1- and 2-point sets are their own hull
+    assert monotone_chain_hull(np.array([3.0]),
+                               np.array([4.0])).tolist() == [0]
+    assert set(monotone_chain_hull(np.array([0.0, 1.0]),
+                                   np.array([0.0, 1.0])).tolist()) == {0, 1}
+
+    # brute force: p is a vertex iff some q gives all crosses >= 0
+    rng = np.random.default_rng(13)
+    for _ in range(20):
+        n = int(rng.integers(3, 40))
+        x = rng.uniform(-5, 5, n)
+        y = rng.uniform(-5, 5, n)
+        got = set(monotone_chain_hull(x, y).tolist())
+        want = set()
+        for p in range(n):
+            for q in range(n):
+                if p == q:
+                    continue
+                cr = (x[q] - x[p]) * (y - y[p]) - (y[q] - y[p]) * (x - x[p])
+                if cr.min() >= 0:
+                    want.add(p)
+                    break
+        assert got == want
