@@ -237,7 +237,9 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              # r5: copy-on-write MERGE through the snapshot table
              "snapshot_merge_rollup",
              # r5: per-group monotone-chain hulls vs O(n^3) oracle
-             "convex_hulls"]
+             "convex_hulls",
+             # r5: deterministic curation sampling (replayable)
+             "stratified_sample", "balanced_sample"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

@@ -177,6 +177,12 @@ GROUP BY event_type, CAST(FLOOR({ep} / 300) * 300 AS BIGINT)
 
 GEO_RES = 7
 
+# deterministic-sampling gates: per-class keep rates (out of 10000)
+# and the balanced per-stratum row cap
+SAMPLE_RATES = {"view": 500, "click": 1000, "scroll": 1000,
+                "signup": 5000, "purchase": 5000, "error": 10000}
+BALANCED_K = 200
+
 
 def geotagged_events_cte(dialect: str) -> str:
     return f"""
@@ -3214,6 +3220,57 @@ SELECT hd AS hilbert_d, ix, iy, n, cents FROM hilb
         return spark.sql(q_hilbert(H.SPARK))
     queries["hilbert_rollup"] = hilbert_rollup
     oracles["hilbert_rollup"] = q_hilbert(H.DUCK)
+
+    # deterministic sampling (training-data curation): hash-threshold
+    # stratified rates + balanced per-stratum top-k.  Both are pure
+    # relational templates on the md5 seam, so the sample REPLAYS
+    # bit-identically under any partitioning, retry, or engine — the
+    # property a reproducible training run needs (rand() samples
+    # don't survive a retry).  Rates per class downweight the common
+    # strata; the balanced variant takes exactly min(k, n) rows per
+    # stratum by hash order (hash = an unbiased deterministic shuffle).
+    def q_stratified(dialect: str) -> str:
+        s = ("CAST(event_id AS STRING)" if dialect == H.SPARK
+             else "CAST(event_id AS VARCHAR)")
+        h = H.h32(f"{s} || '_samp'", dialect)
+        rate = " ".join(
+            f"WHEN '{t}' THEN {r}" for t, r in sorted(SAMPLE_RATES.items()))
+        return f"""
+WITH kept AS (
+  SELECT event_type, value FROM events
+  WHERE ({h} % 10000) < CASE event_type {rate} ELSE 0 END)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM kept GROUP BY event_type
+"""
+
+    def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(q_stratified(SPARK))
+    queries["stratified_sample"] = stratified_sample
+    oracles["stratified_sample"] = q_stratified(DUCK)
+
+    def q_balanced(dialect: str) -> str:
+        s = ("CAST(event_id AS STRING)" if dialect == H.SPARK
+             else "CAST(event_id AS VARCHAR)")
+        h = H.h32(f"{s} || '_bal'", dialect)
+        return f"""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY {h}, event_id) AS rk
+  FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM ranked WHERE rk <= {BALANCED_K} GROUP BY event_type
+"""
+
+    def balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(q_balanced(SPARK))
+    queries["balanced_sample"] = balanced_sample
+    oracles["balanced_sample"] = q_balanced(DUCK)
 
     # emerging hot spots: per-cell Mann-Kendall trend over the
     # day-bucketed count series (the space-time analytic ESRI ships as

@@ -239,3 +239,35 @@ def test_emerging_hotspots_matches_pandas_mann_kendall(sf_dir):
     s = sum(np.sign(xs[j] - xs[i])
             for i in range(10) for j in range(i + 1, 10))
     assert s == 45
+
+
+# ----------------------------------------- deterministic sampling
+
+def test_sampling_gates_rates_and_exact_k(sf_dir):
+    from go_shapefile_spark.queries import (BALANCED_K, SAMPLE_RATES,
+                                            build_registry)
+
+    _, oracles = build_registry()
+    con = duckdb.connect()
+    ev = os.path.join(sf_dir, "events.parquet")
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{ev}'")
+    totals = {t: n for t, n in con.sql(
+        "SELECT event_type, COUNT(*) FROM events GROUP BY 1").fetchall()}
+
+    strat = {r.event_type: int(r.n_sampled)
+             for r in con.sql(oracles["stratified_sample"]).df()
+             .itertuples()}
+    for t, n in strat.items():
+        want = totals[t] * SAMPLE_RATES[t] / 10000
+        # 5-sigma binomial tolerance — deterministic hash, but the
+        # hash behaves like a uniform draw
+        sigma = (want * (1 - SAMPLE_RATES[t] / 10000)) ** 0.5
+        assert abs(n - want) <= 5 * sigma + 1, (t, n, want)
+    # full-rate stratum keeps everything
+    assert strat["error"] == totals["error"]
+
+    bal = {r.event_type: int(r.n_sampled)
+           for r in con.sql(oracles["balanced_sample"]).df()
+           .itertuples()}
+    assert all(n == min(BALANCED_K, totals[t]) for t, n in bal.items())
+    con.close()
