@@ -239,7 +239,9 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              # r5: per-group monotone-chain hulls vs O(n^3) oracle
              "convex_hulls",
              # r5: deterministic curation sampling (replayable)
-             "stratified_sample", "balanced_sample"]
+             "stratified_sample", "balanced_sample",
+             # r5: streaming direct-splat blur (== batch separable)
+             "streaming_focal_blur"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

@@ -3660,6 +3660,29 @@ GROUP BY {C.cell_sql('lon', 'lat', 3)}
     queries["focal_blur"] = focal_blur
     oracles["focal_blur"] = q_blur(H.DUCK, "direct")
 
+    # streaming twin: the stream gets ONE stateful aggregation, so it
+    # runs the direct 25-way splat — the separability identity the
+    # batch gate proves is exactly what makes the two bit-equal.
+    def streaming_blur_spark(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+        import tempfile
+        import uuid
+
+        from .streaming.events import (run_available_now,
+                                       streaming_blur_counts)
+
+        src = os.path.join(sf_dir, "events.parquet")
+        schema = spark.read.parquet(src).schema
+        out = streaming_blur_counts(
+            spark, _stream_source_dir(src), schema, ppd=1)
+        name = f"gate_stream_blur_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="gate_stream_blur_")
+        run_available_now(out, ckpt, query_name=name)
+        return (spark.table(name)
+                .selectExpr("x", "y", "CAST(v AS BIGINT) AS v"))
+    queries["streaming_focal_blur"] = streaming_blur_spark
+    oracles["streaming_focal_blur"] = q_blur(H.DUCK, "direct")
+
     # iso-contour extraction: marching squares at threshold tau over
     # the blurred density surface (the "draw the density isolines"
     # viz primitive).  Both engines chain blur->contours; Spark again

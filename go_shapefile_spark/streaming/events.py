@@ -176,3 +176,33 @@ def streaming_heatmap_counts(spark: SparkSession, source_dir: str, schema,
             .agg(F.sum("k.w").alias("intensity"),
                  F.sum(F.when((F.col("k.dx") == 0) & (F.col("k.dy") == 0), 1)
                        .otherwise(0)).alias("n_centered")))
+
+
+def streaming_blur_counts(spark: SparkSession, source_dir: str, schema,
+                          ppd: int = 1,
+                          id_col: str = "event_id") -> DataFrame:
+    """Streaming 5×5 binomial blur: readStream → JVM geotag → 25-way
+    weighted kernel explode (stateless) → pixel-keyed aggregation.
+
+    The BATCH path runs the separable two-pass form (2 aggregations);
+    streaming allows exactly ONE stateful aggregation, so the stream
+    uses the direct 2-D splat — the same exact integers (the
+    separability identity the focal_blur gate proves), so a complete-
+    mode drain equals the batch blur bit-for-bit.  25× stateless
+    fan-out before the single shuffle; per-microbatch partial
+    aggregation combines map-side before state updates."""
+    b5 = (1, 4, 6, 4, 1)
+    kern = ("array(" + ",".join(
+        f"named_struct('dx', {dx - 2}L, 'dy', {dy - 2}L, "
+        f"'w', {wx * wy}L)"
+        for dx, wx in enumerate(b5) for dy, wy in enumerate(b5)) + ")")
+    stream = (spark.readStream.schema(schema).parquet(source_dir)
+              .withColumn("lon", F.expr(lon_sql(id_col, "spark")))
+              .withColumn("lat", F.expr(lat_sql(id_col, "spark")))
+              .selectExpr(f"CAST(FLOOR(lon * {int(ppd)}) AS BIGINT) AS px",
+                          f"CAST(FLOOR(lat * {int(ppd)}) AS BIGINT) AS py")
+              .select("px", "py", F.explode(F.expr(kern)).alias("k")))
+    return (stream
+            .groupBy((F.col("px") + F.col("k.dx")).alias("x"),
+                     (F.col("py") + F.col("k.dy")).alias("y"))
+            .agg(F.sum("k.w").alias("v")))
