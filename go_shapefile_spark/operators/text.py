@@ -884,3 +884,117 @@ SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
          AS n_tok,
        {H.h60(piece, dialect)} AS chunk_hash
 FROM ch_grid"""
+
+
+def _word_stream_cte(dialect: str, rel: str = "documents") -> str:
+    """Shared CTE chain ending in ``wpos(doc_id, w1, w2)`` — every
+    adjacent word pair in the corpus (``w2`` NULL on each document's
+    final position) — plus ``wuni(w, c)`` unigram counts and
+    ``wtot(n)`` the corpus token total.  One tokenize, one explode;
+    both the PMI and the LM-likelihood operators ride it."""
+    toks = H.tokens_arr("text", dialect)
+    alen = H.array_len("tok", dialect)
+    w1 = H.elem("tok", "p", dialect)
+    w2 = H.elem("tok", "p + 1", dialect)
+    return f"""wtoks AS (
+  SELECT doc_id, {toks} AS tok FROM {rel}),
+wpos AS (
+  SELECT doc_id, {w1} AS w1,
+         CASE WHEN p < {alen} THEN {w2} END AS w2
+  FROM (SELECT doc_id, tok, {H.seq_1_to(alen, dialect)} AS p
+        FROM wtoks WHERE {alen} >= 1) e),
+wuni AS (
+  SELECT w1 AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM wpos GROUP BY w1),
+wtot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM wuni)"""
+
+
+def pmi_bigrams_sql(dialect: str, rel: str = "documents",
+                    min_count: int = 5, top_k: int = 50,
+                    scale: int = 1_000_000) -> str:
+    """Collocation extraction: the corpus's top-``top_k`` word bigrams
+    by pointwise mutual information.  PMI = ln(c12·N / (c1·c2)) is
+    monotone in the rational c12·N/(c1·c2), so the ranking (and the
+    emitted score) uses the exact integer quotient
+    ``(c12·N·scale) DIV (c1·c2)`` — no logarithm, no float, bit-equal
+    in both engines.
+
+    Scale posture: the bigram/unigram count relations are vocabulary-
+    bounded (not corpus-bounded) after the one map-side-combinable
+    groupBy, and the scoring join is vocab×vocab — tiny.  The integer
+    numerator bounds exactness: c12·N·scale < 2^63 holds through
+    ~3×10^12-token corpora at the default scale; beyond that halve
+    ``scale`` (the ranking is unchanged — the quotient loses low
+    bits, ties broken lexically either way).
+    """
+    return f"""
+WITH {_word_stream_cte(dialect, rel)},
+wbig AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM wpos WHERE w2 IS NOT NULL GROUP BY w1, w2),
+wscore AS (
+  SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+         {H.idiv('b.c12 * t.n * ' + str(scale), 'u1.c * u2.c', dialect)}
+           AS pmi_q
+  FROM wbig b
+  JOIN wuni u1 ON u1.w = b.w1
+  JOIN wuni u2 ON u2.w = b.w2
+  CROSS JOIN wtot t
+  WHERE b.c12 >= {min_count}),
+wrank AS (
+  SELECT w1, w2, c12, c1, c2, pmi_q,
+         ROW_NUMBER() OVER (ORDER BY pmi_q DESC, w1 ASC, w2 ASC) AS rk
+  FROM wscore)
+SELECT w1, w2, c12, c1, c2, pmi_q, CAST(rk AS BIGINT) AS rk
+FROM wrank WHERE rk <= {top_k}
+"""
+
+
+def lm_likelihood_sql(dialect: str, rel: str = "documents",
+                      ppb: int = 1_000_000_000,
+                      low_q: int = 30_000_000) -> str:
+    """Bigram-language-model document scoring — the model-based quality
+    filter of a training-data pipeline (KenLM-style, minus the log):
+    train bigram conditional probabilities on the corpus itself, then
+    score every document by its mean conditional probability.
+
+    Each bigram's conditional probability P(w2|w1) = c12/c1 is
+    quantized to parts-per-billion via exact integer division; a
+    document's score is the integer mean of its bigrams' quantized
+    probabilities.  Integer-only end to end, so the dual-engine
+    compare is bit-stable (a float log-prob SUM would not be — see
+    BENCH.md's accumulation-order rule).  Docs with fewer than 2
+    tokens score NULL-free via the LEFT JOIN + 0 sentinel.
+
+    Scale posture: the model (wbig ⋈ wuni) is vocab²-bounded and
+    broadcastable; the scoring pass is one equi-join of the corpus
+    bigram stream against it — map-side with the broadcast.  The
+    ``lm_band`` column is the keep/review/drop verdict at the
+    ``low_q`` ppb threshold (mean-prob analogue of a perplexity cut).
+    """
+    return f"""
+WITH {_word_stream_cte(dialect, rel)},
+wbig AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM wpos WHERE w2 IS NOT NULL GROUP BY w1, w2),
+wmodel AS (
+  SELECT b.w1, b.w2, {H.idiv('b.c12 * ' + str(ppb), 'u.c', dialect)} AS p_q
+  FROM wbig b JOIN wuni u ON u.w = b.w1),
+wdoc AS (
+  SELECT p.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(m.p_q) AS BIGINT) AS sum_p_q
+  FROM wpos p JOIN wmodel m ON m.w1 = p.w1 AND m.w2 = p.w2
+  WHERE p.w2 IS NOT NULL
+  GROUP BY p.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(w.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE({H.idiv('w.sum_p_q', 'w.n_bigrams', dialect)}, 0)
+            AS BIGINT) AS mean_p_q,
+       CASE WHEN w.n_bigrams IS NULL THEN 'short'
+            WHEN {H.idiv('w.sum_p_q', 'w.n_bigrams', dialect)}
+                 >= {low_q} THEN 'keep'
+            ELSE 'review' END AS lm_band
+FROM {rel} d LEFT JOIN wdoc w ON w.doc_id = d.doc_id
+"""

@@ -2445,6 +2445,15 @@ def build_registry():
         # Gopher-style repetition signals (top-2-gram fraction +
         # duplicate-5-gram position fraction) in one scan/one explode
         "repetition_quality": lambda d: TX.repetition_stats_sql(d),
+        # collocation mining: top-k bigrams by PMI — log-free integer
+        # ranking (monotone rational), vocab-bounded scoring join
+        "pmi_bigrams": lambda d: TX.pmi_bigrams_sql(d),
+        # bigram-LM document scoring (the model-based quality filter):
+        # ppb-quantized conditional probs, broadcastable vocab² model;
+        # low_q at the gate corpus's ~30th percentile so the band
+        # verdict actually splits
+        "lm_likelihood": lambda d: TX.lm_likelihood_sql(
+            d, low_q=33_500_000),
         # deterministic 80/10/10 split + sqrt-temperature source
         # sampling (integer-domain quotas; see docstring)
         "corpus_split_sample": lambda d: TX.split_sample_sql(d),

@@ -411,3 +411,93 @@ def test_chunk_documents_matches_python_chunker(spark):
         assert b[2] == a[2] + stride          # stride advance
         assert a[2] + a[3] >= b[2] + overlap or a[3] < size
     assert rows[-1][2] + rows[-1][3] == 25    # last token covered
+
+
+def test_pmi_planted_collocation(spark):
+    """A planted always-together pair ranks first by the integer PMI
+    quotient, which matches the hand-computed rational; dual-engine
+    row sets are identical."""
+    import re
+
+    import pandas as pd
+
+    from go_shapefile_spark.operators.text import pmi_bigrams_sql
+
+    # "san francisco" always adjacent; filler words co-occur freely.
+    filler = "alpha beta gamma delta epsilon zeta".split()
+    docs = []
+    for i in range(12):
+        pre = " ".join(filler[(i + j) % 6] for j in range(5))
+        docs.append((i, f"{pre} san francisco {pre}"))
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+
+    rows = _dual_run(
+        spark,
+        lambda d: pmi_bigrams_sql(d, rel="pmi_docs", min_count=3,
+                                  top_k=5),
+        pdf, "pmi_docs")
+
+    # hand-computed PMI quotient for the planted pair
+    toks = [re.findall(r"[a-z0-9]+", t.lower()) for _, t in docs]
+    n = sum(len(ws) for ws in toks)
+    c12 = sum(1 for ws in toks
+              for a, b in zip(ws, ws[1:]) if (a, b) == ("san", "francisco"))
+    c1 = sum(ws.count("san") for ws in toks)
+    c2 = sum(ws.count("francisco") for ws in toks)
+    want_q = (c12 * n * 1_000_000) // (c1 * c2)
+
+    top = [r for r in rows if r[6] == 1]  # rk column
+    assert len(top) == 1
+    w1, w2, got_c12, got_c1, got_c2, pmi_q, rk = top[0]
+    assert (w1, w2) == ("san", "francisco")
+    assert (got_c12, got_c1, got_c2, pmi_q) == (c12, c1, c2, want_q)
+    # the planted collocation beats every filler bigram
+    assert all(r[5] <= pmi_q for r in rows)
+
+
+def test_lm_likelihood_matches_python_bigram_model(spark):
+    """The quantized bigram-LM doc scores equal a pure-Python model
+    with the same integer-division quantization; a sub-2-token doc
+    lands in the 'short' band."""
+    import re
+
+    import pandas as pd
+
+    from go_shapefile_spark.operators.text import lm_likelihood_sql
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ran on the mat"),
+        (2, "a dog sat on a log"),
+        (3, "mat"),                       # 1 token -> no bigrams
+        (4, "the cat sat on the log"),
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+
+    rows = _dual_run(
+        spark,
+        lambda d: lm_likelihood_sql(d, rel="lm_docs",
+                                    low_q=100_000_000),
+        pdf, "lm_docs")
+
+    tok = {i: re.findall(r"[a-z0-9]+", t.lower()) for i, t in docs}
+    uni, big = {}, {}
+    for ws in tok.values():
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    model = {k: (c * 10**9) // uni[k[0]] for k, c in big.items()}
+    want = {}
+    for i, ws in tok.items():
+        ps = [model[(a, b)] for a, b in zip(ws, ws[1:])]
+        if ps:
+            want[i] = (len(ps), sum(ps) // len(ps))
+        else:
+            want[i] = (0, 0)
+
+    got = {r[0]: (r[1], r[2]) for r in rows}
+    assert got == want
+    bands = {r[0]: r[3] for r in rows}
+    assert bands[3] == "short"
+    assert set(bands.values()) <= {"keep", "review", "short"}
