@@ -195,6 +195,50 @@ pts AS (
 )"""
 
 
+def q_geofence_transitions(dialect: str, rel: str = "events") -> str:
+    """Geofence enter/exit detection: per (user, fence) transition
+    counts over the time-ordered event stream — the location-alerting
+    primitive (enter = LAG(inside)=0 ∧ inside=1).  Fence bounds are
+    INTEGER literals (int→double comparison promotes exactly in both
+    engines — no bare-decimal DECIMAL/DOUBLE dialect trap); the fence
+    relation is a 3-row VALUES table, so the pts×fences expansion is a
+    broadcast fan-out of 3 and the windows partition by (user, fence)
+    — shard-local sorts, no global ordering."""
+    return f"""
+WITH gfp AS (
+  SELECT user_id, event_id,
+         {GT.lon_sql('event_id', dialect)} AS lon,
+         {GT.lat_sql('event_id', dialect)} AS lat
+  FROM {rel}),
+fences(fid, x0, x1, y0, y1) AS (
+  VALUES (0, -30, 30, -20, 20),
+         (1, 60, 120, 10, 50),
+         (2, -120, -60, -50, 10)),
+flags AS (
+  SELECT p.user_id, f.fid, p.event_id,
+         CASE WHEN p.lon BETWEEN f.x0 AND f.x1
+               AND p.lat BETWEEN f.y0 AND f.y1
+              THEN 1 ELSE 0 END AS inside
+  FROM gfp p CROSS JOIN fences f),
+trans AS (
+  SELECT user_id, fid, event_id, inside,
+         LAG(inside) OVER (PARTITION BY user_id, fid
+                           ORDER BY event_id) AS prev
+  FROM flags)
+SELECT user_id, CAST(fid AS BIGINT) AS fid,
+       CAST(SUM(CASE WHEN prev = 0 AND inside = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_enter,
+       CAST(SUM(CASE WHEN prev = 1 AND inside = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exit,
+       CAST(SUM(inside) AS BIGINT) AS n_inside,
+       CAST(COALESCE(MIN(CASE WHEN inside = 1 THEN event_id END), -1)
+            AS BIGINT) AS first_inside_event
+FROM trans
+GROUP BY user_id, fid
+HAVING SUM(inside) > 0
+"""
+
+
 def q_geotag_tiles(dialect: str) -> str:
     """Tile rollup: deterministic geotag → Morton cell → counts (E2+E3+E8)."""
     return f"""
@@ -3058,6 +3102,9 @@ HAVING COUNT(*) >= {int(min_run)}
         return spark.sql(q_stay_points(SPARK))
     queries["stay_points"] = stay_points
     oracles["stay_points"] = q_stay_points(DUCK)
+
+    queries["geofence_transitions"] = _sql_runner(q_geofence_transitions)
+    oracles["geofence_transitions"] = q_geofence_transitions(DUCK)
 
     # spatial autocorrelation: global Moran's I + Geary's C over the
     # occupied 1-degree grid with queen (8-neighbor) contiguity.  The

@@ -180,3 +180,63 @@ def test_gap_fill_locf_semantics(spark):
     assert out[(1, base + 7200)] == (1, 12.0)
     assert out[(2, base)] == (1, 7.0)
     assert len(out) == 4
+
+
+def test_geofence_transitions_matches_python_replay(spark):
+    """The (user, fence) enter/exit counts equal a pure-Python replay
+    of the time-ordered inside/outside flag stream (lon/lat resolved
+    through the same md5 geotag seam via DuckDB), and both engines
+    return identical row sets on a planted events relation."""
+    import duckdb
+    import pandas as pd
+
+    from go_shapefile_spark.operators import geotag as GT
+    from go_shapefile_spark.queries import q_geofence_transitions
+
+    # 4 users x 40 events; hash-spread lon/lat gives real transitions
+    rows = [(u * 1000 + i, u, i) for u in range(4) for i in range(40)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "seq"])
+
+    con = duckdb.connect()
+    con.register("gf_events", pdf)
+    got_duck = sorted(map(tuple, con.sql(
+        q_geofence_transitions("duck", rel="gf_events")).fetchall()))
+    spark.createDataFrame(pdf).createOrReplaceTempView("gf_events")
+    got_spark = sorted(map(tuple, spark.sql(
+        q_geofence_transitions("spark", rel="gf_events")).collect()))
+    assert got_spark == got_duck
+
+    # pure-Python replay over the same geotagged coordinates
+    coords = con.sql(
+        f"SELECT event_id, user_id, "
+        f"{GT.lon_sql('event_id', 'duck')} AS lon, "
+        f"{GT.lat_sql('event_id', 'duck')} AS lat "
+        f"FROM gf_events ORDER BY user_id, event_id").fetchall()
+    fences = [(0, -30, 30, -20, 20), (1, 60, 120, 10, 50),
+              (2, -120, -60, -50, 10)]
+    want = {}
+    for fid, x0, x1, y0, y1 in fences:
+        by_user = {}
+        for eid, uid, lon, lat in coords:
+            by_user.setdefault(uid, []).append(
+                (eid, int(x0 <= lon <= x1 and y0 <= lat <= y1)))
+        for uid, evs in by_user.items():
+            n_enter = n_exit = n_inside = 0
+            first = -1
+            prev = None
+            for eid, inside in evs:
+                if prev == 0 and inside == 1:
+                    n_enter += 1
+                if prev == 1 and inside == 0:
+                    n_exit += 1
+                if inside:
+                    n_inside += 1
+                    if first == -1:
+                        first = eid
+                prev = inside
+            if n_inside > 0:
+                want[(uid, fid)] = (n_enter, n_exit, n_inside, first)
+
+    got = {(r[0], r[1]): (r[2], r[3], r[4], r[5]) for r in got_spark}
+    assert got == want
+    assert len(got) > 0 and any(v[0] > 0 for v in got.values())
