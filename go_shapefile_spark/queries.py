@@ -239,6 +239,87 @@ HAVING SUM(inside) > 0
 """
 
 
+def q_map_match(dialect: str, events_rel: str = "events",
+                seg_rel: str = "supplier") -> str:
+    """Map matching (snap-to-segment): assign every event point to its
+    nearest synthetic road segment within the same 16° anchor cell,
+    then roll up per segment — the GPS→road-network alignment
+    primitive.
+
+    Segments are synthesized from the supplier key through the md5
+    seam (anchor in [-160,160]×[-80,80], heading/length offsets in
+    [-1,1)°), so both engines materialize the identical geometry, and
+    segments broadcast (|supplier| rows).  The candidate prune is the
+    same-anchor-cell contract as trajectory_hausdorff: segment length
+    ≤ √2° ≪ the 16° cell, so candidate count scales with local
+    density, never |points|×|segments|.
+
+    Point→segment distance is the classic clamped projection
+    t = clamp(w·v / v·v, 0, 1), d² = |w − t·v|²: +,−,*,/ on doubles
+    are correctly rounded and both engines evaluate the SAME
+    expression tree, so d² is bit-identical and the argmin join-back
+    on d² = min(d²) is exact (ties broken by MIN(seg)).  Per-point
+    snap distances are e9-quantized BEFORE the per-segment SUM
+    (integer accumulation — float SUM order is not dual-engine
+    stable); MIN(d²) stays a raw double (MIN/MAX-only rule).
+    """
+    def hmod(expr: str, salt: str, mod: int) -> str:
+        s = (f"CAST({expr} AS STRING) || '_{salt}'" if dialect == SPARK
+             else f"CAST({expr} AS VARCHAR) || '_{salt}'")
+        return f"({H.h32(s, dialect)} % {mod})"
+
+    def dbl(e: str) -> str:
+        return f"CAST({e} AS DOUBLE) / CAST(10000.0 AS DOUBLE)"
+
+    ax = f"({dbl(hmod('s_suppkey', 'mx', 3200000))} - CAST(160.0 AS DOUBLE))"
+    ay = f"({dbl(hmod('s_suppkey', 'my', 1600000))} - CAST(80.0 AS DOUBLE))"
+    dx = f"({dbl(hmod('s_suppkey', 'mdx', 20000))} - CAST(1.0 AS DOUBLE))"
+    dy = f"({dbl(hmod('s_suppkey', 'mdy', 20000))} - CAST(1.0 AS DOUBLE))"
+    return f"""
+WITH mpts AS (
+  SELECT event_id AS id,
+         {GT.lon_sql('event_id', dialect)} AS px,
+         {GT.lat_sql('event_id', dialect)} AS py
+  FROM {events_rel}),
+msegs AS (
+  SELECT s_suppkey AS seg,
+         {ax} AS x1, {ay} AS y1,
+         {ax} + {dx} AS x2, {ay} + {dy} AS y2,
+         CAST(FLOOR({ax} / CAST(16.0 AS DOUBLE)) AS BIGINT) AS cx,
+         CAST(FLOOR({ay} / CAST(16.0 AS DOUBLE)) AS BIGINT) AS cy
+  FROM {seg_rel}),
+mcand AS (
+  SELECT p.id, s.seg,
+         p.px - s.x1 AS wx, p.py - s.y1 AS wy,
+         s.x2 - s.x1 AS vx, s.y2 - s.y1 AS vy
+  FROM mpts p
+  JOIN msegs s
+    ON CAST(FLOOR(p.px / CAST(16.0 AS DOUBLE)) AS BIGINT) = s.cx
+   AND CAST(FLOOR(p.py / CAST(16.0 AS DOUBLE)) AS BIGINT) = s.cy),
+md AS (
+  SELECT id, seg,
+         (wx - t * vx) * (wx - t * vx)
+         + (wy - t * vy) * (wy - t * vy) AS d2
+  FROM (
+    SELECT id, seg, wx, wy, vx, vy,
+           LEAST(GREATEST((wx * vx + wy * vy) / (vx * vx + vy * vy),
+                          CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS t
+    FROM mcand) c),
+mbest AS (
+  SELECT id, MIN(d2) AS mind2 FROM md GROUP BY id),
+mchosen AS (
+  SELECT d.id, MIN(d.seg) AS seg, MIN(d.d2) AS d2
+  FROM md d JOIN mbest b ON b.id = d.id AND d.d2 = b.mind2
+  GROUP BY d.id)
+SELECT seg,
+       CAST(COUNT(*) AS BIGINT) AS n_snapped,
+       CAST(SUM(CAST(ROUND(d2 * 1000000000) AS BIGINT)) AS BIGINT)
+         AS sum_d2_e9,
+       MIN(d2) AS min_d2
+FROM mchosen GROUP BY seg
+"""
+
+
 def q_geotag_tiles(dialect: str) -> str:
     """Tile rollup: deterministic geotag → Morton cell → counts (E2+E3+E8)."""
     return f"""
@@ -3105,6 +3186,9 @@ HAVING COUNT(*) >= {int(min_run)}
 
     queries["geofence_transitions"] = _sql_runner(q_geofence_transitions)
     oracles["geofence_transitions"] = q_geofence_transitions(DUCK)
+
+    queries["map_match_segments"] = _sql_runner(q_map_match)
+    oracles["map_match_segments"] = q_map_match(DUCK)
 
     # spatial autocorrelation: global Moran's I + Geary's C over the
     # occupied 1-degree grid with queen (8-neighbor) contiguity.  The

@@ -327,3 +327,68 @@ def test_knn_haversine_polar_cap_exact(spark):
     pd.testing.assert_frame_equal(
         got[["query_id", "neighbor_id", "rank"]].astype("int64"),
         exp.astype("int64"))
+
+
+def test_map_match_matches_numpy_bruteforce(spark):
+    """The snap-to-segment gate equals a numpy brute-force replay:
+    same md5-seam geometry, same same-16°-cell candidate contract,
+    same clamped-projection distance, argmin with min-seg tie-break."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from go_shapefile_spark.queries import q_map_match
+
+    def md5_32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    n_ev, n_seg = 400, 30
+    ev = pd.DataFrame({"event_id": np.arange(n_ev, dtype=np.int64)})
+    su = pd.DataFrame({"s_suppkey": np.arange(1, n_seg + 1,
+                                              dtype=np.int64)})
+    spark.createDataFrame(ev).createOrReplaceTempView("mm_events")
+    spark.createDataFrame(su).createOrReplaceTempView("mm_segs")
+    got = {r.seg: (r.n_snapped, r.sum_d2_e9, r.min_d2)
+           for r in spark.sql(q_map_match(
+               "spark", events_rel="mm_events",
+               seg_rel="mm_segs")).collect()}
+
+    # numpy replay
+    pts = {}
+    for i in range(n_ev):
+        lon = (md5_32(f"{i}_lon") % 3600000) / 10000.0 - 180.0
+        lat = (md5_32(f"{i}_lat") % 1800000) / 10000.0 - 90.0
+        pts[i] = (lon, lat)
+    segs = {}
+    for k in range(1, n_seg + 1):
+        ax = (md5_32(f"{k}_mx") % 3200000) / 10000.0 - 160.0
+        ay = (md5_32(f"{k}_my") % 1600000) / 10000.0 - 80.0
+        dx = (md5_32(f"{k}_mdx") % 20000) / 10000.0 - 1.0
+        dy = (md5_32(f"{k}_mdy") % 20000) / 10000.0 - 1.0
+        segs[k] = (ax, ay, ax + dx, ay + dy)
+    want = {}
+    for i, (px, py) in pts.items():
+        best = None
+        for k, (x1, y1, x2, y2) in segs.items():
+            if (math.floor(px / 16.0), math.floor(py / 16.0)) != \
+                    (math.floor(x1 / 16.0), math.floor(y1 / 16.0)):
+                continue
+            wx, wy, vx, vy = px - x1, py - y1, x2 - x1, y2 - y1
+            t = min(max((wx * vx + wy * vy) / (vx * vx + vy * vy),
+                        0.0), 1.0)
+            d2 = (wx - t * vx) ** 2 + (wy - t * vy) ** 2
+            if best is None or d2 < best[0] or \
+                    (d2 == best[0] and k < best[1]):
+                best = (d2, k)
+        if best is not None:
+            d2, k = best
+            n, s, m = want.get(k, (0, 0, math.inf))
+            want[k] = (n + 1, s + round(d2 * 1e9), min(m, d2))
+
+    assert set(got) == set(want) and len(got) > 0
+    for k, (n, s, m) in want.items():
+        gn, gs, gm = got[k]
+        assert (gn, gs) == (n, s)
+        assert gm == m
