@@ -275,3 +275,106 @@ JOIN dtx_base n ON n.x = b.x + o.dx AND n.y = b.y + o.dy"""))
                     .agg(F.min("dist").alias("dist")))
         frontier = dist.where(F.col("dist") == r)
     return dist
+
+
+# --- raster blob labeling (connected-component regions) -------------------
+
+def blob_base_cte(tau: int, pixels: str = "bpix") -> str:
+    """Shared CTE chain for raster region labeling: ``{pixels}(x, y, v)``
+    → ``bhot`` (cells at or above ``tau``, with a packed pixel id) and
+    ``bedges`` (4-adjacency, directed east/north — the undirected
+    closure adds the reverses).  Identical text in both engines.
+
+    The two adjacency joins are EQUI-joins on shifted keys (never an
+    OR-of-conjunctions join predicate, which Catalyst can only run as
+    a nested-loop join)."""
+    return f"""
+bhot AS (
+  SELECT x, y, v, (x + 512) * 4096 + (y + 512) AS pid
+  FROM {pixels} WHERE v >= {int(tau)}),
+bedges AS (
+  SELECT a.pid AS ea, b.pid AS eb
+  FROM bhot a JOIN bhot b ON b.x = a.x + 1 AND b.y = a.y
+  UNION ALL
+  SELECT a.pid AS ea, b.pid AS eb
+  FROM bhot a JOIN bhot b ON b.x = a.x AND b.y = a.y + 1)"""
+
+
+def blob_tail_sql() -> str:
+    """Per-blob rollup over ``blabels(pid, x, y, v, blob)`` — region id,
+    cell count, mass, bbox.  All-integer; identical in both engines."""
+    return """
+SELECT blob,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(MIN(x) AS BIGINT) AS x0, CAST(MAX(x) AS BIGINT) AS x1,
+       CAST(MIN(y) AS BIGINT) AS y0, CAST(MAX(y) AS BIGINT) AS y1
+FROM blabels GROUP BY blob"""
+
+
+def label_blobs(pixels: DataFrame, tau: int,
+                pin: str | None = None,
+                slot: str | None = None) -> DataFrame:
+    """Raster region labeling (the map-algebra "polygonize-labels" /
+    blob-detection primitive): threshold ``pixels(x, y, v)`` at
+    ``tau``, label 4-connected regions, and emit one row per region
+    with (n_cells, sum_v, bbox).  Region id = the smallest packed
+    pixel id in the region — deterministic under any partitioning.
+
+    Spark side labels with the large-star/small-star components
+    operator (O(log n) rounds, each one shuffle — the giant-region
+    case a dense corpus produces stays cheap); the DuckDB oracle
+    (:func:`blob_oracle_sql`) closes the same edge relation with a
+    recursive-CTE transitive walk — two algorithms, one function.
+    The hot relation is pinned: three consumers (the two adjacency
+    self-joins and the label join-back) would otherwise re-run the
+    upstream raster per reference.
+    """
+    from .graph import connected_components
+    from .pinning import fresh_pins
+
+    spark = pixels.sparkSession
+    pinf = fresh_pins(spark, slot, strategy=pin)
+    v = "blob_pix_in"
+    pixels.selectExpr("x", "y", "CAST(v AS BIGINT) AS v") \
+        .createOrReplaceTempView(v)
+    hot = pinf(spark.sql(f"WITH {blob_base_cte(tau, pixels=v).lstrip()} "
+                         "SELECT * FROM bhot"))
+    hot.createOrReplaceTempView("blob_hot")
+    edges = spark.sql(
+        "SELECT a.pid AS src, b.pid AS dst FROM blob_hot a "
+        "JOIN blob_hot b ON b.x = a.x + 1 AND b.y = a.y "
+        "UNION ALL "
+        "SELECT a.pid AS src, b.pid AS dst FROM blob_hot a "
+        "JOIN blob_hot b ON b.x = a.x AND b.y = a.y + 1")
+    cc = connected_components(edges, pin=pin)
+    cc.createOrReplaceTempView("blob_cc")
+    # isolated hot cells never enter an edge: they are their own region
+    spark.sql("SELECT h.pid, h.x, h.y, h.v, "
+              "COALESCE(c.component, h.pid) AS blob "
+              "FROM blob_hot h LEFT JOIN blob_cc c ON h.pid = c.node") \
+        .createOrReplaceTempView("blabels")
+    return spark.sql("WITH blabels AS (SELECT * FROM blabels) "
+                     + blob_tail_sql().lstrip())
+
+
+def blob_oracle_sql(tau: int, pixels_cte: str,
+                    pixels: str = "bpix") -> str:
+    """DuckDB twin: same base chain, recursive-CTE closure in place of
+    the iterative components operator.  ``pixels_cte`` must define
+    ``{pixels}(x, y, v)``."""
+    return f"""
+WITH RECURSIVE {pixels_cte},
+{blob_base_cte(tau, pixels=pixels).lstrip()},
+bbi AS (SELECT ea AS a, eb AS b FROM bedges
+        UNION SELECT eb, ea FROM bedges),
+breach AS (
+  SELECT pid AS src, pid AS node FROM bhot
+  UNION
+  SELECT r.src, e.b FROM breach r JOIN bbi e ON e.a = r.node),
+blabels AS (
+  SELECT h.pid, h.x, h.y, h.v, m.blob
+  FROM bhot h JOIN (SELECT src AS pid, MIN(node) AS blob
+                    FROM breach GROUP BY src) m ON m.pid = h.pid)
+{blob_tail_sql().lstrip()}
+"""

@@ -3088,6 +3088,30 @@ dsrc AS (
     queries["streaming_heatmap"] = streaming_heatmap_spark
     oracles["streaming_heatmap"] = q_heatmap(DUCK)
 
+    # raster region labeling (blob detection): threshold the KDE
+    # raster, label 4-connected regions, roll up per region — the
+    # map-algebra "polygonize-labels" primitive.  Spark = the
+    # large-star/small-star components operator; oracle = recursive
+    # closure over the SAME shared edge template (the dbscan_events
+    # discipline).
+    BLOB_TAU = 6
+
+    def raster_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .operators.clustering import label_blobs
+
+        register_tables(spark, sf_dir)
+        px = spark.sql(q_heatmap(SPARK)) \
+            .selectExpr("x", "y", "intensity AS v")
+        return label_blobs(px, BLOB_TAU, slot="raster_blobs")
+    queries["raster_blobs"] = raster_blobs
+    oracles["raster_blobs"] = CL.blob_oracle_sql(
+        BLOB_TAU,
+        pixels_cte=(geotagged_events_cte(DUCK).strip() + f""",
+bpix AS (
+  SELECT x, y, intensity AS v FROM (
+    WITH {TI.heatmap_body(DUCK, ppd=1).strip()}
+  ) hm)"""))
+
     # Misra-Gries heavy hitters: bounded-memory sketch candidates +
     # exact recount.  The guarantee (candidates ⊇ every item with
     # cnt*(c+1) > n) makes the sketched output EXACTLY the relational

@@ -153,3 +153,55 @@ def test_grid_distance_transform_corridor(spark):
             for r in con.sql(sql).df().itertuples()}
     con.close()
     assert want == got
+
+
+def test_label_blobs_matches_union_find(spark):
+    """Blob labeling equals a pure-Python union-find replay: 4-adjacency
+    only (diagonal-touching cells stay separate regions), isolated hot
+    cells are their own region, sub-threshold cells are excluded, and
+    per-region rollups (count/mass/bbox) agree exactly."""
+    import pandas as pd
+
+    from go_shapefile_spark.operators.clustering import label_blobs
+
+    # planted raster: an L-blob, a diagonal pair (NOT connected under
+    # 4-adjacency), an isolated cell, and sub-threshold noise
+    cells = [(-2, 0, 9), (-2, 1, 7), (-1, 1, 6),       # L-shaped blob
+             (3, 3, 8), (4, 4, 8),                     # diagonal pair
+             (7, -5, 12),                              # isolated
+             (0, 0, 3), (5, 5, 1)]                     # below tau=5
+    pdf = pd.DataFrame(cells, columns=["x", "y", "v"])
+    got = {r.blob: (r.n_cells, r.sum_v, r.x0, r.x1, r.y0, r.y1)
+           for r in label_blobs(spark.createDataFrame(pdf),
+                                tau=5).collect()}
+
+    hot = [(x, y, v) for x, y, v in cells if v >= 5]
+    pid = {(x, y): (x + 512) * 4096 + (y + 512) for x, y, _ in hot}
+    parent = {p: p for p in pid.values()}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for (x, y), p in pid.items():
+        for nb in ((x + 1, y), (x, y + 1)):
+            if nb in pid:
+                ra, rb = find(p), find(pid[nb])
+                if ra != rb:
+                    parent[ra] = rb
+    want = {}
+    for x, y, v in hot:
+        root = find(pid[(x, y)])
+        want.setdefault(root, []).append((x, y, v))
+    expect = {}
+    for members in want.values():
+        blob = min(pid[(x, y)] for x, y, _ in members)
+        xs = [x for x, _, _ in members]
+        ys = [y for _, y, _ in members]
+        expect[blob] = (len(members), sum(v for _, _, v in members),
+                        min(xs), max(xs), min(ys), max(ys))
+
+    assert got == expect
+    assert len(got) == 4  # L-blob + two diagonal singletons + isolated
