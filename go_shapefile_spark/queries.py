@@ -320,6 +320,68 @@ FROM mchosen GROUP BY seg
 """
 
 
+# PageRank over the OD flow graph: weighted cell→cell transition
+# edges (the od_matrix relation), K damped power iterations
+# unrolled as CTEs.  All-integer: ranks are e9-scaled BIGINTs,
+# each edge contributes (r·w) DIV out_w and damping is
+# (85·Σ) DIV 100 — truncating integer division is identical in
+# both engines (the float power iteration would NOT be: its SUM
+# accumulation order differs).  Dangling (dst-only) cells leak
+# their mass — the standard simplification, stated, deterministic.
+# Scale posture: nodes are CELLS (4^res, not points); every
+# iteration is one equi-join + groupBy on the cell key; exactness
+# bound r·w < 2^63 holds while Σranks·max_w < 9e18 (≈e9-scale
+# ranks × 4^res cells × 1e4 edge weight) — halve the scale on
+# denser graphs, the ordering survives truncation.
+def q_pagerank(dialect: str, iters: int = 4,
+               scale: int = 1_000_000_000, top_k: int = 50) -> str:
+    w = "PARTITION BY user_id ORDER BY ts, id"
+    base = (15 * scale) // 100
+    rounds = []
+    for i in range(1, iters + 1):
+        contrib = H.idiv("r.r * e.w", "o.w", dialect)
+        damp = H.idiv(f"85 * COALESCE(c.m, 0)", "100", dialect)
+        rounds.append(f"""
+pr_r{i} AS (
+  SELECT n.node, {base} + {damp} AS r
+  FROM pr_nodes n LEFT JOIN (
+SELECT e.dst AS node, SUM({contrib}) AS m
+FROM pr_e e
+JOIN pr_r{i - 1} r ON r.node = e.src
+JOIN pr_out o ON o.node = e.src
+GROUP BY e.dst) c ON c.node = n.node)""")
+    return f"""
+WITH pr_pts AS (
+  SELECT event_id AS id, user_id, ts,
+     {GT.lon_sql('event_id', dialect)} AS lon,
+     {GT.lat_sql('event_id', dialect)} AS lat
+  FROM events),
+pr_seq AS (
+  SELECT user_id, ts, id, {C.cell_sql('lon', 'lat', 4)} AS cell
+  FROM pr_pts),
+pr_tr AS (
+  SELECT user_id, LAG(cell) OVER ({w}) AS src, cell AS dst
+  FROM pr_seq),
+pr_e AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM pr_tr WHERE src IS NOT NULL AND src <> dst
+  GROUP BY src, dst),
+pr_nodes AS (
+  SELECT src AS node FROM pr_e UNION SELECT dst FROM pr_e),
+pr_out AS (
+  SELECT src AS node, SUM(w) AS w FROM pr_e GROUP BY src),
+pr_r0 AS (
+  SELECT node, CAST({scale} AS BIGINT) AS r FROM pr_nodes),
+{','.join(rounds)},
+pr_ranked AS (
+  SELECT node, r,
+     ROW_NUMBER() OVER (ORDER BY r DESC, node ASC) AS rk
+  FROM pr_r{iters})
+SELECT node, CAST(r AS BIGINT) AS r, CAST(rk AS BIGINT) AS rk
+FROM pr_ranked WHERE rk <= {top_k}
+"""
+
+
 def q_geotag_tiles(dialect: str) -> str:
     """Tile rollup: deterministic geotag → Morton cell → counts (E2+E3+E8)."""
     return f"""
@@ -3596,6 +3658,9 @@ GROUP BY from_cell, to_cell
         return spark.sql(q_od_matrix(SPARK))
     queries["od_matrix"] = od_matrix
     oracles["od_matrix"] = q_od_matrix(DUCK)
+
+    queries["pagerank_cells"] = _sql_runner(q_pagerank)
+    oracles["pagerank_cells"] = q_pagerank(DUCK)
 
     # temporal gap-fill: dense per-key grid + LOCF (operators/temporal.py)
     def gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -88,3 +88,37 @@ def test_cc_nonconvergence_raises(spark):
                                "src long, dst long")
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(df, max_iter=1)
+
+
+def test_pagerank_cells_matches_python_power_iteration():
+    """The unrolled-CTE integer PageRank equals a pure-Python damped
+    power iteration with identical truncating-division quantization
+    (edges taken from the same od-transition relation)."""
+    import duckdb
+
+    from go_shapefile_spark.queries import q_pagerank
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "'/root/testdata/sf0.001/events.parquet'")
+    sql = q_pagerank("duck", iters=4)
+    got = {r[0]: (r[1], r[2]) for r in con.sql(sql).fetchall()}
+
+    # pull the edge relation through the same template prefix
+    edges = con.sql(
+        sql[:sql.index("pr_nodes AS")].rstrip().rstrip(",")
+        + " SELECT src, dst, w FROM pr_e").fetchall()
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    outw = {}
+    for s, d, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    scale, base = 1_000_000_000, (15 * 1_000_000_000) // 100
+    r = {n: scale for n in nodes}
+    for _ in range(4):
+        inc = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            inc[d] += (r[s] * w) // outw[s]
+        r = {n: base + (85 * inc[n]) // 100 for n in nodes}
+    ranked = sorted(nodes, key=lambda n: (-r[n], n))[:50]
+    want = {n: (r[n], i + 1) for i, n in enumerate(ranked)}
+    assert got == want and len(got) == 50
