@@ -382,6 +382,123 @@ FROM pr_ranked WHERE rk <= {top_k}
 """
 
 
+# 2-D pareto skyline over per-user (spend, activity): the
+# multi-criteria "best users" query.  Spark runs the DISTRIBUTED
+# skyline algorithm — a bucket-local pareto prune (skyline(S) is
+# always a subset of the union of per-partition skylines, for ANY
+# partitioning) followed by the same windowed pass over the tiny
+# survivor set; each pass is one sort + two window maxes, never a
+# self-join.  Dominance test via window algebra: a row is dominated
+# iff MAX(y) over strictly-greater x is >= its y (integer sort key,
+# so "strictly greater" is RANGE 1 FOLLOWING), or a same-x row has
+# strictly larger y.  The oracle is the O(n^2) NOT EXISTS dominance
+# definition — different algebra, identical rows.  All-integer.
+def _skyline_pass(src: str, part: str) -> str:
+    over = f"PARTITION BY {part} " if part else ""
+    return f"""
+  SELECT user_id, cents, n_events
+  FROM (
+    SELECT user_id, cents, n_events,
+           MAX(n_events) OVER ({over}ORDER BY cents
+             RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mgt,
+           MAX(n_events) OVER (PARTITION BY {part + ', ' if part else ''}cents)
+             AS meq
+    FROM {src}) f
+  WHERE (mgt IS NULL OR n_events > mgt) AND n_events = meq"""
+
+
+def q_skyline(dialect: str, rel: str = "events") -> str:
+    base = f"""
+sk_base AS (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM {rel} GROUP BY user_id)"""
+    if dialect == DUCK:
+        return f"""
+WITH {base.lstrip()}
+SELECT a.user_id, a.cents, a.n_events
+FROM sk_base a
+WHERE NOT EXISTS (
+  SELECT 1 FROM sk_base b
+  WHERE b.cents >= a.cents AND b.n_events >= a.n_events
+    AND (b.cents > a.cents OR b.n_events > a.n_events))
+"""
+    bucket = H.h32("CAST(user_id AS STRING)", dialect) + " % 64"
+    return f"""
+WITH {base.lstrip()},
+sk_b AS (
+  SELECT user_id, cents, n_events, {bucket} AS b FROM sk_base),
+sk_loc AS ({_skyline_pass('sk_b', 'b')})
+{_skyline_pass('sk_loc', '')}
+"""
+
+
+# conversion funnel view -> click -> purchase: each stage is the
+# user's FIRST qualifying event within 7 days of the previous
+# stage's timestamp.  Three bounded equi-join + MIN rollups (one
+# shuffle per stage, all keyed on user_id — co-partitioned after
+# the first), then three scalar counts; conversion rates are
+# truncating-integer ppb so the dual-engine compare is exact.
+def q_funnel(dialect: str, window_s: int = 604800,
+             rel: str = "events") -> str:
+    ep = _epoch_s("ts", dialect)
+    r21 = H.idiv("1000000000 * (SELECT c FROM n2)", "(SELECT c FROM n1)",
+                 dialect)
+    r32 = H.idiv("1000000000 * (SELECT c FROM n3)", "(SELECT c FROM n2)",
+                 dialect)
+    return f"""
+WITH fe AS (
+  SELECT user_id, event_type, {ep} AS ts_s FROM {rel}),
+f1 AS (
+  SELECT user_id, MIN(ts_s) AS t1
+  FROM fe WHERE event_type = 'view' GROUP BY user_id),
+f2 AS (
+  SELECT e.user_id, MIN(e.ts_s) AS t2
+  FROM fe e JOIN f1 ON f1.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts_s >= f1.t1 AND e.ts_s <= f1.t1 + {window_s}
+  GROUP BY e.user_id),
+f3 AS (
+  SELECT e.user_id, MIN(e.ts_s) AS t3
+  FROM fe e JOIN f2 ON f2.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts_s >= f2.t2 AND e.ts_s <= f2.t2 + {window_s}
+  GROUP BY e.user_id),
+n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM f1),
+n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM f2),
+n3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM f3)
+SELECT CAST(1 AS BIGINT) AS stage, (SELECT c FROM n1) AS users,
+       CAST(1000000000 AS BIGINT) AS conv_ppb
+UNION ALL
+SELECT CAST(2 AS BIGINT), (SELECT c FROM n2), CAST({r21} AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS BIGINT), (SELECT c FROM n3), CAST({r32} AS BIGINT)
+"""
+
+
+# cohort retention: users grouped by first-seen day, activity
+# counted at day offsets — the (cohort x offset) retention matrix.
+# Day numbers are epoch DIV 86400 (non-negative, so truncation is
+# floor in both engines); two user-keyed shuffles (first-seen MIN,
+# then the distinct rollup).  The matrix is bounded by days^2, not
+# by input rows — safe at any scale.
+def q_cohort(dialect: str, rel: str = "events") -> str:
+    ep = _epoch_s("ts", dialect)
+    day = H.idiv("ts_s", "86400", dialect)
+    return f"""
+WITH ce AS (
+  SELECT user_id, {day} AS day_num
+  FROM (SELECT user_id, {ep} AS ts_s FROM {rel}) e),
+cu AS (
+  SELECT user_id, MIN(day_num) AS cohort_day FROM ce GROUP BY user_id)
+SELECT cu.cohort_day, ce.day_num - cu.cohort_day AS day_offset,
+       CAST(COUNT(DISTINCT ce.user_id) AS BIGINT) AS users
+FROM ce JOIN cu ON cu.user_id = ce.user_id
+GROUP BY cu.cohort_day, ce.day_num - cu.cohort_day
+"""
+
+
 def q_geotag_tiles(dialect: str) -> str:
     """Tile rollup: deterministic geotag → Morton cell → counts (E2+E3+E8)."""
     return f"""
@@ -4068,5 +4185,14 @@ SELECT t.u AS u, CAST(COUNT(*) AS BIGINT) AS n_hull,
 FROM verts v JOIN tr t ON t.u = v.u AND t.rn = v.p
 GROUP BY t.u
 """
+
+    queries["skyline_events"] = _sql_runner(q_skyline)
+    oracles["skyline_events"] = q_skyline(DUCK)
+
+    queries["funnel_conversion"] = _sql_runner(q_funnel)
+    oracles["funnel_conversion"] = q_funnel(DUCK)
+
+    queries["cohort_retention"] = _sql_runner(q_cohort)
+    oracles["cohort_retention"] = q_cohort(DUCK)
 
     return queries, oracles

@@ -1,0 +1,161 @@
+"""Behavioral-analytics gates (queries.py): pareto skyline, funnel,
+cohort retention — each vs an independent pure-Python oracle on
+synthetic relations (private temp views, never the shared `events`)."""
+
+import numpy as np
+import pandas as pd
+
+from go_shapefile_spark.queries import (DUCK, SPARK, q_cohort, q_funnel,
+                                        q_skyline)
+
+
+def _pareto_bruteforce(pts):
+    """pts: list of (id, x, y).  Skyline = not dominated by any other."""
+    out = []
+    for i, xi, yi in pts:
+        dominated = any(
+            (xj >= xi and yj >= yi and (xj > xi or yj > yi))
+            for j, xj, yj in pts if j != i)
+        if not dominated:
+            out.append((i, xi, yi))
+    return sorted(out)
+
+
+def _mk_events(spark, name, rows, cols="user_id long, value double"):
+    spark.createDataFrame(rows, cols).createOrReplaceTempView(name)
+
+
+def test_skyline_matches_bruteforce_random(spark):
+    rng = np.random.default_rng(7)
+    # many users, few events each; duplicate (x, y) pairs forced in
+    rows = []
+    for u in range(300):
+        for _ in range(int(rng.integers(1, 5))):
+            rows.append((u, float(rng.integers(0, 40)) / 100.0))
+    # identical aggregate twins with max cents — skyline-guaranteed
+    rows += [(1000, 99.99), (1001, 99.99)]
+    _mk_events(spark, "sky_ev", rows)
+    got = sorted((r.user_id, r.cents, r.n_events) for r in
+                 spark.sql(q_skyline(SPARK, rel="sky_ev")).collect())
+
+    agg = {}
+    for u, v in rows:
+        c, n = agg.get(u, (0, 0))
+        agg[u] = (c + round(v * 100), n + 1)
+    want = _pareto_bruteforce([(u, c, n) for u, (c, n) in agg.items()])
+    assert got == want and len(got) >= 2
+    # the identical-aggregate twins must BOTH survive (equal points do
+    # not dominate each other)
+    sky_users = {u for u, _, _ in got}
+    assert {1000, 1001} <= sky_users
+
+
+def test_skyline_local_prune_is_lossless(spark):
+    """The bucket-local pass may only DROP dominated rows — the final
+    skyline is identical to the single-pass (no-bucket) form."""
+    rng = np.random.default_rng(11)
+    rows = [(int(u), float(v)) for u, v in
+            zip(rng.integers(0, 500, 800), rng.uniform(0, 3, 800))]
+    _mk_events(spark, "sky_ev2", rows)
+    got = sorted(tuple(r) for r in
+                 spark.sql(q_skyline(SPARK, rel="sky_ev2")).collect())
+    agg = {}
+    for u, v in rows:
+        c, n = agg.get(u, (0, 0))
+        agg[u] = (c + round(v * 100), n + 1)
+    want = _pareto_bruteforce([(u, c, n) for u, (c, n) in agg.items()])
+    assert got == want
+
+
+def test_funnel_matches_python(spark):
+    rng = np.random.default_rng(3)
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    for u in range(120):
+        for _ in range(int(rng.integers(1, 12))):
+            rows.append((u, types[int(rng.integers(0, 4))],
+                         t0 + pd.Timedelta(seconds=int(
+                             rng.integers(0, 30 * 86400)))))
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])) \
+        .createOrReplaceTempView("fn_ev")
+    got = {int(r.stage): (int(r.users), int(r.conv_ppb)) for r in
+           spark.sql(q_funnel(SPARK, rel="fn_ev")).collect()}
+
+    W = 604800
+    by_user = {}
+    for u, et, ts in rows:
+        by_user.setdefault(u, []).append((int(ts.timestamp()), et))
+    n1 = n2 = n3 = 0
+    for u, evs in by_user.items():
+        t1 = min((t for t, e in evs if e == "view"), default=None)
+        if t1 is None:
+            continue
+        n1 += 1
+        t2 = min((t for t, e in evs
+                  if e == "click" and t1 <= t <= t1 + W), default=None)
+        if t2 is None:
+            continue
+        n2 += 1
+        if any(e == "purchase" and t2 <= t <= t2 + W for t, e in evs):
+            n3 += 1
+    want = {1: (n1, 10 ** 9)}
+    if n1:
+        want[2] = (n2, 10 ** 9 * n2 // n1)
+    if n2:
+        want[3] = (n3, 10 ** 9 * n3 // n2)
+    assert got == want and n1 > n2 > n3 > 0
+
+
+def test_cohort_matches_python(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    t0 = pd.Timestamp("2024-03-01")
+    for u in range(80):
+        start = int(rng.integers(0, 10))
+        for d in sorted(set(rng.integers(start, start + 20, 6).tolist())):
+            rows.append((u, t0 + pd.Timedelta(days=int(d),
+                                              hours=int(rng.integers(0, 24)))))
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts"])) \
+        .createOrReplaceTempView("co_ev")
+    got = {(r.cohort_day, r.day_offset): r.users for r in
+           spark.sql(q_cohort(SPARK, rel="co_ev")).collect()}
+
+    days = {}
+    for u, ts in rows:
+        days.setdefault(u, set()).add(int(ts.timestamp()) // 86400)
+    want: dict = {}
+    for u, ds in days.items():
+        c = min(ds)
+        for d in ds:
+            want[(c, d - c)] = want.get((c, d - c), 0) + 1
+    assert got == want
+    # offset-0 row per cohort equals the cohort size
+    sizes: dict = {}
+    for u, ds in days.items():
+        sizes[min(ds)] = sizes.get(min(ds), 0) + 1
+    for c, n in sizes.items():
+        assert got[(c, 0)] == n
+
+
+def test_skyline_oracle_twin_in_duckdb():
+    """The DuckDB NOT-EXISTS oracle equals the brute force too (guards
+    the dialect twin, not just the Spark side)."""
+    import duckdb
+
+    rng = np.random.default_rng(13)
+    rows = [(int(u), float(v)) for u, v in
+            zip(rng.integers(0, 200, 500), rng.uniform(0, 2, 500))]
+    con = duckdb.connect()
+    con.register("ev_pdf", pd.DataFrame(rows, columns=["user_id", "value"]))
+    con.execute("CREATE VIEW sky_ev AS SELECT * FROM ev_pdf")
+    got = sorted(tuple(r) for r in
+                 con.sql(q_skyline(DUCK, rel="sky_ev")).fetchall())
+    agg = {}
+    for u, v in rows:
+        c, n = agg.get(u, (0, 0))
+        agg[u] = (c + round(v * 100), n + 1)
+    want = _pareto_bruteforce([(u, c, n) for u, (c, n) in agg.items()])
+    assert got == want
