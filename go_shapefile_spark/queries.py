@@ -499,6 +499,70 @@ GROUP BY cu.cohort_day, ce.day_num - cu.cohort_day
 """
 
 
+# Triangle counting over the undirected OD transition graph — the
+# graph-analytics cohesion primitive (clustering coefficient,
+# community density).  The classic distributed algorithm: orient
+# every edge from the lower-(degree, node) endpoint to the higher
+# one, which makes the wedge join's fan-out per node O(sqrt(m))
+# (arboricity bound) instead of O(max_degree) — the star-node u
+# that would generate deg(u)^2 wedges generates none, because all
+# its edges point INTO it.  Three equi-joins, no cartesian.  The
+# total order is a ROW_NUMBER over the NODES relation (cells —
+# bounded by 4^res regardless of input volume, the getis top-k
+# precedent).  Per-node triangle participation via a 3-corner
+# union; all-integer.
+def q_triangles(dialect: str, res: int = 5) -> str:
+    w = "PARTITION BY user_id ORDER BY ts, id"
+    return f"""
+WITH tg_pts AS (
+  SELECT event_id AS id, user_id, ts,
+     {GT.lon_sql('event_id', dialect)} AS lon,
+     {GT.lat_sql('event_id', dialect)} AS lat
+  FROM events),
+tg_seq AS (
+  SELECT user_id, ts, id, {C.cell_sql('lon', 'lat', res)} AS cell
+  FROM tg_pts),
+tg_tr AS (
+  SELECT user_id, LAG(cell) OVER ({w}) AS src, cell AS dst
+  FROM tg_seq),
+tg_e AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM tg_tr WHERE src IS NOT NULL AND src <> dst),
+{triangle_count_sql('tg_e')}
+"""
+
+
+def triangle_count_sql(edges_rel: str) -> str:
+    """Counting core over an undirected-distinct edge relation (a, b)
+    with a < b: orient by (degree, node), wedge join, close.  Dialect
+    -free (both engines accept this subset)."""
+    return f"""tg_deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS node FROM {edges_rel}
+        UNION ALL SELECT b AS node FROM {edges_rel}) d
+  GROUP BY node),
+tg_ord AS (
+  SELECT node, ROW_NUMBER() OVER (ORDER BY deg, node) AS rk
+  FROM tg_deg),
+tg_oe AS (
+  SELECT CASE WHEN oa.rk < ob.rk THEN e.a ELSE e.b END AS u,
+         CASE WHEN oa.rk < ob.rk THEN e.b ELSE e.a END AS v,
+         CASE WHEN oa.rk < ob.rk THEN ob.rk ELSE oa.rk END AS rk_v
+  FROM {edges_rel} e
+  JOIN tg_ord oa ON oa.node = e.a
+  JOIN tg_ord ob ON ob.node = e.b),
+tg_tri AS (
+  SELECT e1.u AS u, e1.v AS v, e2.v AS w
+  FROM tg_oe e1
+  JOIN tg_oe e2 ON e2.u = e1.u AND e2.rk_v > e1.rk_v
+  JOIN tg_oe e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM (SELECT u AS node FROM tg_tri
+      UNION ALL SELECT v AS node FROM tg_tri
+      UNION ALL SELECT w AS node FROM tg_tri) corners
+GROUP BY node"""
+
+
 def q_geotag_tiles(dialect: str) -> str:
     """Tile rollup: deterministic geotag → Morton cell → counts (E2+E3+E8)."""
     return f"""
@@ -4188,6 +4252,9 @@ GROUP BY t.u
 
     queries["skyline_events"] = _sql_runner(q_skyline)
     oracles["skyline_events"] = q_skyline(DUCK)
+
+    queries["triangle_counts"] = _sql_runner(q_triangles)
+    oracles["triangle_counts"] = q_triangles(DUCK)
 
     queries["funnel_conversion"] = _sql_runner(q_funnel)
     oracles["funnel_conversion"] = q_funnel(DUCK)

@@ -122,3 +122,64 @@ def test_pagerank_cells_matches_python_power_iteration():
     ranked = sorted(nodes, key=lambda n: (-r[n], n))[:50]
     want = {n: (r[n], i + 1) for i, n in enumerate(ranked)}
     assert got == want and len(got) == 50
+
+
+def test_triangle_count_matches_bruteforce():
+    """Degree-oriented triangle counting (queries.triangle_count_sql)
+    equals the O(n^3) brute force, per node, on random graphs — and the
+    orientation bound holds (no oriented out-fan exceeds ~sqrt(2m))."""
+    import duckdb
+    import itertools
+
+    from go_shapefile_spark.queries import triangle_count_sql
+
+    rng = np.random.default_rng(21)
+    for trial, (n, m) in enumerate([(30, 120), (60, 300), (12, 66)]):
+        pairs = set()
+        while len(pairs) < m:
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                pairs.add((int(min(a, b)), int(max(a, b))))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE ge (a BIGINT, b BIGINT)")
+        con.executemany("INSERT INTO ge VALUES (?, ?)", sorted(pairs))
+        got = dict(con.sql(
+            "WITH " + triangle_count_sql("ge")).fetchall())
+
+        adj: dict = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want: dict = {}
+        for u, v, w in itertools.combinations(sorted(adj), 3):
+            if v in adj[u] and w in adj[u] and w in adj[v]:
+                for x in (u, v, w):
+                    want[x] = want.get(x, 0) + 1
+        assert got == want, f"trial {trial}"
+
+        # orientation fan-out bound: out-degree <= sqrt(2m) + 1 slack
+        fan = dict(con.sql(
+            "WITH " + triangle_count_sql("ge").split("tg_tri AS")[0]
+            .rstrip().rstrip(",")
+            + " SELECT u, COUNT(*) FROM tg_oe GROUP BY u").fetchall())
+        assert max(fan.values()) <= int((2 * len(pairs)) ** 0.5) + 1
+
+
+def test_triangle_count_spark_matches_duckdb(spark):
+    """The same SQL subset runs in Spark; identical per-node counts."""
+    import duckdb
+
+    from go_shapefile_spark.queries import triangle_count_sql
+
+    rng = np.random.default_rng(33)
+    pairs = sorted({(int(min(a, b)), int(max(a, b)))
+                    for a, b in rng.integers(0, 50, (400, 2)) if a != b})
+    spark.createDataFrame(pairs, "a long, b long") \
+        .createOrReplaceTempView("tge")
+    got = dict((r.node, r.n_tri) for r in
+               spark.sql("WITH " + triangle_count_sql("tge")).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tge (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO tge VALUES (?, ?)", pairs)
+    want = dict(con.sql("WITH " + triangle_count_sql("tge")).fetchall())
+    assert got == want and sum(got.values()) % 3 == 0 and got
