@@ -563,6 +563,60 @@ FROM (SELECT u AS node FROM tg_tri
 GROUP BY node"""
 
 
+# D8 flow accumulation over the occupied density grid — the
+# hydrology/terrain primitive, here with count-as-elevation and
+# flow pointing UPHILL (steepest strictly-greater neighbor), so
+# accumulation measures each hotspot's attraction basin: how many
+# cells' ascent paths reach it within K hops.  Direction is an
+# argmax over the 8-offset equi-join (ROW_NUMBER per cell —
+# shard-local); counts strictly increase along dir, so the flow
+# graph is acyclic and u_K(c) = 1 + sum of u_{K-1} over inflow
+# cells counts each upstream cell exactly once (functional graph:
+# one out-edge per cell).  K unrolled rounds, each one equi-join +
+# groupBy on the CELLS relation (bounded by the grid, never by
+# input rows); all-integer.  Final top-k window runs over the grid
+# relation (getis precedent).
+def flow_acc_sql(grid_rel: str, rounds: int = 8, k: int = 50) -> str:
+    """Core over an occupied-grid relation (x, y, n); dialect-free."""
+    parts = [f"""fa_dir AS (
+  SELECT x, y, tx, ty FROM (
+    SELECT a.x AS x, a.y AS y, b.x AS tx, b.y AS ty,
+           ROW_NUMBER() OVER (PARTITION BY a.x, a.y
+             ORDER BY b.n DESC, b.x, b.y) AS rk
+    FROM {grid_rel} a
+    CROSS JOIN (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                       (0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)) o
+    JOIN {grid_rel} b ON b.x = a.x + o.dx AND b.y = a.y + o.dy
+    WHERE b.n > a.n) cand
+  WHERE rk = 1),
+fa_u0 AS (SELECT x, y, CAST(1 AS BIGINT) AS u FROM {grid_rel})"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""fa_u{i} AS (
+  SELECT g.x, g.y, 1 + COALESCE(s.m, 0) AS u
+  FROM {grid_rel} g LEFT JOIN (
+    SELECT d.tx AS x, d.ty AS y, CAST(SUM(p.u) AS BIGINT) AS m
+    FROM fa_dir d JOIN fa_u{i - 1} p ON p.x = d.x AND p.y = d.y
+    GROUP BY d.tx, d.ty) s ON s.x = g.x AND s.y = g.y)""")
+    return ",\n".join(parts) + f"""
+SELECT x, y, n, acc, rk FROM (
+  SELECT g.x AS x, g.y AS y, g.n AS n, u.u AS acc,
+         ROW_NUMBER() OVER (ORDER BY u.u DESC, g.x, g.y) AS rk
+  FROM {grid_rel} g JOIN fa_u{rounds} u ON u.x = g.x AND u.y = g.y) t
+WHERE rk <= {int(k)}"""
+
+
+def q_flow_accumulation(dialect: str, rounds: int = 8, k: int = 50) -> str:
+    return f"""
+WITH {geotagged_events_cte(dialect)},
+grid AS (
+  SELECT CAST(FLOOR(lon) AS BIGINT) AS x,
+         CAST(FLOOR(lat) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY CAST(FLOOR(lon) AS BIGINT), CAST(FLOOR(lat) AS BIGINT)),
+{flow_acc_sql('grid', rounds=rounds, k=k)}
+"""
+
+
 def q_geotag_tiles(dialect: str) -> str:
     """Tile rollup: deterministic geotag → Morton cell → counts (E2+E3+E8)."""
     return f"""
@@ -4255,6 +4309,9 @@ GROUP BY t.u
 
     queries["triangle_counts"] = _sql_runner(q_triangles)
     oracles["triangle_counts"] = q_triangles(DUCK)
+
+    queries["flow_accumulation"] = _sql_runner(q_flow_accumulation)
+    oracles["flow_accumulation"] = q_flow_accumulation(DUCK)
 
     queries["funnel_conversion"] = _sql_runner(q_funnel)
     oracles["funnel_conversion"] = q_funnel(DUCK)

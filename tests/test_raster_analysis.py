@@ -271,3 +271,79 @@ def test_sampling_gates_rates_and_exact_k(sf_dir):
            .itertuples()}
     assert all(n == min(BALANCED_K, totals[t]) for t, n in bal.items())
     con.close()
+
+
+def test_flow_accumulation_matches_python_reference():
+    """flow_acc_sql == an independent python D8-uphill reference: same
+    argmax direction (tiebreak n DESC, x, y), same K-hop upstream
+    counts, same top-k; and acc equals the true basin size when K
+    exceeds the longest ascent path."""
+    import duckdb
+
+    from go_shapefile_spark.queries import flow_acc_sql
+
+    rng = np.random.default_rng(17)
+    cells = {}
+    # two gaussian bumps on a ragged 14x14 occupied subset
+    for x in range(14):
+        for y in range(14):
+            if rng.random() < 0.82:
+                n = int(200 * np.exp(-((x - 3) ** 2 + (y - 4) ** 2) / 8)
+                        + 150 * np.exp(-((x - 10) ** 2 + (y - 10) ** 2) / 6)
+                        + rng.integers(0, 5))
+                cells[(x, y)] = n + 1
+
+    def reference(K):
+        dirs = {}
+        for (x, y), n in cells.items():
+            best = None
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == dy == 0:
+                        continue
+                    nb = (x + dx, y + dy)
+                    if nb in cells and cells[nb] > n:
+                        key = (-cells[nb], nb[0], nb[1])
+                        if best is None or key < best[0]:
+                            best = (key, nb)
+            if best:
+                dirs[(x, y)] = best[1]
+        u = {c: 1 for c in cells}
+        for _ in range(K):
+            nxt = {c: 1 for c in cells}
+            for c, t in dirs.items():
+                nxt[t] += u[c]
+            u = nxt
+        return u, dirs
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fg (x BIGINT, y BIGINT, n BIGINT)")
+    con.executemany("INSERT INTO fg VALUES (?, ?, ?)",
+                    [(x, y, n) for (x, y), n in cells.items()])
+    for K in (2, 8):
+        got = {(r[0], r[1]): (r[2], r[3], r[4]) for r in con.sql(
+            "WITH " + flow_acc_sql("fg", rounds=K, k=30)).fetchall()}
+        u, dirs = reference(K)
+        ranked = sorted(cells, key=lambda c: (-u[c], c[0], c[1]))[:30]
+        want = {c: (cells[c], u[c], i + 1) for i, c in enumerate(ranked)}
+        assert got == want, f"K={K}"
+    # with K=8 >= longest ascent path here, the peak's acc is its full
+    # basin: every cell whose chain ends at it
+    u8, dirs = reference(8)
+
+    def sink(c):
+        while c in dirs:
+            c = dirs[c]
+        return c
+    basins = {}
+    for c in cells:
+        basins[sink(c)] = basins.get(sink(c), 0) + 1
+    longest = 0
+    for c in cells:
+        d, cur = 0, c
+        while cur in dirs:
+            cur, d = dirs[cur], d + 1
+        longest = max(longest, d)
+    if longest <= 8:
+        peak = max(cells, key=lambda c: (cells[c], ))
+        assert u8[sink(peak)] == basins[sink(peak)]
