@@ -998,3 +998,58 @@ SELECT d.doc_id,
             ELSE 'review' END AS lm_band
 FROM {rel} d LEFT JOIN wdoc w ON w.doc_id = d.doc_id
 """
+
+
+def boilerplate_ngrams_sql(dialect: str, rel: str = "documents",
+                           gram: int = 3, min_df: int = 4,
+                           ppb: int = 1_000_000_000) -> str:
+    """Boilerplate detection — the curation filter that strips nav
+    bars, license headers, and template text from a crawl corpus:
+    an n-gram is boilerplate when it appears in >= ``min_df`` DISTINCT
+    documents; each document is then scored by the fraction of its
+    n-gram positions covered by boilerplate (truncating-ppb integer,
+    dual-engine exact).
+
+    Scale shape: one tokenize + position explode (corpus-token
+    bounded), a distinct-doc groupBy per gram hash (map-side
+    combinable after the per-doc DISTINCT), and one equi-join of
+    positions against the df-filtered hot-gram relation — keyed on the
+    gram hash, never a broadcast of the big kept side (the
+    stop-shingle lesson: the filtered set is the SMALL relation by
+    construction, positions stream past it).  Gate parameters
+    (gram=3, min_df=4) suit the synthetic small-vocab corpus; a web
+    corpus runs gram≈8 with min_df as an absolute count derived from
+    the crawl's duplication policy (fraction-of-count cutoffs must go
+    through the FLOOR seam — see dedup.stop_shingle_filter_cte).
+
+    Short documents (< ``gram`` tokens) have zero positions and score
+    0 via the final LEFT JOIN — never dropped."""
+    tok = H.tokens_arr("text", dialect)
+    alen = H.array_len("tok", dialect)
+    g = H.h60(H.arr_gram("tok", "p", gram, dialect), dialect)
+    return f"""
+WITH bp_toks AS (
+  SELECT doc_id, {tok} AS tok FROM {rel}),
+bp_pos AS (
+  SELECT doc_id, {g} AS g
+  FROM (SELECT doc_id, tok, {H.seq_1_to(f"{alen} - {gram - 1}", dialect)} AS p
+        FROM bp_toks WHERE {alen} >= {gram}) e),
+bp_hot AS (
+  SELECT g FROM (
+    SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM bp_pos GROUP BY g) d
+  WHERE df >= {min_df}),
+bp_doc AS (
+  SELECT p.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(h.g) AS BIGINT) AS n_boiler
+  FROM bp_pos p LEFT JOIN bp_hot h ON h.g = p.g
+  GROUP BY p.doc_id)
+SELECT d.doc_id,
+       COALESCE(b.n_grams, 0) AS n_grams,
+       COALESCE(b.n_boiler, 0) AS n_boiler,
+       CASE WHEN COALESCE(b.n_grams, 0) = 0 THEN CAST(0 AS BIGINT)
+            ELSE {H.idiv(f'{ppb} * b.n_boiler', 'b.n_grams', dialect)}
+       END AS boiler_ppb
+FROM {rel} d LEFT JOIN bp_doc b ON b.doc_id = d.doc_id
+"""

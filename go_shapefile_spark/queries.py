@@ -2870,6 +2870,10 @@ def build_registry():
         # collocation mining: top-k bigrams by PMI — log-free integer
         # ranking (monotone rational), vocab-bounded scoring join
         "pmi_bigrams": lambda d: TX.pmi_bigrams_sql(d),
+        # boilerplate n-gram curation: df-filtered hot grams as the
+        # SMALL join side, per-doc coverage ppb (short docs score 0,
+        # never dropped)
+        "boilerplate_ngrams": lambda d: TX.boilerplate_ngrams_sql(d),
         # bigram-LM document scoring (the model-based quality filter):
         # ppb-quantized conditional probs, broadcastable vocab² model;
         # low_q at the gate corpus's ~30th percentile so the band

@@ -501,3 +501,53 @@ def test_lm_likelihood_matches_python_bigram_model(spark):
     bands = {r[0]: r[3] for r in rows}
     assert bands[3] == "short"
     assert set(bands.values()) <= {"keep", "review", "short"}
+
+
+def test_boilerplate_ngrams_matches_python(spark):
+    """Planted-boilerplate corpus: docs sharing a header sentence must
+    score high, unique docs zero, short docs (< gram tokens) emit a
+    zero row rather than vanishing.  Python reference recomputes df
+    and per-doc coverage independently."""
+    import re
+
+    import pandas as pd
+
+    from go_shapefile_spark.operators.text import boilerplate_ngrams_sql
+
+    header = "subscribe to our newsletter for updates"
+    bodies = [
+        f"{header} alpha beta gamma delta",
+        f"{header} epsilon zeta eta theta iota",
+        f"{header} kappa lambada mu",
+        f"{header} nu xi omicron pi rho sigma",
+        "completely unique text about volcanic rocks and lichen",
+        "another singular document mentioning orbital mechanics",
+        "tiny doc",          # 2 tokens < gram=3 -> zero positions
+        "",                   # empty
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(bodies)), "text": bodies})
+    spark.createDataFrame(pdf).createOrReplaceTempView("bp_docs")
+    got = {r.doc_id: (r.n_grams, r.n_boiler, r.boiler_ppb) for r in
+           spark.sql(boilerplate_ngrams_sql(
+               "spark", rel="bp_docs", gram=3, min_df=4)).collect()}
+
+    G, MIN_DF = 3, 4
+    toks = {i: re.findall(r"[a-z0-9]+", t.lower())
+            for i, t in enumerate(bodies)}
+    grams = {i: [tuple(ts[j:j + G]) for j in range(len(ts) - G + 1)]
+             for i, ts in toks.items()}
+    df: dict = {}
+    for i, gs in grams.items():
+        for g in set(gs):
+            df[g] = df.get(g, 0) + 1
+    hot = {g for g, c in df.items() if c >= MIN_DF}
+    want = {}
+    for i, gs in grams.items():
+        nb = sum(1 for g in gs if g in hot)
+        want[i] = (len(gs), nb,
+                   10 ** 9 * nb // len(gs) if gs else 0)
+    assert got == want
+    # contract rows: header docs boilerplate-heavy, unique docs zero,
+    # short docs present with zeros
+    assert got[0][1] >= 4 and got[4] == (6, 0, 0)
+    assert got[6] == (0, 0, 0) and got[7] == (0, 0, 0)
