@@ -617,6 +617,49 @@ grid AS (
 """
 
 
+# GPS-glitch filtering — the trajectory-cleaning pass every movement
+# pipeline runs before mining: a move is physically impossible when
+# its implied speed exceeds 83 m/s (300 km/h).  The comparison stays
+# ENTIRELY in the integer domain (dist_mm > 83000 * dt_s — never a
+# float division), with per-move distances quantized exactly like
+# od_matrix (ROUND(hav·1e6) BIGINT, the knn-haversine libm-seam
+# precedent); zero-dt moves with positive distance are glitches by
+# the same inequality.  One window per user (shard-local sort), one
+# groupBy — no self-join.
+def q_gps_glitches(dialect: str, max_mm_per_s: int = 83_000) -> str:
+    from .operators.knn import EARTH_RADIUS_KM
+    ep = _epoch_s("ts", dialect)
+    hav = (f"2 * {EARTH_RADIUS_KM} * asin(sqrt("
+           "pow(sin(radians(lat - plat) / 2), 2) + "
+           "cos(radians(plat)) * cos(radians(lat)) * "
+           "pow(sin(radians(lon - plon) / 2), 2)))")
+    w = "PARTITION BY user_id ORDER BY ts_s, id"
+    return f"""
+WITH gg_pts AS (
+  SELECT event_id AS id, user_id, {ep} AS ts_s,
+         {GT.lon_sql('event_id', dialect)} AS lon,
+         {GT.lat_sql('event_id', dialect)} AS lat
+  FROM events),
+gg_tr AS (
+  SELECT user_id, ts_s, lon, lat,
+         LAG(ts_s) OVER ({w}) AS pts,
+         LAG(lon) OVER ({w}) AS plon,
+         LAG(lat) OVER ({w}) AS plat
+  FROM gg_pts),
+gg_mv AS (
+  SELECT user_id, ts_s - pts AS dt_s,
+         CAST(ROUND({hav} * 1000000.0) AS BIGINT) AS dist_mm
+  FROM gg_tr WHERE pts IS NOT NULL)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_moves,
+       CAST(SUM(CASE WHEN dist_mm > {max_mm_per_s} * dt_s
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_glitches,
+       CAST(SUM(CASE WHEN dist_mm > {max_mm_per_s} * dt_s
+                     THEN 0 ELSE dist_mm END) AS BIGINT) AS clean_dist_mm
+FROM gg_mv GROUP BY user_id
+"""
+
+
 def q_geotag_tiles(dialect: str) -> str:
     """Tile rollup: deterministic geotag → Morton cell → counts (E2+E3+E8)."""
     return f"""
@@ -4316,6 +4359,9 @@ GROUP BY t.u
 
     queries["flow_accumulation"] = _sql_runner(q_flow_accumulation)
     oracles["flow_accumulation"] = q_flow_accumulation(DUCK)
+
+    queries["gps_glitch_filter"] = _sql_runner(q_gps_glitches)
+    oracles["gps_glitch_filter"] = q_gps_glitches(DUCK)
 
     queries["funnel_conversion"] = _sql_runner(q_funnel)
     oracles["funnel_conversion"] = q_funnel(DUCK)

@@ -159,3 +159,49 @@ def test_skyline_oracle_twin_in_duckdb():
         agg[u] = (c + round(v * 100), n + 1)
     want = _pareto_bruteforce([(u, c, n) for u, (c, n) in agg.items()])
     assert got == want
+
+
+def test_gps_glitch_filter_matches_python():
+    """q_gps_glitches == an independent python recomputation: geotag
+    via the lonlat_py twin, haversine in numpy, the same integer-domain
+    speed inequality.  Also pins the split (some clean, some glitch)."""
+    import duckdb
+
+    from go_shapefile_spark.operators.geotag import lonlat_py
+    from go_shapefile_spark.operators.knn import EARTH_RADIUS_KM
+    from go_shapefile_spark.queries import q_gps_glitches
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "'/root/testdata/sf0.001/events.parquet'")
+    got = {r[0]: (r[1], r[2], r[3]) for r in
+           con.sql(q_gps_glitches("duck")).fetchall()}
+
+    rows = con.sql("SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT), "
+                   "event_id FROM events").fetchall()
+    by_user: dict = {}
+    for u, ts, eid in rows:
+        by_user.setdefault(u, []).append((ts, eid))
+    want: dict = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        n = g = clean = 0
+        for (t0, e0), (t1, e1) in zip(evs, evs[1:]):
+            lon0, lat0 = lonlat_py(e0)
+            lon1, lat1 = lonlat_py(e1)
+            dlat = np.radians(lat1 - lat0) / 2
+            dlon = np.radians(lon1 - lon0) / 2
+            h = (np.sin(dlat) ** 2 + np.cos(np.radians(lat0))
+                 * np.cos(np.radians(lat1)) * np.sin(dlon) ** 2)
+            dist_mm = int(round(2 * EARTH_RADIUS_KM
+                                * np.arcsin(np.sqrt(h)) * 1e6))
+            n += 1
+            if dist_mm > 83_000 * (t1 - t0):
+                g += 1
+            else:
+                clean += dist_mm
+        if n:
+            want[u] = (n, g, clean)
+    assert got == want
+    assert sum(v[1] for v in got.values()) > 0
+    assert any(v[1] < v[0] for v in got.values())
