@@ -922,3 +922,44 @@ def image_neardup_pairs(images: DataFrame, max_hamming: int = 3,
     sig = image_ahash(images, stub_ok=stub_ok)
     return banded_hash_pairs(sig, "image_id", "ahash",
                              "image_a", "image_b", max_hamming=max_hamming)
+
+
+def image_metadata(images: DataFrame) -> DataFrame:
+    """Header-only metadata scan: width/height/channels/progressive/
+    chroma-sampling per image WITHOUT entropy decode — the cheap
+    cataloging pass a 100-TB corpus runs before deciding what to
+    decode (route progressive vs baseline, drop undersized images,
+    partition by shape for the stacked kernels).  Reads only marker
+    headers (JPEG) or the IHDR chunk (PNG): a few hundred bytes per
+    row, so the scan is I/O-bound on the bytes column, embarrassingly
+    parallel, no shuffle.  Strict: unknown formats or malformed
+    headers raise (the corpus-wide ``stub_ok=False`` posture)."""
+    from ..sources.images import png_header
+    from ..sources.jpeg_codec import jpeg_header
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"image_id": [], "fmt": [], "width": [], "height": [],
+                   "n_comps": [], "progressive": [], "sampling": []}
+            for iid, fmt, buf in zip(pdf["image_id"], pdf["fmt"],
+                                     pdf["bytes"]):
+                data = bytes(buf)
+                if fmt == "png":
+                    hd = png_header(data)
+                elif fmt in ("jpeg", "jpegp"):
+                    hd = jpeg_header(data)
+                else:
+                    raise ValueError(f"unknown image format {fmt!r}")
+                out["image_id"].append(iid)
+                out["fmt"].append(fmt)
+                out["width"].append(hd["w"])
+                out["height"].append(hd["h"])
+                out["n_comps"].append(hd["n_comps"])
+                out["progressive"].append(int(hd["progressive"]))
+                out["sampling"].append(f"{hd['max_h']}x{hd['max_v']}")
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        run, schema="image_id string, fmt string, width long, "
+                    "height long, n_comps long, progressive long, "
+                    "sampling string")

@@ -1224,6 +1224,61 @@ def q_image_luma_histogram_oracle() -> str:
             + "\n) AS t(bin, n_pixels, n_images)")
 
 
+def image_metadata_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only corpus catalog: shape/channels/progressive/sampling
+    per image WITHOUT entropy decode (marker walk / IHDR only), rolled
+    up by (fmt, width, progressive, sampling).  The cataloging pass a
+    100-TB image lake runs before any decode: route SOF2 rows to the
+    progressive path, partition by shape for stacked kernels, drop
+    undersized rows — at header-scan cost, not decode cost.  The
+    oracle re-derives every group from the corpus GENERATORS (splitmix
+    sizes + format rules) in numpy, independent of the parsers."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import image_metadata
+
+    imgs = spark.read.parquet(_ensure_images_gate(spark))
+    meta = image_metadata(imgs.select("image_id", "fmt", "bytes"))
+    return meta.groupBy("fmt", "width", "progressive", "sampling").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.sum("n_comps").cast("long").alias("sum_comps"))
+
+
+def q_image_metadata_oracle() -> str:
+    """Generator twin: sizes from splitmix64(idx) exactly as
+    images.generate_batch / plant_progressive_rows assign them; format
+    rule i%10==9→jpeg else png for the base table, jpegp for planted
+    rows; sampling pins the encoder contracts (ours 4:4:4, javax
+    4:2:0), progressive pins SOF2 on exactly the planted rows."""
+    import numpy as np
+
+    from .operators.geotag import splitmix64
+
+    groups: dict = {}
+    for base, n, fmt_of in (
+            (0, IMG_GATE_N,
+             lambda i: "jpeg" if i % 10 == 9 else "png"),
+            (IMG_GATE_N, IMG_GATE_N_PROG, lambda i: "jpegp")):
+        idx = np.arange(base, base + n, dtype=np.int64)
+        phash = splitmix64(idx).view(np.int64)
+        sizes = 8 + (phash % 3).astype(np.int64) * 8
+        for i, s in zip(idx, sizes):
+            fmt = fmt_of(int(i))
+            w = int(abs(s))
+            prog = 1 if fmt == "jpegp" else 0
+            samp = "2x2" if fmt == "jpegp" else "1x1"
+            key = (fmt, w, prog, samp)
+            cnt, comps = groups.get(key, (0, 0))
+            groups[key] = (cnt + 1, comps + 3)
+    rows = ",\n".join(
+        f"('{fmt}', CAST({w} AS BIGINT), CAST({p} AS BIGINT), '{s}', "
+        f"CAST({c} AS BIGINT), CAST({sc} AS BIGINT))"
+        for (fmt, w, p, s), (c, sc) in sorted(groups.items()))
+    return ("SELECT * FROM (VALUES\n" + rows
+            + "\n) AS t(fmt, width, progressive, sampling, "
+              "n_images, sum_comps)")
+
+
 def q_image_quality_oracle() -> str:
     return (f"SELECT CAST({IMG_GATE_N + IMG_GATE_N_PROG} AS BIGINT) "
             f"AS n_images, CAST({IMG_GATE_N} AS BIGINT) AS n_sharp, "
@@ -3000,6 +3055,8 @@ def build_registry():
     oracles["image_quality"] = q_image_quality_oracle()
     queries["image_luma_histogram"] = image_luma_histogram_spark
     oracles["image_luma_histogram"] = q_image_luma_histogram_oracle()
+    queries["image_metadata"] = image_metadata_spark
+    oracles["image_metadata"] = q_image_metadata_oracle()
     queries["image_neardup"] = image_neardup_spark
     oracles["image_neardup"] = q_image_neardup_oracle(DUCK)
     queries["image_phash_neardup"] = image_phash_neardup_spark

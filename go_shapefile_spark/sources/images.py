@@ -403,3 +403,22 @@ def generate_videos_df(spark: SparkSession, n: int,
                 yield generate_videos_batch(int(a), int(b))
 
     return splits.mapInPandas(gen, schema=VIDEOS_SCHEMA)
+
+
+def png_header(data: bytes) -> dict:
+    """Header-only PNG metadata from the IHDR chunk (signature + first
+    chunk — 33 bytes), mirroring :func:`jpeg_codec.jpeg_header`.
+    ``n_comps`` derives from the color type; ``progressive`` maps the
+    Adam7 interlace flag so the column means "multi-pass stream" for
+    both formats."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    if data[12:16] != b"IHDR":
+        raise ValueError("first chunk is not IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack_from(
+        ">IIBBBBB", data, 16)
+    n_comps = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if n_comps is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    return {"w": w, "h": h, "n_comps": n_comps,
+            "progressive": interlace == 1, "max_h": 1, "max_v": 1}

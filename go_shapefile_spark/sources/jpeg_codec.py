@@ -1034,3 +1034,60 @@ def _reconstruct(frame: dict, stores: list[np.ndarray],
                       .reshape(nbh * 8, nbw * 8))
     return _assemble(comps, planes, frame["h"], frame["w"],
                      geo["hmax"], geo["vmax"])
+
+
+def jpeg_header(data: bytes) -> dict:
+    """Header-only metadata: walk markers to the frame header and STOP
+    at SOS — no Huffman/entropy work, so a metadata pass over a corpus
+    reads a few hundred bytes per image regardless of pixel count.
+    Returns ``{"w", "h", "n_comps", "progressive", "max_h", "max_v"}``.
+    Same validation posture as the decoder's SOF parse (duplicate SOF,
+    precision, sampling factors) so a stream the decoder would reject
+    is rejected here too."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    frame = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xFF:
+            pos -= 1
+            continue
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker in (0xC0, 0xC1, 0xC2):
+            if frame is not None:
+                raise ValueError("duplicate SOF")
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            hs, vs = [], []
+            for ci in range(nc):
+                cid, hv, _tq = seg[6 + 3 * ci:9 + 3 * ci]
+                ch, cv = hv >> 4, hv & 15
+                if ch not in (1, 2, 4) or cv not in (1, 2, 4):
+                    raise ValueError(
+                        f"unsupported sampling factors {ch}x{cv} for "
+                        f"component {cid} (supported: 1, 2, 4)")
+                hs.append(ch)
+                vs.append(cv)
+            frame = {"w": fw, "h": fh, "n_comps": nc,
+                     "progressive": marker == 0xC2,
+                     "max_h": max(hs), "max_v": max(vs)}
+        elif marker == 0xC3 or 0xC5 <= marker <= 0xCF:
+            raise ValueError(
+                "only baseline/extended sequential and progressive "
+                "(SOF0/1/2) JPEG supported")
+        elif marker == 0xDA:
+            break
+    if frame is None:
+        raise ValueError("no SOF before SOS/EOI")
+    return frame

@@ -623,3 +623,92 @@ def test_render_hillshade_tiles_matches_reference_bytes(spark):
         shades.update(np.unique(img[:, :, 0]).tolist())
     # real relief: many distinct shade levels, not a binary mask
     assert len(shades) > 32
+
+
+def test_image_headers_match_decode_shapes():
+    """jpeg_header/png_header report exactly the decoded array's shape
+    for random images of every corpus size, both encoders."""
+    from go_shapefile_spark.sources.images import (decode_image,
+                                                   encode_png,
+                                                   pixels_from_phash,
+                                                   png_header)
+    from go_shapefile_spark.sources.jpeg_codec import (decode_jpeg,
+                                                       encode_jpeg,
+                                                       jpeg_header)
+
+    for ph in (1, 99, 54321):
+        for s in (8, 16, 24):
+            px = pixels_from_phash(ph, s, s)
+            jb = encode_jpeg(px, 98)
+            hd = jpeg_header(jb)
+            assert (hd["h"], hd["w"]) == decode_jpeg(jb).shape[:2]
+            assert hd["n_comps"] == 3 and not hd["progressive"]
+            assert (hd["max_h"], hd["max_v"]) == (1, 1)
+            pb = encode_png(px)
+            hp = png_header(pb)
+            assert (hp["h"], hp["w"]) == decode_image(pb, "png").shape[:2]
+            assert hp["n_comps"] == 3 and not hp["progressive"]
+
+
+def test_jpeg_header_never_reads_entropy_data():
+    """Truncating the stream right after the SOS header leaves the
+    metadata intact — evidence the scan stops before entropy decode
+    (the decoder itself must fail on the same bytes)."""
+    import pytest
+
+    from go_shapefile_spark.sources.images import pixels_from_phash
+    from go_shapefile_spark.sources.jpeg_codec import (decode_jpeg,
+                                                       encode_jpeg,
+                                                       jpeg_header)
+
+    buf = encode_jpeg(pixels_from_phash(7, 16, 16), 98)
+    sos = buf.index(b"\xff\xda")
+    seglen = int.from_bytes(buf[sos + 2:sos + 4], "big")
+    chopped = buf[:sos + 2 + seglen]         # header only, zero entropy
+    hd = jpeg_header(chopped)
+    assert (hd["w"], hd["h"], hd["n_comps"]) == (16, 16, 3)
+    with pytest.raises(ValueError):
+        decode_jpeg(chopped)
+
+
+def test_image_header_error_contracts():
+    import pytest
+
+    from go_shapefile_spark.sources.images import png_header
+    from go_shapefile_spark.sources.jpeg_codec import jpeg_header
+
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_header(b"\x00" * 8)
+    with pytest.raises(ValueError, match="signature"):
+        png_header(b"\x00" * 40)
+    # sampling-factor validation mirrors the decoder (ADVICE r4)
+    sof = (b"\xff\xd8\xff\xc0" + (8 + 9).to_bytes(2, "big")
+           + b"\x08" + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+           + b"\x03" + b"\x01\x00\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+    with pytest.raises(ValueError, match="sampling factors"):
+        jpeg_header(sof)
+
+
+def test_image_metadata_operator_rollup(spark):
+    """The Spark operator catalogs a mixed mini-corpus (png + baseline
+    jpeg + a planted progressive stream) with exact per-format rows."""
+    import pandas as pd
+
+    from go_shapefile_spark.operators.multimodal import image_metadata
+    from go_shapefile_spark.sources.images import (encode_png,
+                                                   pixels_from_phash)
+    from go_shapefile_spark.sources.jpeg_codec import encode_jpeg
+
+    rows = []
+    for i, s in enumerate((8, 16, 24)):
+        px = pixels_from_phash(i + 1, s, s)
+        rows.append((f"p{i}", "png", bytearray(encode_png(px))))
+        rows.append((f"j{i}", "jpeg", bytearray(encode_jpeg(px, 95))))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "fmt", "bytes"]))
+    got = {r.image_id: (r.fmt, r.width, r.height, r.n_comps,
+                        r.progressive, r.sampling)
+           for r in image_metadata(df).collect()}
+    for i, s in enumerate((8, 16, 24)):
+        assert got[f"p{i}"] == ("png", s, s, 3, 0, "1x1")
+        assert got[f"j{i}"] == ("jpeg", s, s, 3, 0, "1x1")
