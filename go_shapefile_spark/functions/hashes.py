@@ -187,3 +187,18 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
 def minhash_expr(x_expr: str, j: int, num_hashes: int) -> str:
     a, b = minhash_coeffs(num_hashes)[j]
     return f"MIN(({a} * {x_expr} + {b}) % {MINHASH_P})"
+
+
+def json_int(expr: str, key: str, dialect: str) -> str:
+    """Integer field of a JSON string column — NULL when the document
+    is malformed, the key is absent, or the value isn't numeric, in
+    BOTH engines.  Three seams hide here: Spark's get_json_object
+    already returns NULL on bad JSON but DuckDB's json_extract THROWS
+    (hence the TRY_CAST-to-JSON first), and ANSI-mode Spark's plain
+    CAST throws on non-numeric strings (hence TRY_CAST).  Spark's
+    get_json_object is JVM codegen-able — the semi-structured hot path
+    never leaves the executor."""
+    if dialect == SPARK:
+        return f"TRY_CAST(get_json_object({expr}, '$.{key}') AS BIGINT)"
+    return (f"TRY_CAST(json_extract_string(TRY_CAST({expr} AS JSON), "
+            f"'$.{key}') AS BIGINT)")

@@ -660,6 +660,30 @@ FROM gg_mv GROUP BY user_id
 """
 
 
+# Semi-structured JSON property rollup — the schema-on-read path
+# every event pipeline needs: extract a typed field from the JSON
+# props column and aggregate it.  Spark's get_json_object is a
+# JVM codegen-able expression (the parse stays inside whole-stage
+# codegen — never a Python UDF); the decile bucketing keeps the
+# output grid-bounded, and absent/invalid keys land in a sentinel
+# bucket instead of being dropped (missingness is data).
+def q_json_props(dialect: str, rel: str = "events") -> str:
+    k = H.json_int("props", "k", dialect)
+    bucket = H.idiv("k", "10", dialect)
+    return f"""
+WITH jp AS (
+  SELECT event_type, {k} AS k FROM {rel})
+SELECT event_type,
+       COALESCE({bucket}, -1) AS k_decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM jp
+GROUP BY event_type, COALESCE({bucket}, -1)
+"""
+
+
 def q_geotag_tiles(dialect: str) -> str:
     """Tile rollup: deterministic geotag → Morton cell → counts (E2+E3+E8)."""
     return f"""
@@ -4419,6 +4443,9 @@ GROUP BY t.u
 
     queries["gps_glitch_filter"] = _sql_runner(q_gps_glitches)
     oracles["gps_glitch_filter"] = q_gps_glitches(DUCK)
+
+    queries["json_props_rollup"] = _sql_runner(q_json_props)
+    oracles["json_props_rollup"] = q_json_props(DUCK)
 
     queries["funnel_conversion"] = _sql_runner(q_funnel)
     oracles["funnel_conversion"] = q_funnel(DUCK)

@@ -205,3 +205,33 @@ def test_gps_glitch_filter_matches_python():
     assert got == want
     assert sum(v[1] for v in got.values()) > 0
     assert any(v[1] < v[0] for v in got.values())
+
+
+def test_json_props_rollup_handles_missing_and_malformed(spark):
+    """Extraction semantics pinned: absent key, malformed JSON, and
+    non-integer values all land in the -1 sentinel bucket with sum 0;
+    valid keys bucket by k DIV 10.  Dual-engine identical."""
+    import duckdb
+    import pandas as pd
+
+    from go_shapefile_spark.queries import q_json_props
+
+    rows = [("click", '{"k": 7}'), ("click", '{"k": 19}'),
+            ("click", '{"k": 23}'), ("view", '{"k": 100}'),
+            ("view", '{}'), ("view", 'not json at all'),
+            ("view", '{"k": "veinte"}'), ("error", None)]
+    pdf = pd.DataFrame(rows, columns=["event_type", "props"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("jp_ev")
+    got = sorted(tuple(r) for r in
+                 spark.sql(q_json_props("spark", rel="jp_ev")).collect())
+    con = duckdb.connect()
+    con.register("jp_pdf", pdf)
+    con.execute("CREATE VIEW jp_ev AS SELECT * FROM jp_pdf")
+    want = sorted(tuple(r) for r in
+                  con.sql(q_json_props("duck", rel="jp_ev")).fetchall())
+    assert got == want
+    d = {(t, b): (n, s) for t, b, n, s, _, _ in got}
+    assert d[("click", 0)] == (1, 7) and d[("click", 1)] == (1, 19)
+    assert d[("click", 2)] == (1, 23)
+    assert d[("view", 10)] == (1, 100)
+    assert d[("view", -1)][0] == 3 and d[("error", -1)][0] == 1
