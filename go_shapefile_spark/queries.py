@@ -2414,6 +2414,38 @@ def streaming_sessions_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("n_events").alias("n_events")))
 
 
+def streaming_glitch_filter_spark(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Stateful streaming GPS-glitch filter (applyInPandasWithState),
+    gated: drain the bounded events source, keep each user's final
+    running totals (update-mode emissions are monotonic).  The oracle
+    is the BATCH glitch SQL (q_gps_glitches) — the all-integer state
+    makes backfill == batch exact."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from .streaming.trajectory import glitch_filter_stream
+
+    src = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(src).schema
+    out = glitch_filter_stream(spark, _stream_source_dir(src), schema)
+    name = f"gate_stream_glitch_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="gate_stream_glitch_")
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .where(F.col("n_moves") > 0)
+            .groupBy("user_id")
+            .agg(F.max("n_moves").alias("n_moves"),
+                 F.max("n_glitches").alias("n_glitches"),
+                 F.max("clean_dist_mm").alias("clean_dist_mm")))
+
+
 # --- shapefile-source gate queries -----------------------------------------
 
 REF_TESTDATA = "/root/reference/testdata"
@@ -4446,6 +4478,9 @@ GROUP BY t.u
 
     queries["json_props_rollup"] = _sql_runner(q_json_props)
     oracles["json_props_rollup"] = q_json_props(DUCK)
+
+    queries["streaming_glitch_filter"] = streaming_glitch_filter_spark
+    oracles["streaming_glitch_filter"] = q_gps_glitches(DUCK)
 
     queries["funnel_conversion"] = _sql_runner(q_funnel)
     oracles["funnel_conversion"] = q_funnel(DUCK)

@@ -209,3 +209,62 @@ def test_streaming_heatmap_equals_batch_raster(spark, sf_dir, tmp_path):
     assert len(got) == len(exp) > 0
     assert got[["x", "y", "intensity", "n_centered"]].equals(
         exp[["x", "y", "intensity", "n_centered"]])
+
+
+def test_stateful_glitch_filter_multibatch_equals_batch(spark, sf_dir,
+                                                        tmp_path):
+    """The streaming glitch filter survives a SPLIT source: drain the
+    first half of the time range, then add the second half and drain
+    again — the chained state (last point per user crosses the batch
+    boundary) must reproduce the batch SQL exactly."""
+    import duckdb
+
+    from go_shapefile_spark.queries import q_gps_glitches
+    from go_shapefile_spark.streaming.trajectory import glitch_filter_stream
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    cut = ev.selectExpr("percentile(CAST(unix_timestamp(ts) AS DOUBLE), "
+                        "0.5) AS c").collect()[0].c
+    src = str(tmp_path / "gl_src")
+    os.makedirs(src)
+
+    def add_part(df, name):
+        """File-stream sources don't recurse: stage the write, move the
+        flat part file into the watched dir."""
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(stage, part),
+                    os.path.join(src, f"{name}.parquet"))
+
+    add_part(ev.where(f"unix_timestamp(ts) <= {int(cut)}"), "part1")
+
+    # ONE live query fed two micro-batches: state must cross the
+    # batch boundary (memory sinks cannot restart from a checkpoint,
+    # so continuity is exercised in-flight)
+    stream = glitch_filter_stream(spark, src, SCHEMA)
+    q = (stream.writeStream.format("memory").queryName("gl_mb")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "gl_ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        add_part(ev.where(f"unix_timestamp(ts) > {int(cut)}"), "part2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(
+        "SELECT user_id, MAX(n_moves) n_moves, MAX(n_glitches) n_glitches,"
+        " MAX(clean_dist_mm) clean_dist_mm FROM gl_mb "
+        "GROUP BY user_id HAVING MAX(n_moves) > 0").collect()
+    got = {r.user_id: (r.n_moves, r.n_glitches, r.clean_dist_mm)
+           for r in rows}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{os.path.join(sf_dir, 'events.parquet')}'")
+    want = {r[0]: (r[1], r[2], r[3])
+            for r in con.execute(q_gps_glitches("duck")).fetchall()}
+    assert got == want
+    assert sum(v[1] for v in got.values()) > 0
