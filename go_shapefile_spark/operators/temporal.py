@@ -206,3 +206,85 @@ SELECT {key}, b AS bucket_start,
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          AS locf_value
 FROM gf_joined"""
+
+
+def resample_sql(dialect: str, src: str = "rs_src",
+                 key: str = "user_id", width: int = 3600) -> str:
+    """Trajectory resampling: per-key LINEAR interpolation of (lon, lat)
+    at a fixed epoch grid — the densify step before map matching or
+    sequence models (gap_fill is the LOCF cousin; this one moves the
+    point along the segment).
+
+    ``src`` must expose (key, es, id, lon, lat).  Observations dedupe
+    to one per (key, epoch) first — greatest id wins, the gap_fill
+    convention — then a union of obs(kind 0)/grid(kind 1) rows carries
+    two IGNORE-NULLS window passes: forward (prev obs at es ≤ t, obs
+    sorted before grid at the same epoch so an exact hit interpolates
+    to itself) and backward (next obs at es ≥ t).  The lerp is one
+    identical double expression tree over BIGINT-diff inputs —
+    bit-identical dual-engine (the sparse-cosine SQRT precedent) — and
+    outputs quantize to e6 BIGINTs.  Grid ends clamp to the nearest
+    observation.  One dedupe window + explode + two key-partitioned
+    windows; no joins over raw pairs — scales per key like gap_fill.
+    """
+    from ..functions import hashes as H
+
+    # sub-grid spans (g0 > g1) must filter BEFORE the explode: Spark's
+    # sequence(start, stop, +step) errors on start > stop where DuckDB's
+    # range is empty — a seam unless both sides never see it
+    if dialect == H.SPARK:
+        grid = (f"SELECT {key}, explode(sequence(g0, g1, "
+                f"CAST({width} AS BIGINT))) AS es FROM rs_span "
+                "WHERE g0 <= g1")
+    else:
+        grid = (f"SELECT {key}, unnest(range(g0, g1 + {width}, "
+                f"{width})) AS es FROM rs_span WHERE g0 <= g1")
+    fwd = (f"OVER (PARTITION BY {key} ORDER BY es ASC, kind ASC, id ASC "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    bwd = (f"OVER (PARTITION BY {key} ORDER BY es DESC, kind DESC, id DESC "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+
+    def ln(e):  # noqa: E306
+        return H.last_ignore_nulls(e, dialect)
+
+    frac = ("(CAST(es - p_es AS DOUBLE) / CAST(n_es - p_es AS DOUBLE))")
+    lerp = {c: (f"CASE WHEN p_es IS NULL THEN n_{c} "
+                f"WHEN n_es IS NULL OR n_es = p_es THEN p_{c} "
+                f"ELSE p_{c} + (n_{c} - p_{c}) * {frac} END")
+            for c in ("lon", "lat")}
+    return f"""
+rs_obs AS (
+  SELECT {key}, es, id, lon, lat FROM (
+    SELECT {key}, es, id, lon, lat,
+           ROW_NUMBER() OVER (PARTITION BY {key}, es
+                              ORDER BY id DESC) AS rn
+    FROM {src}) d WHERE rn = 1),
+rs_span AS (
+  SELECT {key},
+         ({H.idiv(f'MIN(es) + {width - 1}', str(width), dialect)})
+           * {width} AS g0,
+         ({H.idiv('MAX(es)', str(width), dialect)}) * {width} AS g1
+  FROM rs_obs GROUP BY {key}),
+rs_grid AS ({grid}),
+rs_u AS (
+  SELECT {key}, es, 0 AS kind, id, lon, lat FROM rs_obs
+  UNION ALL
+  SELECT {key}, es, 1 AS kind, CAST(-1 AS BIGINT) AS id,
+         CAST(NULL AS DOUBLE) AS lon, CAST(NULL AS DOUBLE) AS lat
+  FROM rs_grid),
+rs_w AS (
+  SELECT {key}, es, kind,
+         {ln('CASE WHEN kind = 0 THEN es END')} {fwd} AS p_es,
+         {ln('CASE WHEN kind = 0 THEN lon END')} {fwd} AS p_lon,
+         {ln('CASE WHEN kind = 0 THEN lat END')} {fwd} AS p_lat,
+         {ln('CASE WHEN kind = 0 THEN es END')} {bwd} AS n_es,
+         {ln('CASE WHEN kind = 0 THEN lon END')} {bwd} AS n_lon,
+         {ln('CASE WHEN kind = 0 THEN lat END')} {bwd} AS n_lat
+  FROM rs_u)
+SELECT {key}, es AS t_s,
+       CAST(ROUND(({lerp['lon']}) * 1000000) AS BIGINT) AS lon_e6,
+       CAST(ROUND(({lerp['lat']}) * 1000000) AS BIGINT) AS lat_e6,
+       CASE WHEN p_es IS NOT NULL AND n_es IS NOT NULL
+                 AND n_es <> p_es AND es <> p_es
+            THEN 1 ELSE 0 END AS interp
+FROM rs_w WHERE kind = 1"""

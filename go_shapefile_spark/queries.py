@@ -4482,6 +4482,24 @@ GROUP BY t.u
     queries["streaming_glitch_filter"] = streaming_glitch_filter_spark
     oracles["streaming_glitch_filter"] = q_gps_glitches(DUCK)
 
+    # trajectory resampling: per-user linear interpolation at the
+    # hourly grid (operators/temporal.py resample_sql — gap_fill's
+    # moving cousin); source = the geotagged event stream
+    def q_resample(dialect: str) -> str:
+        from .operators.temporal import resample_sql
+        ep = _epoch_s("ts", dialect)
+        return f"""
+WITH rs_src AS (
+  SELECT user_id, {ep} AS es, event_id AS id,
+         {GT.lon_sql('event_id', dialect)} AS lon,
+         {GT.lat_sql('event_id', dialect)} AS lat
+  FROM events),
+{resample_sql(dialect).lstrip()}
+"""
+
+    queries["trajectory_resample"] = _sql_runner(q_resample)
+    oracles["trajectory_resample"] = q_resample(DUCK)
+
     queries["funnel_conversion"] = _sql_runner(q_funnel)
     oracles["funnel_conversion"] = q_funnel(DUCK)
 

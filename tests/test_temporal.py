@@ -240,3 +240,55 @@ def test_geofence_transitions_matches_python_replay(spark):
     got = {(r[0], r[1]): (r[2], r[3], r[4], r[5]) for r in got_spark}
     assert got == want
     assert len(got) > 0 and any(v[0] > 0 for v in got.values())
+
+
+def test_resample_linear_interpolation_semantics(spark):
+    """Handcrafted trajectory: exact lerp values at grid points, exact
+    hits interpolate to themselves, ends clamp to the nearest obs,
+    same-epoch duplicates dedupe to the greatest id, and a
+    shorter-than-one-grid-step user yields no rows (the Spark
+    sequence / DuckDB range seam)."""
+    import duckdb
+    import pandas as pd
+
+    from go_shapefile_spark.operators.temporal import resample_sql
+
+    W = 100
+    rows = [
+        # user 1: obs at 50 (0,0) and 250 (2,4) -> grid 100, 200
+        (1, 50, 10, 0.0, 0.0), (1, 250, 11, 2.0, 4.0),
+        # exact hit at 300 plus tail obs at 410 -> grid 300, 400
+        (1, 300, 12, 3.0, 3.0), (1, 410, 13, 4.0, 5.0),
+        # duplicate epoch 50: id 9 must LOSE to id 10
+        (1, 50, 9, 9.0, 9.0),
+        # user 2: span 10..90 shorter than one grid step -> no rows
+        (2, 10, 20, 1.0, 1.0), (2, 90, 21, 2.0, 2.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "es", "id", "lon", "lat"])
+
+    sql = "WITH rs_src AS (SELECT * FROM rs_view),\n" + \
+        resample_sql("spark", width=W).lstrip()
+    spark.createDataFrame(pdf).createOrReplaceTempView("rs_view")
+    got = {(r.user_id, r.t_s): (r.lon_e6, r.lat_e6, r.interp)
+           for r in spark.sql(sql).collect()}
+
+    con = duckdb.connect()
+    con.register("rs_pdf", pdf)
+    con.execute("CREATE VIEW rs_view AS SELECT * FROM rs_pdf")
+    duck = {(r[0], r[1]): (r[2], r[3], r[4]) for r in con.sql(
+        "WITH rs_src AS (SELECT * FROM rs_view),\n"
+        + resample_sql("duck", width=W).lstrip()).fetchall()}
+    assert got == duck
+
+    # t=100: 1/4 of the way 50->250 => (0.5, 1.0)
+    assert got[(1, 100)] == (500000, 1000000, 1)
+    # t=200: 3/4 => (1.5, 3.0)
+    assert got[(1, 200)] == (1500000, 3000000, 1)
+    # t=300: exact observation -> itself, interp flag 0
+    assert got[(1, 300)] == (3000000, 3000000, 0)
+    # t=400: between 300 and 410 -> 100/110 of (1, 2)
+    lon = round(1e6 * (3.0 + 1.0 * (100 / 110)))
+    lat = round(1e6 * (3.0 + 2.0 * (100 / 110)))
+    assert got[(1, 400)] == (lon, lat, 1)
+    assert not any(u == 2 for u, _ in got)
+    assert len(got) == 4
