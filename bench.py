@@ -241,7 +241,17 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              # r5: deterministic curation sampling (replayable)
              "stratified_sample", "balanced_sample",
              # r5: streaming direct-splat blur (== batch separable)
-             "streaming_focal_blur"]
+             "streaming_focal_blur",
+             # r5 sixth wave (fourth session): behavioral analytics
+             # (distributed pareto skyline, funnel, cohort), OD-graph
+             # triangles (degree-oriented wedge join), D8 flow
+             # accumulation, integer-domain glitch filtering + its
+             # streaming twin, boilerplate curation, header-only image
+             # cataloging, JSON extraction, bracketing-window resample
+             "skyline_events", "funnel_conversion", "cohort_retention",
+             "triangle_counts", "flow_accumulation", "gps_glitch_filter",
+             "boilerplate_ngrams", "image_metadata", "json_props_rollup",
+             "trajectory_resample", "viewshed_cells"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

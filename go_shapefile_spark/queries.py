@@ -660,6 +660,73 @@ FROM gg_mv GROUP BY user_id
 """
 
 
+# Viewshed over the density surface — the terrain line-of-sight
+# analytic (cell c is visible from the observer o iff no sampled
+# cell along the o→c line subtends a greater elevation angle).
+# Everything stays in the integer domain: coordinates shift to
+# non-negative (x+180, y+90) so the line-sample rounding
+# round((ox·(d−s) + x·s)/d) can use the non-negative truncating
+# form (2·num + d) DIV (2·d) — floor vs trunc never diverges —
+# and the angle comparison cross-multiplies to
+# (e_s − e_o)·d ≥ (e_c − e_o)·s instead of dividing.  The
+# observer is the densest cell (deterministic tiebreak).  The
+# step explode is GRID-bounded (cells × Chebyshev distance, never
+# input rows); elevation lookups are one equi-join back to the
+# grid; missing cells are sea level 0.  d=1 neighbors have no
+# intermediate samples and are always visible (the d ≥ 2 guard
+# also keeps Spark's sequence() away from empty ranges, the
+# resample seam).
+def q_viewshed(dialect: str) -> str:
+    return f"""
+WITH {geotagged_events_cte(dialect)},
+vs_grid AS (
+  SELECT CAST(FLOOR(lon) AS BIGINT) + 180 AS x,
+         CAST(FLOOR(lat) AS BIGINT) + 90 AS y,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY CAST(FLOOR(lon) AS BIGINT), CAST(FLOOR(lat) AS BIGINT)),
+{viewshed_sql('vs_grid', dialect)}
+"""
+
+
+def viewshed_sql(grid_rel: str, dialect: str,
+                 x_off: int = 180, y_off: int = 90) -> str:
+    """Line-of-sight core over a NON-NEGATIVE occupied-grid relation
+    (x, y, n); emits every non-observer cell with its visible flag
+    (coordinates shifted back by the offsets)."""
+    xs_num = "o.ox * (t.d - t.s) * 2 + t.x * t.s * 2"
+    ys_num = "o.oy * (t.d - t.s) * 2 + t.y * t.s * 2"
+    xs = H.idiv(f"{xs_num} + t.d", "2 * t.d", dialect)
+    ys = H.idiv(f"{ys_num} + t.d", "2 * t.d", dialect)
+    return f"""vs_org AS (
+  SELECT x AS ox, y AS oy, n AS oe FROM (
+    SELECT x, y, n, ROW_NUMBER() OVER (ORDER BY n DESC, x, y) AS rk
+    FROM {grid_rel}) r WHERE rk = 1),
+vs_tgt AS (
+  SELECT g.x, g.y, g.n,
+         GREATEST(ABS(g.x - o.ox), ABS(g.y - o.oy)) AS d
+  FROM {grid_rel} g CROSS JOIN vs_org o
+  WHERE g.x <> o.ox OR g.y <> o.oy),
+vs_steps AS (
+  SELECT t.x, t.y, t.d, t.s, {xs} AS sx, {ys} AS sy
+  FROM (SELECT x, y, d, {H.seq_1_to('d - 1', dialect)} AS s
+        FROM vs_tgt WHERE d >= 2) t
+  CROSS JOIN vs_org o),
+vs_blocked AS (
+  SELECT st.x, st.y,
+         MAX(CASE WHEN (COALESCE(g.n, 0) - o.oe) * st.d
+                       >= (t.n - o.oe) * st.s
+                  THEN 1 ELSE 0 END) AS blocked
+  FROM vs_steps st
+  CROSS JOIN vs_org o
+  JOIN vs_tgt t ON t.x = st.x AND t.y = st.y
+  LEFT JOIN {grid_rel} g ON g.x = st.sx AND g.y = st.sy
+  GROUP BY st.x, st.y)
+SELECT t.x - {x_off} AS x, t.y - {y_off} AS y, t.n, t.d,
+       CASE WHEN COALESCE(b.blocked, 0) = 0 THEN 1 ELSE 0 END AS visible
+FROM vs_tgt t LEFT JOIN vs_blocked b ON b.x = t.x AND b.y = t.y
+"""
+
+
 # Semi-structured JSON property rollup — the schema-on-read path
 # every event pipeline needs: extract a typed field from the JSON
 # props column and aggregate it.  Spark's get_json_object is a
@@ -4499,6 +4566,9 @@ WITH rs_src AS (
 
     queries["trajectory_resample"] = _sql_runner(q_resample)
     oracles["trajectory_resample"] = q_resample(DUCK)
+
+    queries["viewshed_cells"] = _sql_runner(q_viewshed)
+    oracles["viewshed_cells"] = q_viewshed(DUCK)
 
     queries["funnel_conversion"] = _sql_runner(q_funnel)
     oracles["funnel_conversion"] = q_funnel(DUCK)

@@ -347,3 +347,70 @@ def test_flow_accumulation_matches_python_reference():
     if longest <= 8:
         peak = max(cells, key=lambda c: (cells[c], ))
         assert u8[sink(peak)] == basins[sink(peak)]
+
+
+def test_viewshed_matches_python_reference():
+    """viewshed_sql == an independent python line-of-sight reference
+    (same rounding rule, same cross-multiplied angle test), plus
+    analytic cases: a wall blocks everything behind it, the d=1 ring
+    is always visible, ties (equal angle) block."""
+    import duckdb
+
+    from go_shapefile_spark.queries import viewshed_sql
+
+    def run(cells):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE vg (x BIGINT, y BIGINT, n BIGINT)")
+        con.executemany("INSERT INTO vg VALUES (?, ?, ?)",
+                        [(x, y, n) for (x, y), n in cells.items()])
+        return {(r[0], r[1]): (r[2], r[3], r[4]) for r in con.sql(
+            "WITH " + viewshed_sql("vg", "duck", x_off=0, y_off=0)
+        ).fetchall()}
+
+    def reference(cells):
+        (ox, oy), oe = max(cells.items(), key=lambda kv: (kv[1],
+                                                          -kv[0][0],
+                                                          -kv[0][1]))
+        out = {}
+        for (x, y), n in cells.items():
+            if (x, y) == (ox, oy):
+                continue
+            d = max(abs(x - ox), abs(y - oy))
+            blocked = 0
+            for s in range(1, d):
+                sx = (2 * (ox * (d - s) + x * s) + d) // (2 * d)
+                sy = (2 * (oy * (d - s) + y * s) + d) // (2 * d)
+                es = cells.get((sx, sy), 0)
+                if (es - oe) * d >= (n - oe) * s:
+                    blocked = 1
+                    break
+            out[(x, y)] = (n, d, 0 if blocked else 1)
+        return out
+
+    rng = np.random.default_rng(23)
+    # random terrain with a dominant peak
+    cells = {(int(x), int(y)): int(n) for x, y, n in zip(
+        rng.integers(0, 20, 160), rng.integers(0, 20, 160),
+        rng.integers(1, 50, 160))}
+    cells[(10, 10)] = 1000          # unique observer
+    got = run(cells)
+    assert got == reference(cells) and len(got) > 100
+
+    # analytic wall (the observer is always the DENSEST cell, so the
+    # observer sits at e=100): near wall e=90 at (2,0) subtends
+    # (90-100)/2 = -5, deeper target e=5 at (6,0) subtends
+    # (5-100)/6 ≈ -15.8 -> wall angle wins -> blocked; raising the
+    # target to e=99 ((99-100)/6 ≈ -0.17) clears the wall -> visible
+    wall = {(0, 0): 100, (2, 0): 90, (6, 0): 5, (1, 1): 3}
+    got = run(wall)
+    assert got[(6, 0)][2] == 0       # hidden behind the wall
+    assert got[(1, 1)][2] == 1       # d=1 ring always visible
+    assert got[(2, 0)][2] == 1       # the wall itself is visible
+    wall[(6, 0)] = 99
+    got = run(wall)
+    assert got[(6, 0)][2] == 1       # tall target clears the wall
+    # equal-angle tie blocks (>= comparison): wall -5, target at
+    # (4,0) with (e-100)/4 = -5 -> e = 80
+    tie = {(0, 0): 100, (2, 0): 90, (4, 0): 80}
+    got = run(tie)
+    assert got[(4, 0)][2] == 0

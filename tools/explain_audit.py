@@ -587,7 +587,40 @@ def main() -> None:
              "Grid distance transform (pinned frontier BFS)",
              [("rounds read pinned leaves, not recomputed chains",
                lambda p: "Scan ExistingRDD" in p or "LogicalRDD" in p
-               or "Scan parquet" in p)])):
+               or "Scan parquet" in p)]),
+            # r5 sixth wave: all dialect-free relational templates
+            ("skyline_events",
+             "Distributed pareto skyline (bucket-local prune + "
+             "global pass)",
+             [("two window passes (local, global)",
+               lambda p: p.count("Window") >= 2)]),
+            ("triangle_counts",
+             "Triangle counting (degree-oriented wedge join)",
+             [("wedge close is equi-join only",
+               lambda p: "BroadcastNestedLoopJoin" not in p)]),
+            ("flow_accumulation",
+             "D8 flow accumulation (unrolled inflow rounds)", []),
+            ("gps_glitch_filter",
+             "GPS-glitch filter (integer-domain speed test)", []),
+            ("funnel_conversion",
+             "Funnel conversion (stage-chained user-keyed joins)", []),
+            ("cohort_retention", "Cohort retention matrix", []),
+            ("boilerplate_ngrams",
+             "Boilerplate n-gram curation (hot-set equi-join)",
+             [("positions stream past the hot set via equi-join",
+               lambda p: "BroadcastNestedLoopJoin" not in p)]),
+            ("json_props_rollup",
+             "JSON property rollup (JVM-side extraction)",
+             # AQE's formatted output hides codegen span labels;
+             # JVM-ness is the no-Python check, pruning shows here
+             [("scan pruned to (event_type, props)",
+               lambda p: "struct<event_type:string,props:string>"
+               in p)]),
+            ("trajectory_resample",
+             "Trajectory resampling (bracketing windows + lerp)",
+             [("no joins over raw pairs",
+               lambda p: "SortMergeJoin" not in p
+               and "CartesianProduct" not in p)])):
         g = entry.queries()[gate](spark, sf_dir)
         plan = audit.executed_plan(g)
         checks = [(name, fn(plan)) for name, fn in extra]
