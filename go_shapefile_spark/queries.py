@@ -727,6 +727,39 @@ FROM vs_tgt t LEFT JOIN vs_blocked b ON b.x = t.x AND b.y = t.y
 """
 
 
+# Exact grouped percentiles — the deterministic integer twin of the
+# approx-quantile sketch (sketch_stats): lower-median and lower-p90
+# as "the smallest v whose cumulative count clears the threshold",
+# computed with one per-group sort window over integer cents.  No
+# percentile_disc/approx seam to reconcile: both engines run the
+# identical cumulative-count algebra, and every value is BIGINT.
+# The window partitions by event_type — shard-local sorts, no global
+# ordering; for high-cardinality value domains the sketch is the
+# scale path, this is the exact one (bounded group count).
+def q_exact_percentiles(dialect: str, rel: str = "events") -> str:
+    return f"""
+WITH ep_v AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM {rel}),
+ep_c AS (
+  SELECT event_type, v,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ep_v)
+SELECT event_type, CAST(MIN(n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN 2 * cum >= n THEN v END) AS BIGINT)
+         AS median_cents,
+       CAST(MIN(CASE WHEN 10 * cum >= 9 * n THEN v END) AS BIGINT)
+         AS p90_cents,
+       CAST(MIN(v) AS BIGINT) AS min_cents,
+       CAST(MAX(v) AS BIGINT) AS max_cents
+FROM ep_c GROUP BY event_type
+"""
+
+
 # Semi-structured JSON property rollup — the schema-on-read path
 # every event pipeline needs: extract a typed field from the JSON
 # props column and aggregate it.  Spark's get_json_object is a
@@ -4569,6 +4602,9 @@ WITH rs_src AS (
 
     queries["viewshed_cells"] = _sql_runner(q_viewshed)
     oracles["viewshed_cells"] = q_viewshed(DUCK)
+
+    queries["exact_percentiles"] = _sql_runner(q_exact_percentiles)
+    oracles["exact_percentiles"] = q_exact_percentiles(DUCK)
 
     queries["funnel_conversion"] = _sql_runner(q_funnel)
     oracles["funnel_conversion"] = q_funnel(DUCK)

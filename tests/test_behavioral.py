@@ -235,3 +235,36 @@ def test_json_props_rollup_handles_missing_and_malformed(spark):
     assert d[("click", 2)] == (1, 23)
     assert d[("view", 10)] == (1, 100)
     assert d[("view", -1)][0] == 3 and d[("error", -1)][0] == 1
+
+
+def test_exact_percentiles_matches_numpy(spark):
+    """Lower-median / lower-p90 semantics vs an independent numpy
+    recomputation, including heavy ties and a single-row group; the
+    cumulative-count trick must be tie-order independent."""
+    import pandas as pd
+
+    from go_shapefile_spark.queries import q_exact_percentiles
+
+    rng = np.random.default_rng(31)
+    rows = [("a", float(v) / 100) for v in rng.integers(0, 50, 999)]
+    rows += [("ties", 0.05)] * 40 + [("ties", 0.07)] * 60
+    rows += [("one", 1.23)]
+    pdf = pd.DataFrame(rows, columns=["event_type", "value"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("ep_ev")
+    got = {r.event_type: (r.n, r.median_cents, r.p90_cents)
+           for r in spark.sql(
+               q_exact_percentiles("spark", rel="ep_ev")).collect()}
+
+    def lower_q(vals, num, den):
+        s = sorted(vals)
+        for i, v in enumerate(s, 1):
+            if den * i >= num * len(s):
+                return v
+        return s[-1]
+
+    for t in ("a", "ties", "one"):
+        vals = [round(v * 100) for g, v in rows if g == t]
+        assert got[t] == (len(vals), lower_q(vals, 1, 2),
+                          lower_q(vals, 9, 10)), t
+    assert got["one"] == (1, 123, 123)
+    assert got["ties"][1] == 7  # 40/100 below the median -> 7 cents
