@@ -727,6 +727,68 @@ FROM vs_tgt t LEFT JOIN vs_blocked b ON b.x = t.x AND b.y = t.y
 """
 
 
+# Planar k-means over the geotagged events, Lloyd's algorithm
+# unrolled as CTE rounds (the pagerank pattern applied to
+# clustering; IVF's spherical trainer is the embedding-space
+# cousin, this is the integer-exact planar one).  Everything stays
+# in the non-negative integer domain: coordinates quantize to
+# shifted e6 µdeg (lon+180, lat+90 — the idiv floor/trunc seam
+# never sees a negative operand), assignment is an argmin over the
+# k-row broadcast centroid relation (exact BIGINT squared
+# distances, min-centroid tiebreak via the map_match join-back
+# shape), and the centroid update is a truncating integer mean.
+# Init = the k rows with the smallest (md5, id) — a distributed
+# TakeOrdered, never a global window over points.  Per-row d2 ≤
+# 2.6e17 and SUM(x) ≤ n·3.6e8 bound exactness to ~2.5e10 points;
+# beyond that quantize coarser (e5) — the assignment is invariant
+# under common rescaling.  Inertia sums pre-scaled d2 DIV 1e6.
+def q_kmeans(dialect: str, k: int = 8, rounds: int = 3,
+             rel: str = "events") -> str:
+    h = H.h32("CAST(id AS STRING)", dialect)
+    parts = [f"""km_pts AS (
+  SELECT event_id AS id,
+         CAST(ROUND(({GT.lon_sql('event_id', dialect)} + 180) * 1000000)
+              AS BIGINT) AS x,
+         CAST(ROUND(({GT.lat_sql('event_id', dialect)} + 90) * 1000000)
+              AS BIGINT) AS y
+  FROM {rel}),
+km_c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, id) AS ck, x, y
+  FROM (SELECT {h} AS h, id, x, y FROM km_pts
+        ORDER BY 1, 2 LIMIT {k}) seeds)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""km_a{r} AS (
+  SELECT p.id, p.x, p.y, c.ck,
+         (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) AS d2
+  FROM km_pts p CROSS JOIN km_c{r - 1} c),
+km_b{r} AS (
+  SELECT id, MIN(d2) AS md FROM km_a{r} GROUP BY id),
+km_p{r} AS (
+  SELECT a.id, a.x, a.y, MIN(a.ck) AS ck, MIN(a.d2) AS d2
+  FROM km_a{r} a JOIN km_b{r} b ON b.id = a.id AND a.d2 = b.md
+  GROUP BY a.id, a.x, a.y),
+km_c{r} AS (
+  SELECT c.ck,
+         COALESCE({H.idiv('s.sx', 's.n', dialect)}, c.x) AS x,
+         COALESCE({H.idiv('s.sy', 's.n', dialect)}, c.y) AS y
+  FROM km_c{r - 1} c LEFT JOIN (
+    SELECT ck, CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM km_p{r} GROUP BY ck) s ON s.ck = c.ck)""")
+    inertia = H.idiv("d2", "1000000", dialect)
+    return f"""
+WITH {','.join(parts)}
+SELECT p.ck,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(c.x) - 180000000 AS BIGINT) AS cx_e6,
+       CAST(MIN(c.y) - 90000000 AS BIGINT) AS cy_e6,
+       CAST(SUM({inertia}) AS BIGINT) AS inertia_e6
+FROM km_p{rounds} p JOIN km_c{rounds} c ON c.ck = p.ck
+GROUP BY p.ck
+"""
+
+
 # Exact grouped percentiles — the deterministic integer twin of the
 # approx-quantile sketch (sketch_stats): lower-median and lower-p90
 # as "the smallest v whose cumulative count clears the threshold",
@@ -4605,6 +4667,9 @@ WITH rs_src AS (
 
     queries["exact_percentiles"] = _sql_runner(q_exact_percentiles)
     oracles["exact_percentiles"] = q_exact_percentiles(DUCK)
+
+    queries["kmeans_events"] = _sql_runner(q_kmeans)
+    oracles["kmeans_events"] = q_kmeans(DUCK)
 
     queries["funnel_conversion"] = _sql_runner(q_funnel)
     oracles["funnel_conversion"] = q_funnel(DUCK)

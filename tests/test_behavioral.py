@@ -268,3 +268,61 @@ def test_exact_percentiles_matches_numpy(spark):
                           lower_q(vals, 9, 10)), t
     assert got["one"] == (1, 123, 123)
     assert got["ties"][1] == 7  # 40/100 below the median -> 7 cents
+
+
+def test_kmeans_matches_python_lloyd():
+    """q_kmeans == an independent python Lloyd iteration with identical
+    integer quantization (same init rule, same min-ck tiebreak, same
+    truncating mean), run in DuckDB on the real sf0.001 events."""
+    import duckdb
+    import hashlib
+
+    from go_shapefile_spark.operators.geotag import lonlat_py
+    from go_shapefile_spark.queries import q_kmeans
+
+    K, R = 8, 3
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "'/root/testdata/sf0.001/events.parquet'")
+    got = {r[0]: (r[1], r[2], r[3], r[4]) for r in
+           con.sql(q_kmeans("duck")).fetchall()}
+
+    ids = [r[0] for r in con.sql("SELECT event_id FROM events").fetchall()]
+    pts = {}
+    for i in ids:
+        lon, lat = lonlat_py(i)
+        pts[i] = (round((lon + 180) * 1e6), round((lat + 90) * 1e6))
+
+    def h32(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    seeds = sorted(ids, key=lambda i: (h32(i), i))[:K]
+    cent = {ck + 1: pts[i] for ck, i in enumerate(seeds)}
+    for _ in range(R):
+        assign, d2s = {}, {}
+        for i, (x, y) in pts.items():
+            best = min(cent.items(),
+                       key=lambda kv: ((x - kv[1][0]) ** 2
+                                       + (y - kv[1][1]) ** 2, kv[0]))
+            assign[i] = best[0]
+            d2s[i] = ((x - best[1][0]) ** 2 + (y - best[1][1]) ** 2)
+        newc = {}
+        for ck in cent:
+            members = [pts[i] for i, c in assign.items() if c == ck]
+            if members:
+                newc[ck] = (sum(m[0] for m in members) // len(members),
+                            sum(m[1] for m in members) // len(members))
+            else:
+                newc[ck] = cent[ck]
+        last_assign, last_d2s, cent = assign, d2s, newc
+    want = {}
+    for ck in cent:
+        members = [i for i, c in last_assign.items() if c == ck]
+        if not members:
+            continue
+        # inertia = assignment-time distances (vs the pre-update
+        # centroids), exactly what km_p{R}.d2 carries in the SQL
+        inertia = sum(last_d2s[i] // 10 ** 6 for i in members)
+        want[ck] = (len(members), cent[ck][0] - 180_000_000,
+                    cent[ck][1] - 90_000_000, inertia)
+    assert got == want and len(got) >= 2
