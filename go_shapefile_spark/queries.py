@@ -789,6 +789,49 @@ GROUP BY p.ck
 """
 
 
+# Movement direction rose — per-cell histogram of move bearings in
+# 8 compass octants (the flow-map complement of od_matrix: not
+# where flows GO but which way they POINT).  The octant comes from
+# sign tests and |dx| vs |dy| comparisons only (the slope_aspect
+# integer-octant precedent) — no atan2, no libm seam: N=0, NE=1,
+# E=2, SE=3, S=4, SW=5, W=6, NW=7, with axis ties resolved to the
+# diagonal (|dx| = |dy| → the NE/SE/SW/NW octant) and zero moves
+# dropped by the src<>dst-cell filter upstream... here zero-length
+# moves (same point) are excluded explicitly.  One window + one
+# groupBy, grid-bounded output.
+def q_direction_rose(dialect: str, res: int = 3) -> str:
+    w = "PARTITION BY user_id ORDER BY ts, id"
+    octant = """CASE
+    WHEN ABS(dx) > ABS(dy) AND dx > 0 THEN 2
+    WHEN ABS(dx) > ABS(dy) THEN 6
+    WHEN ABS(dy) > ABS(dx) AND dy > 0 THEN 0
+    WHEN ABS(dy) > ABS(dx) THEN 4
+    WHEN dx > 0 AND dy > 0 THEN 1
+    WHEN dx > 0 THEN 3
+    WHEN dy > 0 THEN 7
+    ELSE 5 END"""
+    return f"""
+WITH dr_pts AS (
+  SELECT event_id AS id, user_id, ts,
+         {GT.lon_sql('event_id', dialect)} AS lon,
+         {GT.lat_sql('event_id', dialect)} AS lat
+  FROM events),
+dr_tr AS (
+  SELECT user_id,
+         LAG(lon) OVER ({w}) AS flon, LAG(lat) OVER ({w}) AS flat,
+         lon, lat
+  FROM dr_pts),
+dr_mv AS (
+  SELECT {C.cell_sql('flon', 'flat', res)} AS cell,
+         lon - flon AS dx, lat - flat AS dy
+  FROM dr_tr WHERE flon IS NOT NULL
+    AND (lon <> flon OR lat <> flat))
+SELECT cell, CAST({octant} AS BIGINT) AS octant,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM dr_mv GROUP BY cell, {octant}
+"""
+
+
 # Exact grouped percentiles — the deterministic integer twin of the
 # approx-quantile sketch (sketch_stats): lower-median and lower-p90
 # as "the smallest v whose cumulative count clears the threshold",
@@ -4670,6 +4713,9 @@ WITH rs_src AS (
 
     queries["kmeans_events"] = _sql_runner(q_kmeans)
     oracles["kmeans_events"] = q_kmeans(DUCK)
+
+    queries["direction_rose"] = _sql_runner(q_direction_rose)
+    oracles["direction_rose"] = q_direction_rose(DUCK)
 
     queries["funnel_conversion"] = _sql_runner(q_funnel)
     oracles["funnel_conversion"] = q_funnel(DUCK)

@@ -326,3 +326,78 @@ def test_kmeans_matches_python_lloyd():
         want[ck] = (len(members), cent[ck][0] - 180_000_000,
                     cent[ck][1] - 90_000_000, inertia)
     assert got == want and len(got) >= 2
+
+
+def test_direction_rose_octants_analytic():
+    """The sign/absolute-value octant classifier: all 8 compass
+    directions plus both diagonal-tie conventions, via DuckDB on a
+    handcrafted two-point-per-move relation (template replayed with a
+    controlled geotag-free CTE is overkill — classify inline)."""
+    import duckdb
+
+    octant = """CASE
+    WHEN ABS(dx) > ABS(dy) AND dx > 0 THEN 2
+    WHEN ABS(dx) > ABS(dy) THEN 6
+    WHEN ABS(dy) > ABS(dx) AND dy > 0 THEN 0
+    WHEN ABS(dy) > ABS(dx) THEN 4
+    WHEN dx > 0 AND dy > 0 THEN 1
+    WHEN dx > 0 THEN 3
+    WHEN dy > 0 THEN 7
+    ELSE 5 END"""
+    cases = [
+        (0.0, 2.0, 0),    # N
+        (1.0, 1.0, 1),    # NE (tie -> diagonal)
+        (3.0, 0.5, 2),    # E
+        (2.0, -2.0, 3),   # SE tie
+        (0.0, -1.0, 4),   # S
+        (-1.0, -1.0, 5),  # SW tie
+        (-4.0, 1.0, 6),   # W
+        (-1.0, 1.0, 7),   # NW tie
+    ]
+    con = duckdb.connect()
+    for dx, dy, want in cases:
+        got = con.sql(f"SELECT {octant} FROM (SELECT {dx} AS dx, "
+                      f"{dy} AS dy) t").fetchone()[0]
+        assert got == want, (dx, dy, got, want)
+
+
+def test_direction_rose_counts_match_python():
+    """Full-gate parity: recompute every move's octant in python from
+    the geotag twin and compare per-(cell, octant) counts."""
+    import duckdb
+
+    from go_shapefile_spark.functions.cells import cell_np
+    from go_shapefile_spark.operators.geotag import lonlat_py
+    from go_shapefile_spark.queries import q_direction_rose
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "'/root/testdata/sf0.001/events.parquet'")
+    got = {(r[0], r[1]): r[2]
+           for r in con.sql(q_direction_rose("duck")).fetchall()}
+
+    rows = con.sql("SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT), "
+                   "event_id FROM events").fetchall()
+    by_user: dict = {}
+    for u, ts, eid in rows:
+        by_user.setdefault(u, []).append((ts, eid))
+    want: dict = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        for (_, e0), (_, e1) in zip(evs, evs[1:]):
+            lon0, lat0 = lonlat_py(e0)
+            lon1, lat1 = lonlat_py(e1)
+            dx, dy = lon1 - lon0, lat1 - lat0
+            if dx == 0 and dy == 0:
+                continue
+            if abs(dx) > abs(dy):
+                o = 2 if dx > 0 else 6
+            elif abs(dy) > abs(dx):
+                o = 0 if dy > 0 else 4
+            elif dx > 0:
+                o = 1 if dy > 0 else 3
+            else:
+                o = 7 if dy > 0 else 5
+            key = (int(cell_np(np.array([lon0]), np.array([lat0]), 3)[0]), o)
+            want[key] = want.get(key, 0) + 1
+    assert got == want and len(got) > 20
