@@ -832,6 +832,47 @@ FROM dr_mv GROUP BY cell, {octant}
 """
 
 
+# Space-time interaction bands (Knox-style contingency counts) —
+# epidemiology/crime analytics: are events that are CLOSE IN SPACE
+# also close in time?  Counts unordered event pairs by (space band,
+# time band): same res-5 cell vs queen ring-1, same day vs ±1 day
+# vs within a week.  The pair join is banded exactly like dbscan's
+# neighbor search — a 9-offset equi-join on the cell key, never a
+# distance self-join — and double-counting is killed by id0 < id1
+# AFTER the symmetric fan-out.  Pairs beyond ring-1 or 7 days are
+# out of scope by construction (the bands are the analytic).
+def q_spacetime_pairs(dialect: str, res: int = 5) -> str:
+    day = H.idiv("ts_s", "86400", dialect)
+    return f"""
+WITH st_pts AS (
+  SELECT event_id AS id, {_epoch_s('ts', dialect)} AS ts_s,
+         {GT.lon_sql('event_id', dialect)} AS lon,
+         {GT.lat_sql('event_id', dialect)} AS lat
+  FROM events),
+st_c AS (
+  SELECT id, {day} AS d,
+         {C.ix_sql('lon', res)} AS ix, {C.iy_sql('lat', res)} AS iy
+  FROM st_pts),
+st_offs AS (
+  SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                        (0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)),
+st_pairs AS (
+  SELECT a.id AS id0, b.id AS id1,
+         CASE WHEN o.dx = 0 AND o.dy = 0 THEN 0 ELSE 1 END AS space_band,
+         ABS(a.d - b.d) AS dd
+  FROM st_c a
+  CROSS JOIN st_offs o
+  JOIN st_c b ON b.ix = a.ix + o.dx AND b.iy = a.iy + o.dy
+  WHERE a.id < b.id AND ABS(a.d - b.d) <= 7)
+SELECT space_band,
+       CASE WHEN dd = 0 THEN 0 WHEN dd = 1 THEN 1 ELSE 2 END AS time_band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM st_pairs
+GROUP BY space_band,
+         CASE WHEN dd = 0 THEN 0 WHEN dd = 1 THEN 1 ELSE 2 END
+"""
+
+
 # Exact grouped percentiles — the deterministic integer twin of the
 # approx-quantile sketch (sketch_stats): lower-median and lower-p90
 # as "the smallest v whose cumulative count clears the threshold",
@@ -4716,6 +4757,9 @@ WITH rs_src AS (
 
     queries["direction_rose"] = _sql_runner(q_direction_rose)
     oracles["direction_rose"] = q_direction_rose(DUCK)
+
+    queries["spacetime_pairs"] = _sql_runner(q_spacetime_pairs)
+    oracles["spacetime_pairs"] = q_spacetime_pairs(DUCK)
 
     queries["funnel_conversion"] = _sql_runner(q_funnel)
     oracles["funnel_conversion"] = q_funnel(DUCK)

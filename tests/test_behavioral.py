@@ -401,3 +401,40 @@ def test_direction_rose_counts_match_python():
             key = (int(cell_np(np.array([lon0]), np.array([lat0]), 3)[0]), o)
             want[key] = want.get(key, 0) + 1
     assert got == want and len(got) > 20
+
+
+def test_spacetime_pairs_matches_bruteforce():
+    """Banded Knox counts == an all-pairs python brute force restricted
+    to the same bands (ring-1 queen adjacency, |Δday| ≤ 7)."""
+    import duckdb
+
+    from go_shapefile_spark.functions.cells import xy_np
+    from go_shapefile_spark.operators.geotag import lonlat_py
+    from go_shapefile_spark.queries import q_spacetime_pairs
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "'/root/testdata/sf0.001/events.parquet'")
+    got = {(r[0], r[1]): r[2]
+           for r in con.sql(q_spacetime_pairs("duck")).fetchall()}
+
+    rows = con.sql("SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) "
+                   "FROM events").fetchall()
+    pts = []
+    for eid, ts in rows:
+        lon, lat = lonlat_py(eid)
+        ix, iy = xy_np(np.array([lon]), np.array([lat]), 5)
+        pts.append((eid, ts // 86400, int(ix[0]), int(iy[0])))
+    want: dict = {}
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            a, b = pts[i], pts[j]
+            if abs(a[2] - b[2]) > 1 or abs(a[3] - b[3]) > 1:
+                continue
+            dd = abs(a[1] - b[1])
+            if dd > 7:
+                continue
+            sb = 0 if (a[2] == b[2] and a[3] == b[3]) else 1
+            tb = 0 if dd == 0 else (1 if dd == 1 else 2)
+            want[(sb, tb)] = want.get((sb, tb), 0) + 1
+    assert got == want and sum(got.values()) > 0
