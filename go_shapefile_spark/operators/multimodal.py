@@ -963,3 +963,27 @@ def image_metadata(images: DataFrame) -> DataFrame:
         run, schema="image_id string, fmt string, width long, "
                     "height long, n_comps long, progressive long, "
                     "sampling string")
+
+
+def audio_metadata(clips: DataFrame) -> DataFrame:
+    """Header-only audio catalog (the WAV twin of :func:`image_metadata`):
+    format tag / channels / rate / declared sample count from RIFF
+    chunk headers — samples never decode.  Strict on malformed
+    containers."""
+    from ..sources.audio_codec import wav_header
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"audio_id": [], "format_tag": [], "n_channels": [],
+                   "sample_rate": [], "bits": [], "n_samples": []}
+            for aid, buf in zip(pdf["audio_id"], pdf["bytes"]):
+                hd = wav_header(bytes(buf))
+                out["audio_id"].append(aid)
+                for k in ("format_tag", "n_channels", "sample_rate",
+                          "bits", "n_samples"):
+                    out[k].append(hd[k])
+            yield pd.DataFrame(out)
+
+    return clips.mapInPandas(
+        run, schema="audio_id string, format_tag long, n_channels long, "
+                    "sample_rate long, bits long, n_samples long")

@@ -2364,6 +2364,48 @@ def _ensure_audio_table(spark: SparkSession) -> str:
     return path
 
 
+def audio_metadata_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only audio catalog over the gate corpus, rolled up by
+    (format_tag, sample_rate, n_samples): the pre-decode routing pass
+    (PCM vs mu-law path, resample bucketing) at RIFF-chunk-header cost.
+    The oracle re-derives every group from the GENERATOR laws (even
+    rows PCM16/odd mu-law; n_samples = _LEN_CHOICES[|splitmix64(i)|%3])
+    — independent of the parser."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import audio_metadata
+
+    aud = spark.read.parquet(_ensure_audio_table(spark))
+    meta = audio_metadata(aud.select("audio_id", "bytes"))
+    return meta.groupBy("format_tag", "sample_rate", "n_samples").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.sum("bits").cast("long").alias("sum_bits"))
+
+
+def q_audio_metadata_oracle() -> str:
+    import numpy as np
+
+    from .operators.geotag import splitmix64
+    from .sources.audio import SAMPLE_RATE, _LEN_CHOICES
+
+    idx = np.arange(AUDIO_GATE_N, dtype=np.int64)
+    ahash = splitmix64(idx).view(np.int64)
+    ns = _LEN_CHOICES[np.abs(ahash) % 3]
+    groups: dict = {}
+    for i, n in zip(idx, ns):
+        tag, bits = (1, 16) if i % 2 == 0 else (7, 8)
+        key = (tag, SAMPLE_RATE, int(n))
+        c, b = groups.get(key, (0, 0))
+        groups[key] = (c + 1, b + bits)
+    rows = ",\n".join(
+        f"(CAST({t} AS BIGINT), CAST({r} AS BIGINT), CAST({n} AS BIGINT), "
+        f"CAST({c} AS BIGINT), CAST({sb} AS BIGINT))"
+        for (t, r, n), (c, sb) in sorted(groups.items()))
+    return ("SELECT * FROM (VALUES\n" + rows
+            + "\n) AS t(format_tag, sample_rate, n_samples, "
+              "n_clips, sum_bits)")
+
+
 def audio_invariants_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality invariant gate: a deterministic WAV table (real
     PCM16 + G.711 mu-law bytes from sources/audio_codec.py, both
@@ -3373,6 +3415,8 @@ def build_registry():
     oracles["video_neardup"] = q_video_neardup_oracle(DUCK)
     queries["audio_invariants"] = audio_invariants_spark
     oracles["audio_invariants"] = q_audio_invariants_oracle(DUCK)
+    queries["audio_metadata"] = audio_metadata_spark
+    oracles["audio_metadata"] = q_audio_metadata_oracle()
     queries["audio_neardup"] = audio_neardup_spark
     oracles["audio_neardup"] = q_audio_neardup_oracle(DUCK)
     queries["audio_dedup_groups"] = audio_dedup_groups_spark

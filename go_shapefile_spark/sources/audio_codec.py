@@ -174,3 +174,39 @@ def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"unsupported WAV format tag {tag} "
                          "(PCM16 and G.711 mu-law only)")
     return flat.reshape(-1, ch), rate
+
+
+def wav_header(data: bytes) -> dict:
+    """Header-only WAV metadata (the audio twin of jpeg_header): walk
+    the RIFF chunk list reading only fmt fields and the data chunk's
+    SIZE — samples are never decoded, so a catalog pass costs chunk
+    headers, not audio.  ``n_samples`` derives from the declared sizes
+    (PCM16: size/2/ch; mu-law: size/ch).  Same validation posture as
+    the decoder (bad container, missing chunks, zero channels/rate)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    end = min(8 + struct.unpack_from("<I", data, 4)[0], len(data))
+    pos, fmt_seen, data_size = 12, None, None
+    while pos + 8 <= end:
+        fourcc = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if fourcc == b"fmt ":
+            if size < 16 or pos + 8 + size > end:
+                raise ValueError("bad fmt chunk")
+            fmt_seen = struct.unpack_from("<HHIIHH", data, pos + 8)
+        elif fourcc == b"data":
+            data_size = size
+        pos += 8 + size + (size % 2)
+    if fmt_seen is None or data_size is None:
+        raise ValueError("missing fmt or data chunk")
+    tag, ch, rate, _br, _ba, bits = fmt_seen
+    if ch < 1 or rate < 1:
+        raise ValueError("fmt chunk declares zero channels/rate")
+    if tag == WAVE_FORMAT_PCM:
+        n = data_size // (2 * ch)
+    elif tag == WAVE_FORMAT_MULAW:
+        n = data_size // ch
+    else:
+        raise ValueError(f"unsupported WAV format tag {tag}")
+    return {"format_tag": tag, "n_channels": ch, "sample_rate": rate,
+            "bits": bits, "n_samples": n}

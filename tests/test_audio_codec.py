@@ -377,3 +377,31 @@ def test_audio_features_strict_vs_stub(spark):
         .astype(np.float64) / 32768.0
     assert got.set_index("audio_id").loc["aud-0000000001", "rms"] \
         == pytest.approx(np.sqrt((x ** 2).mean()))
+
+
+def test_wav_header_matches_decode_without_reading_samples():
+    """wav_header reports exactly decode_wav's shape for both formats,
+    and still works when every sample byte is CHOPPED off (evidence it
+    reads chunk headers only); the decoder must fail on those bytes."""
+    import pytest
+
+    from go_shapefile_spark.sources.audio_codec import (
+        WAVE_FORMAT_MULAW, decode_wav, encode_wav, wav_header)
+
+    pcm = (np.sin(np.linspace(0, 80, 4096)) * 9000).astype(np.int16)
+    for tag_kw in ({}, {"format_tag": WAVE_FORMAT_MULAW}):
+        buf = encode_wav(pcm, 8000, *([] if not tag_kw else
+                                      [WAVE_FORMAT_MULAW]))
+        hd = wav_header(buf)
+        samples, rate = decode_wav(buf)
+        assert hd["n_samples"] == len(samples) and hd["sample_rate"] == rate
+
+    buf = encode_wav(pcm, 8000)
+    di = buf.index(b"data")
+    chopped = buf[:di + 8]               # data chunk header, zero payload
+    hd = wav_header(chopped)
+    assert hd["n_samples"] == 4096       # from the DECLARED size
+    with pytest.raises(ValueError):
+        decode_wav(chopped)
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_header(b"\x00" * 32)
