@@ -535,7 +535,14 @@ tg_e AS (
 def triangle_count_sql(edges_rel: str) -> str:
     """Counting core over an undirected-distinct edge relation (a, b)
     with a < b: orient by (degree, node), wedge join, close.  Dialect
-    -free (both engines accept this subset)."""
+    -free (both engines accept this subset).
+
+    The REPARTITION hint on tg_oe is load-bearing: tg_ord's global
+    ROW_NUMBER leaves the oriented-edge relation single-partition, and
+    without the hint the wedge join (up to m·√(2m) rows — 38M at
+    sf0.1's dense res-5 graph) inherits that ONE partition and runs on
+    one core (~220 s); hinted it fans across the cluster (~6 s).
+    DuckDB reads the hint as a comment (the /*+ MERGE */ precedent)."""
     return f"""tg_deg AS (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
   FROM (SELECT a AS node FROM {edges_rel}
@@ -545,7 +552,8 @@ tg_ord AS (
   SELECT node, ROW_NUMBER() OVER (ORDER BY deg, node) AS rk
   FROM tg_deg),
 tg_oe AS (
-  SELECT CASE WHEN oa.rk < ob.rk THEN e.a ELSE e.b END AS u,
+  SELECT /*+ REPARTITION(64, u) */
+         CASE WHEN oa.rk < ob.rk THEN e.a ELSE e.b END AS u,
          CASE WHEN oa.rk < ob.rk THEN e.b ELSE e.a END AS v,
          CASE WHEN oa.rk < ob.rk THEN ob.rk ELSE oa.rk END AS rk_v
   FROM {edges_rel} e
