@@ -881,6 +881,53 @@ GROUP BY space_band,
 """
 
 
+# Privacy-preserving tile release — the two standard mechanisms a
+# location-data publisher runs before sharing aggregates:
+# k-anonymity suppression (cells with n < k never appear) and
+# additive two-sided-geometric noise (the discrete Laplace used by
+# integer DP mechanisms).  The noise is DETERMINISTIC and
+# log-free: a 4096-bucket inverse-CDF lookup table for
+# P(noise=j) ∝ α^|j| (α=½, truncated at ±8, the residual tail
+# mass folded into +8) precomputed in exact python floats and
+# embedded as integer (noise, lo, hi) VALUES ranges; the bucket is
+# h32(cell) % 4096, so both engines add the SAME noise (replayable
+# release — rerunning the pipeline publishes identical numbers;
+# for a fresh draw salt the hash).  Noisy counts floor at 0.
+# One groupBy + one broadcast range-join against the 17-row LUT.
+def q_private_tiles(dialect: str, res: int = 3, k_min: int = 5,
+                    alpha: float = 0.5, max_noise: int = 8) -> str:
+    probs = {0: (1 - alpha) / (1 + alpha)}
+    for j in range(1, max_noise + 1):
+        probs[j] = probs[-j] = (1 - alpha) / (1 + alpha) * alpha ** j
+    B = 4096
+    acc, ranges = 0.0, []
+    for j in sorted(probs, key=lambda x: (abs(x), x)):
+        lo = round(acc * B)
+        acc += probs[j]
+        hi = round(acc * B) - 1
+        if hi >= lo:
+            ranges.append((j, lo, hi))
+    j, lo, _ = ranges[-1]
+    ranges[-1] = (j, lo, B - 1)         # fold the truncated tail mass
+    lut = ",".join(f"({j},{lo},{hi})" for j, lo, hi in ranges)
+    bucket = H.h32("CAST(cell AS STRING)", dialect) + " % 4096"
+    return f"""
+WITH {geotagged_events_cte(dialect)},
+pv_g AS (
+  SELECT {C.cell_sql('lon', 'lat', res)} AS cell,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY {C.cell_sql('lon', 'lat', res)}),
+pv_k AS (
+  SELECT cell, n, {bucket} AS b FROM pv_g WHERE n >= {k_min}),
+pv_lut AS (
+  SELECT * FROM (VALUES {lut}) AS t(noise, lo, hi))
+SELECT p.cell, p.n,
+       CAST(GREATEST(p.n + l.noise, 0) AS BIGINT) AS noisy_n,
+       CAST(l.noise AS BIGINT) AS noise
+FROM pv_k p JOIN pv_lut l ON p.b >= l.lo AND p.b <= l.hi
+"""
+
+
 # Exact grouped percentiles — the deterministic integer twin of the
 # approx-quantile sketch (sketch_stats): lower-median and lower-p90
 # as "the smallest v whose cumulative count clears the threshold",
@@ -4812,6 +4859,9 @@ WITH rs_src AS (
 
     queries["spacetime_pairs"] = _sql_runner(q_spacetime_pairs)
     oracles["spacetime_pairs"] = q_spacetime_pairs(DUCK)
+
+    queries["private_tiles"] = _sql_runner(q_private_tiles)
+    oracles["private_tiles"] = q_private_tiles(DUCK)
 
     queries["funnel_conversion"] = _sql_runner(q_funnel)
     oracles["funnel_conversion"] = q_funnel(DUCK)

@@ -438,3 +438,58 @@ def test_spacetime_pairs_matches_bruteforce():
             tb = 0 if dd == 0 else (1 if dd == 1 else 2)
             want[(sb, tb)] = want.get((sb, tb), 0) + 1
     assert got == want and sum(got.values()) > 0
+
+
+def test_private_tiles_mechanisms():
+    """k-anonymity + deterministic geometric noise: suppressed cells
+    never appear, noise matches an independent python LUT rebuild,
+    the empirical noise distribution is symmetric-ish and centered,
+    and the release is replay-stable."""
+    import duckdb
+    import hashlib
+
+    from go_shapefile_spark.queries import q_private_tiles
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "'/root/testdata/sf0.01/events.parquet'")
+    sql = q_private_tiles("duck", res=6)  # sparse grid: suppression must trigger
+    got = {r[0]: (r[1], r[2], r[3]) for r in con.sql(sql).fetchall()}
+    again = {r[0]: (r[1], r[2], r[3]) for r in con.sql(sql).fetchall()}
+    assert got == again                       # replayable release
+
+    # suppression: every published cell has n >= 5; cells with n < 5
+    # exist upstream but are absent here
+    pre = dict(con.sql(sql[:sql.index("pv_k AS")].rstrip().rstrip(",")
+                       + " SELECT cell, n FROM pv_g").fetchall())
+    assert all(n >= 5 for n, _, _ in got.values())
+    assert any(n < 5 for n in pre.values())
+    assert set(got) == {c for c, n in pre.items() if n >= 5}
+
+    # independent LUT rebuild
+    a = 0.5
+    probs = {0: (1 - a) / (1 + a)}
+    for j in range(1, 9):
+        probs[j] = probs[-j] = (1 - a) / (1 + a) * a ** j
+    acc, ranges = 0.0, []
+    for j in sorted(probs, key=lambda x: (abs(x), x)):
+        lo = round(acc * 4096)
+        acc += probs[j]
+        hi = round(acc * 4096) - 1
+        if hi >= lo:
+            ranges.append((j, lo, hi))
+    jj, lo, _ = ranges[-1]
+    ranges[-1] = (jj, lo, 4095)
+
+    def noise_of(cell):
+        b = int(hashlib.md5(str(cell).encode()).hexdigest()[:8], 16) % 4096
+        for j, lo, hi in ranges:
+            if lo <= b <= hi:
+                return j
+        raise AssertionError(b)
+
+    for cell, (n, noisy, noise) in got.items():
+        assert noise == noise_of(cell)
+        assert noisy == max(n + noise, 0)
+    noises = [v[2] for v in got.values()]
+    assert sum(1 for x in noises if x == 0) > len(noises) / 5

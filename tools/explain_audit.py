@@ -620,7 +620,25 @@ def main() -> None:
              "Trajectory resampling (bracketing windows + lerp)",
              [("no joins over raw pairs",
                lambda p: "SortMergeJoin" not in p
-               and "CartesianProduct" not in p)])):
+               and "CartesianProduct" not in p)]),
+            ("viewshed_cells",
+             "Viewshed (integer line-of-sight, grid-bounded samples)",
+             [("elevation lookup is an equi-join",
+               lambda p: "BroadcastNestedLoopJoin" not in p)]),
+            ("exact_percentiles",
+             "Exact grouped percentiles (cumulative-count windows)",
+             []),
+            ("kmeans_events",
+             "Planar k-means (unrolled Lloyd, broadcast centroids)",
+             [("centroid assignment is a broadcast join",
+               lambda p: "BroadcastHashJoin" in p
+               or "BroadcastNestedLoopJoin" in p)]),
+            ("direction_rose",
+             "Direction rose (libm-free octants)", []),
+            ("spacetime_pairs",
+             "Knox space-time bands (9-offset pair join)",
+             [("pair join is an equi-join",
+               lambda p: "CartesianProduct" not in p)])):
         g = entry.queries()[gate](spark, sf_dir)
         plan = audit.executed_plan(g)
         checks = [(name, fn(plan)) for name, fn in extra]
