@@ -849,6 +849,10 @@ FROM dr_mv GROUP BY cell, {octant}
 # distance self-join — and double-counting is killed by id0 < id1
 # AFTER the symmetric fan-out.  Pairs beyond ring-1 or 7 days are
 # out of scope by construction (the bands are the analytic).
+# Scale levers: pair volume is Σ occupancy² over cells (~90M at
+# sf0.1/res 5, 13 s across 64 tasks) — raise res to thin cells, or
+# add a 7-day-band column to the join key (Δband ∈ {-1,0,1}) when
+# the corpus time span dwarfs the window.
 def q_spacetime_pairs(dialect: str, res: int = 5) -> str:
     day = H.idiv("ts_s", "86400", dialect)
     return f"""
@@ -858,7 +862,12 @@ WITH st_pts AS (
          {GT.lat_sql('event_id', dialect)} AS lat
   FROM events),
 st_c AS (
-  SELECT id, {day} AS d,
+  -- REPARTITION is load-bearing (the triangle-wedge precedent): the
+  -- events table is one parquet split at gate scale, so without it
+  -- the pair fan-out (occupancy-squared — ~90M rows at sf0.1) would
+  -- run in that ONE inherited partition; DuckDB reads the hint as a
+  -- comment
+  SELECT /*+ REPARTITION(64, ix, iy) */ id, {day} AS d,
          {C.ix_sql('lon', res)} AS ix, {C.iy_sql('lat', res)} AS iy
   FROM st_pts),
 st_offs AS (
