@@ -378,3 +378,71 @@ blabels AS (
                     FROM breach GROUP BY src) m ON m.pid = h.pid)
 {blob_tail_sql().lstrip()}
 """
+
+
+def grid_flow_accumulation(points: DataFrame, rounds: int = 8,
+                           k: int = 50, pin: str | None = None,
+                           slot: str | None = None) -> DataFrame:
+    """D8 uphill flow accumulation over the occupied 1-degree grid:
+    ``points(lon, lat)`` → top-``k`` ``(x, y, n, acc, rk)`` — the
+    runner twin of queries.flow_acc_sql (identical integer algebra,
+    row-identical output).
+
+    Why a runner instead of the unrolled CTE template on the Spark
+    side: SQL CTE references INLINE, so round r's tree re-evaluates
+    the grid aggregate and the direction window once per round —
+    O(rounds²) recomputation (measured 523 s at sf0.1 vs ~3 s here).
+    Here grid and dir pin ONCE (operators/pinning.py — executor-local
+    by default, storage-backed via the gate seam) and each inflow
+    round is one equi-join + groupBy on the CELLS relation, pinned to
+    stop plan growth; counts strictly increase along dir, so each
+    upstream cell is counted exactly once within the round horizon.
+    Fixed round count ⇒ no per-round driver action."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .pinning import fresh_pins
+
+    spark = points.sparkSession
+    pinf = fresh_pins(spark, slot, strategy=pin)
+    grid = pinf(points
+                .selectExpr("CAST(FLOOR(lon) AS BIGINT) AS x",
+                            "CAST(FLOOR(lat) AS BIGINT) AS y")
+                .groupBy("x", "y")
+                .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    grid.createOrReplaceTempView("fa_grid_v")
+    # the neighbor coordinates are PRECOMPUTED in a subquery before
+    # the b join: with `b.n > a.n` written directly against the
+    # 3-relation join, Catalyst has an a–b join edge with only that
+    # inequality and picks a quadratic BroadcastNestedLoopJoin (43M
+    # rows, 68 s at sf0.1); staged, the only a–b edge is the clean
+    # (bx, by) equi-join (~0.5 s)
+    dirs = pinf(spark.sql("""
+SELECT x, y, tx, ty FROM (
+  SELECT c.x AS x, c.y AS y, b.x AS tx, b.y AS ty,
+         ROW_NUMBER() OVER (PARTITION BY c.x, c.y
+                            ORDER BY b.n DESC, b.x, b.y) AS rk
+  FROM (SELECT a.x, a.y, a.n, a.x + o.dx AS bx, a.y + o.dy AS by
+        FROM fa_grid_v a
+        CROSS JOIN (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                           (0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)) o) c
+  JOIN fa_grid_v b ON b.x = c.bx AND b.y = c.by
+  WHERE b.n > c.n) r WHERE rk = 1"""))
+
+    u = grid.selectExpr("x", "y", "CAST(1 AS BIGINT) AS u")
+    for _ in range(int(rounds)):
+        inflow = (dirs.join(u, ["x", "y"])
+                  .groupBy(F.col("tx").alias("jx"),
+                           F.col("ty").alias("jy"))
+                  .agg(F.sum("u").cast("long").alias("m")))
+        u = pinf(grid.join(inflow,
+                           (F.col("x") == F.col("jx"))
+                           & (F.col("y") == F.col("jy")), "left")
+                 .selectExpr("x", "y",
+                             "CAST(1 + COALESCE(m, 0) AS BIGINT) AS u"))
+    ranked = (grid.join(u, ["x", "y"])
+              .selectExpr("x", "y", "n", "u AS acc")
+              .withColumn("rk", F.row_number().over(
+                  Window.orderBy(F.desc("acc"), "x", "y"))
+                  .cast("long")))
+    return ranked.where(F.col("rk") <= int(k))

@@ -586,16 +586,21 @@ GROUP BY node"""
 # relation (getis precedent).
 def flow_acc_sql(grid_rel: str, rounds: int = 8, k: int = 50) -> str:
     """Core over an occupied-grid relation (x, y, n); dialect-free."""
+    # neighbor coordinates are precomputed BEFORE the b join: writing
+    # `b.n > a.n` against the 3-relation join hands Catalyst an a–b
+    # edge with only that inequality and it picks a quadratic BNLJ
+    # (see grid_flow_accumulation — the Spark runner twin)
     parts = [f"""fa_dir AS (
   SELECT x, y, tx, ty FROM (
-    SELECT a.x AS x, a.y AS y, b.x AS tx, b.y AS ty,
-           ROW_NUMBER() OVER (PARTITION BY a.x, a.y
+    SELECT c.x AS x, c.y AS y, b.x AS tx, b.y AS ty,
+           ROW_NUMBER() OVER (PARTITION BY c.x, c.y
              ORDER BY b.n DESC, b.x, b.y) AS rk
-    FROM {grid_rel} a
-    CROSS JOIN (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
-                       (0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)) o
-    JOIN {grid_rel} b ON b.x = a.x + o.dx AND b.y = a.y + o.dy
-    WHERE b.n > a.n) cand
+    FROM (SELECT a.x, a.y, a.n, a.x + o.dx AS bx, a.y + o.dy AS by
+          FROM {grid_rel} a
+          CROSS JOIN (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                             (0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)) o) c
+    JOIN {grid_rel} b ON b.x = c.bx AND b.y = c.by
+    WHERE b.n > c.n) cand
   WHERE rk = 1),
 fa_u0 AS (SELECT x, y, CAST(1 AS BIGINT) AS u FROM {grid_rel})"""]
     for i in range(1, rounds + 1):
@@ -4824,7 +4829,18 @@ GROUP BY t.u
     queries["triangle_counts"] = _sql_runner(q_triangles)
     oracles["triangle_counts"] = q_triangles(DUCK)
 
-    queries["flow_accumulation"] = _sql_runner(q_flow_accumulation)
+    # Spark side runs the PINNED-round runner (CTE inlining makes the
+    # unrolled template O(rounds²) on Spark — measured 523 s vs ~3 s
+    # at sf0.1, see grid_flow_accumulation); the DuckDB oracle keeps
+    # the template (DuckDB evaluates the chain fine at gate scale).
+    def flow_accumulation_events(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        pts = spark.sql(f"WITH {geotagged_events_cte(SPARK)} "
+                        "SELECT lon, lat FROM pts")
+        return CL.grid_flow_accumulation(pts, rounds=8, k=50,
+                                         slot="flow_accumulation")
+    queries["flow_accumulation"] = flow_accumulation_events
     oracles["flow_accumulation"] = q_flow_accumulation(DUCK)
 
     queries["gps_glitch_filter"] = _sql_runner(q_gps_glitches)
