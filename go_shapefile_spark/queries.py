@@ -924,7 +924,13 @@ def q_private_tiles(dialect: str, res: int = 3, k_min: int = 5,
     j, lo, _ = ranges[-1]
     ranges[-1] = (j, lo, B - 1)         # fold the truncated tail mass
     lut = ",".join(f"({j},{lo},{hi})" for j, lo, hi in ranges)
-    bucket = H.h32("CAST(cell AS STRING)", dialect) + " % 4096"
+    # COALESCE makes the bucket provably non-null: without it the
+    # optimizer infers isnotnull(b) from the range join and pushes
+    # that predicate below the aggregate to the SCAN — inlining the
+    # entire morton+geotag chain into a per-row filter (the CLAUDE.md
+    # CollapseProject trap; measured 13 s vs 0.7 s at sf0.1)
+    bucket = ("COALESCE(" + H.h32("CAST(cell AS STRING)", dialect)
+              + " % 4096, 0)")
     return f"""
 WITH {geotagged_events_cte(dialect)},
 pv_g AS (
