@@ -755,6 +755,10 @@ FROM vs_tgt t LEFT JOIN vs_blocked b ON b.x = t.x AND b.y = t.y
 # 2.6e17 and SUM(x) ≤ n·3.6e8 bound exactness to ~2.5e10 points;
 # beyond that quantize coarser (e5) — the assignment is invariant
 # under common rescaling.  Inertia sums pre-scaled d2 DIV 1e6.
+# Rounds caveat: the argmin join-back references each round's
+# assignment TWICE, so CTE inlining makes the template ~2^rounds
+# (fine at the gate's R=3, 8 s at sf0.1); larger R belongs in a
+# pinned runner (the grid_flow_accumulation treatment).
 def q_kmeans(dialect: str, k: int = 8, rounds: int = 3,
              rel: str = "events") -> str:
     h = H.h32("CAST(id AS STRING)", dialect)

@@ -623,8 +623,13 @@ def main() -> None:
                and "CartesianProduct" not in p)]),
             ("viewshed_cells",
              "Viewshed (integer line-of-sight, grid-bounded samples)",
-             [("elevation lookup is an equi-join",
-               lambda p: "BroadcastNestedLoopJoin" not in p)]),
+             # the 1-row observer relation cross-joins via BNLJ by
+             # design; the per-sample elevation lookup must be a hash
+             # equi-join
+             [("elevation lookup is a hash equi-join",
+               lambda p: ("SortMergeJoin" in p
+                          or "BroadcastHashJoin" in p)
+               and "LeftOuter" in p)]),
             ("exact_percentiles",
              "Exact grouped percentiles (cumulative-count windows)",
              []),
