@@ -952,6 +952,46 @@ FROM pv_k p JOIN pv_lut l ON p.b >= l.lo AND p.b <= l.hi
 """
 
 
+# Last-touch attribution — the marketing-analytics twin of the asof
+# join: every purchase attributes to the user's LATEST preceding
+# click within the window (asof_union_window_sql — one union + one
+# IGNORE-NULLS window per user, never a per-pair join), then rolls
+# up by time-to-convert band.  Out-of-window and never-clicked
+# purchases land in the -1 band (unattributed is data).  All
+# integers.
+def q_attribution(dialect: str, window_s: int = 604800,
+                  rel: str = "events") -> str:
+    from .operators.temporal import asof_union_window_sql
+    ep = _epoch_s("ts", dialect)
+    band = H.idiv("lag_s", "86400", dialect)
+    return f"""
+WITH at_ev AS (
+  SELECT user_id, event_id, event_type, {ep} AS ts_s FROM {rel}),
+probe AS (
+  SELECT user_id, event_id, ts_s FROM at_ev
+  WHERE event_type = 'purchase'),
+dim AS (
+  SELECT user_id, event_id, ts_s, CAST(ts_s AS BIGINT) AS click_ts
+  FROM at_ev WHERE event_type = 'click'),
+{asof_union_window_sql(dialect, probe_cte='probe', dim_cte='dim',
+                       on=['user_id'], ts_col='ts_s',
+                       id_col='event_id', value_col='click_ts',
+                       out_col='attr_ts')},
+at_lag AS (
+  SELECT pid, user_id, ts_s,
+         CASE WHEN attr_ts IS NULL
+                   OR ts_s - attr_ts > {window_s} THEN NULL
+              ELSE ts_s - attr_ts END AS lag_s
+  FROM w WHERE is_dim = 0)
+SELECT COALESCE({band}, -1) AS days_to_convert,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(COALESCE(lag_s, 0)) AS BIGINT) AS lag_sum_s
+FROM at_lag
+GROUP BY COALESCE({band}, -1)
+"""
+
+
 # Exact grouped percentiles — the deterministic integer twin of the
 # approx-quantile sketch (sketch_stats): lower-median and lower-p90
 # as "the smallest v whose cumulative count clears the threshold",
@@ -4897,6 +4937,9 @@ WITH rs_src AS (
 
     queries["private_tiles"] = _sql_runner(q_private_tiles)
     oracles["private_tiles"] = q_private_tiles(DUCK)
+
+    queries["attribution_last_touch"] = _sql_runner(q_attribution)
+    oracles["attribution_last_touch"] = q_attribution(DUCK)
 
     queries["funnel_conversion"] = _sql_runner(q_funnel)
     oracles["funnel_conversion"] = q_funnel(DUCK)

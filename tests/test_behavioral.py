@@ -493,3 +493,51 @@ def test_private_tiles_mechanisms():
         assert noisy == max(n + noise, 0)
     noises = [v[2] for v in got.values()]
     assert sum(1 for x in noises if x == 0) > len(noises) / 5
+
+
+def test_attribution_last_touch_matches_python(spark):
+    """Band rollup == a python recomputation of 'latest click at or
+    before each purchase, within 7 days'; never-clicked and
+    out-of-window purchases land in the -1 band."""
+    import duckdb
+
+    from go_shapefile_spark.queries import q_attribution
+
+    rng = np.random.default_rng(41)
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    eid = 0
+    for u in range(100):
+        for _ in range(int(rng.integers(1, 15))):
+            et = ["view", "click", "purchase"][int(rng.integers(0, 3))]
+            rows.append((u, eid, et,
+                         t0 + pd.Timedelta(seconds=int(
+                             rng.integers(0, 20 * 86400)))))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id",
+                                      "event_type", "ts"])
+    con = duckdb.connect()
+    con.register("at_pdf", pdf)
+    con.execute("CREATE VIEW at_ev_src AS SELECT * FROM at_pdf")
+    got = {r[0]: (r[1], r[2], r[3]) for r in con.sql(
+        q_attribution("duck", rel="at_ev_src")).fetchall()}
+
+    W = 604800
+    by_user: dict = {}
+    for u, e, et, ts in rows:
+        by_user.setdefault(u, []).append((int(ts.timestamp()), e, et))
+    want: dict = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        for ts, e, et in evs:
+            if et != "purchase":
+                continue
+            clicks = [t for t, _, k in evs if k == "click" and t <= ts]
+            lag = ts - max(clicks) if clicks else None
+            band = lag // 86400 if (lag is not None and lag <= W) else -1
+            n, nu, s = want.get(band, (0, set(), 0))
+            nu = nu | {u}
+            want[band] = (n + 1, nu,
+                          s + (lag if lag is not None and lag <= W else 0))
+    want = {b: (n, len(nu), s) for b, (n, nu, s) in want.items()}
+    assert got == want and -1 in got and len(got) >= 3
