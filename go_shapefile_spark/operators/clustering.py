@@ -446,3 +446,100 @@ SELECT x, y, tx, ty FROM (
                   Window.orderBy(F.desc("acc"), "x", "y"))
                   .cast("long")))
     return ranked.where(F.col("rk") <= int(k))
+
+
+def cost_distance_base_cte(dialect: str, pts: str = "pts") -> str:
+    """Chamfer 2-3 weighted adjacency over the occupied grid: the
+    distance-transform base with edge weights (orthogonal 2, diagonal
+    3 — the classic integer approximation of Euclidean cell distance,
+    exact ratio 1.5 vs √2 ≈ 1.414)."""
+    del dialect
+    return f"""
+dpx AS (
+  SELECT CAST(FLOOR(lon) AS BIGINT) AS x,
+         CAST(FLOOR(lat) AS BIGINT) AS y, is_src
+  FROM {pts}),
+dbase AS (
+  SELECT x, y, CAST(MAX(is_src) AS BIGINT) AS is_src
+  FROM dpx GROUP BY x, y),
+doffs AS (SELECT * FROM (VALUES (-1,-1,3),(-1,0,2),(-1,1,3),(0,-1,2),
+                                (0,1,2),(1,-1,3),(1,0,2),(1,1,3))
+          AS t(dx, dy, w)),
+dedges AS (
+  SELECT b.x, b.y, n.x AS nx, n.y AS ny, CAST(o.w AS BIGINT) AS w
+  FROM dbase b CROSS JOIN doffs o
+  JOIN dbase n ON n.x = b.x + o.dx AND n.y = b.y + o.dy)"""
+
+
+def cost_distance_oracle_sql(rounds: int, pts_cte: str,
+                             pts: str = "pts") -> str:
+    """DuckDB oracle: recursive min-plus walk over ≤``rounds``-edge
+    paths (Bellman-Ford after R rounds computes exactly the min over
+    ≤R-edge paths, so the two algorithms agree by construction).
+    States carry the step count; UNION dedups (x, y, d, s)."""
+    return f"""
+WITH RECURSIVE {pts_cte},
+{cost_distance_base_cte('duck', pts=pts).lstrip()},
+walk AS (
+  SELECT x, y, CAST(0 AS BIGINT) AS d, 0 AS s
+  FROM dbase WHERE is_src = 1
+  UNION
+  SELECT e.nx, e.ny, w.d + e.w, w.s + 1
+  FROM walk w JOIN dedges e ON e.x = w.x AND e.y = w.y
+  WHERE w.s < {int(rounds)})
+SELECT x, y, CAST(MIN(d) AS BIGINT) AS cost FROM walk GROUP BY x, y"""
+
+
+def grid_cost_distance(points: DataFrame, rounds: int = 8,
+                       pin: str | None = None,
+                       slot: str | None = None) -> DataFrame:
+    """Weighted (chamfer 2-3) cost distance: ``points(lon, lat,
+    is_src)`` → ``(x, y, cost)`` = min path weight from any source
+    within ``rounds`` edges through occupied cells — the
+    accessibility/least-cost-path surface (grid_distance_transform's
+    weighted sibling).
+
+    Min-plus relaxation with a DELTA frontier: unlike BFS a cell's
+    cost can improve in later rounds, so each round relaxes only the
+    cells whose cost IMPROVED last round (classic delta-stepping
+    degenerate); every relation is grid-bounded, rounds are pinned,
+    no per-round driver action."""
+    from pyspark.sql import functions as F
+
+    from .pinning import fresh_pins
+
+    spark = points.sparkSession
+    pinf = fresh_pins(spark, slot, strategy=pin)
+    v = "cdx_pts_in"
+    points.selectExpr("lon", "lat",
+                      "CAST(is_src AS BIGINT) AS is_src") \
+        .createOrReplaceTempView(v)
+    cte = cost_distance_base_cte(H.SPARK, pts=v)
+    base_sql = cte[:cte.index("doffs AS (")].rstrip().rstrip(",")
+    base = pinf(spark.sql("WITH " + base_sql.lstrip() +
+                          "\nSELECT * FROM dbase"))
+    base.createOrReplaceTempView("cdx_base")
+    edges = pinf(spark.sql("""
+WITH doffs AS (SELECT * FROM (VALUES (-1,-1,3),(-1,0,2),(-1,1,3),(0,-1,2),
+                                     (0,1,2),(1,-1,3),(1,1,3),(1,0,2))
+               AS t(dx, dy, w))
+SELECT b.x, b.y, n.x AS nx, n.y AS ny, CAST(o.w AS BIGINT) AS w
+FROM cdx_base b CROSS JOIN doffs o
+JOIN cdx_base n ON n.x = b.x + o.dx AND n.y = b.y + o.dy"""))
+
+    dist = pinf(base.where("is_src = 1")
+                .selectExpr("x", "y", "CAST(0 AS BIGINT) AS cost"))
+    frontier = dist
+    for _ in range(int(rounds)):
+        cand = (frontier.join(edges, ["x", "y"])
+                .selectExpr("nx AS x", "ny AS y",
+                            "CAST(cost + w AS BIGINT) AS cost"))
+        new = pinf(dist.unionByName(cand).groupBy("x", "y")
+                   .agg(F.min("cost").alias("cost")))
+        frontier = (new.join(dist.withColumnRenamed("cost", "old"),
+                             ["x", "y"], "left")
+                    .where(F.col("old").isNull()
+                           | (F.col("cost") < F.col("old")))
+                    .select("x", "y", "cost"))
+        dist = new
+    return dist

@@ -3903,6 +3903,29 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
             "THEN 1 ELSE 0 END AS is_src FROM pts")
         return CL.grid_distance_transform(pts, rounds=DTX_ROUNDS,
                                           slot="distance_transform")
+    # weighted sibling: chamfer 2-3 cost distance (min-plus rounds
+    # with a delta frontier; oracle = recursive ≤R-edge-path walk —
+    # Bellman-Ford after R rounds IS that minimum, so the two
+    # algorithms agree by construction)
+    def cost_distance_events(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        pts = spark.sql(
+            f"WITH {geotagged_events_cte(SPARK)} "
+            "SELECT lon, lat, CASE WHEN event_type = 'error' "
+            "THEN 1 ELSE 0 END AS is_src FROM pts")
+        return CL.grid_cost_distance(pts, rounds=DTX_ROUNDS,
+                                     slot="cost_distance")
+    queries["cost_distance"] = cost_distance_events
+    oracles["cost_distance"] = CL.cost_distance_oracle_sql(
+        DTX_ROUNDS,
+        pts_cte=(geotagged_events_cte(DUCK).strip() + """,
+csrc AS (
+  SELECT lon, lat, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+         AS is_src
+  FROM pts)"""),
+        pts="csrc")
+
     queries["distance_transform"] = distance_transform_events
     oracles["distance_transform"] = CL.distance_transform_oracle_sql(
         DTX_ROUNDS,

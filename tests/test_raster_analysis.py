@@ -414,3 +414,49 @@ def test_viewshed_matches_python_reference():
     tie = {(0, 0): 100, (2, 0): 90, (4, 0): 80}
     got = run(tie)
     assert got[(4, 0)][2] == 0
+
+
+def test_cost_distance_matches_dijkstra_reference(spark):
+    """grid_cost_distance == python Dijkstra truncated to ≤R-edge paths
+    on a handcrafted occupied grid with a wall (diagonal detours cost
+    3 vs 2 — the chamfer ratio must show up in the answer)."""
+    import heapq
+
+    import pandas as pd
+
+    from go_shapefile_spark.operators.clustering import grid_cost_distance
+
+    cells = {(x, y) for x in range(10) for y in range(6)}
+    cells -= {(4, y) for y in range(1, 6)}     # wall with a gap at y=0
+    src = {(0, 0), (9, 5)}
+    rows = [(float(x) + 0.5, float(y) + 0.5, 1 if (x, y) in src else 0)
+            for x, y in sorted(cells)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["lon", "lat", "is_src"]))
+    R = 8
+    got = {(r.x, r.y): r.cost
+           for r in grid_cost_distance(df, rounds=R).collect()}
+
+    # reference: Dijkstra over (cell, steps) states, steps <= R
+    W = {(dx, dy): 2 if dx == 0 or dy == 0 else 3
+         for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)}
+    best: dict = {}
+    pq = [(0, 0, c) for c in src]
+    dist_state: dict = {(c, 0): 0 for c in src}
+    while pq:
+        d, s, c = heapq.heappop(pq)
+        if dist_state.get((c, s), 1 << 60) < d:
+            continue
+        best[c] = min(best.get(c, 1 << 60), d)
+        if s == R:
+            continue
+        for (dx, dy), w in W.items():
+            n = (c[0] + dx, c[1] + dy)
+            if n in cells and d + w < dist_state.get((n, s + 1), 1 << 60):
+                dist_state[(n, s + 1)] = d + w
+                heapq.heappush(pq, (d + w, s + 1, n))
+    assert got == best
+    # chamfer sanity: the diagonal neighbor of a source costs 3
+    assert got[(1, 1)] == 3 and got[(1, 0)] == 2
+    # the wall forces paths around via (4, 0)
+    assert got[(5, 1)] == got[(4, 0)] + 3
