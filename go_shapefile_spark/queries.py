@@ -2853,6 +2853,48 @@ def streaming_glitch_filter_spark(spark: SparkSession,
                  F.max("clean_dist_mm").alias("clean_dist_mm")))
 
 
+def streaming_funnel_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming funnel drained availableNow; per-user depths
+    are monotonic so MAX-per-user equals the batch semantics, and the
+    final three stage rows (users + truncating-ppb conversion) are
+    EXACTLY the batch q_funnel oracle."""
+    import tempfile
+    import uuid
+
+    from .streaming.funnel import funnel_stream
+
+    src = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(src).schema
+    out = funnel_stream(spark, _stream_source_dir(src), schema)
+    name = f"gate_stream_funnel_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="gate_stream_funnel_")
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    r21 = H.idiv("1000000000 * (SELECT c FROM n2)", "(SELECT c FROM n1)",
+                 SPARK)
+    r32 = H.idiv("1000000000 * (SELECT c FROM n3)", "(SELECT c FROM n2)",
+                 SPARK)
+    return spark.sql(f"""
+WITH fd AS (
+  SELECT user_id, MAX(depth) AS depth FROM {name} GROUP BY user_id),
+n1 AS (SELECT CAST(SUM(CASE WHEN depth >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS c FROM fd),
+n2 AS (SELECT CAST(SUM(CASE WHEN depth >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS c FROM fd),
+n3 AS (SELECT CAST(SUM(CASE WHEN depth >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS c FROM fd)
+SELECT CAST(1 AS BIGINT) AS stage, (SELECT c FROM n1) AS users,
+       CAST(1000000000 AS BIGINT) AS conv_ppb
+UNION ALL
+SELECT CAST(2 AS BIGINT), (SELECT c FROM n2), CAST({r21} AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS BIGINT), (SELECT c FROM n3), CAST({r32} AS BIGINT)
+""")
+
+
 # --- shapefile-source gate queries -----------------------------------------
 
 REF_TESTDATA = "/root/reference/testdata"
@@ -4963,6 +5005,9 @@ WITH rs_src AS (
 
     queries["attribution_last_touch"] = _sql_runner(q_attribution)
     oracles["attribution_last_touch"] = q_attribution(DUCK)
+
+    queries["streaming_funnel"] = streaming_funnel_spark
+    oracles["streaming_funnel"] = q_funnel(DUCK)
 
     queries["funnel_conversion"] = _sql_runner(q_funnel)
     oracles["funnel_conversion"] = q_funnel(DUCK)

@@ -268,3 +268,52 @@ def test_stateful_glitch_filter_multibatch_equals_batch(spark, sf_dir,
             for r in con.execute(q_gps_glitches("duck")).fetchall()}
     assert got == want
     assert sum(v[1] for v in got.values()) > 0
+
+
+def test_stateful_funnel_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming funnel fed two time-split micro-batches through
+    ONE live query equals the batch q_funnel semantics computed in
+    DuckDB (depth state crosses the batch boundary: a view in batch 1
+    must qualify a click in batch 2)."""
+    import duckdb
+
+    from go_shapefile_spark.queries import q_funnel
+    from go_shapefile_spark.streaming.funnel import funnel_stream
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    cut = ev.selectExpr("percentile(CAST(unix_timestamp(ts) AS DOUBLE), "
+                        "0.5) AS c").collect()[0].c
+    src = str(tmp_path / "fu_src")
+    os.makedirs(src)
+
+    def add_part(df, name):
+        stage = str(tmp_path / f"fstage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(stage, part),
+                    os.path.join(src, f"{name}.parquet"))
+
+    add_part(ev.where(f"unix_timestamp(ts) <= {int(cut)}"), "part1")
+    stream = funnel_stream(spark, src, SCHEMA)
+    q = (stream.writeStream.format("memory").queryName("fu_mb")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "fu_ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        add_part(ev.where(f"unix_timestamp(ts) > {int(cut)}"), "part2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    depths = {r.user_id: r.depth for r in spark.sql(
+        "SELECT user_id, MAX(depth) AS depth FROM fu_mb "
+        "GROUP BY user_id").collect()}
+    got = {s: sum(1 for d in depths.values() if d >= s) for s in (1, 2, 3)}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{os.path.join(sf_dir, 'events.parquet')}'")
+    want = {r[0]: r[1]
+            for r in con.execute(q_funnel("duck")).fetchall()}
+    assert got == want and got[1] >= got[2] >= got[3] > 0
