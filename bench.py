@@ -252,7 +252,8 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              "triangle_counts", "flow_accumulation", "gps_glitch_filter",
              "boilerplate_ngrams", "image_metadata", "json_props_rollup",
              "trajectory_resample", "viewshed_cells",
-             "exact_percentiles", "kmeans_events", "direction_rose", "spacetime_pairs", "audio_metadata", "private_tiles", "attribution_last_touch", "cost_distance"]
+             "exact_percentiles", "kmeans_events", "direction_rose", "spacetime_pairs", "audio_metadata", "private_tiles", "attribution_last_touch", "cost_distance",
+             "zonal_majority", "activity_profile"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

@@ -992,6 +992,56 @@ GROUP BY COALESCE({band}, -1)
 """
 
 
+# Zonal majority — the categorical zonal statistic (modal land-cover
+# class per zone, here modal event_type per nation rectangle): one
+# containment join against the broadcastable zone relation, one
+# (zone, class) rollup, argmax via ROW_NUMBER partitioned by zone
+# (shard-local; ties break on the class string).  Complements
+# zonal_image_stats (numeric) with the categorical form.
+def q_zonal_majority(dialect: str) -> str:
+    return f"""
+WITH {geotagged_events_cte(dialect)},
+{nation_rects_cte(dialect)},
+zm_hits AS (
+  SELECT r.polygon_fid, p.event_type
+  FROM pts p JOIN rects r
+    ON p.lon > r.x0 AND p.lon < r.x1 AND p.lat > r.y0 AND p.lat < r.y1),
+zm_counts AS (
+  SELECT polygon_fid, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM zm_hits GROUP BY polygon_fid, event_type)
+SELECT polygon_fid, event_type AS majority_type, n,
+       CAST(total AS BIGINT) AS n_total
+FROM (
+  SELECT polygon_fid, event_type, n,
+         SUM(n) OVER (PARTITION BY polygon_fid) AS total,
+         ROW_NUMBER() OVER (PARTITION BY polygon_fid
+                            ORDER BY n DESC, event_type ASC) AS rk
+  FROM zm_counts) t
+WHERE rk = 1
+"""
+
+
+# Activity profile — the seasonality matrix (hour-of-day ×
+# day-of-week counts per event type) behind load forecasting and
+# anomaly baselines.  Hour and weekday derive from epoch arithmetic
+# only (hod = epoch DIV 3600 % 24, dow = (epoch DIV 86400 + 4) % 7,
+# day 0 = Thursday) — the timezone/locale seams of hour()/dayofweek()
+# never enter; all integers.
+def q_activity_profile(dialect: str, rel: str = "events") -> str:
+    ep = _epoch_s("ts", dialect)
+    hod = H.idiv("ts_s", "3600", dialect) + " % 24"
+    dow = "(" + H.idiv("ts_s", "86400", dialect) + " + 4) % 7"
+    return f"""
+WITH ap AS (
+  SELECT event_type, {ep} AS ts_s FROM {rel})
+SELECT event_type,
+       CAST({dow} AS BIGINT) AS dow,
+       CAST({hod} AS BIGINT) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ap GROUP BY event_type, {dow}, {hod}
+"""
+
+
 # Exact grouped percentiles — the deterministic integer twin of the
 # approx-quantile sketch (sketch_stats): lower-median and lower-p90
 # as "the smallest v whose cumulative count clears the threshold",
@@ -5008,6 +5058,12 @@ WITH rs_src AS (
 
     queries["streaming_funnel"] = streaming_funnel_spark
     oracles["streaming_funnel"] = q_funnel(DUCK)
+
+    queries["zonal_majority"] = _sql_runner(q_zonal_majority)
+    oracles["zonal_majority"] = q_zonal_majority(DUCK)
+
+    queries["activity_profile"] = _sql_runner(q_activity_profile)
+    oracles["activity_profile"] = q_activity_profile(DUCK)
 
     queries["funnel_conversion"] = _sql_runner(q_funnel)
     oracles["funnel_conversion"] = q_funnel(DUCK)

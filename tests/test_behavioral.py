@@ -541,3 +541,33 @@ def test_attribution_last_touch_matches_python(spark):
                           s + (lag if lag is not None and lag <= W else 0))
     want = {b: (n, len(nu), s) for b, (n, nu, s) in want.items()}
     assert got == want and -1 in got and len(got) >= 3
+
+
+def test_zonal_majority_and_activity_profile_semantics(spark):
+    """Majority tiebreak (equal counts -> lexicographically first type)
+    and the epoch-derived weekday (day 0 = Thursday, 1970-01-01)."""
+    import duckdb
+
+    from go_shapefile_spark.queries import q_activity_profile
+
+    con = duckdb.connect()
+    # dow sanity: 1970-01-01 was a THURSDAY -> (0 + 4) % 7 == 4?  The
+    # convention maps epoch day d to (d + 4) % 7, so day 0 -> 4; pin
+    # Monday 2024-01-01 -> 1 under the same mapping (ISO Monday).
+    con.execute("CREATE VIEW ap_ev AS SELECT 'view' AS event_type, "
+                "TIMESTAMP '2024-01-01 15:30:00' AS ts")
+    r = con.sql(q_activity_profile("duck", rel="ap_ev")).fetchall()
+    assert r == [("view", 1, 15, 1)]   # Monday, 15h
+
+    # majority tiebreak: two types with equal counts in one zone
+    rows = [("a", 1), ("b", 1)]
+    import pandas as pd
+    pdf = pd.DataFrame(
+        {"polygon_fid": [0, 0], "event_type": ["b", "a"], "n": [3, 3]})
+    con.register("zc", pdf)
+    got = con.sql("""
+SELECT event_type FROM (
+  SELECT event_type, ROW_NUMBER() OVER (PARTITION BY polygon_fid
+         ORDER BY n DESC, event_type ASC) AS rk FROM zc) t
+WHERE rk = 1""").fetchone()[0]
+    assert got == "a"
