@@ -543,3 +543,65 @@ JOIN cdx_base n ON n.x = b.x + o.dx AND n.y = b.y + o.dy"""))
                     .select("x", "y", "cost"))
         dist = new
     return dist
+
+
+def kmeans_lloyd(points: DataFrame, k: int = 8, rounds: int = 3,
+                 pin: str | None = None,
+                 slot: str | None = None) -> DataFrame:
+    """Planar Lloyd k-means over ``points(id, x, y)`` (non-negative
+    integer coords) → per-cluster ``(ck, n, cx, cy, inertia_e6)`` with
+    cx/cy still in the shifted domain — the runner twin of
+    queries.q_kmeans (identical integer algebra: TakeOrdered (md5, id)
+    init, exact BIGINT squared distances, min-ck argmin tiebreak,
+    truncating-integer centroid means, empty clusters keep their
+    centroid, inertia = assignment-time d2 DIV 1e6).
+
+    Why a runner: the template's argmin join-back references each
+    round's assignment twice, so CTE inlining re-evaluates the whole
+    upstream ~2^rounds times.  Here the points pin once and each round
+    is (broadcast k-row cross join → groupBy argmin → centroid
+    update); rounds chain linearly."""
+    from pyspark.sql import functions as F
+
+    from .pinning import fresh_pins
+
+    spark = points.sparkSession
+    pinf = fresh_pins(spark, slot, strategy=pin)
+    pts = pinf(points.selectExpr("id", "x", "y"))
+    pts.createOrReplaceTempView("km_pts_v")
+    cent = spark.sql(f"""
+SELECT ROW_NUMBER() OVER (ORDER BY h, id) AS ck, x, y
+FROM (SELECT CAST(CONV(SUBSTRING(MD5(CAST(id AS STRING)), 1, 8), 16, 10)
+             AS BIGINT) AS h, id, x, y
+      FROM km_pts_v ORDER BY 1, 2 LIMIT {int(k)}) seeds""")
+    picked = None
+    for _ in range(int(rounds)):
+        cent.createOrReplaceTempView("km_cent_v")
+        picked = pinf(spark.sql("""
+SELECT id, x, y, ck, d2 FROM (
+  SELECT p.id, p.x, p.y, c.ck,
+         (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) AS d2,
+         ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+           (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) ASC,
+           c.ck ASC) AS rk
+  FROM km_pts_v p CROSS JOIN km_cent_v c) a WHERE rk = 1"""))
+    # NOTE: the per-point window above replaces the template's
+    # MIN/join-back argmin — identical result (min d2, min ck tie)
+        picked.createOrReplaceTempView("km_picked_v")
+        cent = pinf(spark.sql("""
+SELECT c.ck,
+       COALESCE((s.sx DIV s.n), c.x) AS x,
+       COALESCE((s.sy DIV s.n), c.y) AS y
+FROM km_cent_v c LEFT JOIN (
+  SELECT ck, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM km_picked_v GROUP BY ck) s ON s.ck = c.ck"""))
+    cent.createOrReplaceTempView("km_cent_v")
+    return spark.sql("""
+SELECT p.ck,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(c.x) AS BIGINT) AS cx,
+       CAST(MIN(c.y) AS BIGINT) AS cy,
+       CAST(SUM(p.d2 DIV 1000000) AS BIGINT) AS inertia_e6
+FROM km_picked_v p JOIN km_cent_v c ON c.ck = p.ck
+GROUP BY p.ck""")

@@ -5041,7 +5041,26 @@ WITH rs_src AS (
     queries["exact_percentiles"] = _sql_runner(q_exact_percentiles)
     oracles["exact_percentiles"] = q_exact_percentiles(DUCK)
 
-    queries["kmeans_events"] = _sql_runner(q_kmeans)
+    # Spark side runs the PINNED Lloyd runner (the template's argmin
+    # join-back doubles per round under CTE inlining — ~2^rounds,
+    # 8 s at sf0.1 vs ~2 s pinned); the DuckDB oracle keeps the
+    # template.
+    def kmeans_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        pts = spark.sql(f"""
+SELECT event_id AS id,
+       CAST(ROUND(({GT.lon_sql('event_id', SPARK)} + 180) * 1000000)
+            AS BIGINT) AS x,
+       CAST(ROUND(({GT.lat_sql('event_id', SPARK)} + 90) * 1000000)
+            AS BIGINT) AS y
+FROM events""")
+        out = CL.kmeans_lloyd(pts, k=8, rounds=3, slot="kmeans_events")
+        return out.selectExpr(
+            "ck", "n",
+            "CAST(cx - 180000000 AS BIGINT) AS cx_e6",
+            "CAST(cy - 90000000 AS BIGINT) AS cy_e6",
+            "inertia_e6")
+    queries["kmeans_events"] = kmeans_events
     oracles["kmeans_events"] = q_kmeans(DUCK)
 
     queries["direction_rose"] = _sql_runner(q_direction_rose)
