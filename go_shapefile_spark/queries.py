@@ -1042,6 +1042,55 @@ FROM ap GROUP BY event_type, {dow}, {hod}
 """
 
 
+# Co-visitation lift — the market-basket association primitive on
+# spatial cells (recommenders: "users who visit A also visit B"):
+# baskets are (user, epoch-day) DISTINCT res-4 cells, pairs join
+# WITHIN the basket key (never across the corpus — fan-out bounded
+# by per-basket cell count²), and the score is the integer lift
+# quotient lift_q = (c_uv · n_baskets · scale) DIV (c_u · c_v) —
+# monotone in the real lift, log/float-free (the PMI precedent).
+# Top-k by (lift_q, pair) with a min-support floor.
+def q_covisit_lift(dialect: str, res: int = 4, min_support: int = 3,
+                   scale: int = 1_000_000, top_k: int = 50) -> str:
+    ep = _epoch_s("ts", dialect)
+    day = H.idiv("ts_s", "86400", dialect)
+    lift = H.idiv(f"p.c_uv * t.n_b * {scale}", "ca.c * cb.c", dialect)
+    return f"""
+WITH cv_pts AS (
+  SELECT user_id, {ep} AS ts_s,
+         {GT.lon_sql('event_id', dialect)} AS lon,
+         {GT.lat_sql('event_id', dialect)} AS lat
+  FROM events),
+cv_b AS (
+  SELECT DISTINCT user_id, {day} AS d,
+         {C.cell_sql('lon', 'lat', res)} AS cell
+  FROM cv_pts),
+cv_n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_b
+  FROM (SELECT DISTINCT user_id, d FROM cv_b) bb),
+cv_c AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS c FROM cv_b GROUP BY cell),
+cv_p AS (
+  SELECT a.cell AS ca, b.cell AS cb, CAST(COUNT(*) AS BIGINT) AS c_uv
+  FROM cv_b a
+  JOIN cv_b b ON b.user_id = a.user_id AND b.d = a.d
+             AND a.cell < b.cell
+  GROUP BY a.cell, b.cell
+  HAVING COUNT(*) >= {int(min_support)})
+SELECT ca, cb, c_uv, c_a, c_b, lift_q,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT p.ca, p.cb, p.c_uv, ca.c AS c_a, cb.c AS c_b,
+         CAST({lift} AS BIGINT) AS lift_q,
+         ROW_NUMBER() OVER (ORDER BY {lift} DESC, p.ca, p.cb) AS rk
+  FROM cv_p p
+  JOIN cv_c ca ON ca.cell = p.ca
+  JOIN cv_c cb ON cb.cell = p.cb
+  CROSS JOIN cv_n t) s
+WHERE rk <= {int(top_k)}
+"""
+
+
 # Exact grouped percentiles — the deterministic integer twin of the
 # approx-quantile sketch (sketch_stats): lower-median and lower-p90
 # as "the smallest v whose cumulative count clears the threshold",
@@ -5083,6 +5132,9 @@ FROM events""")
 
     queries["activity_profile"] = _sql_runner(q_activity_profile)
     oracles["activity_profile"] = q_activity_profile(DUCK)
+
+    queries["covisit_lift"] = _sql_runner(q_covisit_lift)
+    oracles["covisit_lift"] = q_covisit_lift(DUCK)
 
     queries["funnel_conversion"] = _sql_runner(q_funnel)
     oracles["funnel_conversion"] = q_funnel(DUCK)

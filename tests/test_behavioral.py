@@ -571,3 +571,43 @@ SELECT event_type FROM (
          ORDER BY n DESC, event_type ASC) AS rk FROM zc) t
 WHERE rk = 1""").fetchone()[0]
     assert got == "a"
+
+
+def test_covisit_lift_matches_python():
+    """Top-k lift pairs == a python basket recomputation (same integer
+    lift quotient, same tiebreaks) on sf0.001."""
+    import duckdb
+
+    from go_shapefile_spark.functions.cells import cell_np
+    from go_shapefile_spark.operators.geotag import lonlat_py
+    from go_shapefile_spark.queries import q_covisit_lift
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "'/root/testdata/sf0.01/events.parquet'")
+    got = [(r[0], r[1], r[2], r[5], r[6]) for r in
+           con.sql(q_covisit_lift("duck")).fetchall()]
+
+    rows = con.sql("SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT), "
+                   "event_id FROM events").fetchall()
+    baskets: dict = {}
+    for u, ts, eid in rows:
+        lon, lat = lonlat_py(eid)
+        c = int(cell_np(np.array([lon]), np.array([lat]), 4)[0])
+        baskets.setdefault((u, ts // 86400), set()).add(c)
+    n_b = len(baskets)
+    cnt: dict = {}
+    pair: dict = {}
+    for cells in baskets.values():
+        for c in cells:
+            cnt[c] = cnt.get(c, 0) + 1
+        cs = sorted(cells)
+        for i in range(len(cs)):
+            for j in range(i + 1, len(cs)):
+                pair[(cs[i], cs[j])] = pair.get((cs[i], cs[j]), 0) + 1
+    scored = [(a, b, c_uv, c_uv * n_b * 10 ** 6 // (cnt[a] * cnt[b]))
+              for (a, b), c_uv in pair.items() if c_uv >= 3]
+    scored.sort(key=lambda t: (-t[3], t[0], t[1]))
+    want = [(a, b, c_uv, q, i + 1)
+            for i, (a, b, c_uv, q) in enumerate(scored[:50])]
+    assert got == want and len(got) > 0
