@@ -987,3 +987,28 @@ def audio_metadata(clips: DataFrame) -> DataFrame:
     return clips.mapInPandas(
         run, schema="audio_id string, format_tag long, n_channels long, "
                     "sample_rate long, bits long, n_samples long")
+
+
+def video_metadata(videos: DataFrame) -> DataFrame:
+    """Header-only video catalog (avih/strf read, no frame visits) —
+    completes the image/audio/video metadata trio.  Strict on
+    malformed containers."""
+    from ..sources.video_codec import avi_header
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"video_id": [], "codec": [], "width": [],
+                   "height": [], "fps": [], "n_frames": []}
+            for vid, buf in zip(pdf["video_id"], pdf["bytes"]):
+                hd = avi_header(bytes(buf))
+                out["video_id"].append(vid)
+                out["codec"].append(hd["codec"])
+                out["width"].append(hd["w"])
+                out["height"].append(hd["h"])
+                out["fps"].append(hd["fps"])
+                out["n_frames"].append(hd["n_frames"])
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(
+        run, schema="video_id string, codec string, width long, "
+                    "height long, fps long, n_frames long")

@@ -2624,6 +2624,42 @@ def q_audio_metadata_oracle() -> str:
               "n_clips, sum_bits)")
 
 
+def video_metadata_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only video catalog over the gate corpus, rolled up by
+    (codec, width, height, fps, n_frames) — the routing pass before
+    any frame decodes.  Oracle = the generator laws (n_frames =
+    6 + |splitmix64(i)| % 10, 16×16, fps 10, MJPG), independent of the
+    parser."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import video_metadata
+
+    vids = spark.read.parquet(_ensure_video_table(spark))
+    meta = video_metadata(vids.select("video_id", "bytes"))
+    return meta.groupBy("codec", "width", "height", "fps",
+                        "n_frames").agg(
+        F.count(F.lit(1)).cast("long").alias("n_videos"))
+
+
+def q_video_metadata_oracle() -> str:
+    import numpy as np
+
+    from .operators.geotag import splitmix64
+
+    idx = np.arange(VIDEO_GATE_N, dtype=np.int64)
+    phash = splitmix64(idx).view(np.int64)
+    nf = (6 + (np.abs(phash) % 10)).astype(np.int64)
+    groups: dict = {}
+    for n in nf:
+        groups[int(n)] = groups.get(int(n), 0) + 1
+    rows = ",\n".join(
+        f"('MJPG', CAST(16 AS BIGINT), CAST(16 AS BIGINT), "
+        f"CAST(10 AS BIGINT), CAST({n} AS BIGINT), CAST({c} AS BIGINT))"
+        for n, c in sorted(groups.items()))
+    return ("SELECT * FROM (VALUES\n" + rows
+            + "\n) AS t(codec, width, height, fps, n_frames, n_videos)")
+
+
 def audio_invariants_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-modality invariant gate: a deterministic WAV table (real
     PCM16 + G.711 mu-law bytes from sources/audio_codec.py, both
@@ -3677,6 +3713,8 @@ def build_registry():
     oracles["audio_invariants"] = q_audio_invariants_oracle(DUCK)
     queries["audio_metadata"] = audio_metadata_spark
     oracles["audio_metadata"] = q_audio_metadata_oracle()
+    queries["video_metadata"] = video_metadata_spark
+    oracles["video_metadata"] = q_video_metadata_oracle()
     queries["audio_neardup"] = audio_neardup_spark
     oracles["audio_neardup"] = q_audio_neardup_oracle(DUCK)
     queries["audio_dedup_groups"] = audio_dedup_groups_spark

@@ -155,3 +155,31 @@ def sample_frames(data: bytes, every_n: int = 10) -> Iterator[
     for idx, jpeg in iter_mjpeg_frames(data):
         if idx % every_n == 0:
             yield idx, decode_jpeg(jpeg)
+
+
+def avi_header(data: bytes) -> dict:
+    """Header-only AVI metadata (the video member of the
+    image/audio/video catalog trio): frame count, fps, dimensions and
+    the stream codec from the avih/strf headers — no frame chunk is
+    ever visited, so the scan cost is the first KB of the container.
+    Same container validation as the frame iterator."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    pos = data.find(b"avih", 12, 4096)
+    if pos < 0:
+        raise ValueError("no avih header")
+    try:
+        (usec_pf,) = struct.unpack_from("<I", data, pos + 8)
+        n, _r1, _r2, max_b, w, h = struct.unpack_from(
+            "<IIIIII", data, pos + 8 + 16)
+    except struct.error as e:
+        raise ValueError("truncated avih header") from e
+    if usec_pf <= 0:
+        raise ValueError("avih declares zero frame period")
+    spos = data.find(b"strf", pos, 8192)
+    codec = "unknown"
+    if spos >= 0 and spos + 8 + 20 <= len(data):
+        codec = data[spos + 8 + 16:spos + 8 + 20].decode(
+            "ascii", "replace").strip("\x00 ") or "raw"
+    return {"n_frames": n, "fps": 1_000_000 // usec_pf,
+            "w": w, "h": h, "codec": codec}

@@ -160,3 +160,30 @@ def test_fuzzed_container_always_raises_valueerror():
                 pass
         except ValueError:
             pass
+
+
+def test_avi_header_matches_decode_without_visiting_frames():
+    """avi_header reports the frame iterator's truth, and still works
+    when every movi byte is CHOPPED off (header-only evidence); the
+    frame iterator must fail on the same bytes."""
+    import pytest
+
+    from go_shapefile_spark.sources.images import pixels_from_phash
+    from go_shapefile_spark.sources.video_codec import (avi_header,
+                                                        encode_avi_mjpeg,
+                                                        iter_mjpeg_frames)
+
+    frames = [pixels_from_phash(11 + i, 16, 16) for i in range(9)]
+    buf = encode_avi_mjpeg(frames, fps=10, quality=95)
+    hd = avi_header(buf)
+    assert hd == {"n_frames": 9, "fps": 10, "w": 16, "h": 16,
+                  "codec": "MJPG"}
+    assert sum(1 for _ in iter_mjpeg_frames(buf)) == 9
+
+    movi = buf.index(b"movi")
+    chopped = buf[:movi + 4]
+    assert avi_header(chopped)["n_frames"] == 9   # declared, no frames
+    with pytest.raises(ValueError):
+        list(iter_mjpeg_frames(chopped))
+    with pytest.raises(ValueError, match="RIFF"):
+        avi_header(b"\x00" * 64)
