@@ -460,3 +460,37 @@ def test_cost_distance_matches_dijkstra_reference(spark):
     assert got[(1, 1)] == 3 and got[(1, 0)] == 2
     # the wall forces paths around via (4, 0)
     assert got[(5, 1)] == got[(4, 0)] + 3
+
+
+def test_new_runners_identical_under_storage_pinning(spark, tmp_path):
+    """grid_flow_accumulation / grid_cost_distance / kmeans_lloyd are
+    row-identical under the executor-local (default) and storage-backed
+    pin strategies — the durable-pinning seam covers the new runners."""
+    import pandas as pd
+
+    from go_shapefile_spark.operators.clustering import (
+        grid_cost_distance, grid_flow_accumulation, kmeans_lloyd)
+
+    spark.conf.set("spark.graft.pin.dir", str(tmp_path / "pins"))
+    rng = np.random.default_rng(47)
+    pdf = pd.DataFrame({
+        "lon": rng.uniform(-20, 20, 4000),
+        "lat": rng.uniform(-20, 20, 4000)})
+    pdf["is_src"] = (rng.random(4000) < 0.02).astype(int)
+    pts = spark.createDataFrame(pdf)
+
+    for op, args in ((grid_flow_accumulation, {"rounds": 4, "k": 20}),
+                     (grid_cost_distance, {"rounds": 4})):
+        a = sorted(map(tuple, op(pts, pin="local", **args).collect()))
+        b = sorted(map(tuple, op(pts, pin="storage", **args).collect()))
+        assert a == b and a, op.__name__
+
+    kpts = spark.createDataFrame(pd.DataFrame({
+        "id": np.arange(2000, dtype=np.int64),
+        "x": rng.integers(0, 3 * 10 ** 8, 2000),
+        "y": rng.integers(0, 18 * 10 ** 7, 2000)}))
+    a = sorted(map(tuple, kmeans_lloyd(kpts, k=5, rounds=2,
+                                       pin="local").collect()))
+    b = sorted(map(tuple, kmeans_lloyd(kpts, k=5, rounds=2,
+                                       pin="storage").collect()))
+    assert a == b and len(a) == 5
