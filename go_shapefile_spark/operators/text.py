@@ -1053,3 +1053,76 @@ SELECT d.doc_id,
        END AS boiler_ppb
 FROM {rel} d LEFT JOIN bp_doc b ON b.doc_id = d.doc_id
 """
+
+
+def duplicate_spans_sql(dialect: str, rel: str = "documents",
+                        gram: int = 8, min_docs: int = 2,
+                        ppb: int = 1_000_000_000) -> str:
+    """Exact duplicate-SPAN detection — the ExactSubstr dedup primitive
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): a token position is duplicated when the ``gram``-token
+    window starting there appears in >= ``min_docs`` DISTINCT
+    documents; overlapping flagged windows merge into maximal spans
+    (the cut-list a dedup pass would remove).
+
+    The merge is gaps-and-islands over flagged positions with a
+    running-max window (prev_end = MAX(p + gram - 1) over preceding
+    rows): a new island starts where the window's token range clears
+    the previous covered end.  Per-doc outputs: span count, covered
+    tokens, coverage ppb.  One tokenize + position explode
+    (corpus-token bounded), one df groupBy, one per-doc sort window —
+    the winnowing/chunking scale notes apply verbatim at book length
+    (chunk the explode; the hash stream, never the text, shuffles)."""
+    tok = H.tokens_arr("text", dialect)
+    alen = H.array_len("tok", dialect)
+    g = H.h60(H.arr_gram("tok", "p", gram, dialect), dialect)
+    return f"""
+WITH ds_toks AS (
+  SELECT doc_id, {tok} AS tok FROM {rel}),
+ds_meta AS (
+  SELECT doc_id, tok, CAST({alen} AS BIGINT) AS n_tok FROM ds_toks),
+ds_pos AS (
+  SELECT doc_id, p, {g} AS g
+  FROM (SELECT doc_id, tok,
+               {H.seq_1_to(f"n_tok - {gram - 1}", dialect)} AS p
+        FROM ds_meta WHERE n_tok >= {gram}) e),
+ds_dup AS (
+  SELECT g FROM (
+    SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+    FROM ds_pos GROUP BY g) d
+  WHERE nd >= {int(min_docs)}),
+ds_flag AS (
+  SELECT p.doc_id, p.p
+  FROM ds_pos p JOIN ds_dup d ON d.g = p.g),
+ds_isl AS (
+  SELECT doc_id, p,
+         CASE WHEN MAX(p + {gram - 1}) OVER (PARTITION BY doc_id
+                ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING) IS NULL
+              OR p > MAX(p + {gram - 1}) OVER (PARTITION BY doc_id
+                ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM ds_flag),
+ds_id AS (
+  SELECT doc_id, p,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM ds_isl),
+ds_spans AS (
+  SELECT doc_id, island,
+         MIN(p) AS sp, MAX(p) + {gram - 1} AS ep
+  FROM ds_id GROUP BY doc_id, island),
+ds_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(ep - sp + 1) AS BIGINT) AS dup_tokens
+  FROM ds_spans GROUP BY doc_id)
+SELECT m.doc_id, m.n_tok,
+       COALESCE(d.n_spans, 0) AS n_spans,
+       COALESCE(d.dup_tokens, 0) AS dup_tokens,
+       CASE WHEN m.n_tok = 0 THEN CAST(0 AS BIGINT)
+            ELSE {H.idiv(f'{ppb} * COALESCE(d.dup_tokens, 0)',
+                         'm.n_tok', dialect)} END AS dup_ppb
+FROM ds_meta m LEFT JOIN ds_doc d ON d.doc_id = m.doc_id
+"""

@@ -3612,6 +3612,10 @@ def build_registry():
         # SMALL join side, per-doc coverage ppb (short docs score 0,
         # never dropped)
         "boilerplate_ngrams": lambda d: TX.boilerplate_ngrams_sql(d),
+        # ExactSubstr-style duplicate-span cut list: cross-doc repeated
+        # 8-gram windows merged to maximal spans (gaps-and-islands over
+        # flagged positions with a running-max window)
+        "duplicate_spans": lambda d: TX.duplicate_spans_sql(d),
         # bigram-LM document scoring (the model-based quality filter):
         # ppb-quantized conditional probs, broadcastable vocab² model;
         # low_q at the gate corpus's ~30th percentile so the band

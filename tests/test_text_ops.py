@@ -551,3 +551,57 @@ def test_boilerplate_ngrams_matches_python(spark):
     # short docs present with zeros
     assert got[0][1] >= 4 and got[4] == (6, 0, 0)
     assert got[6] == (0, 0, 0) and got[7] == (0, 0, 0)
+
+
+def test_duplicate_spans_matches_python(spark):
+    """Planted corpus: a sentence shared verbatim by two docs becomes
+    one merged span in each; two separated shared regions stay two
+    spans; overlapping duplicated windows merge; unique docs emit the
+    zero row.  Python reference recomputes the flag-and-merge."""
+    import re
+
+    import pandas as pd
+
+    from go_shapefile_spark.operators.text import duplicate_spans_sql
+
+    shared1 = "the quick brown fox jumps over the lazy dog again today"
+    shared2 = "all work and no play makes jack a dull boy indeed"
+    bodies = [
+        f"intro words here {shared1} and some unique tail",
+        f"{shared1} different middle part {shared2}",
+        f"prefix {shared2} closing remark",
+        "a completely unique document with no repeats anywhere at all "
+        "continuing with more singular text",
+        "short doc",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(bodies)), "text": bodies})
+    spark.createDataFrame(pdf).createOrReplaceTempView("ds_docs")
+    G, MD = 8, 2
+    got = {r.doc_id: (r.n_tok, r.n_spans, r.dup_tokens, r.dup_ppb)
+           for r in spark.sql(duplicate_spans_sql(
+               "spark", rel="ds_docs", gram=G, min_docs=MD)).collect()}
+
+    toks = {i: re.findall(r"[a-z0-9]+", t.lower())
+            for i, t in enumerate(bodies)}
+    df: dict = {}
+    for i, ts in toks.items():
+        for j in range(len(ts) - G + 1):
+            df.setdefault(tuple(ts[j:j + G]), set()).add(i)
+    dup = {g for g, docs in df.items() if len(docs) >= MD}
+    want = {}
+    for i, ts in toks.items():
+        flagged = [j for j in range(len(ts) - G + 1)
+                   if tuple(ts[j:j + G]) in dup]
+        spans = []
+        for j in flagged:
+            if spans and j <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], j + G - 1)
+            else:
+                spans.append([j, j + G - 1])
+        dt = sum(e - s + 1 for s, e in spans)
+        want[i] = (len(ts), len(spans), dt,
+                   10 ** 9 * dt // len(ts) if ts else 0)
+    assert got == want
+    assert got[1][1] == 2          # two separated shared regions
+    assert got[3] == (len(toks[3]), 0, 0, 0)
+    assert got[4][1] == 0          # < gram tokens -> no positions
