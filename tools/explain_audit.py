@@ -633,17 +633,44 @@ def main() -> None:
             ("exact_percentiles",
              "Exact grouped percentiles (cumulative-count windows)",
              []),
-            ("kmeans_events",
-             "Planar k-means (unrolled Lloyd, broadcast centroids)",
-             [("centroid assignment is a broadcast join",
-               lambda p: "BroadcastHashJoin" in p
-               or "BroadcastNestedLoopJoin" in p)]),
+            # (kmeans audited below — the gate runs the pinned runner,
+            # so the visible plan is the final rollup over pinned
+            # leaves, not the in-round broadcast assignment)
             ("direction_rose",
              "Direction rose (libm-free octants)", []),
             ("spacetime_pairs",
              "Knox space-time bands (9-offset pair join)",
              [("pair join is an equi-join",
-               lambda p: "CartesianProduct" not in p)])):
+               lambda p: "CartesianProduct" not in p)]),
+            ("private_tiles",
+             "Privacy tile release (k-anonymity + noise LUT)",
+             # regression guard for the inferred-isnotnull pushdown:
+             # the scan-level filter must NOT inline the morton chain
+             [("no fat isnotnull filter at the scan",
+               lambda p: "isnotnull(cast(conv" not in p)]),
+            ("attribution_last_touch",
+             "Last-touch attribution (asof union-window)",
+             [("no per-pair join",
+               lambda p: "CartesianProduct" not in p)]),
+            ("covisit_lift",
+             "Co-visitation lift (within-basket pairs)",
+             [("basket pair join is an equi-join",
+               lambda p: "CartesianProduct" not in p)]),
+            ("duplicate_spans",
+             "Duplicate-span cut list (flag + islands merge)", []),
+            ("zonal_majority", "Zonal majority (argmax per zone)", []),
+            ("activity_profile",
+             "Activity profile (epoch-pure seasonality)", []),
+            ("cost_distance",
+             "Chamfer cost distance (pinned min-plus rounds)",
+             [("rounds read pinned leaves",
+               lambda p: "Scan ExistingRDD" in p or "LogicalRDD" in p
+               or "Scan parquet" in p)]),
+            ("kmeans_events",
+             "Planar k-means (pinned Lloyd runner)",
+             [("rounds read pinned leaves",
+               lambda p: "Scan ExistingRDD" in p
+               or "LogicalRDD" in p)])):
         g = entry.queries()[gate](spark, sf_dir)
         plan = audit.executed_plan(g)
         checks = [(name, fn(plan)) for name, fn in extra]
