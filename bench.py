@@ -254,7 +254,7 @@ def timed_queries(spark, sf_dir: str, n_rounds: int = 2) -> dict[str, float]:
              "trajectory_resample", "viewshed_cells",
              "exact_percentiles", "kmeans_events", "direction_rose", "spacetime_pairs", "audio_metadata", "private_tiles", "attribution_last_touch", "cost_distance",
              "zonal_majority", "activity_profile", "covisit_lift",
-             "video_metadata", "duplicate_spans"]
+             "video_metadata", "duplicate_spans", "burst_cells"]
     out: dict[str, float] = {}
     for _round in range(n_rounds):
         for name in picks:

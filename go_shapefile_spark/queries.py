@@ -1091,6 +1091,49 @@ WHERE rk <= {int(top_k)}
 """
 
 
+# Burst detection — the anomaly/alerting primitive (Kleinberg-lite):
+# an hour is a burst in its cell when its count exceeds k× the
+# trailing-24h hourly mean, tested entirely in integers
+# (n·24 > k·trailing_sum — never a float mean).  The trailing frame
+# is a RANGE over the integer hour index EXCLUDING the current hour
+# (24 PRECEDING .. 1 PRECEDING), so sparse hours contribute zero by
+# absence (the rolling_user_stats precedent handles the gap
+# semantics); flagging requires ≥ min_hours of trailing history —
+# without the warm-up, a near-empty baseline makes EVERY early hour
+# trivially "k× the mean".  One groupBy + one cell-partitioned
+# window.
+def q_burst_cells(dialect: str, res: int = 2, k: int = 3,
+                  min_hours: int = 12) -> str:
+    # gate default res 2: dense enough per cell-hour at sf0.01 that
+    # the 12-hour baseline exists and k=3 bursts actually occur (446
+    # flagged) — res 3 at this density has no qualifying baselines
+    ep = _epoch_s("ts", dialect)
+    hour = H.idiv("ts_s", "3600", dialect)
+    w = ("PARTITION BY cell ORDER BY h "
+         "RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING")
+    return f"""
+WITH bc_pts AS (
+  SELECT {ep} AS ts_s,
+         {GT.lon_sql('event_id', dialect)} AS lon,
+         {GT.lat_sql('event_id', dialect)} AS lat
+  FROM events),
+bc_h AS (
+  SELECT {C.cell_sql('lon', 'lat', res)} AS cell,
+         CAST({hour} AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM bc_pts GROUP BY {C.cell_sql('lon', 'lat', res)},
+                       CAST({hour} AS BIGINT)),
+bc_w AS (
+  SELECT cell, h, n,
+         CAST(COALESCE(SUM(n) OVER ({w}), 0) AS BIGINT) AS trail,
+         CAST(COUNT(n) OVER ({w}) AS BIGINT) AS trail_hours
+  FROM bc_h)
+SELECT cell, h, n, trail, trail_hours
+FROM bc_w
+WHERE trail_hours >= {int(min_hours)} AND n * 24 > {int(k)} * trail
+"""
+
+
 # Exact grouped percentiles — the deterministic integer twin of the
 # approx-quantile sketch (sketch_stats): lower-median and lower-p90
 # as "the smallest v whose cumulative count clears the threshold",
@@ -5177,6 +5220,9 @@ FROM events""")
 
     queries["covisit_lift"] = _sql_runner(q_covisit_lift)
     oracles["covisit_lift"] = q_covisit_lift(DUCK)
+
+    queries["burst_cells"] = _sql_runner(q_burst_cells)
+    oracles["burst_cells"] = q_burst_cells(DUCK)
 
     queries["funnel_conversion"] = _sql_runner(q_funnel)
     oracles["funnel_conversion"] = q_funnel(DUCK)

@@ -611,3 +611,45 @@ def test_covisit_lift_matches_python():
     want = [(a, b, c_uv, q, i + 1)
             for i, (a, b, c_uv, q) in enumerate(scored[:50])]
     assert got == want and len(got) > 0
+
+
+def test_burst_cells_semantics(spark):
+    """Planted series in one cell: a 10x spike flags, steady hours
+    don't, the first hour never flags (empty history), and gap hours
+    contribute zero by absence (integer n·24 > k·trail test)."""
+    import duckdb
+    import pandas as pd
+
+    from go_shapefile_spark.queries import DUCK, q_burst_cells
+
+    # synthesize via a private view with precomputed lon/lat is not
+    # possible (the template geotags from event_id) — instead check the
+    # windowed algebra directly on a handcrafted (cell, h, n) relation
+    # in both engines
+    body = q_burst_cells("spark")
+    algebra = "WITH bc_h AS (SELECT * FROM bch)" + \
+        body[body.index(",\nbc_w AS ("):]
+    rows = ([(1, h, 10) for h in range(30)]          # steady
+            + [(1, 40, 12)]                           # after a gap:
+            # trailing window [16..39] holds hours 16..29 -> sum 140;
+            # 12*24=288 < 3*140 -> not a burst
+            + [(2, h, 5) for h in range(14)]          # warm-up
+            + [(2, 14, 100)])                         # spike: 2400 > 210
+    pdf = pd.DataFrame(rows, columns=["cell", "h", "n"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("bch")
+    got = sorted(tuple(r) for r in spark.sql(algebra).collect())
+
+    duck_body = q_burst_cells(DUCK)
+    duck_alg = "WITH bc_h AS (SELECT * FROM bch)" + \
+        duck_body[duck_body.index(",\nbc_w AS ("):]
+    con = duckdb.connect()
+    con.register("bch", pdf)
+    want = sorted(tuple(r) for r in con.sql(duck_alg).fetchall())
+    assert got == want
+
+    flagged = {(c, h) for c, h, *_ in got}
+    assert (2, 14) in flagged          # the spike
+    assert (2, 0) not in flagged       # cold start: no history
+    assert (2, 5) not in flagged       # < min_hours of history
+    assert (1, 40) not in flagged      # post-gap modest hour
+    assert not any(c == 1 and h < 31 for c, h in flagged)  # steady
