@@ -234,12 +234,16 @@ def grid_distance_transform(points: DataFrame, rounds: int = 8,
     oracle).
 
     Scale posture: the edge relation is built ONCE (one offset fan-out
-    + equi-join, pinned); each BFS round is one equi-join of the
-    CURRENT FRONTIER (cells first reached that round — classic BFS,
-    so every cell is expanded at most once across all rounds) against
-    the edges plus a min-aggregate, pinned to stop plan growth.  A
-    fixed round count means NO per-round driver action (no count(),
-    no convergence collect) — the loop is `rounds` chained jobs.
+    + equi-join, pinned) and carries a ZERO-weight self-loop per
+    occupied cell, so each BFS round is ONE equi-join + min-aggregate
+    referencing the previous iterate exactly once — the whole fixed
+    round count is a single lazy plan (one job, linear depth, the
+    pinned edge exchange reused across rounds) instead of a
+    per-round checkpoint job (r6 optimization: 4.1 s → one job).
+    ``dist_r(c) = min(dist_{r-1}(c), min_nbr dist_{r-1}(nbr) + 1)``
+    is exactly the first-reach BFS round recurrence, so the output is
+    unchanged.  A fixed round count means NO per-round driver action
+    (no count(), no convergence collect).
     """
     from pyspark.sql import functions as F
 
@@ -260,20 +264,19 @@ def grid_distance_transform(points: DataFrame, rounds: int = 8,
     edges = pinf(spark.sql(f"""
 WITH doffs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
                                      (0,1),(1,-1),(1,0),(1,1)) AS t(dx, dy))
-SELECT b.x, b.y, n.x AS nx, n.y AS ny
+SELECT b.x, b.y, n.x AS nx, n.y AS ny, CAST(1 AS BIGINT) AS w
 FROM dtx_base b CROSS JOIN doffs o
-JOIN dtx_base n ON n.x = b.x + o.dx AND n.y = b.y + o.dy"""))
+JOIN dtx_base n ON n.x = b.x + o.dx AND n.y = b.y + o.dy
+UNION ALL
+SELECT x, y, x AS nx, y AS ny, CAST(0 AS BIGINT) AS w FROM dtx_base"""))
 
     dist = base.where("is_src = 1") \
         .selectExpr("x", "y", "CAST(0 AS BIGINT) AS dist")
-    frontier = dist
-    for r in range(1, int(rounds) + 1):
-        nxt = (frontier.join(edges, ["x", "y"])
-               .selectExpr("nx AS x", "ny AS y",
-                           f"CAST({r} AS BIGINT) AS dist"))
-        dist = pinf(dist.unionByName(nxt).groupBy("x", "y")
-                    .agg(F.min("dist").alias("dist")))
-        frontier = dist.where(F.col("dist") == r)
+    for _ in range(int(rounds)):
+        dist = (dist.join(edges, ["x", "y"])
+                .selectExpr("nx AS x", "ny AS y",
+                            "CAST(dist + w AS BIGINT) AS dist")
+                .groupBy("x", "y").agg(F.min("dist").alias("dist")))
     return dist
 
 
@@ -429,17 +432,22 @@ SELECT x, y, tx, ty FROM (
   JOIN fa_grid_v b ON b.x = c.bx AND b.y = c.by
   WHERE b.n > c.n) r WHERE rk = 1"""))
 
+    # Each round references the previous iterate exactly ONCE (the
+    # inflow join), so the loop chains lazily without per-round pins —
+    # one job at the end, linear plan depth, the pinned grid/dirs
+    # exchanges reused across rounds (r6 optimization; the prior
+    # per-round checkpoint paid ~0.5 s of job latency per round).
     u = grid.selectExpr("x", "y", "CAST(1 AS BIGINT) AS u")
     for _ in range(int(rounds)):
         inflow = (dirs.join(u, ["x", "y"])
                   .groupBy(F.col("tx").alias("jx"),
                            F.col("ty").alias("jy"))
                   .agg(F.sum("u").cast("long").alias("m")))
-        u = pinf(grid.join(inflow,
-                           (F.col("x") == F.col("jx"))
-                           & (F.col("y") == F.col("jy")), "left")
-                 .selectExpr("x", "y",
-                             "CAST(1 + COALESCE(m, 0) AS BIGINT) AS u"))
+        u = (grid.join(inflow,
+                       (F.col("x") == F.col("jx"))
+                       & (F.col("y") == F.col("jy")), "left")
+             .selectExpr("x", "y",
+                         "CAST(1 + COALESCE(m, 0) AS BIGINT) AS u"))
     ranked = (grid.join(u, ["x", "y"])
               .selectExpr("x", "y", "n", "u AS acc")
               .withColumn("rk", F.row_number().over(
@@ -499,11 +507,17 @@ def grid_cost_distance(points: DataFrame, rounds: int = 8,
     accessibility/least-cost-path surface (grid_distance_transform's
     weighted sibling).
 
-    Min-plus relaxation with a DELTA frontier: unlike BFS a cell's
-    cost can improve in later rounds, so each round relaxes only the
-    cells whose cost IMPROVED last round (classic delta-stepping
-    degenerate); every relation is grid-bounded, rounds are pinned,
-    no per-round driver action."""
+    Min-plus (Bellman-Ford) relaxation: the edge relation carries a
+    ZERO-weight self-loop per occupied cell, so each round is ONE
+    equi-join + min-aggregate referencing the previous iterate exactly
+    once — the fixed round count is a single lazy plan (one job,
+    linear depth, the pinned edge exchange reused across rounds)
+    instead of per-round checkpoint jobs (r6 optimization: the prior
+    delta-frontier loop paid ~0.6 s of job latency per round).
+    ``cost_r(c) = min(cost_{r-1}(c), min_nbr cost_{r-1}(nbr) + w)``
+    is the Bellman-Ford round, so after R rounds the result is the
+    min over ≤R-edge paths — the oracle's definition, unchanged.
+    Every relation is grid-bounded; no per-round driver action."""
     from pyspark.sql import functions as F
 
     from .pinning import fresh_pins
@@ -525,23 +539,17 @@ WITH doffs AS (SELECT * FROM (VALUES (-1,-1,3),(-1,0,2),(-1,1,3),(0,-1,2),
                AS t(dx, dy, w))
 SELECT b.x, b.y, n.x AS nx, n.y AS ny, CAST(o.w AS BIGINT) AS w
 FROM cdx_base b CROSS JOIN doffs o
-JOIN cdx_base n ON n.x = b.x + o.dx AND n.y = b.y + o.dy"""))
+JOIN cdx_base n ON n.x = b.x + o.dx AND n.y = b.y + o.dy
+UNION ALL
+SELECT x, y, x AS nx, y AS ny, CAST(0 AS BIGINT) AS w FROM cdx_base"""))
 
-    dist = pinf(base.where("is_src = 1")
-                .selectExpr("x", "y", "CAST(0 AS BIGINT) AS cost"))
-    frontier = dist
+    dist = base.where("is_src = 1") \
+        .selectExpr("x", "y", "CAST(0 AS BIGINT) AS cost")
     for _ in range(int(rounds)):
-        cand = (frontier.join(edges, ["x", "y"])
+        dist = (dist.join(edges, ["x", "y"])
                 .selectExpr("nx AS x", "ny AS y",
-                            "CAST(cost + w AS BIGINT) AS cost"))
-        new = pinf(dist.unionByName(cand).groupBy("x", "y")
-                   .agg(F.min("cost").alias("cost")))
-        frontier = (new.join(dist.withColumnRenamed("cost", "old"),
-                             ["x", "y"], "left")
-                    .where(F.col("old").isNull()
-                           | (F.col("cost") < F.col("old")))
-                    .select("x", "y", "cost"))
-        dist = new
+                            "CAST(cost + w AS BIGINT) AS cost")
+                .groupBy("x", "y").agg(F.min("cost").alias("cost")))
     return dist
 
 
@@ -578,15 +586,17 @@ FROM (SELECT CAST(CONV(SUBSTRING(MD5(CAST(id AS STRING)), 1, 8), 16, 10)
     for _ in range(int(rounds)):
         cent.createOrReplaceTempView("km_cent_v")
         picked = pinf(spark.sql("""
-SELECT id, x, y, ck, d2 FROM (
-  SELECT p.id, p.x, p.y, c.ck,
-         (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) AS d2,
-         ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
-           (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) ASC,
-           c.ck ASC) AS rk
-  FROM km_pts_v p CROSS JOIN km_cent_v c) a WHERE rk = 1"""))
-    # NOTE: the per-point window above replaces the template's
-    # MIN/join-back argmin — identical result (min d2, min ck tie)
+SELECT id, x, y, m.d2 AS d2, m.ck AS ck FROM (
+  SELECT p.id, p.x, p.y,
+         MIN(STRUCT((p.x - c.x) * (p.x - c.x)
+                    + (p.y - c.y) * (p.y - c.y) AS d2, c.ck AS ck)) AS m
+  FROM km_pts_v p CROSS JOIN km_cent_v c
+  GROUP BY p.id, p.x, p.y) a"""))
+    # NOTE: the lexicographic struct-MIN above replaces the template's
+    # MIN/join-back argmin — identical result (min d2, min ck tie);
+    # unlike a per-point ROW_NUMBER window it partial-aggregates
+    # map-side, so the k-way cross-join fan-out never shuffles
+    # (r6 optimization, guide §2.3)
         picked.createOrReplaceTempView("km_picked_v")
         cent = pinf(spark.sql("""
 SELECT c.ck,

@@ -781,21 +781,43 @@ def monotone_chain_hull(x: np.ndarray, y: np.ndarray) -> np.ndarray:
 def convex_hull_groups(points: DataFrame, group_col: str = "u",
                        lon_col: str = "lon",
                        lat_col: str = "lat") -> DataFrame:
-    """Per-group convex hull vertices via ``applyInPandas`` (groups are
-    small by contract — trajectory caps, cluster caps; the shuffle is
-    one hash partition on the group key).  Returns every hull vertex
-    row (group, lon, lat) — downstream rollups stay relational."""
+    """Per-group convex hull vertices (groups are small by contract —
+    trajectory caps, cluster caps).  Returns every hull vertex row
+    (group, lon, lat) — downstream rollups stay relational.
+
+    Shape (r6 optimization): a JVM ``collect_list`` groupBy turns each
+    group into one array row, and ONE ``mapInPandas`` stage hulls many
+    groups per Arrow batch.  The previous ``applyInPandas`` form paid
+    a per-group Python/pandas invocation (one tiny DataFrame per
+    group), which dominated wall time on thousands-of-small-groups
+    inputs (guide §4.2: batch the Python boundary).  The hull vertex
+    SET is input-order independent (``monotone_chain_hull`` lexsorts
+    internally), so ``collect_list`` order does not affect output."""
     import pandas as pd
+    from pyspark.sql import functions as F
 
-    def hull(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        idx = monotone_chain_hull(pdf[lon_col].to_numpy(np.float64),
-                                  pdf[lat_col].to_numpy(np.float64))
-        out = pdf.iloc[idx]
-        return pd.DataFrame({group_col: out[group_col],
-                             lon_col: out[lon_col],
-                             lat_col: out[lat_col]})
+    grouped = (points.select(group_col, lon_col, lat_col)
+               .groupBy(group_col)
+               .agg(F.collect_list(lon_col).alias("xs"),
+                    F.collect_list(lat_col).alias("ys")))
 
-    return points.select(group_col, lon_col, lat_col) \
-        .groupBy(group_col).applyInPandas(
-            hull, schema=f"{group_col} long, {lon_col} double, "
-                         f"{lat_col} double")
+    def hulls(batches):
+        for pdf in batches:
+            gs: list[np.ndarray] = []
+            lons: list[np.ndarray] = []
+            lats: list[np.ndarray] = []
+            for g, xs, ys in zip(pdf[group_col], pdf["xs"], pdf["ys"]):
+                x = np.asarray(xs, dtype=np.float64)
+                y = np.asarray(ys, dtype=np.float64)
+                idx = monotone_chain_hull(x, y)
+                gs.append(np.full(len(idx), g, dtype=np.int64))
+                lons.append(x[idx])
+                lats.append(y[idx])
+            if gs:
+                yield pd.DataFrame({group_col: np.concatenate(gs),
+                                    lon_col: np.concatenate(lons),
+                                    lat_col: np.concatenate(lats)})
+
+    return grouped.mapInPandas(
+        hulls, schema=f"{group_col} long, {lon_col} double, "
+                      f"{lat_col} double")

@@ -899,6 +899,70 @@ GROUP BY space_band,
 """
 
 
+def q_spacetime_pairs_grouped(dialect: str, res: int = 5) -> str:
+    """Spark-side restructure of :func:`q_spacetime_pairs` — identical
+    output, never materializes the pair stream (guide §2.3: aggregate
+    before you shuffle, taken to the limit).
+
+    The template's bands depend ONLY on the two events' (cell, day), so
+    every pair count is derivable from the (cell, day) occupancy table
+    ``st_g``: same-cell/same-day pairs are C(n,2) per group, same-cell/
+    different-day pairs are n_a·n_b per ordered day pair (d_b > d_a
+    picks each unordered event pair once), and adjacent-cell pairs are
+    n_a·n_b per HALF-plane directed offset — the 4 offsets (0,1),
+    (1,-1), (1,0), (1,1) enumerate each unordered adjacent cell pair
+    exactly once, so each cross-cell event pair (ids always distinct)
+    is counted once regardless of id order, exactly like the template's
+    ``a.id < b.id`` over the symmetric 9-offset fan-out.  A (band,
+    band) combo appears iff it has ≥ 1 contributing row, and every
+    contribution is ≥ 1 pair (the C(n,2) branch filters n ≥ 2), so the
+    output row set matches the template's GROUP BY bit-for-bit.
+
+    Work drops from Σ occupancy² pair rows (~90M at sf0.1) to the
+    occupancy-table joins (|cells × days| rows); the DuckDB oracle
+    keeps the pair-stream template, making this a genuinely different
+    algorithm checked to the same answer."""
+    day = H.idiv("ts_s", "86400", dialect)
+    return f"""
+WITH st_pts AS (
+  SELECT event_id AS id, {_epoch_s('ts', dialect)} AS ts_s,
+         {GT.lon_sql('event_id', dialect)} AS lon,
+         {GT.lat_sql('event_id', dialect)} AS lat
+  FROM events),
+st_g AS (
+  SELECT d, ix, iy, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT {day} AS d,
+               {C.ix_sql('lon', res)} AS ix, {C.iy_sql('lat', res)} AS iy
+        FROM st_pts) c
+  GROUP BY d, ix, iy),
+st_contrib AS (
+  SELECT 0 AS space_band, 0 AS dd, n * (n - 1) DIV 2 AS c
+  FROM st_g WHERE n >= 2
+  UNION ALL
+  SELECT 0 AS space_band, CAST(b.d - a.d AS INT) AS dd, a.n * b.n AS c
+  FROM st_g a JOIN st_g b
+    ON b.ix = a.ix AND b.iy = a.iy AND b.d > a.d AND b.d - a.d <= 7
+  UNION ALL
+  -- neighbor coords are PRECOMPUTED before the b join (the
+  -- flow-accumulation lesson): written directly, Catalyst takes the
+  -- |Δday| inequality as the only a–b join edge and runs a quadratic
+  -- BroadcastNestedLoopJoin over the occupancy table
+  SELECT 1 AS space_band, CAST(ABS(q.d - b.d) AS INT) AS dd, q.n * b.n AS c
+  FROM (SELECT a.d, a.n, a.ix + o.dx AS bx, a.iy + o.dy AS by
+        FROM st_g a
+        CROSS JOIN (SELECT * FROM (VALUES (0,1),(1,-1),(1,0),(1,1))
+                    AS t(dx, dy)) o) q
+  JOIN st_g b ON b.ix = q.bx AND b.iy = q.by
+  WHERE ABS(q.d - b.d) <= 7)
+SELECT space_band,
+       CASE WHEN dd = 0 THEN 0 WHEN dd = 1 THEN 1 ELSE 2 END AS time_band,
+       CAST(SUM(c) AS BIGINT) AS n_pairs
+FROM st_contrib
+GROUP BY space_band,
+         CASE WHEN dd = 0 THEN 0 WHEN dd = 1 THEN 1 ELSE 2 END
+"""
+
+
 # Privacy-preserving tile release — the two standard mechanisms a
 # location-data publisher runs before sharing aggregates:
 # k-anonymity suppression (cells with n < k never appear) and
@@ -3909,6 +3973,39 @@ FROM reach GROUP BY src
         return spark.sql("WITH " + body)
     queries["dedup_minhash_stopfiltered"] = minhash_stopfiltered_cached
 
+    def duplicate_spans_pinned(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+        """Spark side pins the hashed-position relation ``ds_pos``: it
+        is referenced by both the df groupBy and the flag join, and CTE
+        inlining re-runs the tokenize + explode + per-position md5 per
+        reference (r6 optimization).  Oracle unchanged."""
+        register_tables(spark, sf_dir)
+        pin = _fresh_checkpoints(spark, "duplicate_spans")
+        full = TX.duplicate_spans_sql(SPARK)
+        i_pos = full.index("ds_pos AS (")
+        i_dup = full.index("ds_dup AS (")
+        head_meta = full[full.index("WITH ") + 5:i_pos].rstrip().rstrip(",")
+        head_pos = full[full.index("WITH ") + 5:i_dup].rstrip().rstrip(",")
+        pin(spark.sql("WITH " + head_pos + "\nSELECT * FROM ds_pos")) \
+            .createOrReplaceTempView("ds_pos_pin")
+        tail = full[i_dup:].replace("FROM ds_pos", "FROM ds_pos_pin")
+        return spark.sql("WITH " + head_meta + ",\n" + tail)
+    queries["duplicate_spans"] = duplicate_spans_pinned
+
+    def boilerplate_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Same treatment for ``bp_pos`` (hot-gram df groupBy + coverage
+        join both re-ran the tokenize/md5 explode).  Oracle unchanged."""
+        register_tables(spark, sf_dir)
+        pin = _fresh_checkpoints(spark, "boilerplate_ngrams")
+        full = TX.boilerplate_ngrams_sql(SPARK)
+        i_hot = full.index("bp_hot AS (")
+        head = full[full.index("WITH ") + 5:i_hot].rstrip().rstrip(",")
+        pin(spark.sql("WITH " + head + "\nSELECT * FROM bp_pos")) \
+            .createOrReplaceTempView("bp_pos_pin")
+        tail = full[i_hot:].replace("FROM bp_pos", "FROM bp_pos_pin")
+        return spark.sql("WITH " + tail)
+    queries["boilerplate_ngrams"] = boilerplate_pinned
+
     def overlap_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Pin the winnowed-fingerprint relation before the self-join:
         CTE inlining otherwise recomputes the whole windowed winnow
@@ -5125,7 +5222,23 @@ GROUP BY t.u
     queries["skyline_events"] = _sql_runner(q_skyline)
     oracles["skyline_events"] = q_skyline(DUCK)
 
-    queries["triangle_counts"] = _sql_runner(q_triangles)
+    def triangles_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Spark side pins the oriented-edge relation before the wedge
+        join: ``tg_oe`` is referenced three times and CTE inlining would
+        re-run the whole upstream (events scan → md5 geotag → window →
+        DISTINCT → degree rank join) once per reference (r6
+        optimization; the pinned relation keeps the REPARTITION(64, u)
+        distribution the hint establishes).  Oracle unchanged."""
+        register_tables(spark, sf_dir)
+        pin = _fresh_checkpoints(spark, "triangle_counts")
+        full = q_triangles(SPARK)
+        idx = full.index("tg_tri AS (")
+        head = full[full.index("WITH ") + 5:idx].rstrip().rstrip(",")
+        pin(spark.sql("WITH " + head + "\nSELECT * FROM tg_oe")) \
+            .createOrReplaceTempView("tg_oe_pin")
+        tail = "WITH " + full[idx:].replace("tg_oe e", "tg_oe_pin e")
+        return spark.sql(tail)
+    queries["triangle_counts"] = triangles_pinned
     oracles["triangle_counts"] = q_triangles(DUCK)
 
     # Spark side runs the PINNED-round runner (CTE inlining makes the
@@ -5169,7 +5282,21 @@ WITH rs_src AS (
     queries["trajectory_resample"] = _sql_runner(q_resample)
     oracles["trajectory_resample"] = q_resample(DUCK)
 
-    queries["viewshed_cells"] = _sql_runner(q_viewshed)
+    def viewshed_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Spark side pins the occupancy grid before the line-of-sight
+        chain: ``vs_grid`` is referenced three times (origin pick,
+        targets, the per-step elevation lookup) and CTE inlining
+        re-runs the md5 geotag + groupBy per reference (r6
+        optimization).  Oracle unchanged."""
+        register_tables(spark, sf_dir)
+        pin = _fresh_checkpoints(spark, "viewshed_cells")
+        full = q_viewshed(SPARK)
+        idx = full.index("vs_org AS (")
+        head = full[full.index("WITH ") + 5:idx].rstrip().rstrip(",")
+        pin(spark.sql("WITH " + head + "\nSELECT * FROM vs_grid")) \
+            .createOrReplaceTempView("vs_grid_pin")
+        return spark.sql("WITH " + viewshed_sql("vs_grid_pin", SPARK))
+    queries["viewshed_cells"] = viewshed_pinned
     oracles["viewshed_cells"] = q_viewshed(DUCK)
 
     queries["exact_percentiles"] = _sql_runner(q_exact_percentiles)
@@ -5200,7 +5327,10 @@ FROM events""")
     queries["direction_rose"] = _sql_runner(q_direction_rose)
     oracles["direction_rose"] = q_direction_rose(DUCK)
 
-    queries["spacetime_pairs"] = _sql_runner(q_spacetime_pairs)
+    # Spark side runs the grouped-occupancy restructure (no pair
+    # stream); the oracle keeps the original pair-join template —
+    # two algorithms, one answer (r6 optimization, guide §2.3).
+    queries["spacetime_pairs"] = _sql_runner(q_spacetime_pairs_grouped)
     oracles["spacetime_pairs"] = q_spacetime_pairs(DUCK)
 
     queries["private_tiles"] = _sql_runner(q_private_tiles)
