@@ -154,19 +154,49 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
     points.selectExpr("id", "lon", "lat").createOrReplaceTempView(pts_v)
     pinf = fresh_pins(spark, slot, strategy=pin)
 
-    base = dbscan_base_cte(H.SPARK, eps, min_pts, pts=pts_v)
-    npairs = pinf(spark.sql(
-        "WITH " + base[:base.index("cores AS (")].rstrip().rstrip(",")
-        + "\nSELECT * FROM npairs"))
-    npairs.createOrReplaceTempView("npairs")
-    spark.sql(f"SELECT a AS id FROM npairs GROUP BY a "
-              f"HAVING COUNT(*) >= {int(min_pts)}") \
+    # r6 optimization: generate each unordered candidate pair ONCE —
+    # same-cell pairs with id order, cross-cell pairs through the four
+    # HALF-plane offsets (E, NE, N, NW enumerate each unordered
+    # adjacent cell pair exactly once) — which halves the fan-out join
+    # and the distance evaluations vs the symmetric 9-offset template.
+    # The directed ``npairs`` relation the shared tail expects is then
+    # a cheap view: up ∪ mirror(up) ∪ self-pairs (one per point — the
+    # (0,0) offset's p=q rows).  Identical row set to the template's.
+    e = _eps_lit(eps)
+    gcells = pinf(spark.sql(f"""
+SELECT id, lon, lat,
+       CAST(FLOOR(lon / {e}) AS BIGINT) AS cx,
+       CAST(FLOOR(lat / {e}) AS BIGINT) AS cy
+FROM {pts_v}"""))
+    gcells.createOrReplaceTempView("dbscan_gcells")
+    d2 = ("(p.lon - q.lon) * (p.lon - q.lon) "
+          f"+ (p.lat - q.lat) * (p.lat - q.lat) <= {e} * {e}")
+    up = pinf(spark.sql(f"""
+SELECT p.id AS a, q.id AS b
+FROM dbscan_gcells p JOIN dbscan_gcells q
+  ON q.cx = p.cx AND q.cy = p.cy AND p.id < q.id
+WHERE {d2}
+UNION ALL
+SELECT LEAST(p.id, q.id) AS a, GREATEST(p.id, q.id) AS b
+FROM (SELECT g.id, g.lon, g.lat, g.cx + o.dx AS gx, g.cy + o.dy AS gy
+      FROM dbscan_gcells g
+      CROSS JOIN (SELECT * FROM (VALUES (0,1),(1,-1),(1,0),(1,1))
+                  AS t(dx, dy)) o) p
+JOIN dbscan_gcells q ON q.cx = p.gx AND q.cy = p.gy
+WHERE {d2}"""))
+    up.createOrReplaceTempView("dbscan_up")
+    spark.sql("SELECT a, b FROM dbscan_up "
+              "UNION ALL SELECT b AS a, a AS b FROM dbscan_up "
+              "UNION ALL SELECT id AS a, id AS b FROM dbscan_gcells") \
+        .createOrReplaceTempView("npairs")
+    pinf(spark.sql(f"SELECT a AS id FROM npairs GROUP BY a "
+                   f"HAVING COUNT(*) >= {int(min_pts)}")) \
         .createOrReplaceTempView("cores")
     core_edges = spark.sql(
-        "SELECT p.a AS src, p.b AS dst FROM npairs p "
-        "JOIN cores ca ON p.a = ca.id JOIN cores cb ON p.b = cb.id "
-        "WHERE p.a < p.b")
-    cc = connected_components(core_edges, pin=pin)
+        "SELECT u.a AS src, u.b AS dst FROM dbscan_up u "
+        "JOIN cores ca ON u.a = ca.id JOIN cores cb ON u.b = cb.id")
+    cc = connected_components(core_edges, pin=pin,
+                              slot=None if slot is None else f"{slot}_cc")
     cc.createOrReplaceTempView("dbscan_cc")
     # isolated cores never appear in an edge: they are their own cluster
     spark.sql("SELECT c.id, COALESCE(x.component, c.id) AS label "

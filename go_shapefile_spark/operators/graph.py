@@ -28,27 +28,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Star-loop broadcast cutoff (rows in the live edge set): below this the
+# per-node minima relations are hinted broadcast — ~1M two-long rows is
+# tens of MB built, far under the session's 64 MB auto threshold and the
+# 8 GB hard cap; above it the stars keep scale-correct shuffle joins.
+_BROADCAST_EDGES = 1_000_000
 
-def _large_star(edges: DataFrame) -> DataFrame:
+
+def _large_star(edges: DataFrame, small: bool = False) -> DataFrame:
     """Connect every neighbor larger than u to u's smallest neighbor
-    (including u itself)."""
+    (including u itself).  No ``distinct`` here: the small-star half of
+    the iteration dedupes its output, so the intermediate dedup shuffle
+    was pure overhead (r6).  ``small`` broadcast-hints the per-node
+    minima when the caller KNOWS the live edge set is tiny (from the
+    previous convergence checksum) — on converged-tail iterations this
+    removes the join exchanges that dominate wall time."""
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = (sym.groupBy("src")
             .agg(F.min("dst").alias("_mn"))
             .select("src", F.least(F.col("_mn"), F.col("src")).alias("mn")))
+    if small:
+        mins = F.broadcast(mins)
     return (sym.join(mins, "src")
             .where(F.col("dst") > F.col("src"))
-            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
-            .distinct())
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst")))
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, small: bool = False) -> DataFrame:
     """Within each node's smaller-or-equal neighborhood, connect all
     members to the minimum."""
     e = edges.select(F.greatest("src", "dst").alias("src"),
                      F.least("src", "dst").alias("dst"))
     mins = e.groupBy("src").agg(F.min("dst").alias("mn"))
+    if small:
+        mins = F.broadcast(mins)
     members = (e.join(mins, "src")
                .select(F.col("dst").alias("node"), "mn")
                .unionByName(mins.select(F.col("src").alias("node"), "mn")))
@@ -70,30 +84,74 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 25,
-                         pin: str | None = None) -> DataFrame:
+                         pin: str | None = None,
+                         slot: str | None = None) -> DataFrame:
     """Undirected edge list → (node, component) with component = the
     smallest node id in each connected component.  Nodes are every
     distinct endpoint (isolated nodes don't appear — they were never in
     an edge).  Ids must be an orderable type (long/string).
 
+    A single min-neighborhood CONTRACTION pass runs first (r6
+    optimization): every node hooks to ``m(v) = min(closed
+    neighborhood)``, edges contract to their supernodes, and the star
+    loop runs on the contracted graph — on dense graphs (the dbscan /
+    near-dup shape, avg degree ~20) this shrinks the per-iteration
+    relation by the degree factor for the cost of one extra pass.
+    Correctness: m(v) shares v's component (v—m(v) is an edge or
+    identity); every original edge induces a supernode edge, so
+    components biject; each component's minimum z has m(z) = z, so the
+    contracted component minimum IS the original minimum, and the final
+    map-back ``comp(v) = coalesce(comp'(m(v)), m(v))`` (NULL when v's
+    whole component contracted into one supernode) restores per-node
+    labels.  The star loop keeps its O(log n) worst-case guarantee —
+    contraction alone can be O(diameter) on paths, so it runs ONCE.
+
+    ``slot`` names the pin slot for the hook mapping (callers that
+    re-run per session pass one so reruns recycle; None = anonymous).
     ``max_iter`` bounds the alternating rounds (convergence is
     O(log n); 25 covers any realistic graph) — non-convergence raises
     rather than returning partial labels.
     """
-    from .pinning import rolling_pins
+    from .pinning import fresh_pins, rolling_pins
 
     spark = edges.sparkSession
     # rolling: only the newest iterate is ever re-read, so superseded
     # rounds release as soon as their successor materializes (bounded
-    # at 2 copies instead of max_iter+1)
-    pinf = rolling_pins(spark, pin)
+    # at 2 copies instead of max_iter+1).  lazy: every pin below is
+    # immediately followed by a _checksum action, which fuses the
+    # checkpoint materialization into the checksum job (one job per
+    # iteration instead of two)
+    pinf = rolling_pins(spark, pin, lazy=True)
     cur = pinf(edges
                .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
                .where(F.col("src") != F.col("dst"))
                .distinct())
+    # contraction pass: m outlives the loop (the final map-back reads
+    # it), so it pins under its own slot, not the rolling one
+    hookf = fresh_pins(spark, slot, strategy=pin)
+    sym = cur.unionByName(
+        cur.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = hookf(sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+              .select(F.col("src").alias("node"),
+                      F.least(F.col("_mn"), F.col("src")).alias("m")))
+    cur = pinf(cur
+               .join(m.select(F.col("node").alias("src"),
+                              F.col("m").alias("msrc")), "src")
+               .join(m.select(F.col("node").alias("dst"),
+                              F.col("m").alias("mdst")), "dst")
+               .select(F.col("msrc").alias("src"),
+                       F.col("mdst").alias("dst"))
+               .where(F.col("src") != F.col("dst"))
+               .distinct())
     prev = _checksum(cur)
     for _ in range(max_iter):
-        cur = pinf(_small_star(_large_star(cur)))
+        # the previous checksum's row count is a free exact size of the
+        # live edge set: under the broadcast cutoff, hint both stars'
+        # minima relations so the joins skip their exchanges (a node
+        # count is bounded by 2·edges; the cutoff keeps the built
+        # relation well under the session broadcast threshold)
+        small = prev[0] <= _BROADCAST_EDGES
+        cur = pinf(_small_star(_large_star(cur, small), small))
         now = _checksum(cur)
         if now == prev:
             break
@@ -104,10 +162,14 @@ def connected_components(edges: DataFrame, src: str = "src",
             f"iterations")
     roots = cur.select(F.col("dst").alias("node"),
                        F.col("dst").alias("component")).distinct()
-    return (cur.select(F.col("src").alias("node"),
-                       F.col("dst").alias("component"))
-            .unionByName(roots)
-            .distinct())
+    contracted = (cur.select(F.col("src").alias("node"),
+                             F.col("dst").alias("component"))
+                  .unionByName(roots)
+                  .distinct())
+    return (m.join(contracted, m["m"] == contracted["node"], "left")
+            .select(m["node"].alias("node"),
+                    F.coalesce(contracted["component"], m["m"])
+                    .alias("component")))
 
 
 def dedup_keep_representatives(edges: DataFrame, src: str = "src",

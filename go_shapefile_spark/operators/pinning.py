@@ -129,15 +129,22 @@ def fresh_pins(spark: SparkSession, slot: str | None,
 
 
 def rolling_pins(spark: SparkSession,
-                 strategy: str | None = None) -> Callable[[DataFrame],
-                                                          DataFrame]:
+                 strategy: str | None = None,
+                 lazy: bool = False) -> Callable[[DataFrame], DataFrame]:
     """Pin factory for loops where ONLY the newest iterate is ever read
     again (connected-components contraction): each pin materializes the
     new DataFrame FIRST — its plan reads the previous pin — and then
     releases the superseded one, so block/disk usage stays bounded at
     two iterates instead of one per round (r5 review).  NOT safe for
     loops whose final result unions every round (kNN frontier, pyramid
-    levels) — use :func:`fresh_pins` there."""
+    levels) — use :func:`fresh_pins` there.
+
+    ``lazy=True`` (local strategy only) defers materialization to the
+    caller's NEXT action over the pinned DataFrame — for loops that
+    immediately run a convergence probe over each iterate, this fuses
+    the checkpoint job and the probe job into one (r6; the probe's
+    first pass computes AND persists the blocks).  Only safe when the
+    caller guarantees such an action before the following pin."""
     s = pin_strategy(spark, strategy)
     _ANON[0] += 1
     slot = f"anon_{_ANON[0]}"
@@ -148,7 +155,7 @@ def rolling_pins(spark: SparkSession,
         n = counter[0]
         counter[0] += 1
         if s == "local":
-            out = df.localCheckpoint()
+            out = df.localCheckpoint(eager=not lazy)
             jrdd = out._jdf.queryExecution().analyzed().rdd()
             release = (lambda: jrdd.unpersist(False))
         else:
@@ -157,7 +164,15 @@ def rolling_pins(spark: SparkSession,
             out = spark.read.parquet(path)
             release = (lambda: fsio.rmtree(path))
         prev = _PINS.pop(key, [])
-        _PINS[key] = [release]
+        if s == "local" and lazy:
+            # the new pin has NOT materialized yet and its plan reads
+            # the newest previous pin (whose checkpoint cannot be
+            # recomputed once unpersisted) — defer that one's release
+            # by one round; anything older is no longer referenced
+            _PINS[key] = prev[-1:] + [release]
+            prev = prev[:-1]
+        else:
+            _PINS[key] = [release]
         for rel in prev:
             try:
                 rel()
