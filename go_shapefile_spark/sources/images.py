@@ -343,18 +343,50 @@ def check_invariants(df: DataFrame) -> DataFrame:
     """
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            phash = pdf["phash"].to_numpy(np.int64)
+            ws = pdf["w"].to_numpy(np.int64)
+            hs = pdf["h"].to_numpy(np.int64)
+            fmts = pdf["fmt"].to_numpy()
+            # batched caption twin: ONE splitmix64 pass over the column
+            # (identical algebra to caption_of — h is the uint64 mix,
+            # word picks shift/mod it), then a per-row string compare
+            hv = splitmix64(phash)
+            nw = len(_WORDS)
+            caps = pdf["caption"].to_numpy()
+            cap_oks = [
+                " ".join(_WORDS[(int(h) >> (5 * k)) % nw]
+                         for k in range(6)) == c
+                for h, c in zip(hv, caps)]
+            # batched reference regen per (w, h) group for the noise-
+            # field rows: one 2D splitmix64 stream instead of a numpy
+            # round-trip per row (bytes per row are identical to
+            # pixels_from_phash — same uint64 wrap, same LE byte view)
+            refs: list = [None] * n
+            std = fmts != "jpegp"
+            for w, h in {(int(a), int(b))
+                         for a, b in zip(ws[std], hs[std])}:
+                sel = np.nonzero(std & (ws == w) & (hs == h))[0]
+                nb = (w * h * 3 + 7) // 8
+                base = (phash[sel].view(np.uint64)[:, None]
+                        + np.arange(nb, dtype=np.uint64)[None, :])
+                pix = splitmix64(base.view(np.int64)) \
+                    .view(np.uint8).reshape(len(sel), nb * 8)
+                for j, i in enumerate(sel):
+                    refs[i] = pix[j, :w * h * 3].reshape(h, w, 3)
             out = []
-            for r in pdf.itertuples(index=False):
-                regen = (pixels_lowfreq_from_phash if r.fmt == "jpegp"
-                         else pixels_from_phash)
-                ref = regen(int(r.phash), int(r.w), int(r.h))
-                cap_ok = caption_of(int(r.phash)) == r.caption
+            for i, r in enumerate(pdf.itertuples(index=False)):
+                ref = refs[i] if refs[i] is not None else \
+                    pixels_lowfreq_from_phash(int(r.phash), int(r.w),
+                                              int(r.h))
                 got = decode_image(r.bytes, r.fmt)
                 mse = float(np.mean((got.astype(np.float64) - ref) ** 2))
                 psnr = float("inf") if mse == 0 else \
                     10.0 * np.log10(255.0 ** 2 / mse)
                 out.append((r.image_id, r.fmt, bool(psnr >= 40.0),
-                            psnr, cap_ok))
+                            psnr, cap_oks[i]))
             yield pd.DataFrame(out, columns=["image_id", "fmt", "pixels_ok",
                                              "psnr_db", "caption_ok"])
 

@@ -353,6 +353,16 @@ class _HuffLUT:
             code <<= 1
         self.sym = sym.tolist()
         self.len = ln.tolist()
+        # combined code+value fast-path tables (r6): the value bits of
+        # a coefficient follow its Huffman code, so when code length +
+        # value size fit in the same 16-bit window both decode from ONE
+        # window read.  ``sz`` is the value size (AC low nibble; DC
+        # symbols ARE the size, high nibble 0, so the same arrays serve
+        # both), ``run`` the AC zero run, ``tot`` the combined length.
+        szs = sym & 15
+        self.run = (sym >> 4).tolist()
+        self.sz = szs.tolist()
+        self.tot = (ln + szs).tolist()
 
     @classmethod
     def get(cls, bits: list[int], vals: list[int]) -> "_HuffLUT":
@@ -372,28 +382,41 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+# _extend inlined in the sequential hot loop: half / offset per bit size
+_EXT_HALF = [1 << (s - 1) if s else 1 for s in range(17)]
+_EXT_OFF = [(1 << s) - 1 for s in range(17)]
+_BIT_MASK = [(1 << s) - 1 for s in range(17)]
+
+
 def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
     """De-stuffed entropy byte runs from ``pos``, split on RSTn markers;
     stops at any other marker (EOI / next header).  Returns the runs and
     the byte offset of the terminating marker, so multi-scan decoders
-    (progressive / non-interleaved sequential) can continue parsing."""
+    (progressive / non-interleaved sequential) can continue parsing.
+
+    Literal runs between 0xFF bytes copy in bulk (``bytes.find`` skips
+    to the next marker candidate) — the prior byte-at-a-time Python
+    loop was ~25% of a small image's decode wall time (r6)."""
     segs: list[bytearray] = [bytearray()]
     n = len(data)
     i = pos
+    find = data.find
     while i < n:
-        b = data[i]
-        if b != 0xFF:
-            segs[-1].append(b)
-            i += 1
-            continue
-        nxt = data[i + 1] if i + 1 < n else 0xD9
+        j = find(b"\xff", i)
+        if j < 0:
+            segs[-1] += data[i:]
+            i = n
+            break
+        segs[-1] += data[i:j]
+        nxt = data[j + 1] if j + 1 < n else 0xD9
         if nxt == 0x00:                       # stuffed 0xFF data byte
             segs[-1].append(0xFF)
-            i += 2
+            i = j + 2
         elif 0xD0 <= nxt <= 0xD7:             # restart marker
             segs.append(bytearray())
-            i += 2
+            i = j + 2
         else:                                 # EOI or next segment
+            i = j
             break
     return [bytes(s) for s in segs], i
 
@@ -590,7 +613,8 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
     for c in comps:
         td, ta = scan[c["id"]]
         dc, ac = htables[(0, td)], htables[(1, ta)]
-        tabs.append((dc.sym, dc.len, ac.sym, ac.len))
+        tabs.append((dc.sym, dc.len, dc.tot, ac.len, ac.run, ac.sz,
+                     ac.tot))
     preds = [0] * n_comps
     n_mcu = 0
     try:
@@ -607,7 +631,7 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
                     preds = [0] * n_comps
                 for ci in range(n_comps):
                     c = comps[ci]
-                    dsym, dlen, asym, alen = tabs[ci]
+                    dsym, dlen, dtot, alen, arun, asz, atot = tabs[ci]
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
                             zz = [0] * 64
@@ -618,13 +642,23 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
                             if s == 0:
                                 raise ValueError("invalid Huffman code")
                             sym = dsym[w16]
-                            p += s
                             if sym:
-                                if p >= wlimit:
-                                    win, wbase, wlimit = stream.window(p)
-                                preds[ci] += _extend(
-                                    win[p - wbase] >> (16 - sym), sym)
-                                p += sym
+                                tot = dtot[w16]
+                                if tot <= 16:
+                                    v = (w16 >> (16 - tot)) \
+                                        & _BIT_MASK[sym]
+                                    p += tot
+                                else:
+                                    p += s
+                                    if p >= wlimit:
+                                        win, wbase, wlimit = \
+                                            stream.window(p)
+                                    v = win[p - wbase] >> (16 - sym)
+                                    p += sym
+                                preds[ci] += v if v >= _EXT_HALF[sym] \
+                                    else v - _EXT_OFF[sym]
+                            else:
+                                p += s
                             zz[0] = preds[ci]
                             k = 1
                             while k < 64:
@@ -635,23 +669,31 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
                                 if s == 0:
                                     raise ValueError(
                                         "invalid Huffman code")
-                                rs = asym[w16]
-                                p += s
-                                r, sz = rs >> 4, rs & 15
+                                sz = asz[w16]
                                 if sz == 0:
-                                    if r == 15:
+                                    p += s
+                                    if arun[w16] == 15:
                                         k += 16          # ZRL
                                         continue
                                     break                # EOB
-                                k += r
+                                k += arun[w16]
                                 if k > 63:
                                     raise ValueError(
                                         "AC index out of range")
-                                if p >= wlimit:
-                                    win, wbase, wlimit = stream.window(p)
-                                zz[k] = _extend(
-                                    win[p - wbase] >> (16 - sz), sz)
-                                p += sz
+                                tot = atot[w16]
+                                if tot <= 16:
+                                    v = (w16 >> (16 - tot)) \
+                                        & _BIT_MASK[sz]
+                                    p += tot
+                                else:
+                                    p += s
+                                    if p >= wlimit:
+                                        win, wbase, wlimit = \
+                                            stream.window(p)
+                                    v = win[p - wbase] >> (16 - sz)
+                                    p += sz
+                                zz[k] = v if v >= _EXT_HALF[sz] \
+                                    else v - _EXT_OFF[sz]
                                 k += 1
                             coeffs[ci].append(zz)
                             blkpos[ci].append(
