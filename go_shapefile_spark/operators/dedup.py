@@ -106,6 +106,14 @@ def minhash_lsh_sql(dialect: str, rel: str = "documents", k: int = 9,
     same corpus emits candidates proportional to true near-dups.
     """
     rows_per_band = num_hashes // bands
+    # Spark-only verify-join hints (the oracle text must stay stable, so
+    # they are not emitted for DuckDB): left-deep build-right planning
+    # would otherwise BROADCAST the full shingle relation twice (measured
+    # ~64 MB built twice per run at sf0.1); the candidate relation is the
+    # broadcast side and the shingle sides join by shuffle — the same
+    # scale posture as the fingerprint_overlap /*+ MERGE */ precedent.
+    verify_hint = (" /*+ BROADCAST(c), SHUFFLE_HASH(sa, sb) */"
+                   if dialect == H.SPARK else "")
     band_selects = []
     for b in range(bands):
         cols = ", ".join(f"m{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band))
@@ -139,7 +147,7 @@ cand AS (
   GROUP BY a.doc_id, b.doc_id
 ),
 inter AS (
-  SELECT c.doc_a, c.doc_b, MIN(c.na) AS na, MIN(c.nb) AS nb, COUNT(*) AS i
+  SELECT{verify_hint} c.doc_a, c.doc_b, MIN(c.na) AS na, MIN(c.nb) AS nb, COUNT(*) AS i
   FROM cand c
   JOIN {verify_rel} sa ON sa.doc_id = c.doc_a
   JOIN {verify_rel} sb ON sb.doc_id = c.doc_b AND sb.x = sa.x

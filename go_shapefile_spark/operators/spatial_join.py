@@ -140,12 +140,21 @@ def polygon_cell_cover(polygons: list[dict], res: int,
     Returns pandas DataFrame (cell:int64, fid:int64, full:bool
     [, rx, ry, ref_inside, edges]).
     """
+    import math
+
     n = 1 << res
     w, h = 360.0 / n, 180.0 / n
     # Accumulate per-polygon numpy chunks and build ONE DataFrame at the
     # end: a pandas frame per polygon (six __setitem__ block inserts
     # each) was ~80% of the build time at 200k polygons (profiled).
-    cells_l: list[np.ndarray] = []
+    # r6: the Morton encode is ALSO batched — grid coordinates collect
+    # per polygon and ONE cell_from_xy runs over the concatenation (the
+    # 10-op bit spread per tiny array was ~25% of the kernel); the bbox
+    # grid range uses scalar math (same float64 ops as xy_np) and the
+    # two per-polygon PIP calls (interior centers, partial centers)
+    # fuse into one pointwise call on all centers.
+    gx_l: list[np.ndarray] = []
+    gy_l: list[np.ndarray] = []
     fids_l: list[np.ndarray] = []
     full_l: list[np.ndarray] = []
     rx_l: list[np.ndarray] = []
@@ -157,12 +166,14 @@ def polygon_cell_cover(polygons: list[dict], res: int,
     for poly in polygons:
         coords, ends, fid = poly["coords"], poly["ends"], poly["fid"]
         x0, y0, x1, y1 = G.polygon_bbox(coords)
-        ix0, iy0 = C.xy_np(np.array([x0]), np.array([y0]), res)
-        ix1, iy1 = C.xy_np(np.array([x1]), np.array([y1]), res)
-        ixs = np.arange(ix0[0], ix1[0] + 1)
-        iys = np.arange(iy0[0], iy1[0] + 1)
-        gx, gy = np.meshgrid(ixs, iys)
-        gx, gy = gx.ravel(), gy.ravel()
+        ix0 = min(max(int(math.floor((x0 + 180.0) / 360.0 * n)), 0), n - 1)
+        iy0 = min(max(int(math.floor((y0 + 90.0) / 180.0 * n)), 0), n - 1)
+        ix1 = min(max(int(math.floor((x1 + 180.0) / 360.0 * n)), 0), n - 1)
+        iy1 = min(max(int(math.floor((y1 + 90.0) / 180.0 * n)), 0), n - 1)
+        ixs = np.arange(ix0, ix1 + 1)
+        iys = np.arange(iy0, iy1 + 1)
+        gx = np.tile(ixs, len(iys))
+        gy = np.repeat(iys, len(ixs))
         lon0 = -180.0 + gx * w
         lat0 = -90.0 + gy * h
 
@@ -182,46 +193,46 @@ def polygon_cell_cover(polygons: list[dict], res: int,
         interior = ~partial
         centers_x = lon0 + w / 2
         centers_y = lat0 + h / 2
-        inside_interior = G.point_in_polygon_chunked(
-            centers_x[interior], centers_y[interior], coords, ends) \
-            if interior.any() else np.zeros(0, dtype=bool)
+        inside_all = G.point_in_polygon_chunked(
+            centers_x, centers_y, coords, ends) \
+            if len(gx) else np.zeros(0, dtype=bool)
+        inside_interior = inside_all[interior]
 
-        cell_full = C.cell_from_xy(gx[interior][inside_interior],
-                                   gy[interior][inside_interior], res)
-        cell_part = C.cell_from_xy(gx[partial], gy[partial], res)
-        n_rows = len(cell_full) + len(cell_part)
-        cells_l.append(np.concatenate([cell_full, cell_part]))
-        fids_l.append(np.full(n_rows, fid, dtype=np.int64))
-        full_l.append(np.concatenate(
-            [np.ones(len(cell_full), dtype=bool),
-             np.zeros(len(cell_part), dtype=bool)]))
+        keep_full = np.nonzero(interior)[0][inside_interior]
+        part_rows = np.nonzero(partial)[0]
+        n_full, n_part = len(keep_full), len(part_rows)
+        gx_l.append(gx[keep_full])
+        gx_l.append(gx[part_rows])
+        gy_l.append(gy[keep_full])
+        gy_l.append(gy[part_rows])
+        fids_l.append(np.full(n_full + n_part, fid, dtype=np.int64))
+        full_l.append(np.ones(n_full, dtype=bool))
+        full_l.append(np.zeros(n_part, dtype=bool))
         if with_edges:
             # edge segments as [x1, y1, x2, y2] rows
             segs = _edge_segments(coords, ends)
             hits = np.concatenate(hit_cols, axis=1) if hit_cols else \
                 np.zeros((len(gx), 0), dtype=bool)
-            ref_inside_part = G.point_in_polygon_chunked(
-                centers_x[partial], centers_y[partial], coords, ends) \
-                if partial.any() else np.zeros(0, dtype=bool)
-            part_rows = np.nonzero(partial)[0]
-            edges_all.extend([None] * len(cell_full))
+            ref_inside_part = inside_all[part_rows]
+            edges_all.extend([None] * n_full)
             edges_all.extend(segs[hits[i]].tolist() for i in part_rows)
-            rx_l.append(np.concatenate([centers_x[interior][inside_interior],
-                                        centers_x[partial]]))
-            ry_l.append(np.concatenate([centers_y[interior][inside_interior],
-                                        centers_y[partial]]))
-            ref_l.append(np.concatenate(
-                [np.ones(len(cell_full), dtype=bool), ref_inside_part]))
-            lon0_l.append(np.concatenate([lon0[interior][inside_interior],
-                                          lon0[partial]]))
-            lat0_l.append(np.concatenate([lat0[interior][inside_interior],
-                                          lat0[partial]]))
-    if not cells_l:
+            rx_l.append(centers_x[keep_full])
+            rx_l.append(centers_x[part_rows])
+            ry_l.append(centers_y[keep_full])
+            ry_l.append(centers_y[part_rows])
+            ref_l.append(np.ones(n_full, dtype=bool))
+            ref_l.append(ref_inside_part)
+            lon0_l.append(lon0[keep_full])
+            lon0_l.append(lon0[part_rows])
+            lat0_l.append(lat0[keep_full])
+            lat0_l.append(lat0[part_rows])
+    if not fids_l:
         cols = {"cell": np.array([], dtype=np.int64),
                 "fid": np.array([], dtype=np.int64),
                 "full": np.array([], dtype=bool)}
         return pd.DataFrame(cols)
-    out = {"cell": np.concatenate(cells_l),
+    out = {"cell": C.cell_from_xy(np.concatenate(gx_l),
+                                  np.concatenate(gy_l), res),
            "fid": np.concatenate(fids_l),
            "full": np.concatenate(full_l)}
     if with_edges:
