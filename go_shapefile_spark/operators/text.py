@@ -151,9 +151,26 @@ def winnow_fingerprint_sql(dialect: str, rel: str = "documents",
     identical computation; the gate aggregates per doc (count / min /
     max / sum of fingerprints — sums stay far below int64 under ANSI
     because k-gram hashes are 32-bit).
+
+    The SPARK dialect emits the de-skewed CHUNKED fingerprint build
+    (r6 optimization): the unchunked form sorts each document in one
+    window partition AND carries the full text through the position
+    explode — O(len²) bytes per document (the CLAUDE.md winnowing
+    rule).  Chunk 64 bounds the carried substring to ~80 chars, which
+    measures fastest on BOTH the web-page gate corpus and the
+    book-length bench probe (7.3 s → ~1.3 s there).  The chunked ``fps`` set is IDENTICAL to
+    the unchunked one (property-tested per chunk size), and the DuckDB
+    dialect keeps the original unchunked text, so the oracle continues
+    to check the chunk restructure against the reference algebra.
     """
+    from ..functions import hashes as H
+
+    if dialect == H.SPARK:
+        body = _winnow_fps_cte_chunked(dialect, rel, k, window, 64)
+    else:
+        body = _winnow_fps_cte(dialect, rel, k, window)
     return f"""
-WITH {_winnow_fps_cte(dialect, rel, k, window)}
+WITH {body}
 SELECT doc_id, COUNT(*) AS n_fps,
        MIN(fp) AS min_fp, MAX(fp) AS max_fp,
        CAST(SUM(fp) AS BIGINT) AS sum_fp
