@@ -412,7 +412,8 @@ def audio_fingerprint(audio: DataFrame,
             yield pd.DataFrame({"audio_id": pdf["audio_id"],
                                 "afp": fingerprint_batch(pdf, stub_ok)})
 
-    return audio.mapInPandas(run, schema="audio_id string, afp long")
+    return audio.mapInPandas(
+        run, schema="audio_id string, afp long")
 
 
 def fingerprint_batch(pdf: pd.DataFrame,
@@ -657,7 +658,8 @@ def image_ahash(images: DataFrame, stub_ok: bool = False) -> DataFrame:
             yield pd.DataFrame({"image_id": pdf["image_id"],
                                 "ahash": hashes.view(np.int64)})
 
-    return images.mapInPandas(run, schema="image_id string, ahash long")
+    return images.mapInPandas(
+        run, schema="image_id string, ahash long")
 
 
 def _ahash_gray_stack(gray: np.ndarray) -> np.ndarray:
@@ -737,7 +739,8 @@ def image_phash_dct(images: DataFrame, stub_ok: bool = False) -> DataFrame:
             yield pd.DataFrame({"image_id": pdf["image_id"],
                                 "phash_dct": hashes.view(np.int64)})
 
-    return images.mapInPandas(run, schema="image_id string, phash_dct long")
+    return images.mapInPandas(
+        run, schema="image_id string, phash_dct long")
 
 
 def image_phash_neardup_pairs(images: DataFrame, max_hamming: int = 10,
@@ -795,7 +798,8 @@ def video_fingerprint(videos: DataFrame, every_n: int = 2,
             yield pd.DataFrame({"video_id": pdf["video_id"],
                                 "vhash": hashes.view(np.int64)})
 
-    return videos.mapInPandas(run, schema="video_id string, vhash long")
+    return videos.mapInPandas(
+        run, schema="video_id string, vhash long")
 
 
 def video_neardup_pairs(videos: DataFrame, max_hamming: int = 3,

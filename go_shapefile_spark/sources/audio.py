@@ -196,6 +196,7 @@ def check_audio_invariants(df: DataFrame) -> DataFrame:
                                              "samples_ok", "snr_db",
                                              "transcript_ok"])
 
-    return df.mapInPandas(
+    from .images import spread_python_scan
+    return spread_python_scan(df).mapInPandas(
         check, schema="audio_id string, fmt string, samples_ok boolean, "
                       "snr_db double, transcript_ok boolean")

@@ -332,6 +332,27 @@ def geotag_images(df: DataFrame) -> DataFrame:
     return df.mapInPandas(tag, schema=schema)
 
 
+def spread_python_scan(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Repartition a SMALL scan feeding a CPU-bound Python stage so the
+    decode work uses every core (r6, guide §2/§4): input bytes are a bad
+    proxy for decode cost — a ~20 MB gate corpus is ONE split at the
+    default ``maxPartitionBytes``, serializing thousands of per-row
+    decodes onto a single task.  A scan already at least ``factor``×
+    default-parallelism wide keeps its layout (no shuffle at scale,
+    where file counts provide the parallelism); the stages this feeds
+    are deterministic per-row maps, so the round-robin repartition
+    (sort-before-repartition stays on) cannot change any result."""
+    from pyspark.sql import functions as F
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        # hash-partition on the row key: deterministic, and unlike a
+        # round-robin repartition it skips the local sort-before-
+        # repartition pass over the binary payload column
+        return df.repartition(target, F.col(df.columns[0]))
+    return df
+
+
 def check_invariants(df: DataFrame) -> DataFrame:
     """E13: per-row decoded-pixel + caption invariant (input_hint).
 
@@ -390,7 +411,7 @@ def check_invariants(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=["image_id", "fmt", "pixels_ok",
                                              "psnr_db", "caption_ok"])
 
-    return df.mapInPandas(
+    return spread_python_scan(df).mapInPandas(
         check, schema="image_id string, fmt string, pixels_ok boolean, "
                       "psnr_db double, caption_ok boolean")
 
