@@ -5167,8 +5167,20 @@ FROM dd GROUP BY u, v
 
     def trajectory_hausdorff(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
+        """Spark side pins the track relation: ``tr`` is referenced
+        three times (anchor groupBy + both point sides of the pair
+        join) and CTE inlining re-ran the md5 geotag + window per
+        reference (r6 optimization).  Oracle unchanged."""
         register_tables(spark, sf_dir)
-        return spark.sql(q_traj_hausdorff(H.SPARK))
+        pin = _fresh_checkpoints(spark, "trajectory_hausdorff")
+        full = q_traj_hausdorff(H.SPARK)
+        idx = full.index("anch AS (")
+        head = full[full.index("WITH ") + 5:idx].rstrip().rstrip(",")
+        pin(spark.sql("WITH " + head + "\nSELECT * FROM tr")) \
+            .createOrReplaceTempView("th_tr_pin")
+        tail = full[idx:].replace("FROM tr ", "FROM th_tr_pin ") \
+            .replace("JOIN tr ", "JOIN th_tr_pin ")
+        return spark.sql("WITH " + tail)
     queries["trajectory_hausdorff"] = trajectory_hausdorff
     oracles["trajectory_hausdorff"] = q_traj_hausdorff(H.DUCK)
 
@@ -5237,6 +5249,16 @@ GROUP BY t.u
         pin(spark.sql("WITH " + head + "\nSELECT * FROM tg_oe")) \
             .createOrReplaceTempView("tg_oe_pin")
         tail = "WITH " + full[idx:].replace("tg_oe e", "tg_oe_pin e")
+        # single-pass corner explode: the template's 3-branch UNION
+        # inlines tg_tri (the wedge join) once per corner — 3× the
+        # dominant join; explode(array(u, v, w)) is the same multiset
+        # in one evaluation
+        tail = tail.replace(
+            """FROM (SELECT u AS node FROM tg_tri
+      UNION ALL SELECT v AS node FROM tg_tri
+      UNION ALL SELECT w AS node FROM tg_tri) corners""",
+            "FROM (SELECT explode(array(u, v, w)) AS node "
+            "FROM tg_tri) corners")
         return spark.sql(tail)
     queries["triangle_counts"] = triangles_pinned
     oracles["triangle_counts"] = q_triangles(DUCK)

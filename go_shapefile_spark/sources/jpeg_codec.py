@@ -1093,6 +1093,11 @@ def jpeg_header(data: bytes) -> dict:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
+        if pos + 2 > len(data):
+            # ADVICE r5 #3: a stream truncated mid-marker raised
+            # IndexError; the documented contract (same posture as the
+            # decoder / avi_header) is ValueError on ANY malformed input
+            raise ValueError("truncated JPEG (marker cut short)")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xFF:
@@ -1102,6 +1107,8 @@ def jpeg_header(data: bytes) -> dict:
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG (segment length cut short)")
         (seglen,) = struct.unpack_from(">H", data, pos)
         seg = data[pos + 2:pos + seglen]
         pos += seglen

@@ -39,7 +39,15 @@ def _funnel_fn(window_s: int):
     def fn(key: Tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         t1, t2, t3 = state.get if state.exists else (None, None, None)
-        pdf = pd.concat(list(pdfs)).sort_values(["es", "id"])
+        # ADVICE r5 #2: order same-second ties by funnel stage (view <
+        # click < purchase) so an equal-timestamp earlier stage applies
+        # first — the batch MIN algebra (e.ts_s >= f1.t1) counts a
+        # same-second view→click pair, so the stream must too
+        pdf = pd.concat(list(pdfs))
+        pdf = pdf.assign(
+            _rk=pdf["event_type"].map(
+                {t: i for i, t in enumerate(_STAGE_TYPES)})
+        ).sort_values(["es", "_rk", "id"])
         for es, et in zip(pdf["es"], pdf["event_type"]):
             es = int(es)
             if et == "view" and t1 is None:
