@@ -126,24 +126,52 @@ def connected_components(edges: DataFrame, src: str = "src",
                .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
                .where(F.col("src") != F.col("dst"))
                .distinct())
-    # contraction pass: m outlives the loop (the final map-back reads
-    # it), so it pins under its own slot, not the rolling one
+    # contraction passes: the hook maps outlive the loop (the final
+    # map-back reads their composition), so they pin under their own
+    # slot, not the rolling one.  Passes repeat while the edge set
+    # keeps collapsing by >2x (dense graphs shrink by the degree
+    # factor per pass; a path-shaped graph stops after one), bounded
+    # at 3 so the star loop's O(log n) guarantee still carries the
+    # worst case.  The convergence checksum doubles as the pass's
+    # shrink measurement — no extra jobs.
     hookf = fresh_pins(spark, slot, strategy=pin)
-    sym = cur.unionByName(
-        cur.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    m = hookf(sym.groupBy("src").agg(F.min("dst").alias("_mn"))
-              .select(F.col("src").alias("node"),
-                      F.least(F.col("_mn"), F.col("src")).alias("m")))
-    cur = pinf(cur
-               .join(m.select(F.col("node").alias("src"),
-                              F.col("m").alias("msrc")), "src")
-               .join(m.select(F.col("node").alias("dst"),
-                              F.col("m").alias("mdst")), "dst")
-               .select(F.col("msrc").alias("src"),
-                       F.col("mdst").alias("dst"))
-               .where(F.col("src") != F.col("dst"))
-               .distinct())
+    m_total = None
     prev = _checksum(cur)
+    for _ in range(3):
+        if prev[0] == 0:
+            break
+        sym = cur.unionByName(
+            cur.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst")))
+        m = hookf(sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+                  .select(F.col("src").alias("node"),
+                          F.least(F.col("_mn"), F.col("src")).alias("m")))
+        cur = pinf(cur
+                   .join(m.select(F.col("node").alias("src"),
+                                  F.col("m").alias("msrc")), "src")
+                   .join(m.select(F.col("node").alias("dst"),
+                                  F.col("m").alias("mdst")), "dst")
+                   .select(F.col("msrc").alias("src"),
+                           F.col("mdst").alias("dst"))
+                   .where(F.col("src") != F.col("dst"))
+                   .distinct())
+        if m_total is None:
+            m_total = m
+        else:
+            # supernodes absent from the next pass's hook map are
+            # isolated there — they keep their current label
+            m2 = m.select(F.col("node").alias("_mn2"),
+                          F.col("m").alias("_mm2"))
+            m_total = (m_total.join(m2, m_total["m"] == m2["_mn2"],
+                                    "left")
+                       .select(m_total["node"],
+                               F.coalesce(m2["_mm2"], m_total["m"])
+                               .alias("m")))
+        n = _checksum(cur)
+        shrunk = n[0] * 2 <= prev[0]
+        prev = n
+        if not shrunk:
+            break
     for _ in range(max_iter):
         # the previous checksum's row count is a free exact size of the
         # live edge set: under the broadcast cutoff, hint both stars'
@@ -166,9 +194,12 @@ def connected_components(edges: DataFrame, src: str = "src",
                              F.col("dst").alias("component"))
                   .unionByName(roots)
                   .distinct())
-    return (m.join(contracted, m["m"] == contracted["node"], "left")
-            .select(m["node"].alias("node"),
-                    F.coalesce(contracted["component"], m["m"])
+    if m_total is None:        # empty edge set: no nodes, empty labels
+        return contracted
+    return (m_total.join(contracted, m_total["m"] == contracted["node"],
+                         "left")
+            .select(m_total["node"].alias("node"),
+                    F.coalesce(contracted["component"], m_total["m"])
                     .alias("component")))
 
 
