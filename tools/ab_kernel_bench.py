@@ -95,6 +95,15 @@ def main() -> None:
         assert pol.count() == n
         best = min(_timed(pol.count) for _ in range(2))
         out["poly_e2e_per_s"] = round(n / best, 1)
+        # Arrow-direct flat-point scan — the shapefile_parse_2m_points
+        # path (VERDICT r5 #3: the one kernel without a same-window
+        # control when its driver number dipped 2.7x in r5)
+        big = read_shapefile_df(spark, os.path.join(cache, "bigpoints"),
+                                target_records_per_split=100_000,
+                                flat_points=True)
+        n_big = big.count()
+        best = min(_timed(big.count) for _ in range(2))
+        out["flat_points_per_s"] = round(n_big / best, 1)
         spark.stop()
 
     print(json.dumps(out))
