@@ -198,11 +198,18 @@ WHERE {d2}"""))
     cc = connected_components(core_edges, pin=pin,
                               slot=None if slot is None else f"{slot}_cc")
     cc.createOrReplaceTempView("dbscan_cc")
-    # isolated cores never appear in an edge: they are their own cluster
-    spark.sql("SELECT c.id, COALESCE(x.component, c.id) AS label "
-              "FROM cores c LEFT JOIN dbscan_cc x ON c.id = x.node") \
+    # isolated cores never appear in an edge: they are their own
+    # cluster.  core_labels pins (r6): the tail references it twice
+    # (direct label + border join), and each reference would re-run the
+    # components operator's final label join-back chain
+    pinf(spark.sql(
+        "SELECT c.id, COALESCE(x.component, c.id) AS label "
+        "FROM cores c LEFT JOIN dbscan_cc x ON c.id = x.node")) \
         .createOrReplaceTempView("core_labels")
-    return spark.sql("WITH " + dbscan_tail_sql(H.SPARK, pts=pts_v).lstrip())
+    # the tail only needs the point ids; reading the pinned cell
+    # relation instead of {pts} skips one more md5-geotag pass (r6)
+    return spark.sql(
+        "WITH " + dbscan_tail_sql(H.SPARK, pts="dbscan_gcells").lstrip())
 
 
 # --- grid distance transform (multi-source BFS) ---------------------------
