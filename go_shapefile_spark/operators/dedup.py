@@ -106,14 +106,6 @@ def minhash_lsh_sql(dialect: str, rel: str = "documents", k: int = 9,
     same corpus emits candidates proportional to true near-dups.
     """
     rows_per_band = num_hashes // bands
-    # Spark-only verify-join hints (the oracle text must stay stable, so
-    # they are not emitted for DuckDB): left-deep build-right planning
-    # would otherwise BROADCAST the full shingle relation twice (measured
-    # ~64 MB built twice per run at sf0.1); the candidate relation is the
-    # broadcast side and the shingle sides join by shuffle — the same
-    # scale posture as the fingerprint_overlap /*+ MERGE */ precedent.
-    verify_hint = (" /*+ BROADCAST(c), SHUFFLE_HASH(sa, sb) */"
-                   if dialect == H.SPARK else "")
     band_selects = []
     for b in range(bands):
         cols = ", ".join(f"m{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band))
@@ -131,6 +123,35 @@ def minhash_lsh_sql(dialect: str, rel: str = "documents", k: int = 9,
         stop = ""
         mh_body = minhash_mh_sql(num_hashes)
         verify_rel = "shingles"
+    if dialect == H.SPARK:
+        # Spark-only verify spelling (the oracle text must stay stable,
+        # so DuckDB keeps the plain joins): semi-filter each shingle
+        # side to candidate documents BEFORE the join — the exact-
+        # Jaccard verify only ever touches docs that appear in a
+        # candidate pair, so the shuffle carries the candidates'
+        # shingles instead of the whole corpus relation; BROADCAST(c)
+        # pins the small build side (left-deep build-right planning
+        # was broadcasting the FULL shingle relation twice, ~64 MB
+        # built per run at sf0.1) and the residual shingle joins stay
+        # shuffle-hash (the fingerprint_overlap scale posture).  The
+        # gate runner pins ``cand`` so its three references here read
+        # one materialization.
+        inter_body = f"""  SELECT /*+ BROADCAST(c), SHUFFLE_HASH(sa, sb) */
+         c.doc_a, c.doc_b, MIN(c.na) AS na, MIN(c.nb) AS nb, COUNT(*) AS i
+  FROM cand c
+  JOIN (SELECT doc_id, x FROM {verify_rel}
+        WHERE doc_id IN (SELECT doc_a FROM cand)) sa
+    ON sa.doc_id = c.doc_a
+  JOIN (SELECT doc_id, x FROM {verify_rel}
+        WHERE doc_id IN (SELECT doc_b FROM cand)) sb
+    ON sb.doc_id = c.doc_b AND sb.x = sa.x
+  GROUP BY c.doc_a, c.doc_b"""
+    else:
+        inter_body = f"""  SELECT c.doc_a, c.doc_b, MIN(c.na) AS na, MIN(c.nb) AS nb, COUNT(*) AS i
+  FROM cand c
+  JOIN {verify_rel} sa ON sa.doc_id = c.doc_a
+  JOIN {verify_rel} sb ON sb.doc_id = c.doc_b AND sb.x = sa.x
+  GROUP BY c.doc_a, c.doc_b"""
     return f"""
 WITH {shingle_cte(dialect, rel, k)}{stop},
 mh AS (
@@ -147,11 +168,7 @@ cand AS (
   GROUP BY a.doc_id, b.doc_id
 ),
 inter AS (
-  SELECT{verify_hint} c.doc_a, c.doc_b, MIN(c.na) AS na, MIN(c.nb) AS nb, COUNT(*) AS i
-  FROM cand c
-  JOIN {verify_rel} sa ON sa.doc_id = c.doc_a
-  JOIN {verify_rel} sb ON sb.doc_id = c.doc_b AND sb.x = sa.x
-  GROUP BY c.doc_a, c.doc_b
+{inter_body}
 )
 SELECT doc_a, doc_b,
        ROUND(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard

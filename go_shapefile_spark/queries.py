@@ -3943,8 +3943,15 @@ FROM reach GROUP BY src
             f"SELECT * FROM shingles")).createOrReplaceTempView("shingles")
         pin(spark.sql(D.minhash_mh_sql())).createOrReplaceTempView("mh")
         full = D.minhash_lsh_sql(SPARK)
-        body = full[full.index("band_keys AS ("):]  # shingle/mh CTEs → views
-        return spark.sql("WITH " + body)
+        # pin the candidate pairs too (r6): the Spark verify spelling
+        # references cand three times (join side + two semi filters)
+        band_body = full[full.index("band_keys AS ("):
+                         full.index("inter AS (")].rstrip().rstrip(",")
+        pin(spark.sql("WITH " + band_body + "\nSELECT * FROM cand")) \
+            .createOrReplaceTempView("mh_cand_pin")
+        tail = "WITH " + full[full.index("inter AS ("):] \
+            .replace("FROM cand", "FROM mh_cand_pin")
+        return spark.sql(tail)
     queries["dedup_minhash_lsh"] = minhash_cached
 
     def minhash_stopfiltered_cached(spark: SparkSession,
@@ -3969,8 +3976,13 @@ FROM reach GROUP BY src
             "FROM shingles", "FROM shingles_kept"))) \
             .createOrReplaceTempView("mh")
         full = D.minhash_lsh_sql(SPARK, max_doc_freq=0.5)
-        body = full[full.index("band_keys AS ("):]
-        return spark.sql("WITH " + body)
+        band_body = full[full.index("band_keys AS ("):
+                         full.index("inter AS (")].rstrip().rstrip(",")
+        pin(spark.sql("WITH " + band_body + "\nSELECT * FROM cand")) \
+            .createOrReplaceTempView("mhs_cand_pin")
+        tail = "WITH " + full[full.index("inter AS ("):] \
+            .replace("FROM cand", "FROM mhs_cand_pin")
+        return spark.sql(tail)
     queries["dedup_minhash_stopfiltered"] = minhash_stopfiltered_cached
 
     def duplicate_spans_pinned(spark: SparkSession,
