@@ -195,8 +195,11 @@ WHERE {d2}"""))
     core_edges = spark.sql(
         "SELECT u.a AS src, u.b AS dst FROM dbscan_up u "
         "JOIN cores ca ON u.a = ca.id JOIN cores cb ON u.b = cb.id")
+    # up is distinct with a < b by construction, so the core-core edge
+    # set is already normalized — CC can skip its dedup shuffle
     cc = connected_components(core_edges, pin=pin,
-                              slot=None if slot is None else f"{slot}_cc")
+                              slot=None if slot is None else f"{slot}_cc",
+                              assume_normalized=True)
     cc.createOrReplaceTempView("dbscan_cc")
     # isolated cores never appear in an edge: they are their own
     # cluster.  core_labels pins (r6): the tail references it twice

@@ -85,7 +85,8 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 25,
                          pin: str | None = None,
-                         slot: str | None = None) -> DataFrame:
+                         slot: str | None = None,
+                         assume_normalized: bool = False) -> DataFrame:
     """Undirected edge list → (node, component) with component = the
     smallest node id in each connected component.  Nodes are every
     distinct endpoint (isolated nodes don't appear — they were never in
@@ -122,10 +123,12 @@ def connected_components(edges: DataFrame, src: str = "src",
     # checkpoint materialization into the checksum job (one job per
     # iteration instead of two)
     pinf = rolling_pins(spark, pin, lazy=True)
-    cur = pinf(edges
-               .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-               .where(F.col("src") != F.col("dst"))
-               .distinct())
+    norm = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_normalized:
+        # callers that PROVE distinct loop-free edges (dbscan's
+        # unordered a<b pair relation) skip this dedup shuffle (r6)
+        norm = norm.where(F.col("src") != F.col("dst")).distinct()
+    cur = pinf(norm)
     # contraction passes: the hook maps outlive the loop (the final
     # map-back reads their composition), so they pin under their own
     # slot, not the rolling one.  Passes repeat while the edge set
