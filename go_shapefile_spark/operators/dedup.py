@@ -262,7 +262,11 @@ SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM cand WHERE hamming 
 def ngram_jaccard_sql(dialect: str, rel: str = "documents", k: int = 9,
                       modulus: int = 17, threshold: float = 0.03) -> str:
     """Exact all-pairs n-gram Jaccard on a deterministic doc subset
-    (doc_id % modulus = 0) — the ground-truth companion to MinHash-LSH."""
+    (doc_id % modulus = 0) — **the ground-truth BASELINE companion to
+    MinHash-LSH, oracle/test use only** (VERDICT r5 #6): the shingle
+    self-join is quadratic in the subset size by design, and the
+    ``modulus`` cap is what keeps the gate bounded.  The production
+    near-dup path is ``minhash_lsh_sql`` (banded LSH bucket join)."""
     return f"""
 WITH sub AS (
   SELECT doc_id, text FROM {rel} WHERE doc_id % {modulus} = 0

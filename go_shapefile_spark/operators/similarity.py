@@ -76,8 +76,13 @@ FROM ranked WHERE rank <= {k}
 
 def embedding_neardup_sql(dialect: str, rel: str = "embeddings",
                           threshold: float = 0.9) -> str:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
-    the LSH-bucketed scale path is ``lsh_ann_topk``)."""
+    """Embedding-cosine near-duplicate pairs — **exact O(n²) all-pairs
+    BASELINE, oracle-companion only** (VERDICT r5 #6): it exists so the
+    bucketed variant has a ground truth to be checked against, and it
+    does not survive scale by design.  Production entry points are
+    ``embedding_neardup_bucketed_sql`` (sign-plane LSH prefilter) and
+    ``lsh_ann_topk``; do not run this form on a corpus larger than a
+    gate/test slice."""
     av = H.doubles("a.embedding", dialect)
     bv = H.doubles("b.embedding", dialect)
     return f"""
