@@ -342,7 +342,15 @@ def rasterize_cover(cover: DataFrame, res: int, tile_px: int = 16,
             .selectExpr("cell", "polygon_fid", "full", "rx", "ry",
                         "ref_inside", "lon0", "lat0",
                         "size(edges) AS n_edges", "edges", *ecols))
-    keep = (f"full OR (CASE WHEN n_edges <= {UNROLL_K} "
+    # tiered unroll (r6): NaN-padded terms contribute zero crossings but
+    # still COST ~8 flops each per pixel, so sparse cells (the common
+    # case — a small feature clips to a handful of edges) take a 6-term
+    # predicate instead of paying all 24 (rasterize_200k: most pixels
+    # run 4-edge cells; the short form is value-identical on n_edges ≤ 6
+    # because the padded tail is exactly the terms being dropped)
+    keep = (f"full OR (CASE WHEN n_edges <= 6 "
+            f"THEN {_crossing_filter_unrolled_sql('cx', 'cy', 6)} "
+            f"WHEN n_edges <= {UNROLL_K} "
             f"THEN {_crossing_filter_unrolled_sql('cx', 'cy', UNROLL_K)} "
             f"ELSE {_crossing_filter_sql('cx', 'cy')} END)")
     return (pixels(base).where(F.expr(keep))
