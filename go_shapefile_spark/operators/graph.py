@@ -34,6 +34,18 @@ from pyspark.sql import functions as F
 # 8 GB hard cap; above it the stars keep scale-correct shuffle joins.
 _BROADCAST_EDGES = 1_000_000
 
+# Driver-finish cutoff (rows in the live edge set, known EXACTLY from the
+# convergence checksum before the decision): at or below this the
+# remaining components are solved by one bounded collect + union-find on
+# the driver instead of ~log(n) more star iterations whose cost at this
+# size is pure job latency (~0.5 s/iteration of scheduling, zero data).
+# 200k two-field rows is a few MB collected — bounded at ANY input scale
+# because the gate is the exact live count, not a guess; bigger graphs
+# keep the distributed star loop.  This is the standard two-level finish
+# for iterative graph algorithms (contract distributively until small,
+# solve the remainder where latency is free).
+_LOCAL_FINISH_EDGES = 200_000
+
 
 def _large_star(edges: DataFrame, small: bool = False) -> DataFrame:
     """Connect every neighbor larger than u to u's smallest neighbor
@@ -71,6 +83,48 @@ def _small_star(edges: DataFrame, small: bool = False) -> DataFrame:
             .distinct())
 
 
+def _local_components(edges: DataFrame) -> DataFrame:
+    """(node, component) for a live edge set the caller has PROVEN tiny
+    (≤ ``_LOCAL_FINISH_EDGES`` rows, exact count from the convergence
+    checksum): one bounded collect, path-compressed union-find, labels
+    re-parallelized as a local relation.  Output is the same relation
+    the star loop converges to — every edge endpoint labeled with its
+    component's minimum id — and is order-canonicalized (sorted) so the
+    emitted rows never depend on collect partition order."""
+    from pyspark.sql import types as T
+
+    node_t = edges.schema["src"].dataType
+    schema = T.StructType([T.StructField("node", node_t, True),
+                           T.StructField("component", node_t, True)])
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        s, d = row[0], row[1]
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    rows = sorted((n, comp_min[find(n)]) for n in parent)
+    return edges.sparkSession.createDataFrame(rows, schema)
+
+
 def _checksum(edges: DataFrame) -> tuple[int, int]:
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
@@ -86,7 +140,8 @@ def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 25,
                          pin: str | None = None,
                          slot: str | None = None,
-                         assume_normalized: bool = False) -> DataFrame:
+                         assume_normalized: bool = False,
+                         local_finish: int | None = None) -> DataFrame:
     """Undirected edge list → (node, component) with component = the
     smallest node id in each connected component.  Nodes are every
     distinct endpoint (isolated nodes don't appear — they were never in
@@ -112,6 +167,18 @@ def connected_components(edges: DataFrame, src: str = "src",
     ``max_iter`` bounds the alternating rounds (convergence is
     O(log n); 25 covers any realistic graph) — non-convergence raises
     rather than returning partial labels.
+
+    Once the live edge set is at or below ``local_finish`` rows
+    (default ``_LOCAL_FINISH_EDGES``; the count is EXACT, read from the
+    convergence checksum that runs anyway), the remainder is solved by
+    one bounded collect + union-find on the driver (r6): at that size
+    the star iterations are pure job latency (~0.5 s each of
+    scheduling over a few thousand rows), and contraction passes past
+    the cutoff are equally pointless, so the contraction loop also
+    stops early.  The gate is scale-safe — a graph that is still large
+    after contraction keeps the fully distributed star loop — and the
+    collected bytes are bounded by the cutoff at any input scale.
+    Tests force ``local_finish=0`` to exercise the star loop.
     """
     from .pinning import fresh_pins, rolling_pins
 
@@ -138,10 +205,13 @@ def connected_components(edges: DataFrame, src: str = "src",
     # worst case.  The convergence checksum doubles as the pass's
     # shrink measurement — no extra jobs.
     hookf = fresh_pins(spark, slot, strategy=pin)
+    local_max = _LOCAL_FINISH_EDGES if local_finish is None else local_finish
     m_total = None
     prev = _checksum(cur)
     for _ in range(3):
-        if prev[0] == 0:
+        if prev[0] == 0 or prev[0] <= local_max:
+            # empty, or already small enough for the driver finish
+            # below — further contraction passes would only add jobs
             break
         sym = cur.unionByName(
             cur.select(F.col("dst").alias("src"),
@@ -175,28 +245,34 @@ def connected_components(edges: DataFrame, src: str = "src",
         prev = n
         if not shrunk:
             break
-    for _ in range(max_iter):
-        # the previous checksum's row count is a free exact size of the
-        # live edge set: under the broadcast cutoff, hint both stars'
-        # minima relations so the joins skip their exchanges (a node
-        # count is bounded by 2·edges; the cutoff keeps the built
-        # relation well under the session broadcast threshold)
-        small = prev[0] <= _BROADCAST_EDGES
-        cur = pinf(_small_star(_large_star(cur, small), small))
-        now = _checksum(cur)
-        if now == prev:
-            break
-        prev = now
+    if prev[0] <= local_max:
+        # bounded driver finish: the live set is provably tiny (exact
+        # count above); union-find replaces the remaining ~log(n) star
+        # iterations, whose cost at this size is pure job latency
+        contracted = _local_components(cur)
     else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} "
-            f"iterations")
-    roots = cur.select(F.col("dst").alias("node"),
-                       F.col("dst").alias("component")).distinct()
-    contracted = (cur.select(F.col("src").alias("node"),
-                             F.col("dst").alias("component"))
-                  .unionByName(roots)
-                  .distinct())
+        for _ in range(max_iter):
+            # the previous checksum's row count is a free exact size of
+            # the live edge set: under the broadcast cutoff, hint both
+            # stars' minima relations so the joins skip their exchanges
+            # (a node count is bounded by 2·edges; the cutoff keeps the
+            # built relation well under the session broadcast threshold)
+            small = prev[0] <= _BROADCAST_EDGES
+            cur = pinf(_small_star(_large_star(cur, small), small))
+            now = _checksum(cur)
+            if now == prev:
+                break
+            prev = now
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"iterations")
+        roots = cur.select(F.col("dst").alias("node"),
+                           F.col("dst").alias("component")).distinct()
+        contracted = (cur.select(F.col("src").alias("node"),
+                                 F.col("dst").alias("component"))
+                      .unionByName(roots)
+                      .distinct())
     if m_total is None:        # empty edge set: no nodes, empty labels
         return contracted
     return (m_total.join(contracted, m_total["m"] == contracted["node"],

@@ -35,13 +35,18 @@ def _union_find(n_edges):
     return out
 
 
-def test_cc_matches_union_find_random(spark):
+@pytest.mark.parametrize("local_finish", [None, 0])
+def test_cc_matches_union_find_random(spark, local_finish):
+    """local_finish=None takes the r6 bounded driver finish (gate-size
+    graphs are under the cutoff); local_finish=0 forces the distributed
+    star loop — both must equal the independent oracle."""
     rng = np.random.default_rng(9)
     edges = [(int(a), int(b)) for a, b in
              rng.integers(0, 400, size=(600, 2)) if a != b]
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.component
-           for r in connected_components(df).collect()}
+           for r in connected_components(
+               df, local_finish=local_finish).collect()}
     assert got == _union_find(edges)
 
 
@@ -51,9 +56,22 @@ def test_cc_path_graph_worst_case_converges(spark):
     bound and label everything with node 0."""
     edges = [(i, i + 1) for i in range(199)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    out = connected_components(df).collect()
+    out = connected_components(df, local_finish=0).collect()
     assert len(out) == 200
     assert all(r.component == 0 for r in out)
+
+
+def test_cc_local_finish_after_contraction(spark):
+    """A cutoff between the raw and contracted sizes forces the r6
+    composition under test: ≥1 distributed contraction pass, then the
+    bounded driver finish, then the hook-map join-back."""
+    rng = np.random.default_rng(11)
+    edges = [(int(a), int(b)) for a, b in
+             rng.integers(0, 100, size=(600, 2)) if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component
+           for r in connected_components(df, local_finish=50).collect()}
+    assert got == _union_find(edges)
 
 
 def test_cc_self_loops_and_duplicates_ignored(spark):
@@ -87,7 +105,7 @@ def test_cc_nonconvergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(64)],
                                "src long, dst long")
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(df, max_iter=1)
+        connected_components(df, max_iter=1, local_finish=0)
 
 
 def test_pagerank_cells_matches_python_power_iteration():
