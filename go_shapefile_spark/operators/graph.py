@@ -36,15 +36,18 @@ _BROADCAST_EDGES = 1_000_000
 
 # Driver-finish cutoff (rows in the live edge set, known EXACTLY from the
 # convergence checksum before the decision): at or below this the
-# remaining components are solved by one bounded collect + union-find on
-# the driver instead of ~log(n) more star iterations whose cost at this
-# size is pure job latency (~0.5 s/iteration of scheduling, zero data).
-# 200k two-field rows is a few MB collected — bounded at ANY input scale
-# because the gate is the exact live count, not a guess; bigger graphs
-# keep the distributed star loop.  This is the standard two-level finish
-# for iterative graph algorithms (contract distributively until small,
-# solve the remainder where latency is free).
-_LOCAL_FINISH_EDGES = 200_000
+# remaining components are solved by one bounded Arrow collect + a
+# vectorized numpy union-find on the driver instead of contraction
+# passes and ~log(n) star iterations whose cost at this size is pure
+# job latency (~0.5 s/iteration of scheduling, near-zero data).  2M
+# two-long rows is ~32 MB through Arrow (string ids ~2-100x that worst
+# case, still far under the 8g driver) and the numpy hook/jump solve is
+# ~0.2 s — bounded at ANY input scale because the gate is the exact
+# live count, not a guess; bigger graphs keep the distributed
+# contraction + star loop.  This is the standard two-level finish for
+# iterative graph algorithms (shrink distributively while large, solve
+# the remainder where per-round latency dominates data).
+_LOCAL_FINISH_EDGES = 2_000_000
 
 
 def _large_star(edges: DataFrame, small: bool = False) -> DataFrame:
@@ -83,46 +86,62 @@ def _small_star(edges: DataFrame, small: bool = False) -> DataFrame:
             .distinct())
 
 
+def _np_min_hook(a, b, n_nodes: int):
+    """Vectorized union-find over dense edge index arrays ``a, b`` in
+    ``[0, n_nodes)``: alternately pointer-jump every parent chain to
+    its fixpoint and hook the larger of each edge's two roots to the
+    smaller (``np.minimum.at`` is unbuffered, so colliding hooks keep
+    the minimum).  Both moves only ever DECREASE parent indices, so the
+    fixpoint — one root per component — is reached in O(log n) rounds,
+    and because hooks always point downward the surviving root of each
+    component is its minimum index.  Returns the per-node root index
+    array."""
+    import numpy as np
+
+    parent = np.arange(n_nodes, dtype=np.int64)
+    while True:
+        while True:
+            p2 = parent[parent]
+            if np.array_equal(p2, parent):
+                break
+            parent = p2
+        ra, rb = parent[a], parent[b]
+        hi = np.maximum(ra, rb)
+        lo = np.minimum(ra, rb)
+        live = hi != lo
+        if not live.any():
+            return parent
+        np.minimum.at(parent, hi[live], lo[live])
+
+
 def _local_components(edges: DataFrame) -> DataFrame:
-    """(node, component) for a live edge set the caller has PROVEN tiny
-    (≤ ``_LOCAL_FINISH_EDGES`` rows, exact count from the convergence
-    checksum): one bounded collect, path-compressed union-find, labels
-    re-parallelized as a local relation.  Output is the same relation
-    the star loop converges to — every edge endpoint labeled with its
-    component's minimum id — and is order-canonicalized (sorted) so the
-    emitted rows never depend on collect partition order."""
+    """(node, component) for a live edge set the caller has PROVEN
+    bounded (≤ ``_LOCAL_FINISH_EDGES`` rows, exact count from the
+    convergence checksum): one Arrow collect, a vectorized numpy
+    union-find (:func:`_np_min_hook` — ids factorized through
+    ``np.unique``, whose sorted output makes index order coincide with
+    id order, so the min-index root IS the min-id label; works for any
+    orderable id dtype, long and string alike), labels re-parallelized
+    as a local relation.  Output is the same relation the star loop
+    converges to — every edge endpoint labeled with its component's
+    minimum id — and ``np.unique``'s sorted node order makes the
+    emitted rows independent of collect partition order."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import types as T
 
     node_t = edges.schema["src"].dataType
     schema = T.StructType([T.StructField("node", node_t, True),
                            T.StructField("component", node_t, True)])
-    parent: dict = {}
-
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for row in edges.collect():
-        s, d = row[0], row[1]
-        if s not in parent:
-            parent[s] = s
-        if d not in parent:
-            parent[d] = d
-        rs, rd = find(s), find(d)
-        if rs != rd:
-            parent[rs] = rd
-    comp_min: dict = {}
-    for n in parent:
-        r = find(n)
-        m = comp_min.get(r)
-        if m is None or n < m:
-            comp_min[r] = n
-    rows = sorted((n, comp_min[find(n)]) for n in parent)
-    return edges.sparkSession.createDataFrame(rows, schema)
+    pdf = edges.toPandas()
+    if len(pdf) == 0:
+        return edges.sparkSession.createDataFrame([], schema)
+    sa = pdf.iloc[:, 0].to_numpy()
+    sb = pdf.iloc[:, 1].to_numpy()
+    nodes, idx = np.unique(np.concatenate([sa, sb]), return_inverse=True)
+    roots = _np_min_hook(idx[:len(sa)], idx[len(sa):], len(nodes))
+    out = pd.DataFrame({"node": nodes, "component": nodes[roots]})
+    return edges.sparkSession.createDataFrame(out, schema)
 
 
 def _checksum(edges: DataFrame) -> tuple[int, int]:
