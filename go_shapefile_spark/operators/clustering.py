@@ -264,9 +264,124 @@ walk AS (
 SELECT x, y, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY x, y"""
 
 
+# --- bounded-grid driver iteration (r6) -----------------------------------
+#
+# The three fixed-round grid runners below (distance transform, cost
+# distance, flow accumulation) iterate over an AGGREGATED degree-grid
+# relation whose size is bounded by the grid itself (FLOOR(lon) ×
+# FLOOR(lat) over geographic inputs is ≤ 360×180 = 64 800 cells no
+# matter how many input rows fed the aggregation).  Distributed, each
+# round is a join + aggregate over a few-thousand-row relation — pure
+# shuffle-stage latency (~0.25 s/round measured, 2.2 s of a 3.1 s
+# query).  So after the distributed aggregation the runners check the
+# EXACT cell count and coordinate spans (one tiny agg on the pinned
+# grid) and, when bounded, collect the grid through Arrow and run the
+# identical integer recurrence vectorized in numpy on the driver —
+# the same two-level discipline as connected_components' local finish
+# (shrink distributively, iterate where per-round latency is free).
+# The fallback keeps the fully distributed chain; tests force it.
+
+_GRID_LOCAL_MAX_CELLS = 1_000_000
+
+
+def _grid_local_stats(base: DataFrame):
+    """Exact cell count + coordinate spans of the aggregated grid —
+    the auto-gate for the driver-side iterate path (one 1-row agg on
+    the pinned relation, which doubles as the pin materialization)."""
+    from pyspark.sql import functions as F
+
+    return base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1")).collect()[0]
+
+
+def _grid_local_ok(st) -> bool:
+    """Bounded for the driver path: cell count under the cap and the
+    (span+2)-padded pack key fits int64 (sparse adversarial coords
+    fall back to the distributed chain)."""
+    if st.n == 0 or st.n > _GRID_LOCAL_MAX_CELLS:
+        return False
+    spanx = int(st.x1) - int(st.x0) + 3
+    spany = int(st.y1) - int(st.y0) + 3
+    return spanx * spany < (1 << 62)
+
+
+def _grid_pack(pdf, st):
+    """Sort the collected grid by a collision-free packed (x, y) key
+    (ascending pack order == lexicographic (x, y) order, so emitted
+    rows are partition-order independent); returns the sort
+    permutation applied to nothing — callers index their own columns —
+    plus the sorted key array and the y-span multiplier."""
+    import numpy as np
+
+    x = pdf["x"].to_numpy(np.int64)
+    y = pdf["y"].to_numpy(np.int64)
+    spany = int(st.y1) - int(st.y0) + 3
+    key = (x - int(st.x0) + 1) * spany + (y - int(st.y0) + 1)
+    order = np.argsort(key)
+    return order, key[order], spany
+
+
+def _grid_neighbor_pairs(key_sorted, spany, offsets):
+    """Per offset (dx, dy, w): (source index array, neighbor index
+    array, w) for every cell whose (x+dx, y+dy) neighbor EXISTS in the
+    sorted key set (binary search — the vectorized twin of the
+    distributed offset fan-out + equi-join)."""
+    import numpy as np
+
+    out = []
+    for dx, dy, w in offsets:
+        nk = key_sorted + dx * spany + dy
+        pos = np.clip(np.searchsorted(key_sorted, nk),
+                      0, len(key_sorted) - 1)
+        hit = key_sorted[pos] == nk
+        out.append((np.nonzero(hit)[0], pos[hit], w))
+    return out
+
+
+def _minplus_local_df(spark, base: DataFrame, st, offsets,
+                      rounds: int, out_col: str) -> DataFrame:
+    """Driver-side min-plus (Bellman-Ford) rounds over the bounded
+    grid: the exact integer recurrence ``d_r(c) = min(d_{r-1}(c),
+    min_nbr d_{r-1}(nbr) + w)`` the distributed chain runs —
+    ``np.minimum.at`` is unbuffered, min is order-free, and all values
+    are int64, so the result is bit-identical.  Unreached cells stay
+    at the sentinel and are dropped (the oracle's absent-cells cap)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("x", T.LongType(), True),
+                           T.StructField("y", T.LongType(), True),
+                           T.StructField(out_col, T.LongType(), True)])
+    pdf = base.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    order, key_sorted, spany = _grid_pack(pdf, st)
+    x = pdf["x"].to_numpy(np.int64)[order]
+    y = pdf["y"].to_numpy(np.int64)[order]
+    s = pdf["is_src"].to_numpy(np.int64)[order]
+    pairs = _grid_neighbor_pairs(key_sorted, spany, offsets)
+    inf = np.int64(1) << 62
+    dist = np.where(s == 1, np.int64(0), inf)
+    for _ in range(int(rounds)):
+        nd = dist.copy()
+        for i_idx, j_idx, w in pairs:
+            np.minimum.at(nd, j_idx, dist[i_idx] + w)
+        dist = nd
+    keep = dist < inf
+    out = pd.DataFrame({"x": x[keep], "y": y[keep], out_col: dist[keep]})
+    if len(out) == 0:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(out, schema)
+
+
 def grid_distance_transform(points: DataFrame, rounds: int = 8,
                             pin: str | None = None,
-                            slot: str | None = None) -> DataFrame:
+                            slot: str | None = None,
+                            local_iterate: bool | None = None
+                            ) -> DataFrame:
     """Multi-source BFS distance over the occupied pixel grid:
     ``points(lon, lat, is_src)`` → ``(x, y, dist)`` for every cell
     reachable from a source cell within ``rounds`` queen-steps through
@@ -300,6 +415,17 @@ def grid_distance_transform(points: DataFrame, rounds: int = 8,
     base_sql = cte[:cte.index("doffs AS (")].rstrip().rstrip(",")
     base = pinf(spark.sql("WITH " + base_sql.lstrip() +
                           "\nSELECT * FROM dbase"))
+    st = _grid_local_stats(base)
+    if _grid_local_ok(st) if local_iterate is None else local_iterate:
+        # bounded grid: run the identical recurrence on the driver
+        # (see the section comment above) — the edge relation is never
+        # built, and the 8 shuffle rounds collapse into vectorized
+        # numpy passes
+        return _minplus_local_df(
+            spark, base, st,
+            [(-1, -1, 1), (-1, 0, 1), (-1, 1, 1), (0, -1, 1),
+             (0, 1, 1), (1, -1, 1), (1, 0, 1), (1, 1, 1)],
+            rounds, out_col="dist")
     base.createOrReplaceTempView("dtx_base")
     edges = pinf(spark.sql(f"""
 WITH doffs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
@@ -423,9 +549,75 @@ blabels AS (
 """
 
 
+def _flow_local_df(spark, grid: DataFrame, st, rounds: int,
+                   k: int) -> DataFrame:
+    """Driver-side D8 inflow rounds over the bounded degree grid — the
+    exact integer algebra of the distributed chain: per cell, the
+    steepest uphill neighbor (max n, ties by smallest (x, y) — the
+    template's ROW_NUMBER ORDER BY n DESC, x, y), then ``rounds``
+    passes of ``u = 1 + Σ_incoming u`` (``np.add.at`` is unbuffered;
+    integer sums are order-free), then the top-``k`` ranking by
+    (acc DESC, x, y).  All int64 end to end."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("x", T.LongType(), True),
+                           T.StructField("y", T.LongType(), True),
+                           T.StructField("n", T.LongType(), True),
+                           T.StructField("acc", T.LongType(), True),
+                           T.StructField("rk", T.LongType(), True)])
+    pdf = grid.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    order, key_sorted, spany = _grid_pack(pdf, st)
+    x = pdf["x"].to_numpy(np.int64)[order]
+    y = pdf["y"].to_numpy(np.int64)[order]
+    n = pdf["n"].to_numpy(np.int64)[order]
+    pairs = _grid_neighbor_pairs(
+        key_sorted, spany,
+        [(-1, -1, 0), (-1, 0, 0), (-1, 1, 0), (0, -1, 0),
+         (0, 1, 0), (1, -1, 0), (1, 0, 0), (1, 1, 0)])
+    m = len(x)
+    bn = np.full(m, np.int64(-1))
+    bj = np.full(m, -1)
+    btx = np.zeros(m, np.int64)
+    bty = np.zeros(m, np.int64)
+    for i_idx, j_idx, _w in pairs:
+        # each offset yields at most one neighbor per cell, so i_idx
+        # is duplicate-free within a pass and plain fancy assignment
+        # is race-free
+        cn, cx_, cy_ = n[j_idx], x[j_idx], y[j_idx]
+        cur = bn[i_idx]
+        better = (cn > cur) | ((cn == cur)
+                               & ((cx_ < btx[i_idx])
+                                  | ((cx_ == btx[i_idx])
+                                     & (cy_ < bty[i_idx]))))
+        sel = (cn > n[i_idx]) & better
+        ii = i_idx[sel]
+        bn[ii] = cn[sel]
+        bj[ii] = j_idx[sel]
+        btx[ii] = cx_[sel]
+        bty[ii] = cy_[sel]
+    src = np.nonzero(bj >= 0)[0]
+    tgt = bj[src]
+    u = np.ones(m, np.int64)
+    for _ in range(int(rounds)):
+        inflow = np.zeros(m, np.int64)
+        np.add.at(inflow, tgt, u[src])
+        u = 1 + inflow
+    topk = np.lexsort((y, x, -u))[:int(k)]
+    out = pd.DataFrame({
+        "x": x[topk], "y": y[topk], "n": n[topk], "acc": u[topk],
+        "rk": np.arange(1, len(topk) + 1, dtype=np.int64)})
+    return spark.createDataFrame(out, schema)
+
+
 def grid_flow_accumulation(points: DataFrame, rounds: int = 8,
                            k: int = 50, pin: str | None = None,
-                           slot: str | None = None) -> DataFrame:
+                           slot: str | None = None,
+                           local_iterate: bool | None = None
+                           ) -> DataFrame:
     """D8 uphill flow accumulation over the occupied 1-degree grid:
     ``points(lon, lat)`` → top-``k`` ``(x, y, n, acc, rk)`` — the
     runner twin of queries.flow_acc_sql (identical integer algebra,
@@ -453,6 +645,12 @@ def grid_flow_accumulation(points: DataFrame, rounds: int = 8,
                             "CAST(FLOOR(lat) AS BIGINT) AS y")
                 .groupBy("x", "y")
                 .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    st = _grid_local_stats(grid)
+    if _grid_local_ok(st) if local_iterate is None else local_iterate:
+        # bounded grid: steepest-neighbor pick + inflow rounds on the
+        # driver (see the bounded-grid section comment) — the dirs
+        # relation is never built distributively
+        return _flow_local_df(spark, grid, st, rounds, k)
     grid.createOrReplaceTempView("fa_grid_v")
     # the neighbor coordinates are PRECOMPUTED in a subquery before
     # the b join: with `b.n > a.n` written directly against the
@@ -540,7 +738,8 @@ SELECT x, y, CAST(MIN(d) AS BIGINT) AS cost FROM walk GROUP BY x, y"""
 
 def grid_cost_distance(points: DataFrame, rounds: int = 8,
                        pin: str | None = None,
-                       slot: str | None = None) -> DataFrame:
+                       slot: str | None = None,
+                       local_iterate: bool | None = None) -> DataFrame:
     """Weighted (chamfer 2-3) cost distance: ``points(lon, lat,
     is_src)`` → ``(x, y, cost)`` = min path weight from any source
     within ``rounds`` edges through occupied cells — the
@@ -572,6 +771,14 @@ def grid_cost_distance(points: DataFrame, rounds: int = 8,
     base_sql = cte[:cte.index("doffs AS (")].rstrip().rstrip(",")
     base = pinf(spark.sql("WITH " + base_sql.lstrip() +
                           "\nSELECT * FROM dbase"))
+    st = _grid_local_stats(base)
+    if _grid_local_ok(st) if local_iterate is None else local_iterate:
+        # chamfer 2-3 weights through the same bounded driver path
+        return _minplus_local_df(
+            spark, base, st,
+            [(-1, -1, 3), (-1, 0, 2), (-1, 1, 3), (0, -1, 2),
+             (0, 1, 2), (1, -1, 3), (1, 0, 2), (1, 1, 3)],
+            rounds, out_col="cost")
     base.createOrReplaceTempView("cdx_base")
     edges = pinf(spark.sql("""
 WITH doffs AS (SELECT * FROM (VALUES (-1,-1,3),(-1,0,2),(-1,1,3),(0,-1,2),

@@ -462,6 +462,35 @@ def test_cost_distance_matches_dijkstra_reference(spark):
     assert got[(5, 1)] == got[(4, 0)] + 3
 
 
+def test_grid_runners_local_iterate_matches_distributed(spark):
+    """The r6 bounded-grid driver iterate (auto-gated on the exact cell
+    count) is row-identical to the distributed join-per-round chain for
+    all three grid runners — the same recurrence, two engines.  The
+    corridor/Dijkstra reference tests above pin the local path against
+    hand oracles; this keeps the distributed fallback covered."""
+    import pandas as pd
+
+    from go_shapefile_spark.operators.clustering import (
+        grid_cost_distance, grid_distance_transform,
+        grid_flow_accumulation)
+
+    rng = np.random.default_rng(53)
+    pdf = pd.DataFrame({
+        "lon": rng.uniform(-15, 15, 3000),
+        "lat": rng.uniform(-15, 15, 3000)})
+    pdf["is_src"] = (rng.random(3000) < 0.03).astype(int)
+    pts = spark.createDataFrame(pdf)
+
+    for op, args in ((grid_distance_transform, {"rounds": 5}),
+                     (grid_cost_distance, {"rounds": 5}),
+                     (grid_flow_accumulation, {"rounds": 5, "k": 30})):
+        a = sorted(map(tuple, op(pts, local_iterate=True,
+                                 **args).collect()))
+        b = sorted(map(tuple, op(pts, local_iterate=False,
+                                 **args).collect()))
+        assert a == b and a, op.__name__
+
+
 def test_new_runners_identical_under_storage_pinning(spark, tmp_path):
     """grid_flow_accumulation / grid_cost_distance / kmeans_lloyd are
     row-identical under the executor-local (default) and storage-backed
