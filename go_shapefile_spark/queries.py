@@ -5327,8 +5327,15 @@ WITH rs_src AS (
         full = q_viewshed(SPARK)
         idx = full.index("vs_org AS (")
         head = full[full.index("WITH ") + 5:idx].rstrip().rstrip(",")
-        pin(spark.sql("WITH " + head + "\nSELECT * FROM vs_grid")) \
-            .createOrReplaceTempView("vs_grid_pin")
+        g = pin(spark.sql("WITH " + head + "\nSELECT * FROM vs_grid"))
+        # bounded occupancy grid (FLOOR-degree cells): evaluate the
+        # line-of-sight algebra on the driver (r6; identical integer
+        # expressions — see CL.viewshed_grid_los); unbounded grids
+        # fall back to the SQL template below
+        local = CL.viewshed_grid_los(g, x_off=180, y_off=90)
+        if local is not None:
+            return local
+        g.createOrReplaceTempView("vs_grid_pin")
         return spark.sql("WITH " + viewshed_sql("vs_grid_pin", SPARK))
     queries["viewshed_cells"] = viewshed_pinned
     oracles["viewshed_cells"] = q_viewshed(DUCK)
