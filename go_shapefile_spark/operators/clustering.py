@@ -880,52 +880,71 @@ def kmeans_lloyd(points: DataFrame, k: int = 8, rounds: int = 3,
 
     Why a runner: the template's argmin join-back references each
     round's assignment twice, so CTE inlining re-evaluates the whole
-    upstream ~2^rounds times.  Here the points pin once and each round
-    is (broadcast k-row cross join → groupBy argmin → centroid
-    update); rounds chain linearly."""
-    from pyspark.sql import functions as F
-
+    upstream ~2^rounds times.  Here the points pin once, and each
+    round is ONE distributed job — broadcast k-row VALUES cross join →
+    map-side struct-MIN argmin → per-cluster (Σx, Σy, count), which is
+    ≤k rows and collects to the driver where the truncating-mean
+    centroid update (``sx DIV n``, empty clusters keep their centroid
+    — all operands non-negative, so python ``//`` IS the SQL DIV) runs
+    in python and re-enters the next round's SQL as literals (r6: the
+    k-row centroid relation was referenced twice per round, which
+    forced two checkpoint jobs per round to stop exponential
+    re-evaluation; a ≤k-row collect is bounded at any input scale)."""
     from .pinning import fresh_pins
 
     spark = points.sparkSession
     pinf = fresh_pins(spark, slot, strategy=pin)
     pts = pinf(points.selectExpr("id", "x", "y"))
     pts.createOrReplaceTempView("km_pts_v")
-    cent = spark.sql(f"""
+    cent = [(int(r.ck), int(r.x), int(r.y)) for r in spark.sql(f"""
 SELECT ROW_NUMBER() OVER (ORDER BY h, id) AS ck, x, y
 FROM (SELECT CAST(CONV(SUBSTRING(MD5(CAST(id AS STRING)), 1, 8), 16, 10)
              AS BIGINT) AS h, id, x, y
-      FROM km_pts_v ORDER BY 1, 2 LIMIT {int(k)}) seeds""")
-    picked = None
-    for _ in range(int(rounds)):
-        cent.createOrReplaceTempView("km_cent_v")
-        picked = pinf(spark.sql("""
-SELECT id, x, y, m.d2 AS d2, m.ck AS ck FROM (
+      FROM km_pts_v ORDER BY 1, 2 LIMIT {int(k)}) seeds""").collect()]
+
+    def cent_values(cs):
+        return ", ".join(
+            f"({ck}, CAST({x} AS BIGINT), CAST({y} AS BIGINT))"
+            for ck, x, y in cs)
+
+    def argmin_sql(cs):
+        # the lexicographic struct-MIN replaces the template's
+        # MIN/join-back argmin — identical result (min d2, min ck
+        # tie); unlike a per-point ROW_NUMBER window it partial-
+        # aggregates map-side, so the k-way cross-join fan-out never
+        # shuffles (guide §2.3)
+        return f"""
   SELECT p.id, p.x, p.y,
          MIN(STRUCT((p.x - c.x) * (p.x - c.x)
                     + (p.y - c.y) * (p.y - c.y) AS d2, c.ck AS ck)) AS m
-  FROM km_pts_v p CROSS JOIN km_cent_v c
-  GROUP BY p.id, p.x, p.y) a"""))
-    # NOTE: the lexicographic struct-MIN above replaces the template's
-    # MIN/join-back argmin — identical result (min d2, min ck tie);
-    # unlike a per-point ROW_NUMBER window it partial-aggregates
-    # map-side, so the k-way cross-join fan-out never shuffles
-    # (r6 optimization, guide §2.3)
-        picked.createOrReplaceTempView("km_picked_v")
-        cent = pinf(spark.sql("""
-SELECT c.ck,
-       COALESCE((s.sx DIV s.n), c.x) AS x,
-       COALESCE((s.sy DIV s.n), c.y) AS y
-FROM km_cent_v c LEFT JOIN (
-  SELECT ck, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(COUNT(*) AS BIGINT) AS n
-  FROM km_picked_v GROUP BY ck) s ON s.ck = c.ck"""))
-    cent.createOrReplaceTempView("km_cent_v")
-    return spark.sql("""
-SELECT p.ck,
+  FROM km_pts_v p
+  CROSS JOIN (SELECT * FROM (VALUES {cent_values(cs)})
+              AS t(ck, x, y)) c
+  GROUP BY p.id, p.x, p.y"""
+
+    assign_cent = cent
+    for _ in range(int(rounds)):
+        assign_cent = cent
+        sums = {int(r.ck): r for r in spark.sql(f"""
+SELECT a.m.ck AS ck,
+       CAST(SUM(a.x) AS BIGINT) AS sx, CAST(SUM(a.y) AS BIGINT) AS sy,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ({argmin_sql(cent)}) a
+GROUP BY a.m.ck""").collect()}
+        cent = [(ck,
+                 int(sums[ck].sx) // int(sums[ck].n) if ck in sums else x,
+                 int(sums[ck].sy) // int(sums[ck].n) if ck in sums else y)
+                for ck, x, y in cent]
+    # final rollup: assignment against the centroids that ENTERED the
+    # last round (the template's km_picked_v), centroid coords from
+    # the post-update set (its km_cent_v) — same relations, one job
+    return spark.sql(f"""
+SELECT a.m.ck AS ck,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(MIN(c.x) AS BIGINT) AS cx,
-       CAST(MIN(c.y) AS BIGINT) AS cy,
-       CAST(SUM(p.d2 DIV 1000000) AS BIGINT) AS inertia_e6
-FROM km_picked_v p JOIN km_cent_v c ON c.ck = p.ck
-GROUP BY p.ck""")
+       CAST(MIN(c2.x) AS BIGINT) AS cx,
+       CAST(MIN(c2.y) AS BIGINT) AS cy,
+       CAST(SUM(a.m.d2 DIV 1000000) AS BIGINT) AS inertia_e6
+FROM ({argmin_sql(assign_cent)}) a
+JOIN (SELECT * FROM (VALUES {cent_values(cent)}) AS t(ck, x, y)) c2
+  ON c2.ck = a.m.ck
+GROUP BY a.m.ck""")
