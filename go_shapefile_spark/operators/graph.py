@@ -301,6 +301,80 @@ def connected_components(edges: DataFrame, src: str = "src",
                     .alias("component")))
 
 
+def triangle_counts_local(edges: DataFrame,
+                          max_edges: int = 2_000_000,
+                          max_wedges: int = 25_000_000):
+    """Driver-side per-node triangle counts over an undirected-distinct
+    edge relation ``edges(a, b)`` with a < b — the vectorized twin of
+    ``queries.triangle_count_sql``'s orient-by-(degree, node) wedge
+    join (r6): identical algebra (orientation by ascending (deg, id),
+    wedges = ordered out-neighbor pairs, closed against the oriented
+    edge set; nodes in no triangle are absent), exact integer counts.
+    Returns None unless BOTH the exact edge count (one 1-row agg, which
+    doubles as the pin materialization) and the exact wedge count
+    (Σ od·(od−1)/2, computed from degrees before materializing
+    anything quadratic) are under their caps — larger graphs keep the
+    caller's distributed wedge join.  The bounded collect discipline of
+    ``_local_components``: the cutoffs bound driver memory at ANY
+    input scale."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n_edges = edges.count()
+    if n_edges == 0 or n_edges > max_edges:
+        return None
+    spark = edges.sparkSession
+    node_t = edges.schema[0].dataType
+    schema = T.StructType([T.StructField("node", node_t, True),
+                           T.StructField("n_tri", T.LongType(), True)])
+    pdf = edges.toPandas()
+    a = pdf.iloc[:, 0].to_numpy()
+    b = pdf.iloc[:, 1].to_numpy()
+    nodes, idx = np.unique(np.concatenate([a, b]), return_inverse=True)
+    da, db = idx[:len(a)], idx[len(a):]
+    n = len(nodes)
+    deg = np.bincount(da, minlength=n) + np.bincount(db, minlength=n)
+    # rank by (deg, node): np.unique's sorted output makes dense index
+    # order == node-id order, so lexsort((index, deg)) IS the
+    # template's ROW_NUMBER ORDER BY deg, node (relative order is all
+    # the wedge join consumes)
+    rk = np.empty(n, dtype=np.int64)
+    rk[np.lexsort((np.arange(n), deg))] = np.arange(n)
+    ra, rb = rk[da], rk[db]
+    u = np.where(ra < rb, da, db)
+    v = np.where(ra < rb, db, da)
+    od = np.bincount(u, minlength=n)
+    n_wedges = int((od.astype(np.int64) * (od - 1) // 2).sum())
+    if n_wedges > max_wedges:
+        return None
+    # out-neighbors sorted by (u, rk[v]): within each u-group every
+    # ordered following-pair is exactly one wedge (e2.rk_v > e1.rk_v)
+    ordr = np.lexsort((rk[v], u))
+    su, sv = u[ordr], v[ordr]
+    cnt = od[od > 0]                       # group sizes in su order
+    reps = np.repeat(cnt, cnt) - (
+        np.arange(len(su)) - np.repeat(np.cumsum(cnt) - cnt, cnt)) - 1
+    i1 = np.repeat(np.arange(len(su)), reps)
+    tot = int(reps.sum())
+    i2 = i1 + (np.arange(tot)
+               - np.repeat(np.cumsum(reps) - reps, reps) + 1)
+    wu, wv, ww = su[i1], sv[i1], sv[i2]
+    # close: the wedge (v, w) must itself be an oriented edge
+    pk = np.sort(su.astype(np.int64) * n + sv)
+    nk = wv.astype(np.int64) * n + ww
+    pos = np.clip(np.searchsorted(pk, nk), 0, len(pk) - 1)
+    tri = pk[pos] == nk
+    n_tri = (np.bincount(wu[tri], minlength=n)
+             + np.bincount(wv[tri], minlength=n)
+             + np.bincount(ww[tri], minlength=n)).astype(np.int64)
+    keep = n_tri > 0
+    out = pd.DataFrame({"node": nodes[keep], "n_tri": n_tri[keep]})
+    if len(out) == 0:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(out, schema)
+
+
 def dedup_keep_representatives(edges: DataFrame, src: str = "src",
                                dst: str = "dst",
                                pin: str | None = None) -> DataFrame:

@@ -5261,13 +5261,30 @@ GROUP BY t.u
         optimization; the pinned relation keeps the REPARTITION(64, u)
         distribution the hint establishes).  Oracle unchanged."""
         register_tables(spark, sf_dir)
+        from .operators.graph import triangle_counts_local
+
         pin = _fresh_checkpoints(spark, "triangle_counts")
         full = q_triangles(SPARK)
-        idx = full.index("tg_tri AS (")
-        head = full[full.index("WITH ") + 5:idx].rstrip().rstrip(",")
+        # r6 second pass: pin the distinct edge relation (the part
+        # that scales with input) and, when its exact edge AND wedge
+        # counts are bounded, run the identical orient/wedge/close
+        # algebra vectorized on the driver (operators/graph.py) —
+        # the global-rank window and the 4.8M-row wedge join were
+        # ~1.6 s of shuffle latency at sf0.1.  Unbounded graphs keep
+        # the distributed wedge join below.
+        core_idx = full.index("tg_deg AS (")
+        e_head = full[full.index("WITH ") + 5:core_idx].rstrip().rstrip(",")
+        tg_e = pin(spark.sql("WITH " + e_head + "\nSELECT a, b FROM tg_e"))
+        local = triangle_counts_local(tg_e)
+        if local is not None:
+            return local
+        tg_e.createOrReplaceTempView("tg_e_pin")
+        core = triangle_count_sql("tg_e_pin")
+        idx = core.index("tg_tri AS (")
+        head = core[:idx].rstrip().rstrip(",")
         pin(spark.sql("WITH " + head + "\nSELECT * FROM tg_oe")) \
             .createOrReplaceTempView("tg_oe_pin")
-        tail = "WITH " + full[idx:].replace("tg_oe e", "tg_oe_pin e")
+        tail = "WITH " + core[idx:].replace("tg_oe e", "tg_oe_pin e")
         # single-pass corner explode: the template's 3-branch UNION
         # inlines tg_tri (the wedge join) once per corner — 3× the
         # dominant join; explode(array(u, v, w)) is the same multiset

@@ -183,6 +183,38 @@ def test_triangle_count_matches_bruteforce():
         assert max(fan.values()) <= int((2 * len(pairs)) ** 0.5) + 1
 
 
+def test_triangle_counts_local_matches_bruteforce(spark):
+    """The r6 driver-side triangle counter (graph.triangle_counts_local)
+    equals the O(n^3) brute force on random graphs, and respects its
+    bounded-collect gates (None above either cap)."""
+    import itertools
+
+    from go_shapefile_spark.operators.graph import triangle_counts_local
+
+    rng = np.random.default_rng(41)
+    for n, m in [(30, 120), (60, 300), (12, 66)]:
+        pairs = set()
+        while len(pairs) < m:
+            x, y = rng.integers(0, n, 2)
+            if x != y:
+                pairs.add((int(min(x, y)), int(max(x, y))))
+        df = spark.createDataFrame(sorted(pairs), "a long, b long")
+        got = {r.node: r.n_tri
+               for r in triangle_counts_local(df).collect()}
+        adj: dict = {}
+        for x, y in pairs:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        want: dict = {}
+        for uu, vv, wW in itertools.combinations(sorted(adj), 3):
+            if vv in adj[uu] and wW in adj[uu] and wW in adj[vv]:
+                for z in (uu, vv, wW):
+                    want[z] = want.get(z, 0) + 1
+        assert got == want
+        assert triangle_counts_local(df, max_edges=1) is None
+        assert triangle_counts_local(df, max_wedges=1) is None
+
+
 def test_triangle_count_spark_matches_duckdb(spark):
     """The same SQL subset runs in Spark; identical per-node counts."""
     import duckdb
