@@ -584,9 +584,15 @@ def main() -> None:
              [("LUT levels are broadcast hash joins",
                lambda p: p.count("BroadcastHashJoin") >= 8)]),
             ("distance_transform",
-             "Grid distance transform (pinned frontier BFS)",
-             [("rounds read pinned leaves, not recomputed chains",
-               lambda p: "Scan ExistingRDD" in p or "LogicalRDD" in p
+             "Grid distance transform (bounded-grid driver BFS; "
+             "distributed self-loop chain above the cutoff)",
+             # r6: when the aggregated grid is provably bounded the
+             # rounds run vectorized on the driver and the visible
+             # plan is the local result relation; unbounded inputs
+             # show the pinned distributed chain instead
+             [("local result relation or pinned leaves",
+               lambda p: "LocalTableScan" in p
+               or "Scan ExistingRDD" in p or "LogicalRDD" in p
                or "Scan parquet" in p)]),
             # r5 sixth wave: all dialect-free relational templates
             ("skyline_events",
@@ -623,13 +629,15 @@ def main() -> None:
                and "CartesianProduct" not in p)]),
             ("viewshed_cells",
              "Viewshed (integer line-of-sight, grid-bounded samples)",
-             # the 1-row observer relation cross-joins via BNLJ by
-             # design; the per-sample elevation lookup must be a hash
-             # equi-join
-             [("elevation lookup is a hash equi-join",
-               lambda p: ("SortMergeJoin" in p
-                          or "BroadcastHashJoin" in p)
-               and "LeftOuter" in p)]),
+             # r6: the bounded occupancy grid evaluates on the driver
+             # (local result relation); above the cutoff the SQL
+             # template runs and the per-sample elevation lookup must
+             # be a hash equi-join (the 1-row observer cross-joins
+             # via BNLJ by design)
+             [("local result relation or hash equi-join lookup",
+               lambda p: "LocalTableScan" in p
+               or (("SortMergeJoin" in p or "BroadcastHashJoin" in p)
+                   and "LeftOuter" in p))]),
             ("exact_percentiles",
              "Exact grouped percentiles (cumulative-count windows)",
              []),
@@ -662,9 +670,11 @@ def main() -> None:
             ("activity_profile",
              "Activity profile (epoch-pure seasonality)", []),
             ("cost_distance",
-             "Chamfer cost distance (pinned min-plus rounds)",
-             [("rounds read pinned leaves",
-               lambda p: "Scan ExistingRDD" in p or "LogicalRDD" in p
+             "Chamfer cost distance (bounded-grid driver min-plus; "
+             "distributed self-loop chain above the cutoff)",
+             [("local result relation or pinned leaves",
+               lambda p: "LocalTableScan" in p
+               or "Scan ExistingRDD" in p or "LogicalRDD" in p
                or "Scan parquet" in p)]),
             ("kmeans_events",
              "Planar k-means (pinned Lloyd runner)",
