@@ -377,73 +377,6 @@ def _minplus_local_df(spark, base: DataFrame, st, offsets,
     return spark.createDataFrame(out, schema)
 
 
-def viewshed_grid_los(grid: DataFrame, x_off: int = 180,
-                      y_off: int = 90,
-                      local_iterate: bool | None = None):
-    """Bounded-grid driver evaluation of ``queries.viewshed_sql``'s
-    line-of-sight algebra over a NON-NEGATIVE occupied grid
-    ``grid(x, y, n)`` — the same integer expressions, vectorized:
-    observer = max-n cell (ties by smallest (x, y), the template's
-    ROW_NUMBER order), per-target Chebyshev ``d``, step samples
-    ``s = 1..d-1`` at the non-negative-rounded midpoints
-    ``(o*(d-s)*2 + t*s*2 + d) DIV (2d)`` (plain ``//`` — every operand
-    is non-negative in the shifted domain), blocked iff any step's
-    elevation satisfies ``(g_n - oe)*d >= (n_t - oe)*s`` with missing
-    cells as 0.  All int64; output dtypes mirror the SQL template
-    (``visible`` stays INT like the CASE literal).  Returns None when
-    the grid is not provably bounded — the caller falls back to the
-    SQL template (which tests force via ``local_iterate=False``)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    st = _grid_local_stats(grid)
-    ok = _grid_local_ok(st) if local_iterate is None else local_iterate
-    if not ok:
-        return None
-    spark = grid.sparkSession
-    schema = T.StructType([T.StructField("x", T.LongType(), True),
-                           T.StructField("y", T.LongType(), True),
-                           T.StructField("n", T.LongType(), True),
-                           T.StructField("d", T.LongType(), True),
-                           T.StructField("visible", T.IntegerType(),
-                                         True)])
-    pdf = grid.toPandas()
-    order, key_sorted, spany = _grid_pack(pdf, st)
-    x = pdf["x"].to_numpy(np.int64)[order]
-    y = pdf["y"].to_numpy(np.int64)[order]
-    n = pdf["n"].to_numpy(np.int64)[order]
-    obs = np.lexsort((y, x, -n))[0]
-    ox, oy, oe = int(x[obs]), int(y[obs]), int(n[obs])
-    d = np.maximum(np.abs(x - ox), np.abs(y - oy))
-    is_t = (x != ox) | (y != oy)
-    idxs = np.nonzero(is_t & (d >= 2))[0]
-    cnt = d[idxs] - 1
-    blocked = np.zeros(len(x), bool)
-    if len(idxs):
-        ti = np.repeat(idxs, cnt)
-        ends = np.cumsum(cnt)
-        s = (np.arange(int(ends[-1]), dtype=np.int64)
-             - np.repeat(ends - cnt, cnt) + 1)
-        td = d[ti]
-        sx = (ox * (td - s) * 2 + x[ti] * s * 2 + td) // (2 * td)
-        sy = (oy * (td - s) * 2 + y[ti] * s * 2 + td) // (2 * td)
-        nk = ((sx - int(st.x0) + 1) * spany + (sy - int(st.y0) + 1))
-        pos = np.clip(np.searchsorted(key_sorted, nk),
-                      0, len(key_sorted) - 1)
-        hit = key_sorted[pos] == nk
-        gn = np.where(hit, n[pos], np.int64(0))
-        blk = (gn - oe) * td >= (n[ti] - oe) * s
-        np.logical_or.at(blocked, ti, blk)
-    out = pd.DataFrame({
-        "x": x[is_t] - x_off, "y": y[is_t] - y_off,
-        "n": n[is_t], "d": d[is_t],
-        "visible": np.where(blocked[is_t], 0, 1).astype(np.int32)})
-    if len(out) == 0:
-        return spark.createDataFrame([], schema)
-    return spark.createDataFrame(out, schema)
-
-
 def grid_distance_transform(points: DataFrame, rounds: int = 8,
                             pin: str | None = None,
                             slot: str | None = None,

@@ -5351,15 +5351,15 @@ WITH rs_src AS (
         full = q_viewshed(SPARK)
         idx = full.index("vs_org AS (")
         head = full[full.index("WITH ") + 5:idx].rstrip().rstrip(",")
-        g = pin(spark.sql("WITH " + head + "\nSELECT * FROM vs_grid"))
-        # bounded occupancy grid (FLOOR-degree cells): evaluate the
-        # line-of-sight algebra on the driver (r6; identical integer
-        # expressions — see CL.viewshed_grid_los); unbounded grids
-        # fall back to the SQL template below
-        local = CL.viewshed_grid_los(g, x_off=180, y_off=90)
-        if local is not None:
-            return local
-        g.createOrReplaceTempView("vs_grid_pin")
+        # NOTE (r6 second pass): a driver-side numpy LOS evaluator
+        # (CL.viewshed_grid_los) was tried here and REVERTED for the
+        # gate: row-identical and ~0.5 s faster in quiet windows, but
+        # its ~5M-step single-threaded pass is hostage to host
+        # single-core noise bursts (measured 1.9 s quiet vs 6.5 s in
+        # a degraded window where the 32-way SQL path held ~2.7 s) —
+        # the distributed template has the better worst case.
+        pin(spark.sql("WITH " + head + "\nSELECT * FROM vs_grid")) \
+            .createOrReplaceTempView("vs_grid_pin")
         return spark.sql("WITH " + viewshed_sql("vs_grid_pin", SPARK))
     queries["viewshed_cells"] = viewshed_pinned
     oracles["viewshed_cells"] = q_viewshed(DUCK)

@@ -462,35 +462,6 @@ def test_cost_distance_matches_dijkstra_reference(spark):
     assert got[(5, 1)] == got[(4, 0)] + 3
 
 
-def test_viewshed_local_evaluator_matches_sql_template(spark):
-    """The r6 bounded-grid driver evaluator (CL.viewshed_grid_los) is
-    row-identical — values AND dtypes — to the shared SQL template on a
-    random terrain with a dominant peak (the template itself is pinned
-    against an independent python reference above)."""
-    import pandas as pd
-
-    from go_shapefile_spark.operators.clustering import viewshed_grid_los
-    from go_shapefile_spark.queries import viewshed_sql
-
-    rng = np.random.default_rng(29)
-    cells = {(int(x), int(y)): int(n) for x, y, n in zip(
-        rng.integers(0, 25, 220), rng.integers(0, 25, 220),
-        rng.integers(1, 60, 220))}
-    cells[(12, 12)] = 1000
-    g = spark.createDataFrame(pd.DataFrame(
-        [(x, y, n) for (x, y), n in cells.items()],
-        columns=["x", "y", "n"]).astype("int64"))
-    a = sorted(map(tuple, viewshed_grid_los(
-        g, x_off=0, y_off=0, local_iterate=True).collect()))
-    g.createOrReplaceTempView("vs_t_grid")
-    sql_df = spark.sql("WITH " + viewshed_sql(
-        "vs_t_grid", "spark", x_off=0, y_off=0))
-    b = sorted(map(tuple, sql_df.collect()))
-    assert a == b and len(a) > 100
-    assert (viewshed_grid_los(g, 0, 0, local_iterate=True).dtypes
-            == sql_df.dtypes)
-
-
 def test_grid_runners_local_iterate_matches_distributed(spark):
     """The r6 bounded-grid driver iterate (auto-gated on the exact cell
     count) is row-identical to the distributed join-per-round chain for
